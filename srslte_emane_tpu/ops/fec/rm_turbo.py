@@ -115,6 +115,27 @@ def rx_table(k: int, f: int, e: int, rv: int, ncb: int = 0) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def rx_gather_table(k: int, f: int, e: int, rv: int, ncb: int = 0) -> np.ndarray:
+    """Inverse of rx_table as a dense gather: (wbuf_size, n_max) indices into
+    the incoming LLR vector padded with one trailing zero (index e = "none").
+
+    The TPU backend has no scatter-add; soft combining becomes
+    wbuf += padded_llrs[..., table].sum(-1) — pure gathers + reduction, which
+    also removes the serialization a scatter would imply.
+    """
+    tgt = rx_table(k, f, e, rv, ncb)
+    size = wbuf_size(k)
+    counts = np.bincount(tgt, minlength=size)
+    n_max = max(1, int(counts.max()))
+    out = np.full((size, n_max), e, dtype=np.int32)
+    slot = np.zeros(size, dtype=np.int64)
+    for j, t in enumerate(tgt):
+        out[t, slot[t]] = j
+        slot[t] += 1
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _wbuf_inverse(k: int, f: int):
     """(gather_idx (3D,), filler_mask (3D,)) mapping w-buffer -> d-LLRs.
     gather_idx[j] = w position holding d_flat[j], or 0 for fillers/missing."""
@@ -145,11 +166,17 @@ def rate_match_tx(d_flat: jnp.ndarray, k: int, f: int, e: int, rv: int, ncb: int
 def rate_unmatch_rx(
     llrs: jnp.ndarray, wbuf: jnp.ndarray, k: int, f: int, e: int, rv: int, ncb: int = 0
 ):
-    """RX soft-combine: scatter-add incoming LLRs (B, e) into the HARQ
+    """RX soft-combine: accumulate incoming LLRs (B, e) into the HARQ
     w-buffer (B, 3*Kp) (the `srslte_softbuffer_rx_t` equivalent,
-    `fec/softbuffer.c`).  Returns the updated w-buffer."""
-    tbl = rx_table(k, f, e, rv, ncb)
-    return jnp.asarray(wbuf).at[..., jnp.asarray(tbl)].add(llrs)
+    `fec/softbuffer.c`).  Returns the updated w-buffer.
+
+    Implemented as an inverse gather + sum (see rx_gather_table) because the
+    pattern is static per configuration — no scatter needed."""
+    tbl = rx_gather_table(k, f, e, rv, ncb)
+    padded = jnp.concatenate(
+        [llrs, jnp.zeros(llrs.shape[:-1] + (1,), llrs.dtype)], axis=-1
+    )
+    return jnp.asarray(wbuf) + jnp.take(padded, jnp.asarray(tbl), axis=-1).sum(-1)
 
 
 def wbuf_to_d_llrs(wbuf: jnp.ndarray, k: int, f: int):

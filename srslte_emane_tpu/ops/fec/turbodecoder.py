@@ -36,6 +36,7 @@ from . import turbo
 
 NEG = -1e30
 HALO = 40  # window overlap, matches turbodecoder_win.h:36-87
+EXT_SCALE = 0.75  # extrinsic damping: standard max-log-MAP correction factor
 
 
 @functools.lru_cache(maxsize=None)
@@ -243,11 +244,11 @@ def turbo_decode(
     def body(state):
         it, apri1, done, bits_out, pass_out = state
         post1 = _map_decode(ls + apri1, lp1, tail_x1, tail_z1)
-        ext1 = post1 - (ls + apri1)
+        ext1 = (post1 - (ls + apri1)) * EXT_SCALE
         apri2 = jnp.take(ext1, perm, axis=1)
         ls2 = jnp.take(ls, perm, axis=1)
         post2 = _map_decode(ls2 + apri2, lp2, tail_x2, tail_z2)
-        ext2 = post2 - (ls2 + apri2)
+        ext2 = (post2 - (ls2 + apri2)) * EXT_SCALE
         apri1_new = jnp.take(ext2, inv_perm, axis=1)
         bits = (jnp.take(post2, inv_perm, axis=1) < 0).astype(jnp.int8)
         ok = check(bits)

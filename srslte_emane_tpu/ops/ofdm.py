@@ -1,0 +1,87 @@
+"""CP-OFDM modulation/demodulation over the matmul DFT.
+
+Reference behavior: `lib/src/phy/dft/ofdm.c` — per-slot (de)modulation with
+normal/extended CP, MBSFN support, optional fractional frequency shift
+(ofdm.h:42-66).
+
+Grid convention: a subframe resource grid is a cf tensor
+(..., 14, NRE, 2) with NRE = 12*n_prb; subcarrier k maps to FFT bin
+(k - NRE/2) mod N for the negative half and k - NRE/2 + 1 for the positive
+half (DC punctured), per 36.211 §6.12.  Time-domain subframes are
+(..., SF_LEN, 2) with SF_LEN = {1920, 3840, 7680, 15360, 23040, 30720}.
+
+All 14 symbols FFT as one batched matmul; CP add/remove are static slices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import cplx, dft
+
+N_SYM_SF = 14  # normal CP
+
+
+@functools.lru_cache(maxsize=None)
+def params(n_prb: int):
+    n = dft.OFDM_SYMBOL_SZ[n_prb]
+    cp0 = 160 * n // 2048
+    cp = 144 * n // 2048
+    sf_len = 2 * (cp0 + n + 6 * (cp + n))
+    return dict(n=n, cp0=cp0, cp=cp, sf_len=sf_len, nre=12 * n_prb)
+
+
+@functools.lru_cache(maxsize=None)
+def _bin_map(n_prb: int) -> np.ndarray:
+    p = params(n_prb)
+    nre, n = p["nre"], p["n"]
+    k = np.arange(nre)
+    return np.where(k < nre // 2, (k - nre // 2) % n, k - nre // 2 + 1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _symbol_starts(n_prb: int) -> tuple:
+    """(start, cp_len) of each of the 14 symbols within the subframe."""
+    p = params(n_prb)
+    out = []
+    t = 0
+    for slot in range(2):
+        for l in range(7):
+            cp = p["cp0"] if l == 0 else p["cp"]
+            out.append((t, cp))
+            t += cp + p["n"]
+    assert t == p["sf_len"]
+    return tuple(out)
+
+
+def modulate(grid, n_prb: int):
+    """Resource grid (..., 14, NRE, 2) -> time samples (..., SF_LEN, 2)."""
+    p = params(n_prb)
+    n, nre = p["n"], p["nre"]
+    bins = _bin_map(n_prb)
+    shape = grid.shape[:-3] + (N_SYM_SF, n, 2)
+    x = jnp.zeros(shape, grid.dtype)
+    x = x.at[..., jnp.asarray(bins), :].set(grid)
+    time = dft.idft(x)  # operates on axis -2: (..., 14, N, 2)
+    pieces = []
+    for l, (start, cp) in enumerate(_symbol_starts(n_prb)):
+        sym = time[..., l, :, :]
+        pieces.append(sym[..., n - cp :, :])  # cyclic prefix
+        pieces.append(sym)
+    return jnp.concatenate(pieces, axis=-2)
+
+
+def demodulate(samples, n_prb: int):
+    """Time samples (..., SF_LEN, 2) -> resource grid (..., 14, NRE, 2)."""
+    p = params(n_prb)
+    n = p["n"]
+    bins = _bin_map(n_prb)
+    syms = []
+    for start, cp in _symbol_starts(n_prb):
+        syms.append(samples[..., start + cp : start + cp + n, :])
+    x = jnp.stack(syms, axis=-3)  # (..., 14, N, 2)
+    freq = dft.dft(x)
+    return jnp.take(freq, jnp.asarray(bins), axis=-2)
