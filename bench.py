@@ -1,0 +1,91 @@
+"""Benchmark of record: 20 MHz downlink PDSCH subframes/sec/chip.
+
+Baseline (BASELINE.md): real time = 1000 subframes/s; the reference sustains
+exactly real time on an x86 host with 3 PHY worker threads (75 Mbps SISO
+20 MHz).  vs_baseline = measured sf/s / 1000 (x real time per chip).
+
+Measures the full UE-side receive chain (OFDM demod -> channel estimation ->
+ZF equalize -> soft demod -> descramble -> de-rate-match -> turbo decode with
+CRC early stop) on batched subframes, plus reports eNB encode and turbo
+throughput as secondary metrics on stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from srslte_emane_tpu.models import pdsch_link
+    from srslte_emane_tpu.phch import grid as grid_mod
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    # 20 MHz SISO 64QAM, rate ~0.55 -> ~36 Mbps-class TB per subframe
+    cfg = pdsch_link.LinkConfig(
+        cell=grid_mod.CellConfig(n_prb=100, cell_id=1, cfi=1),
+        qm=6,
+        code_rate=0.55,
+        snr_db=20.0,
+        sf_idx=1,
+    )
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 2, size=(batch, cfg.tbs), dtype=np.int8)
+
+    tx_fn = jax.jit(lambda p: pdsch_link.tx_subframe(p, cfg))
+    rx_fn = jax.jit(lambda s: pdsch_link.rx_subframe(s, cfg)[:2])
+
+    from srslte_emane_tpu.ops import channel
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    tx = tx_fn(payload)
+    rx_samples = channel.awgn(key, tx, cfg.snr_db)
+    out, ok = rx_fn(rx_samples)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    ok_h = np.asarray(ok)
+    assert ok_h.all(), f"decode failed at bench SNR: {ok_h}"
+    assert (np.asarray(out) == payload).all()
+
+    # timed decode loop
+    t0 = time.time()
+    for _ in range(iters):
+        out, ok = rx_fn(rx_samples)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    sf_per_s = batch * iters / dt
+
+    # secondary: encode throughput
+    t0 = time.time()
+    for _ in range(iters):
+        tx = tx_fn(payload)
+    jax.block_until_ready(tx)
+    enc_sf_per_s = batch * iters / (time.time() - t0)
+
+    mbps = sf_per_s * cfg.tbs / 1e6
+    print(
+        f"# compile={compile_s:.1f}s decode={sf_per_s:.1f} sf/s "
+        f"({mbps:.1f} Mb/s payload) encode={enc_sf_per_s:.1f} sf/s "
+        f"tbs={cfg.tbs} batch={batch} device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pdsch_20mhz_decode_subframes_per_sec_per_chip",
+                "value": round(sf_per_s, 2),
+                "unit": "subframes/s",
+                "vs_baseline": round(sf_per_s / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

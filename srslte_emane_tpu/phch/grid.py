@@ -1,0 +1,128 @@
+"""Downlink resource grid: CRS generation, RE hole maps, PDSCH RE indexing.
+
+Reference behavior: `lib/src/phy/ch_estimation/refsignal_dl.c` (CRS:
+c_init at refsignal_dl.c:99, v-offsets :134-165, fidx :234) and the PDSCH
+put/get hole logic honoring CRS/PSS/SSS/PBCH/control region
+(`lib/src/phy/phch/pdsch.c:81-233`, regs layout `phch/regs.c`).
+
+TPU design: all placement logic runs on the host once per static cell
+configuration (cell_id, n_prb, ports, cfi, sf_idx) yielding flat index
+tables into the flattened (14*NRE) grid; the device only gathers/scatters.
+Grids are cf tensors (..., 14, NRE, 2); flat index = sym*NRE + k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from ..ops import sequence
+
+MAX_PRB = 110
+N_SYM = 14  # normal CP
+PILOT_SYMS_P01 = (0, 4, 7, 11)  # subframe symbol indices for ports 0/1
+PILOT_SYMS_P23 = (1, 8)
+
+
+@dataclasses.dataclass(frozen=True)
+class CellConfig:
+    n_prb: int = 6
+    cell_id: int = 0
+    n_ports: int = 1
+    cfi: int = 1
+
+    @property
+    def nre(self) -> int:
+        return 12 * self.n_prb
+
+
+def cs_v(port: int, ref_sym_idx: int) -> int:
+    """Frequency offset v (refsignal_dl.c:134-165 / 36.211 §6.10.1.2)."""
+    if port == 0:
+        return 0 if ref_sym_idx % 2 == 0 else 3
+    if port == 1:
+        return 3 if ref_sym_idx % 2 == 0 else 0
+    if port == 2:
+        return 0 if ref_sym_idx == 0 else 3
+    return 3 if ref_sym_idx == 0 else 0
+
+
+def pilot_syms(port: int) -> tuple:
+    return PILOT_SYMS_P01 if port < 2 else PILOT_SYMS_P23
+
+
+@functools.lru_cache(maxsize=None)
+def crs_values(cell_id: int, sf_idx: int, n_prb: int, port: int) -> np.ndarray:
+    """CRS pilot values: (n_pilot_syms, 2*n_prb) complex64.
+
+    r(m') = ((1-2c(2m')) + j(1-2c(2m'+1)))/sqrt(2) with
+    c_init = 1024(7(ns+1)+l+1)(2 cell_id+1) + 2 cell_id + 1 (normal CP)."""
+    syms = pilot_syms(port)
+    out = np.zeros((len(syms), 2 * n_prb), dtype=np.complex64)
+    for i, sym in enumerate(syms):
+        ns = 2 * sf_idx + sym // 7
+        l = sym % 7
+        c_init = 1024 * (7 * (ns + 1) + l + 1) * (2 * cell_id + 1) + 2 * cell_id + 1
+        c = sequence.gold_sequence_host(c_init, 4 * MAX_PRB)
+        m = np.arange(2 * n_prb)
+        mp = m + MAX_PRB - n_prb
+        out[i] = ((1 - 2 * c[2 * mp]) + 1j * (1 - 2 * c[2 * mp + 1])) / np.sqrt(2)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def crs_k(cell_id: int, n_prb: int, port: int) -> np.ndarray:
+    """CRS subcarrier indices: (n_pilot_syms, 2*n_prb) int."""
+    syms = pilot_syms(port)
+    out = np.zeros((len(syms), 2 * n_prb), dtype=np.int32)
+    for i in range(len(syms)):
+        fidx = (cs_v(port, i) + cell_id % 6) % 6
+        out[i] = fidx + 6 * np.arange(2 * n_prb)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def reserved_mask(cell: CellConfig, sf_idx: int, has_pss_sss: bool = True, has_pbch: bool = True) -> np.ndarray:
+    """(14, NRE) bool mask of REs NOT available to PDSCH:
+    control region (l < cfi), CRS of all configured ports (on CRS symbols,
+    reserved even where another cell's shift would fall? no — only own-cell
+    positions, matching pdsch.c put/get), PSS/SSS (sf 0/5), PBCH (sf 0)."""
+    m = np.zeros((N_SYM, cell.nre), dtype=bool)
+    m[: cell.cfi, :] = True  # PDCCH/PCFICH/PHICH control region
+    assert cell.n_ports in (1, 2, 4)
+    for p in range(cell.n_ports):
+        ks = crs_k(cell.cell_id, cell.n_prb, p)
+        for i, sym in enumerate(pilot_syms(p)):
+            m[sym, ks[i]] = True
+    center = cell.nre // 2
+    if has_pss_sss and sf_idx in (0, 5):
+        m[5, center - 36 : center + 36] = True  # SSS
+        m[6, center - 36 : center + 36] = True  # PSS
+    if has_pbch and sf_idx == 0:
+        for sym in (7, 8, 9, 10):
+            m[sym, center - 36 : center + 36] = True
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def pdsch_re_indices(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> np.ndarray:
+    """Ordered flat RE indices (sym*NRE + k) for a PDSCH allocation.
+
+    Mapping order per 36.211 §6.3.5: frequency (k) first within each symbol
+    l = cfi..13, over allocated PRBs only, skipping reserved REs."""
+    res = reserved_mask(cell, sf_idx)
+    k_allowed = np.zeros(cell.nre, dtype=bool)
+    for prb, on in enumerate(prb_mask):
+        if on:
+            k_allowed[12 * prb : 12 * (prb + 1)] = True
+    idx = []
+    for sym in range(cell.cfi, N_SYM):
+        ks = np.flatnonzero(k_allowed & ~res[sym])
+        idx.append(sym * cell.nre + ks)
+    return np.concatenate(idx).astype(np.int32)
+
+
+def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> int:
+    return len(pdsch_re_indices(cell, sf_idx, prb_mask))

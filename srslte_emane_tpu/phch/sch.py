@@ -100,7 +100,7 @@ def _groups(cfg: SchConfig):
 
 def encode_tb(tb_bits, cfg: SchConfig) -> jnp.ndarray:
     """(B, tbs) payload bits -> (B, G) rate-matched codeword bits."""
-    cbs, fillers = _segment_bits(np.asarray(tb_bits), cfg)
+    cbs, fillers = _segment_bits(tb_bits, cfg)
     s = cfg.segm
     es = cfg.e_sizes
     B = cbs[0].shape[0]
