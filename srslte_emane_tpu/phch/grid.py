@@ -38,6 +38,12 @@ class CellConfig:
         return 12 * self.n_prb
 
 
+def n_ctrl_symbols(cfi: int, n_prb: int) -> int:
+    """CFI value -> control-region length in OFDM symbols (regs.c:88-91):
+    one extra symbol for narrow bandwidths (<= 10 PRB)."""
+    return cfi + (1 if n_prb <= 10 else 0)
+
+
 def cs_v(port: int, ref_sym_idx: int) -> int:
     """Frequency offset v (refsignal_dl.c:134-165 / 36.211 §6.10.1.2)."""
     if port == 0:
@@ -90,7 +96,7 @@ def reserved_mask(cell: CellConfig, sf_idx: int, has_pss_sss: bool = True, has_p
     reserved even where another cell's shift would fall? no — only own-cell
     positions, matching pdsch.c put/get), PSS/SSS (sf 0/5), PBCH (sf 0)."""
     m = np.zeros((N_SYM, cell.nre), dtype=bool)
-    m[: cell.cfi, :] = True  # PDCCH/PCFICH/PHICH control region
+    m[: n_ctrl_symbols(cell.cfi, cell.n_prb), :] = True  # control region
     assert cell.n_ports in (1, 2, 4)
     for p in range(cell.n_ports):
         ks = crs_k(cell.cell_id, cell.n_prb, p)
@@ -118,7 +124,7 @@ def pdsch_re_indices(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> np.ndarr
         if on:
             k_allowed[12 * prb : 12 * (prb + 1)] = True
     idx = []
-    for sym in range(cell.cfi, N_SYM):
+    for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), N_SYM):
         ks = np.flatnonzero(k_allowed & ~res[sym])
         idx.append(sym * cell.nre + ks)
     return np.concatenate(idx).astype(np.int32)
