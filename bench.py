@@ -20,6 +20,11 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: the remote-compile path on this backend is
+    # slow (minutes for the full decode graph); repeat runs hit the cache.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from srslte_emane_tpu.models import pdsch_link
     from srslte_emane_tpu.phch import grid as grid_mod
 
