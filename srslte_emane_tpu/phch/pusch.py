@@ -1,0 +1,143 @@
+"""PUSCH: uplink shared channel with SC-FDMA transform precoding.
+
+Reference behavior: `lib/src/phy/phch/pusch.c` (UL-SCH + UCI mux + DFT
+precoding + PUSCH scrambling; eNB-side decode) and `lib/src/phy/dft/
+dft_precoding.c` (transform precoding, valid sizes 2^a 3^b 5^c).
+
+TPU design: the UL channel interleaver (36.212 §5.2.2.8) is a static
+reshape/transpose; DFT precoding rides the same matmul-DFT engine; DMRS-based
+UL channel estimation averages the two slot pilots with linear time
+interpolation.  Data symbols: l in {0..6}\\{3} per slot (DMRS at l=3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cplx, dft, modem, scrambling
+from . import chest as chest_dl  # for equalize helpers
+from . import grid as grid_mod, refsignal_ul, sch
+
+DATA_SYMS = tuple(l for l in range(14) if l not in (3, 10))
+DMRS_SYMS = (3, 10)
+N_DATA_SYMS = len(DATA_SYMS)  # 12
+
+
+def valid_n_prb(n_prb: int) -> bool:
+    """Transform precoding sizes: 2^a 3^b 5^c (dft_precoding.c)."""
+    n = n_prb
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def interleave(bits: jnp.ndarray, qm: int) -> jnp.ndarray:
+    """UL channel interleaver, data-only (36.212 §5.2.2.8): write row-wise in
+    Qm-bit groups over C_mux=12 columns, read column-wise."""
+    B, G = bits.shape
+    r = G // (qm * N_DATA_SYMS)
+    x = bits.reshape(B, r, N_DATA_SYMS, qm)
+    return x.transpose(0, 2, 1, 3).reshape(B, G)
+
+
+def deinterleave(llrs: jnp.ndarray, qm: int) -> jnp.ndarray:
+    B, G = llrs.shape
+    r = G // (qm * N_DATA_SYMS)
+    x = llrs.reshape(B, N_DATA_SYMS, r, qm)
+    return x.transpose(0, 2, 1, 3).reshape(B, G)
+
+
+@functools.lru_cache(maxsize=None)
+def re_indices(n_prb_cell: int, rb_start: int, l_prb: int):
+    """(12, 12*l_prb) flat grid indices of PUSCH data REs (freq within symbol),
+    plus (2, 12*l_prb) DMRS indices."""
+    nre = 12 * n_prb_cell
+    ks = 12 * rb_start + np.arange(12 * l_prb)
+    data = np.stack([l * nre + ks for l in DATA_SYMS]).astype(np.int32)
+    dmrs = np.stack([l * nre + ks for l in DMRS_SYMS]).astype(np.int32)
+    return data, dmrs
+
+
+def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
+           rnti: int, rb_start: int, l_prb: int, grid=None):
+    """UE-side PUSCH encode into a UL subframe grid (B, 14, NRE, 2)."""
+    assert valid_n_prb(l_prb), l_prb
+    m_sc = 12 * l_prb
+    assert cfg.G == m_sc * N_DATA_SYMS * cfg.Qm
+    cw = sch.encode_tb(tb_bits, cfg)
+    il = interleave(cw, cfg.Qm)
+    c_init = scrambling.pusch_cinit(rnti, sf_idx, cell.cell_id)
+    scr = scrambling.scramble_bits(il, c_init)
+    syms = modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm])  # (B, 12*m_sc, 2)
+    B = syms.shape[0]
+    # transform precoding per SC-FDMA symbol
+    x = syms.reshape(B, N_DATA_SYMS, m_sc, 2)
+    x = dft.dft(x, ortho=True)
+    data_idx, dmrs_idx = re_indices(cell.n_prb, rb_start, l_prb)
+    if grid is None:
+        grid = cplx.zeros((B, grid_mod.N_SYM, cell.nre))
+    flat = grid.reshape(B, -1, 2)
+    flat = flat.at[:, jnp.asarray(data_idx.reshape(-1)), :].set(x.reshape(B, -1, 2))
+    dmrs = refsignal_ul.pusch_dmrs(cell.cell_id, sf_idx, l_prb)
+    dv = cplx.from_numpy(dmrs.reshape(-1))
+    flat = flat.at[:, jnp.asarray(dmrs_idx.reshape(-1)), :].set(
+        jnp.broadcast_to(dv, (B,) + dv.shape)
+    )
+    return flat.reshape(B, grid_mod.N_SYM, cell.nre, 2)
+
+
+def estimate_ul(rx_grid, cell: grid_mod.CellConfig, sf_idx: int,
+                rb_start: int, l_prb: int):
+    """eNB UL channel estimate from the two DMRS symbols (chest_ul.c): LS per
+    slot pilot, 5-tap frequency smoothing, linear time interpolation.
+    Returns (ce (B, 12, M_sc, 2) at data symbols, noise_est (B,))."""
+    m_sc = 12 * l_prb
+    _, dmrs_idx = re_indices(cell.n_prb, rb_start, l_prb)
+    B = rx_grid.shape[0]
+    flat = rx_grid.reshape(B, -1, 2)
+    y = jnp.take(flat, jnp.asarray(dmrs_idx.reshape(-1)), axis=-2).reshape(B, 2, m_sc, 2)
+    r = cplx.from_numpy(refsignal_ul.pusch_dmrs(cell.cell_id, sf_idx, l_prb))
+    h_ls = cplx.mul_conj(y, jnp.asarray(r))  # (B, 2, m_sc, 2)
+    # frequency smoothing (moving average, 5 taps, edge-safe via same-pad)
+    k = 5
+    kernel = np.ones(k, np.float32) / k
+    pad = jnp.pad(h_ls, ((0, 0), (0, 0), (k // 2, k // 2), (0, 0)), mode="edge")
+    sm = sum(pad[:, :, i : i + m_sc, :] * kernel[i] for i in range(k))
+    noise = jnp.mean(
+        cplx.abs2(h_ls - sm).reshape(B, -1), axis=-1
+    ) * (k / max(k - 1, 1))
+    # time interpolation: DMRS at symbols 3, 10 -> data symbols
+    t = (np.array(DATA_SYMS, np.float32) - 3.0) / 7.0  # 0 at sym3, 1 at sym10
+    w1 = jnp.asarray(1.0 - t)[None, :, None, None]
+    w2 = jnp.asarray(t)[None, :, None, None]
+    ce = w1 * sm[:, 0:1] + w2 * sm[:, 1:2]
+    return ce, noise
+
+
+def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
+           rnti: int, rb_start: int, l_prb: int, softbuf=None, max_iter: int = 8):
+    """eNB-side PUSCH decode.  Returns (payload, ok, softbuf, noise_est)."""
+    m_sc = 12 * l_prb
+    data_idx, _ = re_indices(cell.n_prb, rb_start, l_prb)
+    B = rx_grid.shape[0]
+    flat = rx_grid.reshape(B, -1, 2)
+    y = jnp.take(flat, jnp.asarray(data_idx.reshape(-1)), axis=-2).reshape(B, N_DATA_SYMS, m_sc, 2)
+    ce, noise = estimate_ul(rx_grid, cell, sf_idx, rb_start, l_prb)
+    x_eq, csi = chest_dl.equalize_mmse(y, ce, noise)
+    # inverse transform precoding
+    x_td = dft.idft(x_eq, ortho=True)  # (B, 12, m_sc, 2)
+    llr = modem.demod_soft(x_td.reshape(B, N_DATA_SYMS * m_sc, 2), modem.MOD_FROM_QM[cfg.Qm])
+    # per-symbol CSI weight: SC-FDMA spreads each QAM symbol over the whole
+    # allocation; weight by the mean CSI of its SC-FDMA symbol
+    w = jnp.mean(csi, axis=-1)  # (B, 12)
+    w = jnp.repeat(w, m_sc * cfg.Qm, axis=-1)
+    llr = llr * w
+    c_init = scrambling.pusch_cinit(rnti, sf_idx, cell.cell_id)
+    llr = scrambling.scramble_llrs(llr, c_init)
+    llr = deinterleave(llr, cfg.Qm)
+    payload, ok, softbuf, _ = sch.decode_tb(llr, cfg, softbuf, max_iter)
+    return payload, ok, softbuf, noise
