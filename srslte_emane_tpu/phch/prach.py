@@ -1,0 +1,111 @@
+"""PRACH: Zadoff-Chu preamble generation + eNB correlation detection.
+
+Reference behavior: `lib/src/phy/phch/prach.c` — 839-length ZC roots
+(logical order table 36.211 5.7.2-4, extracted to prach_tables.npz), N_cs
+zero-correlation-zone shifts (Table 5.7.2-2, unrestricted set), freq-domain
+root correlation detection with per-shift window peak search
+(prach.c:235-266).  Restricted sets (high-speed) follow in a later round.
+
+TPU design: sequence-level (frequency-domain, 839 bins) — the representation
+the eNB detector and the EMANE message mode actually consume.  Detection for
+all roots of a cell is one batched complex-matmul IDFT; peak search is a
+windowed max.  The 1.25 kHz waveform embedding rides a two-stage DFT (later).
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cplx
+
+_DATA = np.load(pathlib.Path(__file__).parent / "prach_tables.npz")
+ZC_ROOTS = _DATA["zc_roots"]  # logical order, formats 0-3
+N_ZC = 839
+# 36.211 Table 5.7.2-2 (unrestricted)
+NCS_UNRESTRICTED = [0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279, 419]
+
+
+@functools.lru_cache(maxsize=None)
+def _zc_freq(u: int) -> np.ndarray:
+    n = np.arange(N_ZC)
+    x = np.exp(-1j * np.pi * u * n * (n + 1) / N_ZC)
+    return np.fft.fft(x).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def preamble_params(root_seq_idx: int, zczc: int):
+    """(roots list, n_cs, shifts per root) for 64 preambles."""
+    n_cs = NCS_UNRESTRICTED[zczc]
+    n_shifts = N_ZC // n_cs if n_cs > 0 else 1
+    n_roots = -(-64 // n_shifts)
+    roots = [int(ZC_ROOTS[(root_seq_idx + i) % 838]) for i in range(n_roots)]
+    return roots, n_cs, n_shifts
+
+
+@functools.lru_cache(maxsize=None)
+def preamble_freq_table(root_seq_idx: int, zczc: int) -> np.ndarray:
+    """(64, N_ZC) complex64 frequency-domain preambles."""
+    roots, n_cs, n_shifts = preamble_params(root_seq_idx, zczc)
+    out = np.zeros((64, N_ZC), dtype=np.complex64)
+    k = np.arange(N_ZC)
+    for i in range(64):
+        u = roots[i // n_shifts]
+        cv = (i % n_shifts) * n_cs
+        # time shift x((n + Cv) mod Nzc) <-> freq X[k] * e^{+j 2 pi k Cv / Nzc}
+        out[i] = _zc_freq(u) * np.exp(1j * 2 * np.pi * k * cv / N_ZC)
+    return out
+
+
+def gen(preamble_idx, root_seq_idx: int = 0, zczc: int = 1) -> jnp.ndarray:
+    """(B,) preamble indices -> (B, N_ZC, 2) frequency-domain preambles."""
+    tbl = preamble_freq_table(root_seq_idx, zczc)
+    tbl_cf = np.stack([tbl.real, tbl.imag], -1).astype(np.float32)
+    return jnp.take(jnp.asarray(tbl_cf), jnp.asarray(preamble_idx), axis=0)
+
+
+def detect(rx_freq, root_seq_idx: int = 0, zczc: int = 1, threshold: float = 8.0):
+    """eNB detection: rx_freq (B, N_ZC, 2) -> per-preamble metrics.
+
+    Returns (detected (B, 64) bool, metric (B, 64), t_offset (B, 64) int32
+    in ZC samples)."""
+    roots, n_cs, n_shifts = preamble_params(root_seq_idx, zczc)
+    B = rx_freq.shape[0]
+    # correlate with each root: IDFT(X_rx * conj(X_u)) — one matmul per root
+    idft_re = np.cos(2 * np.pi * np.outer(np.arange(N_ZC), np.arange(N_ZC)) / N_ZC).astype(np.float32) / N_ZC
+    idft_im = np.sin(2 * np.pi * np.outer(np.arange(N_ZC), np.arange(N_ZC)) / N_ZC).astype(np.float32) / N_ZC
+    det, metric, toff = [], [], []
+    power = jnp.mean(cplx.abs2(rx_freq), axis=-1, keepdims=True) + 1e-12  # (B,1)
+    for u in roots:
+        xu = _zc_freq(u)
+        xu_cf = jnp.asarray(np.stack([xu.real, xu.imag], -1).astype(np.float32))
+        prod = cplx.mul_conj(rx_freq, xu_cf)  # (B, N_ZC, 2)
+        pr, pi = prod[..., 0], prod[..., 1]
+        cr = pr @ idft_re - pi @ idft_im
+        ci = pr @ idft_im + pi @ idft_re
+        corr = cr * cr + ci * ci  # (B, N_ZC) |corr(t)|^2
+        mean_c = jnp.mean(corr, axis=-1, keepdims=True) + 1e-20
+        for v in range(n_shifts):
+            if len(det) >= 64:
+                break
+            # shift Cv appears at correlation lag (N_ZC - Cv + delay) mod N_ZC;
+            # its zero-correlation window is [N-Cv, N-Cv+Ncs)
+            if n_cs > 0:
+                widx = (N_ZC - v * n_cs + np.arange(n_cs)) % N_ZC
+                win = jnp.take(corr, jnp.asarray(widx.astype(np.int32)), axis=-1)
+            else:
+                win = corr
+            peak = jnp.max(win, axis=-1)
+            pos = jnp.argmax(win, axis=-1)
+            m = peak / mean_c[:, 0]
+            det.append(m > threshold)
+            metric.append(m)
+            toff.append(pos.astype(jnp.int32))
+    return (
+        jnp.stack(det, axis=1),
+        jnp.stack(metric, axis=1),
+        jnp.stack(toff, axis=1),
+    )
