@@ -28,3 +28,15 @@ def awgn(key, x, snr_db, signal_power=None):
     # per real component variance = sigma2/2
     noise = jax.random.normal(key, x.shape, x.dtype) * jnp.sqrt(sigma2 / 2.0)[..., None]
     return x + noise
+
+
+def mimo_flat(key, tx, h, snr_db):
+    """Flat-fading MIMO channel + AWGN.
+
+    tx: (B, n_tx, T, 2) per-port time samples; h: (B, n_rx, n_tx, 2) cf flat
+    channel.  Returns (B, n_rx, T, 2)."""
+    from . import cplx
+
+    # y[b,r,t,:] = sum_p h[b,r,p] * tx[b,p,t,:]
+    y = jnp.sum(cplx.mul(h[:, :, :, None, :], tx[:, None, :, :, :]), axis=2)
+    return awgn(key, y, snr_db)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import cplx, modem, scrambling
+from ..ops import cplx, mimo, modem, scrambling
 from . import chest, grid as grid_mod, sch
 
 
@@ -51,6 +51,135 @@ def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     flat = flat.at[:, jnp.asarray(re_idx), :].set(syms)
     grid = flat.reshape(B, grid_mod.N_SYM, cell.nre, 2)
     return put_crs(grid, cell, sf_idx)
+
+
+def encode_tm(tb_list, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
+              rnti: int, prb_mask: tuple, tm: str, pmi: int = 0, grids=None):
+    """Multi-antenna PDSCH encode (TM2/TM3/TM4, 2 ports).
+
+    tb_list: list of (B, tbs) payloads (1 cw for TM2, 2 for TM3/TM4).
+    Returns per-port grids (B, n_ports, 14, NRE, 2) with CRS on both ports.
+    """
+    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask)
+    n_re = len(re_idx)
+    cw_syms = []
+    for q, (tb, cfg) in enumerate(zip(tb_list, cfg_list)):
+        cw = sch.encode_tb(tb, cfg)
+        c_init = scrambling.pdsch_cinit(rnti, q, sf_idx, cell.cell_id)
+        scr = scrambling.scramble_bits(cw, c_init)
+        cw_syms.append(modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm]))
+    B = cw_syms[0].shape[0]
+    if tm == "tm2":
+        layers = mimo.layer_map(cw_syms, 2)  # one cw -> 2 layers
+        ports = mimo.precode_sfbc(layers)  # (B, 2, n_re, 2)
+    elif tm == "tm3":
+        layers = mimo.layer_map(cw_syms, 2)
+        ports = mimo.precode_cdd2(layers)
+    elif tm == "tm4":
+        layers = mimo.layer_map(cw_syms, 2)
+        ports = mimo.precode_sm2(layers, pmi)
+    else:
+        raise ValueError(tm)
+    assert ports.shape[-2] == n_re, (ports.shape, n_re)
+    if grids is None:
+        grids = cplx.zeros((B, 2, grid_mod.N_SYM, cell.nre))
+    flat = grids.reshape(B, 2, grid_mod.N_SYM * cell.nre, 2)
+    flat = flat.at[:, :, jnp.asarray(re_idx), :].set(ports)
+    grids = flat.reshape(B, 2, grid_mod.N_SYM, cell.nre, 2)
+    for p in range(2):
+        grids = grids.at[:, p].set(put_crs(grids[:, p], cell, sf_idx, port=p))
+    return grids
+
+
+def estimate_mimo(rx_grids, cell: grid_mod.CellConfig, sf_idx: int, n_tx: int = 2):
+    """Per-(rx, tx) channel estimates.
+
+    rx_grids: (B, n_rx, 14, NRE, 2) -> ce (B, n_rx, n_tx, 14, NRE, 2), noise (B,)."""
+    B, n_rx = rx_grids.shape[:2]
+    flat = rx_grids.reshape((B * n_rx,) + rx_grids.shape[2:])
+    ces, noises = [], []
+    for p in range(n_tx):
+        ch = chest.estimate(flat, cell, sf_idx, port=p)
+        ces.append(ch.ce.reshape((B, n_rx) + ch.ce.shape[1:]))
+        noises.append(ch.noise_est.reshape(B, n_rx))
+    ce = jnp.stack(ces, axis=2)
+    noise = jnp.mean(jnp.stack(noises, 2), axis=(1, 2))
+    return ce, noise
+
+
+def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
+              rnti: int, prb_mask: tuple, tm: str, pmi: int = 0,
+              softbufs=None, max_iter: int = 8):
+    """Multi-antenna PDSCH decode.  rx_grids: (B, n_rx, 14, NRE, 2).
+
+    Returns (payload list, ok list, softbuf list)."""
+    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask)
+    B, n_rx = rx_grids.shape[:2]
+    ce, noise = estimate_mimo(rx_grids, cell, sf_idx, 2)
+    take = lambda a: jnp.take(
+        a.reshape(a.shape[:-3] + (grid_mod.N_SYM * cell.nre, 2)),
+        jnp.asarray(re_idx), axis=-2,
+    )
+    y = take(rx_grids)  # (B, n_rx, n_re, 2)
+    h = take(ce)  # (B, n_rx, n_tx, n_re, 2)
+    n_cw = len(cfg_list)
+    if tm == "tm2":
+        # SFBC: combine across rx antennas by summing per-antenna combiners
+        xs, csis = [], []
+        for r in range(n_rx):
+            x_r, csi_r = mimo.decode_sfbc(y[:, r], h[:, r])
+            xs.append(x_r * csi_r[..., None])
+            csis.append(csi_r)
+        csi_sum = sum(csis)
+        x = sum(xs) / csi_sum[..., None]
+        layers, csi = x, csi_sum
+        streams = mimo.layer_demap(layers, 1)
+        csi_streams = [csi.swapaxes(-1, -2).reshape(B, -1)]
+    elif tm in ("tm3", "tm4"):
+        m = len(re_idx)
+        if tm == "tm3":
+            sign = np.where(np.arange(m) % 2 == 0, 1.0, -1.0).astype(np.float32)
+            u = np.array([[1, 1], [1, -1]], dtype=np.complex64) / np.sqrt(2)
+            # W D(i) U with W = I/sqrt2: rows=tx, cols=layers
+            base = (np.eye(2) / np.sqrt(2)).astype(np.complex64)
+            w0 = base @ np.diag([1.0, 1.0]).astype(np.complex64) @ u
+            w1 = base @ np.diag([1.0, -1.0]).astype(np.complex64) @ u
+            w_eff = np.where(
+                (np.arange(m) % 2 == 0)[:, None, None], w0[None], w1[None]
+            ).astype(np.complex64)
+        else:
+            w_eff = np.broadcast_to(
+                np.asarray(mimo.PMI_2TX_2L[pmi], dtype=np.complex64), (m, 2, 2)
+            )
+        wr = jnp.asarray(w_eff.real.astype(np.float32))
+        wi = jnp.asarray(w_eff.imag.astype(np.float32))
+        hr, hi = h[..., 0], h[..., 1]  # (B, rx, tx, m)
+        heff_r = jnp.einsum("brtm,mtl->brlm", hr, wr) - jnp.einsum("brtm,mtl->brlm", hi, wi)
+        heff_i = jnp.einsum("brtm,mtl->brlm", hr, wi) + jnp.einsum("brtm,mtl->brlm", hi, wr)
+        heff = jnp.stack([heff_r, heff_i], axis=-1)
+        x, csi = mimo.decode_zf2(y, heff, noise=None)
+        streams = mimo.layer_demap(x, n_cw)
+        if n_cw == 2:
+            csi_streams = [csi[..., 0, :], csi[..., 1, :]]
+        else:
+            csi_streams = [csi.swapaxes(-1, -2).reshape(B, -1)]
+    else:
+        raise ValueError(tm)
+
+    outs, oks, sbs = [], [], []
+    if softbufs is None:
+        softbufs = [None] * n_cw
+    for q, cfg in enumerate(cfg_list):
+        llr = modem.demod_soft(streams[q], modem.MOD_FROM_QM[cfg.Qm])
+        w = jnp.repeat(csi_streams[q], cfg.Qm, axis=-1)
+        llr = llr * w
+        c_init = scrambling.pdsch_cinit(rnti, q, sf_idx, cell.cell_id)
+        llr = scrambling.scramble_llrs(llr, c_init)
+        payload, ok, sb, _ = sch.decode_tb(llr, cfg, softbufs[q], max_iter)
+        outs.append(payload)
+        oks.append(ok)
+        sbs.append(sb)
+    return outs, oks, sbs
 
 
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
