@@ -1,0 +1,250 @@
+"""Message-level PHY adapters: grants <-> OTA messages, SINR-gated decode.
+
+Reference behavior: `srsenb/src/phy/phy_adapter.cc` (build ENB_DL_Message per
+TTI from MAC's get_dl_sched, extract PRACH/PUCCH/PUSCH from UE_UL_Messages
+gated by SINRTester.sinrCheck, :1366-1497) and `srsue/src/phy/phy_adapter.cc`
+(mirror; "PDSCH decode = payload copy when SINR test passes; CRC always true;
+SNR injected into chest results", :1283-1323).
+
+The adapters talk upward through the FAPI-like stack interfaces
+(stack/interfaces.py), exactly the layering of the reference's
+stack_interface_phy_lte / phy_interface_stack_lte.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+import numpy as np
+
+from ..phch import ra
+from . import otabus, otamsg
+
+
+def _prbs_of_mask(prb_mask) -> tuple:
+    return tuple(int(i) for i, on in enumerate(prb_mask) if on)
+
+
+@dataclasses.dataclass
+class DlGrant:
+    rnti: int
+    prb_mask: tuple
+    mcs: int
+    payload: bytes
+    harq_pid: int = 0
+    ndi: int = 0
+    rv: int = 0
+
+
+@dataclasses.dataclass
+class UlGrant:
+    rnti: int
+    rb_start: int
+    l_prb: int
+    mcs: int
+    ndi: int = 0
+    rv: int = 0
+
+
+class EnbPhyAdapter:
+    """eNB-side message-level PHY (enb_dl_* / enb_ul_* of phy_adapter.cc)."""
+
+    def __init__(self, bus: otabus.OtaBus, node_id: int, cell_id: int,
+                 n_prb: int, mac, tx_power_mw: float = 1.0):
+        self.bus = bus
+        self.node_id = node_id
+        self.cell_id = cell_id
+        self.n_prb = n_prb
+        self.mac = mac  # stack_interface_phy_lte equivalent
+        self.tx_power_mw = tx_power_mw
+        self._seq = 0
+
+    def run_tti(self, tti: int):
+        self._rx(tti)
+        self._tx(tti)
+
+    # --- uplink receive (enb_ul_get_* , phy_adapter.cc:1366-1497) ---
+    def _rx(self, tti: int):
+        for frame, tester in self.bus.get_messages(self.node_id):
+            msg = frame.msg
+            if not isinstance(msg, otamsg.UeUlMessage):
+                continue
+            if msg.phy_cell_id != self.cell_id:
+                continue
+            chans = {c.channel_type: c for c in frame.txc.channels}
+            if msg.prach is not None and otamsg.Chan.PRACH in chans:
+                passed, _ = tester.check(chans[otamsg.Chan.PRACH])
+                if passed:
+                    self.mac.rach_detected(tti, msg.prach["preamble_index"])
+            for g in msg.pusch:
+                passed, sinr = tester.check(chans[otamsg.Chan.PUSCH])
+                self.mac.ul_crc_info(tti, g["rnti"], passed)
+                if passed:
+                    self.mac.ul_pdu(tti, g["rnti"], g["payload"], sinr)
+            for p in msg.pucch:
+                if otamsg.Chan.PUCCH not in chans:
+                    continue
+                passed, _ = tester.check(chans[otamsg.Chan.PUCCH])
+                if passed:
+                    if p.get("sr"):
+                        self.mac.sr_detected(tti, p["rnti"])
+                    for ack in p.get("ack", []):
+                        self.mac.ack_info(tti, p["rnti"], bool(ack))
+
+    # --- downlink transmit (enb_dl_put_* + send, phy_adapter.cc:795-975) ---
+    def _tx(self, tti: int):
+        dl_grants: typing.List[DlGrant] = self.mac.get_dl_sched(tti)
+        ul_grants: typing.List[UlGrant] = self.mac.get_ul_sched(tti)
+        phich = self.mac.get_phich(tti)
+        msg = otamsg.EnbDlMessage(tti=tti, cfi=1, phy_cell_id=self.cell_id)
+        txc = otamsg.TxControl(
+            tti_tx=tti, phy_cell_id=self.cell_id, is_downlink=True,
+            tx_seqnum=self._seq, num_resource_blocks=self.n_prb, cfi=1,
+            reference_signal_power_mw=self.tx_power_mw,
+        )
+        self._seq += 1
+        sf = tti % 10
+        all_prbs = tuple(range(self.n_prb))
+        if sf in (0, 5):
+            msg.pss_sss = True
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PBCH, otamsg.Mod.QPSK, 40,
+                prb_slot0=all_prbs, prb_slot1=all_prbs))
+        if sf == 0:
+            msg.pbch = dict(num_prb=self.n_prb, num_antennas=1,
+                            phich_resources="1", phich_length=0)
+        for g in dl_grants:
+            prbs = _prbs_of_mask(g.prb_mask)
+            dci = otamsg.DciMsg(rnti=g.rnti, format="1A", l_level=4, l_ncce=0,
+                                num_bits=0, data=b"")
+            msg.pdcch_dl.append(dci)
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
+                prb_slot0=all_prbs, prb_slot1=all_prbs))
+            msg.pdsch.append(otamsg.PdschData(
+                refid=g.rnti, tb=0, tbs=len(g.payload) * 8, data=g.payload))
+            qm = {2: otamsg.Mod.QPSK, 4: otamsg.Mod.QAM16, 6: otamsg.Mod.QAM64}[
+                ra.dl_mcs_to_qm(g.mcs)]
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PDSCH, qm, len(g.payload) * 8, rnti=g.rnti,
+                prb_slot0=prbs, prb_slot1=prbs))
+        for g in ul_grants:
+            msg.pdcch_ul.append(otamsg.DciMsg(
+                rnti=g.rnti, format="0", l_level=4, l_ncce=0, num_bits=0,
+                data=bytes([g.rb_start, g.l_prb, g.mcs, g.ndi, g.rv])))
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
+                prb_slot0=all_prbs, prb_slot1=all_prbs))
+        for ph in phich:
+            msg.phich.append(ph)
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PHICH, otamsg.Mod.BPSK, 1, rnti=ph["rnti"],
+                prb_slot0=all_prbs, prb_slot1=all_prbs))
+        self.bus.send_msg(otamsg.OtaFrame(self.node_id, msg, txc))
+
+
+class UePhyAdapter:
+    """UE-side message-level PHY (srsue phy_adapter.cc)."""
+
+    def __init__(self, bus: otabus.OtaBus, node_id: int, cell_id: int,
+                 n_prb: int, stack, tx_power_mw: float = 1.0):
+        self.bus = bus
+        self.node_id = node_id
+        self.cell_id = cell_id
+        self.n_prb = n_prb
+        self.stack = stack  # UE MAC/stack callbacks
+        self.tx_power_mw = tx_power_mw
+        self._seq = 0
+        self.last_snr_db = None  # injected into "chest results" (:1307)
+
+    @property
+    def crnti(self):
+        return self.stack.crnti
+
+    def run_tti(self, tti: int):
+        self._rx(tti)
+        self._tx(tti)
+
+    def _rx(self, tti: int):
+        for frame, tester in self.bus.get_messages(self.node_id):
+            msg = frame.msg
+            if not isinstance(msg, otamsg.EnbDlMessage):
+                continue
+            if msg.phy_cell_id != self.cell_id:
+                continue
+            chans = {}
+            for c in frame.txc.channels:
+                chans.setdefault((c.channel_type, c.rnti), c)
+            if msg.pbch is not None:
+                cm = chans.get((otamsg.Chan.PBCH, 0))
+                if cm:
+                    passed, snr = tester.check(cm)
+                    if passed:
+                        self.stack.mib_received(msg.tti, msg.pbch)
+            # DCI search gated by sinrCheck2(CHAN_PDCCH, rnti) (:306-366)
+            listen = self.stack.listen_rntis(tti)
+            for dci in msg.pdcch_dl:
+                if dci.rnti not in listen:
+                    continue
+                cm = chans.get((otamsg.Chan.PDCCH, dci.rnti))
+                if not cm or not tester.check(cm)[0]:
+                    continue
+                data = next((d for d in msg.pdsch if d.refid == dci.rnti), None)
+                if data is None:
+                    continue
+                pm = chans.get((otamsg.Chan.PDSCH, dci.rnti))
+                passed, snr = tester.check(pm) if pm else (False, -99.0)
+                self.last_snr_db = snr
+                # message-level decode: payload copy, CRC == sinr pass (:1283)
+                self.stack.tb_decoded(msg.tti, data.data if passed else None, snr)
+            for dci in msg.pdcch_ul:
+                if dci.rnti != self.crnti:
+                    continue
+                cm = chans.get((otamsg.Chan.PDCCH, dci.rnti))
+                if not cm or not tester.check(cm)[0]:
+                    continue
+                rb_start, l_prb, mcs, ndi, rv = dci.data
+                self.stack.ul_grant(msg.tti, UlGrant(dci.rnti, rb_start, l_prb, mcs, ndi, rv))
+            for ph in msg.phich:
+                if ph["rnti"] == self.crnti:
+                    self.stack.harq_ack(msg.tti, bool(ph["ack"]))
+
+    def _tx(self, tti: int):
+        msg = otamsg.UeUlMessage(tti=tti, crnti=self.crnti or 0,
+                                 phy_cell_id=self.cell_id)
+        txc = otamsg.TxControl(
+            tti_tx=tti, phy_cell_id=self.cell_id, is_downlink=False,
+            tx_seqnum=self._seq, num_resource_blocks=self.n_prb,
+            reference_signal_power_mw=self.tx_power_mw,
+        )
+        self._seq += 1
+        any_tx = False
+        prach_idx = self.stack.get_prach(tti)
+        if prach_idx is not None:
+            msg.prach = dict(preamble_index=prach_idx)
+            prach_prbs = tuple(range(6))
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PRACH, otamsg.Mod.BPSK, 839,
+                prb_slot0=prach_prbs, prb_slot1=prach_prbs))
+            any_tx = True
+        for g, payload in self.stack.get_pusch(tti):
+            prbs = tuple(range(g.rb_start, g.rb_start + g.l_prb))
+            msg.pusch.append(dict(rnti=g.rnti, rb_start=g.rb_start,
+                                  l_prb=g.l_prb, mcs=g.mcs, payload=payload))
+            qm = {2: otamsg.Mod.QPSK, 4: otamsg.Mod.QAM16, 6: otamsg.Mod.QAM64}[
+                ra.ul_mcs_to_qm(g.mcs)]
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PUSCH, qm, len(payload) * 8, rnti=g.rnti,
+                prb_slot0=prbs, prb_slot1=prbs))
+            any_tx = True
+        pucch = self.stack.get_pucch(tti)
+        if pucch:
+            msg.pucch.append(pucch)
+            edge = (0, self.n_prb - 1)
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PUCCH, otamsg.Mod.BPSK, 2, rnti=pucch["rnti"],
+                prb_slot0=edge, prb_slot1=edge))
+            any_tx = True
+        if any_tx:
+            self.bus.send_msg(otamsg.OtaFrame(self.node_id, msg, txc))

@@ -1,0 +1,142 @@
+"""Batched SINR adjudication — the EMANE propagation + SINRTester equivalent.
+
+Reference behavior: EMANE computes per-RB SINR from TxControl PRB center
+frequencies, pathloss, and interference; receivers call
+`SINRTester.sinrCheck/sinrCheck2(channel[, rnti])` which returns
+{bPassed, sinr_dB, noiseFloor_dBm} per channel (SURVEY.md §8;
+phy_adapter.cc:1366-1497).
+
+TPU design: the whole network's TTI is adjudicated at once:
+  rx_power[t, r, prb] = tx_power[t] * prb_used[t, prb] / pathloss[t, r]
+  sinr[t, r, prb]     = rx / (noise + sum_{t' != t} rx_power[t', r, prb])
+one (tx, rx, prb) batched computation on device, then per-channel pass/fail
+by comparing mean SINR over the channel's PRBs against a per-modulation
+threshold curve (the BLER-knee table EMANE's model uses).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import otamsg
+
+# SINR decode thresholds (dB) at the BLER knee per modulation — the shape of
+# EMANE's pre-computed BLER curves collapsed to their operating points.
+THRESHOLD_DB = {
+    otamsg.Mod.BPSK: -2.0,
+    otamsg.Mod.QPSK: 1.0,
+    otamsg.Mod.QAM16: 8.0,
+    otamsg.Mod.QAM64: 15.0,
+    otamsg.Mod.QAM256: 22.0,
+}
+# control channels are more protected
+CONTROL_MARGIN_DB = {
+    otamsg.Chan.PBCH: -4.0,
+    otamsg.Chan.PCFICH: -4.0,
+    otamsg.Chan.PDCCH: -3.0,
+    otamsg.Chan.PHICH: -3.0,
+    otamsg.Chan.PRACH: -8.0,
+    otamsg.Chan.PUCCH: -3.0,
+}
+
+
+@dataclasses.dataclass
+class Propagation:
+    """Static-per-TTI propagation state for N nodes.
+
+    pathloss_db: (N, N) tx->rx pathloss (dB); noise_floor_dbm: scalar."""
+    pathloss_db: np.ndarray
+    noise_floor_dbm: float = -110.0
+
+
+def per_rb_sinr(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm):
+    """Per-RB SINR for all links of one TTI (host NumPy — the per-TTI control
+    path; use per_rb_sinr_device for bulk many-TTI sweeps on chip).
+
+    tx_power_dbm: (T,) transmit powers; prb_used: (T, n_prb) 0/1 masks;
+    pathloss_db: (T, R).  Returns sinr_db (T, R, n_prb) treating every other
+    transmitter's energy on the same PRB as interference."""
+    tx_mw = 10.0 ** (np.asarray(tx_power_dbm, np.float64) / 10.0)
+    pl = 10.0 ** (-np.asarray(pathloss_db, np.float64) / 10.0)  # (T, R)
+    used = np.asarray(prb_used, np.float64)  # (T, P)
+    rx_mw = tx_mw[:, None, None] * pl[:, :, None] * used[:, None, :]  # (T,R,P)
+    total = np.sum(rx_mw, axis=0, keepdims=True)  # (1,R,P)
+    noise_mw = 10.0 ** (noise_floor_dbm / 10.0)
+    interf = total - rx_mw + noise_mw
+    sinr = rx_mw / interf
+    return 10.0 * np.log10(np.maximum(sinr, 1e-12))
+
+
+def per_rb_sinr_device(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm):
+    """Device variant, batched over (..., T, R, P) for bulk emulation sweeps
+    (thousands of TTIs x links adjudicated in one kernel)."""
+    tx_mw = 10.0 ** (jnp.asarray(tx_power_dbm) / 10.0)
+    pl = 10.0 ** (-jnp.asarray(pathloss_db) / 10.0)
+    used = jnp.asarray(prb_used, jnp.float32)
+    rx_mw = tx_mw[..., :, None, None] * pl[..., :, :, None] * used[..., :, None, :]
+    total = jnp.sum(rx_mw, axis=-3, keepdims=True)
+    noise_mw = 10.0 ** (noise_floor_dbm / 10.0)
+    sinr = rx_mw / (total - rx_mw + noise_mw)
+    return 10.0 * jnp.log10(jnp.maximum(sinr, 1e-12))
+
+
+class SinrTester:
+    """Per-(tx, rx) SINR check results for one TTI — the SINRTester_ handle
+    attached to each received message (phy_adapter.cc sinrCheck/sinrCheck2)."""
+
+    def __init__(self, sinr_db_rb: np.ndarray, noise_floor_dbm: float):
+        self._rb = np.asarray(sinr_db_rb)  # (n_prb,) for this (tx, rx) pair
+        self.noise_floor_dbm = noise_floor_dbm
+
+    def check(self, chmsg: otamsg.ChannelMessage):
+        """Returns (passed, sinr_db)."""
+        prbs = sorted(set(chmsg.prb_slot0) | set(chmsg.prb_slot1))
+        if not prbs:
+            prbs = list(range(len(self._rb)))
+        sinr = float(np.mean(self._rb[list(prbs)]))
+        thr = THRESHOLD_DB[chmsg.modulation] + CONTROL_MARGIN_DB.get(
+            chmsg.channel_type, 0.0
+        )
+        return sinr >= thr, sinr
+
+
+def adjudicate(frames, prop: Propagation, n_prb: int, node_ids):
+    """Compute SinrTesters for every (tx frame, rx node) pair of a TTI.
+
+    FDD: downlink and uplink frames live on separate carriers, so they are
+    adjudicated as independent interference domains (which also removes
+    eNB/UE self-interference).  Returns {(src, rx_id): SinrTester}."""
+    out = {}
+    for is_dl in (True, False):
+        group = [f for f in frames if f.txc.is_downlink == is_dl]
+        out.update(_adjudicate_group(group, prop, n_prb, node_ids))
+    return out
+
+
+def _adjudicate_group(frames, prop: Propagation, n_prb: int, node_ids):
+    if not frames:
+        return {}
+    T = len(frames)
+    idx = {n: i for i, n in enumerate(node_ids)}
+    tx_power = np.zeros(T, np.float32)
+    used = np.zeros((T, n_prb), np.float32)
+    pl = np.zeros((T, len(node_ids)), np.float32)
+    for t, fr in enumerate(frames):
+        tx_power[t] = 10.0 * np.log10(fr.txc.reference_signal_power_mw + 1e-12)
+        for ch in fr.txc.channels:
+            for p in list(ch.prb_slot0) + list(ch.prb_slot1):
+                used[t, p] = 1.0
+        if not fr.txc.channels:
+            used[t, :] = 1.0
+        pl[t, :] = prop.pathloss_db[idx[fr.src], :]
+    sinr = per_rb_sinr(tx_power, used, pl, prop.noise_floor_dbm)
+    out = {}
+    for t, fr in enumerate(frames):
+        for r, rid in enumerate(node_ids):
+            if rid == fr.src:
+                continue
+            out[(fr.src, rid)] = SinrTester(sinr[t, r], prop.noise_floor_dbm)
+    return out
