@@ -1,0 +1,138 @@
+"""MME: S1AP endpoint + NAS EMM/ESM state machines.
+
+Reference behavior: `srsepc/src/mme/{mme.cc,s1ap.cc,s1ap_*_proc.cc,nas.cc,
+mme_gtpc.cc}` — S1 Setup, InitialUEMessage -> NAS attach -> HSS auth ->
+security mode -> create-session toward SPGW -> InitialContextSetup (KeNB),
+paging, detach.
+
+S1AP here is a typed message interface between the eNB's s1ap client and this
+MME (in-process call transport; SCTP transport is a drop-in later since all
+messages ride stack.codec).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..stack import codec, nas_msgs, security
+
+
+@codec.register
+@dataclasses.dataclass
+class InitialUEMessage:
+    enb_ue_id: int
+    nas_pdu: bytes
+
+
+@codec.register
+@dataclasses.dataclass
+class UplinkNASTransport:
+    mme_ue_id: int
+    enb_ue_id: int
+    nas_pdu: bytes
+
+
+@codec.register
+@dataclasses.dataclass
+class DownlinkNASTransport:
+    mme_ue_id: int
+    enb_ue_id: int
+    nas_pdu: bytes
+
+
+@codec.register
+@dataclasses.dataclass
+class InitialContextSetupRequest:
+    mme_ue_id: int
+    enb_ue_id: int
+    kenb: bytes
+    ue_ip: str
+    teid_spgw: int  # eNB sends UL GTP-U with this TEID
+    teid_enb: int  # SPGW sends DL with this (eNB's rx teid)
+    eps_bearer_id: int
+    nas_pdu: bytes = b""
+
+
+@codec.register
+@dataclasses.dataclass
+class UEContextReleaseCommand:
+    mme_ue_id: int
+    enb_ue_id: int
+    cause: str = "user-inactivity"
+
+
+class Mme:
+    def __init__(self, hss, spgw):
+        self.hss = hss
+        self.spgw = spgw
+        self.enbs = {}  # enb_id -> s1ap callback interface
+        self.ues = {}  # mme_ue_id -> state dict
+        self.next_mme_ue_id = 1
+        self.metrics = dict(attach_ok=0, auth_fail=0)
+
+    # ---- S1 setup ----
+    def s1_setup(self, enb_id: int, enb_iface):
+        """enb_iface must expose dl_nas(msg), ctx_setup(msg), release(msg)."""
+        self.enbs[enb_id] = enb_iface
+        return dict(mme_name="tpu-mme", served_plmn=0x00F110)
+
+    # ---- NAS transport (s1ap_nas_transport.cc) ----
+    def initial_ue_message(self, enb_id: int, msg: InitialUEMessage):
+        nas = codec.decode(msg.nas_pdu)
+        if not isinstance(nas, nas_msgs.AttachRequest):
+            return
+        mme_ue_id = self.next_mme_ue_id
+        self.next_mme_ue_id += 1
+        vec = self.hss.get_auth_vector(nas.imsi)
+        if vec is None:
+            self.metrics["auth_fail"] += 1
+            self._dl_nas(enb_id, mme_ue_id, msg.enb_ue_id,
+                         nas_msgs.AuthenticationReject())
+            return
+        self.ues[mme_ue_id] = dict(
+            imsi=nas.imsi, enb_id=enb_id, enb_ue_id=msg.enb_ue_id,
+            vec=vec, state="AUTH", ul_nas_count=0,
+        )
+        self._dl_nas(enb_id, mme_ue_id, msg.enb_ue_id,
+                     nas_msgs.AuthenticationRequest(rand=vec["rand"], autn=vec["autn"]))
+
+    def uplink_nas(self, enb_id: int, msg: UplinkNASTransport):
+        ue = self.ues.get(msg.mme_ue_id)
+        if ue is None:
+            return
+        nas = codec.decode(msg.nas_pdu)
+        if isinstance(nas, nas_msgs.AuthenticationResponse) and ue["state"] == "AUTH":
+            if nas.res != ue["vec"]["xres"]:
+                self.metrics["auth_fail"] += 1
+                self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
+                             nas_msgs.AuthenticationReject())
+                return
+            ue["state"] = "SMC"
+            self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
+                         nas_msgs.NasSecurityModeCommand(eea=0, eia=2))
+        elif isinstance(nas, nas_msgs.NasSecurityModeComplete) and ue["state"] == "SMC":
+            # create user-plane session, then InitialContextSetup with
+            # piggybacked Attach Accept (mme_gtpc.cc + s1ap_ctx_mngmt_proc.cc)
+            enb = self.enbs[ue["enb_id"]]
+            sess = self.spgw.create_session(ue["imsi"], enb.gtpu_dl)
+            kenb = security.kdf_kenb(ue["vec"]["kasme"], ue["ul_nas_count"])
+            accept = nas_msgs.AttachAccept(ip_addr=sess["ue_ip"], guti=msg.mme_ue_id)
+            ue["state"] = "CTX"
+            ue["ue_ip"] = sess["ue_ip"]
+            enb.ctx_setup(InitialContextSetupRequest(
+                mme_ue_id=msg.mme_ue_id, enb_ue_id=msg.enb_ue_id, kenb=kenb,
+                ue_ip=sess["ue_ip"], teid_spgw=sess["teid_in"],
+                teid_enb=sess["teid_out"], eps_bearer_id=5,
+                nas_pdu=codec.encode(accept)))
+        elif isinstance(nas, nas_msgs.AttachComplete) and ue["state"] == "CTX":
+            ue["state"] = "ATTACHED"
+            self.metrics["attach_ok"] += 1
+        elif isinstance(nas, nas_msgs.DetachRequest):
+            ue["state"] = "DETACHED"
+            self.enbs[ue["enb_id"]].release(UEContextReleaseCommand(
+                msg.mme_ue_id, msg.enb_ue_id, "detach"))
+
+    def _dl_nas(self, enb_id, mme_ue_id, enb_ue_id, nas_msg):
+        self.enbs[enb_id].dl_nas(DownlinkNASTransport(
+            mme_ue_id=mme_ue_id, enb_ue_id=enb_ue_id,
+            nas_pdu=codec.encode(nas_msg)))

@@ -62,6 +62,7 @@ class EnbPhyAdapter:
 
     def run_tti(self, tti: int):
         self._rx(tti)
+        getattr(self.mac, "tick", lambda: None)()
         self._tx(tti)
 
     # --- uplink receive (enb_ul_get_* , phy_adapter.cc:1366-1497) ---
@@ -164,6 +165,7 @@ class UePhyAdapter:
 
     def run_tti(self, tti: int):
         self._rx(tti)
+        getattr(self.stack, "tick", lambda: None)()
         self._tx(tti)
 
     def _rx(self, tti: int):

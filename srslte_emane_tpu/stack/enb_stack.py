@@ -1,0 +1,284 @@
+"""eNB stack: MAC (LC mux + scheduler) / RLC / PDCP / RRC / S1AP / GTP-U.
+
+Reference behavior: `srsenb/src/stack/` — enb_stack_lte.cc wiring, mac/ with
+the RR scheduler, rrc/rrc.cc per-UE state machines (setup, security mode,
+capability, reconfiguration with DRB+GTP TEIDs), upper/{s1ap.cc,gtpu.cc}.
+Message-level PHY coupling via runtime/phy_adapter (the -emane build's path).
+"""
+
+from __future__ import annotations
+
+import collections
+
+from ..epc import spgw as spgw_mod
+from ..runtime.phy_adapter import DlGrant, UlGrant
+from . import codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
+from ..epc import mme as mme_mod
+
+SRB0, SRB1, SRB2 = 0, 1, 2
+DRB1_LCID = 3
+TB_BYTES = 1500  # per-TTI transport block budget at message level
+
+
+class UeContext:
+    def __init__(self, rnti, stack):
+        self.rnti = rnti
+        self.stack = stack
+        self.enb_ue_id = rnti
+        self.mme_ue_id = None
+        self.state = "RRC_IDLE"
+        self.kenb = None
+        self.teid_spgw = None  # TEID for UL toward SPGW
+        self.teid_enb = None  # our RX TEID
+        self.eps_bearer = None
+        self.rlc = {}
+        self.pdcp = {}
+        self.dl_pending = collections.deque()  # (lcid, ready) flags via rlc
+        self._setup_srb(SRB1)
+
+    def _setup_srb(self, lcid):
+        self.rlc[lcid] = rlc_mod.RlcAm(
+            deliver=lambda sdu, l=lcid: self.stack._rx_pdcp(self, l, sdu))
+        self.pdcp[lcid] = pdcp_mod.PdcpEntity(
+            deliver=lambda sdu, l=lcid: self.stack._rx_rrc(self, l, sdu),
+            is_srb=True, bearer_id=lcid, is_ue=False)
+
+    def setup_drb(self, lcid, mode="am"):
+        cls = rlc_mod.RlcAm if mode == "am" else rlc_mod.RlcUm
+        self.rlc[lcid] = cls(
+            deliver=lambda sdu, l=lcid: self.stack._rx_pdcp(self, l, sdu))
+        self.pdcp[lcid] = pdcp_mod.PdcpEntity(
+            deliver=lambda sdu: self.stack._ul_user_data(self, sdu),
+            is_srb=False, bearer_id=lcid,
+            ciph_algo=security.EEA2 if self.kenb else security.EEA0,
+            k_enc=security.kdf_rrc_up_key(self.kenb, security.EEA2, 0x05)
+            if self.kenb else b"\x00" * 16,
+            is_ue=False)
+
+    def send_rrc(self, lcid, msg):
+        data = codec.encode(msg)
+        if lcid == SRB0:
+            self.stack.ccch_dl.append((self.rnti, data))
+        else:
+            self.rlc[lcid].write_sdu(self.pdcp[lcid].write_sdu(data))
+
+
+class EnbStack:
+    """The enb_stack_lte.cc equivalent; exposes the FAPI-like MAC interface
+    toward runtime.phy_adapter.EnbPhyAdapter."""
+
+    def __init__(self, mme: mme_mod.Mme, enb_id: int = 1, n_prb: int = 25,
+                 mcs: int = 9):
+        self.enb_id = enb_id
+        self.n_prb = n_prb
+        self.mcs = mcs
+        self.mme = mme
+        self.ues = {}
+        self.next_rnti = 0x46
+        self.rar_pending = []
+        self.ccch_dl = collections.deque()
+        self.phich_queue = []
+        self.by_teid = {}
+        self._rr = 0
+        self.metrics = collections.Counter()
+        mme.s1_setup(enb_id, self)
+
+    # ================= MAC interface (stack_interface_phy_lte) =================
+    def rach_detected(self, tti, preamble):
+        rnti = self.next_rnti
+        self.next_rnti += 1
+        self.ues[rnti] = UeContext(rnti, self)
+        self.rar_pending.append((tti, preamble, rnti))
+        self.metrics["rach"] += 1
+
+    def sr_detected(self, tti, rnti):
+        if rnti in self.ues:
+            self.ues[rnti].sr = True
+
+    def ul_crc_info(self, tti, rnti, ok):
+        self.phich_queue.append(dict(rnti=rnti, ack=ok))
+
+    def ack_info(self, tti, rnti, ack):
+        self.metrics["dl_ack" if ack else "dl_nack"] += 1
+
+    def ul_pdu(self, tti, rnti, payload, sinr):
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        for lcid, sdu in pdu.unpack(payload):
+            if lcid == pdu.LCID_CCCH:
+                self._rx_ccch(ue, sdu)
+            elif lcid == pdu.LCID_SBSR:
+                ue.bsr = sdu[0] if sdu else 0
+            elif lcid in ue.rlc:
+                ue.rlc[lcid].write_pdu(sdu)
+        self.metrics["ul_bytes"] += len(payload)
+
+    def get_dl_sched(self, tti):
+        """Per-TTI PRB grid packing (scheduler_grid.cc equivalent): grants in
+        the same subframe never overlap in PRBs."""
+        grants = []
+        cursor = 0
+
+        def alloc(n):
+            nonlocal cursor
+            n = min(n, self.n_prb - cursor)
+            if n <= 0:
+                return None
+            mask = tuple(1 if cursor <= i < cursor + n else 0
+                         for i in range(self.n_prb))
+            cursor += n
+            return mask
+
+        while self.rar_pending and cursor < self.n_prb:
+            _, preamble, rnti = self.rar_pending.pop(0)
+            rar = bytes([0x52, preamble, rnti >> 8, rnti & 0xFF])
+            m = alloc(2)
+            if m is None:
+                break
+            grants.append(DlGrant(rnti=1 + tti % 10, prb_mask=m, mcs=0, payload=rar))
+            # RAR includes an UL grant for Msg3 (proc_ra contention)
+            self.ues[rnti].msg3_grant = True
+        # CCCH (SRB0) messages ride dedicated grants
+        while self.ccch_dl and cursor < self.n_prb - 4:
+            rnti, data = self.ccch_dl.popleft()
+            mac_pdu = pdu.pack([(pdu.LCID_CCCH, data)])
+            grants.append(DlGrant(rnti=rnti, prb_mask=alloc(4),
+                                  mcs=self.mcs, payload=mac_pdu))
+        # RR over UEs with RLC data
+        active = [r for r, u in self.ues.items()
+                  if any(e.has_data() for e in u.rlc.values())]
+        if active and cursor < self.n_prb - 2:
+            rnti = active[self._rr % len(active)]
+            self._rr += 1
+            u = self.ues[rnti]
+            subs = []
+            room = TB_BYTES
+            for lcid in sorted(u.rlc):
+                while room > 8 and u.rlc[lcid].has_data():
+                    p = u.rlc[lcid].read_pdu(room - 4)
+                    if p is None:
+                        break
+                    subs.append((lcid, p))
+                    room -= len(p) + 3
+            if subs:
+                n_prb = min(self.n_prb - cursor, max(2, (TB_BYTES - room) // 100))
+                grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
+                                      mcs=self.mcs, payload=pdu.pack(subs)))
+                self.metrics["dl_bytes"] += TB_BYTES - room
+        return grants
+
+    def get_ul_sched(self, tti):
+        """UL PRB packing: msg3 grants first, then SR/BSR grants."""
+        grants = []
+        cursor = 0
+        for rnti, u in self.ues.items():
+            if cursor + 4 > self.n_prb:
+                break
+            if getattr(u, "msg3_grant", False):
+                u.msg3_grant = False
+                grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=4,
+                                      mcs=self.mcs))
+                cursor += 4
+        for rnti, u in self.ues.items():
+            if cursor + 8 > self.n_prb:
+                break
+            if getattr(u, "sr", False) or getattr(u, "bsr", 0) > 0:
+                u.sr = False
+                u.bsr = 0
+                grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=8,
+                                      mcs=self.mcs))
+                cursor += 8
+        return grants
+
+    def get_phich(self, tti):
+        out = self.phich_queue
+        self.phich_queue = []
+        return out
+
+    def tick(self):
+        for u in self.ues.values():
+            for e in u.rlc.values():
+                e.timer_tick()
+
+    def _alloc(self, n):
+        return tuple(1 if i < n else 0 for i in range(self.n_prb))
+
+    # ================= RRC (rrc.cc) =================
+    def _rx_ccch(self, ue: UeContext, sdu: bytes):
+        msg = codec.decode(sdu)
+        if isinstance(msg, rrc_msgs.RrcConnectionRequest):
+            ue.state = "RRC_CONNECTED"
+            ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())
+            self.metrics["rrc_setup"] += 1
+
+    def _rx_pdcp(self, ue: UeContext, lcid: int, rlc_sdu: bytes):
+        ue.pdcp[lcid].write_pdu(rlc_sdu)
+
+    def _rx_rrc(self, ue: UeContext, lcid: int, sdu: bytes):
+        msg = codec.decode(sdu)
+        if isinstance(msg, rrc_msgs.RrcConnectionSetupComplete):
+            self.mme.initial_ue_message(self.enb_id, mme_mod.InitialUEMessage(
+                enb_ue_id=ue.enb_ue_id, nas_pdu=msg.nas_pdu))
+        elif isinstance(msg, rrc_msgs.UlInformationTransfer):
+            self.mme.uplink_nas(self.enb_id, mme_mod.UplinkNASTransport(
+                mme_ue_id=ue.mme_ue_id, enb_ue_id=ue.enb_ue_id,
+                nas_pdu=msg.nas_pdu))
+        elif isinstance(msg, rrc_msgs.SecurityModeComplete):
+            # activate AS security on SRB1 (rrc.cc security mode proc)
+            k_rrc_enc = security.kdf_rrc_up_key(ue.kenb, security.EEA2, 0x03)
+            k_rrc_int = security.kdf_rrc_up_key(ue.kenb, security.EIA2, 0x04)
+            ue.pdcp[SRB1].config_security(security.EEA2, security.EIA2,
+                                          k_rrc_enc, k_rrc_int)
+            ue.send_rrc(SRB1, rrc_msgs.UECapabilityEnquiry())
+        elif isinstance(msg, rrc_msgs.UECapabilityInformation):
+            ue.setup_drb(DRB1_LCID)
+            self.by_teid[ue.teid_enb] = ue
+            ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
+                drbs_to_add=[rrc_msgs.DrbToAdd(drb_id=1, lcid=DRB1_LCID,
+                                               eps_bearer_id=ue.eps_bearer or 5)],
+                nas_pdu=ue.pending_nas))
+        elif isinstance(msg, rrc_msgs.RrcConnectionReconfigurationComplete):
+            self.metrics["reconfig_ok"] += 1
+        elif isinstance(msg, rrc_msgs.MeasurementReport):
+            self.metrics["meas_reports"] += 1
+
+    # ================= S1AP callbacks (from MME) =================
+    def dl_nas(self, msg: mme_mod.DownlinkNASTransport):
+        ue = self._by_enb_ue_id(msg.enb_ue_id)
+        ue.mme_ue_id = msg.mme_ue_id
+        ue.send_rrc(SRB1, rrc_msgs.DlInformationTransfer(nas_pdu=msg.nas_pdu))
+
+    def ctx_setup(self, msg: mme_mod.InitialContextSetupRequest):
+        ue = self._by_enb_ue_id(msg.enb_ue_id)
+        ue.kenb = msg.kenb
+        ue.teid_spgw = msg.teid_spgw
+        ue.teid_enb = msg.teid_enb
+        ue.eps_bearer = msg.eps_bearer_id
+        ue.pending_nas = msg.nas_pdu
+        ue.send_rrc(SRB1, rrc_msgs.SecurityModeCommand(
+            ciph_algo=security.EEA2, int_algo=security.EIA2))
+
+    def release(self, msg):
+        ue = self._by_enb_ue_id(msg.enb_ue_id)
+        ue.send_rrc(SRB1, rrc_msgs.RrcConnectionRelease())
+        ue.state = "RRC_IDLE"
+
+    def _by_enb_ue_id(self, enb_ue_id):
+        for u in self.ues.values():
+            if u.enb_ue_id == enb_ue_id:
+                return u
+        raise KeyError(enb_ue_id)
+
+    # ================= GTP-U (gtpu.cc) =================
+    def gtpu_dl(self, pkt: bytes):
+        """S1-U downlink from SPGW -> PDCP DRB."""
+        teid, ip_pkt = spgw_mod.gtpu_decap(pkt)
+        ue = self.by_teid.get(teid)
+        if ue is None or DRB1_LCID not in ue.pdcp:
+            return
+        ue.rlc[DRB1_LCID].write_sdu(ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+
+    def _ul_user_data(self, ue: UeContext, ip_pkt: bytes):
+        """PDCP DRB uplink -> GTP-U to SPGW."""
+        self.mme.spgw.handle_s1u_pdu(spgw_mod.gtpu_encap(ue.teid_spgw, ip_pkt))

@@ -1,0 +1,78 @@
+"""MAC PDU codec: subheader multiplexing of logical channels + control elements.
+
+Reference behavior: `lib/src/common/pdu.cc` (subheader/CE pack-unpack,
+pdu.h:205-368) — R/F2/E/LCID subheaders with 7/15-bit length fields, padding,
+and MAC control elements (C-RNTI, contention resolution, BSR, TA).
+"""
+
+from __future__ import annotations
+
+# LCIDs (36.321 Table 6.2.1-1/2)
+LCID_CCCH = 0
+LCID_PAD = 31
+LCID_CRNTI = 27  # UL CE
+LCID_CON_RES = 28  # DL CE (UE contention resolution identity)
+LCID_SBSR = 29  # short BSR
+LCID_TA = 29  # DL: timing advance (context-dependent)
+
+CE_SIZES_UL = {LCID_CRNTI: 2, LCID_SBSR: 1}
+CE_SIZES_DL = {LCID_CON_RES: 6, LCID_TA: 1}
+
+
+def pack(subpdus, tb_size: int = None) -> bytes:
+    """subpdus: list of (lcid, payload bytes).  Returns a MAC PDU, padded to
+    tb_size if given."""
+    headers = b""
+    payloads = b""
+    for i, (lcid, payload) in enumerate(subpdus):
+        last = i == len(subpdus) - 1
+        e = 0 if last else 1
+        if last:
+            headers += bytes([(e << 5) | (lcid & 0x1F)])
+        else:
+            n = len(payload)
+            if n < 128:
+                headers += bytes([(e << 5) | (lcid & 0x1F), n & 0x7F])
+            else:
+                headers += bytes([(e << 5) | (lcid & 0x1F), 0x80 | (n >> 8), n & 0xFF])
+        payloads += payload
+    pdu = headers + payloads
+    if tb_size is not None and len(pdu) < tb_size:
+        # leading padding subheader convention simplified: trailing zero pad
+        pdu += bytes(tb_size - len(pdu))
+    return pdu
+
+
+def unpack(pdu: bytes):
+    """Returns list of (lcid, payload).  The final subPDU takes the rest of
+    the PDU (minus trailing zero padding is NOT stripped — RLC/len-aware
+    callers handle it; CCCH/CE sizes are explicit)."""
+    out = []
+    pos = 0
+    sizes = []
+    lcids = []
+    while True:
+        b0 = pdu[pos]
+        e = (b0 >> 5) & 1
+        lcid = b0 & 0x1F
+        pos += 1
+        if e:
+            n = pdu[pos]
+            pos += 1
+            if n & 0x80:
+                n = ((n & 0x7F) << 8) | pdu[pos]
+                pos += 1
+            lcids.append(lcid)
+            sizes.append(n)
+        else:
+            lcids.append(lcid)
+            sizes.append(None)  # rest of PDU
+            break
+    for lcid, n in zip(lcids, sizes):
+        if n is None:
+            out.append((lcid, pdu[pos:]))
+            pos = len(pdu)
+        else:
+            out.append((lcid, pdu[pos : pos + n]))
+            pos += n
+    return out

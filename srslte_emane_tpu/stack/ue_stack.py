@@ -1,0 +1,236 @@
+"""UE stack: MAC (RA + LC mux) / RLC / PDCP / RRC / NAS / USIM / GW.
+
+Reference behavior: `srsue/src/stack/` — ue_stack_lte.cc wiring, mac/ RA
+procedure + mux/demux, rrc/rrc.cc (connection establishment, security,
+reconfiguration), upper/nas.cc (EMM attach/auth/SMC), upper/usim.cc
+(Milenage), upper/gw.cc (IP loop; TUN device optional at the edges).
+"""
+
+from __future__ import annotations
+
+import collections
+
+from . import codec, nas_msgs, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
+from ..runtime.phy_adapter import UlGrant
+
+SRB0, SRB1 = 0, 1
+DRB1_LCID = 3
+
+
+class Usim:
+    """Soft USIM (usim.cc): Milenage AKA on the UE side."""
+
+    def __init__(self, imsi: str, key: bytes, opc: bytes):
+        self.imsi = imsi
+        self.key = key
+        self.opc = opc
+
+    def authenticate(self, rand: bytes, autn: bytes):
+        res, ck, ik, ak = security.milenage_f2345(self.key, self.opc, rand)
+        sqn = bytes(a ^ b for a, b in zip(autn[:6], ak))
+        kasme = security.kdf_kasme(ck, ik, b"\x00\xf1\x10", autn[:6])
+        return res, kasme
+
+
+class UeStack:
+    """ue_stack_lte.cc equivalent; exposes the MAC pulls/pushes used by
+    runtime.phy_adapter.UePhyAdapter."""
+
+    def __init__(self, usim: Usim, preamble: int = 7):
+        self.usim = usim
+        self.preamble = preamble
+        self.crnti = None
+        self.mac_state = "IDLE"
+        self.rrc_state = "IDLE"
+        self.emm_state = "DEREGISTERED"
+        self.kasme = None
+        self.kenb = None
+        self.ip_addr = None
+        self.rlc = {}
+        self.pdcp = {}
+        self.ul_ccch = collections.deque()
+        self._ul_grants = collections.deque()
+        self._acks = collections.deque()
+        self.gw_rx = []  # downlink IP packets delivered to the "TUN"
+        self.gw_tx = collections.deque()  # uplink IP packets queued by apps
+        self.metrics = collections.Counter()
+        self.mib = None
+
+    # ================= bearers =================
+    def _setup_srb1(self):
+        self.rlc[SRB1] = rlc_mod.RlcAm(
+            deliver=lambda sdu: self.pdcp[SRB1].write_pdu(sdu))
+        self.pdcp[SRB1] = pdcp_mod.PdcpEntity(
+            deliver=self._rx_rrc_srb1, is_srb=True, bearer_id=SRB1, is_ue=True)
+
+    def _setup_drb(self, lcid, mode="am"):
+        cls = rlc_mod.RlcAm if mode == "am" else rlc_mod.RlcUm
+        self.rlc[lcid] = cls(deliver=lambda sdu: self.pdcp[lcid].write_pdu(sdu))
+        k_up = (security.kdf_rrc_up_key(self.kenb, security.EEA2, 0x05)
+                if self.kenb else b"\x00" * 16)
+        self.pdcp[lcid] = pdcp_mod.PdcpEntity(
+            deliver=self._gw_deliver, is_srb=False, bearer_id=lcid,
+            ciph_algo=security.EEA2 if self.kenb else security.EEA0,
+            k_enc=k_up, is_ue=True)
+
+    # ================= phy adapter interface =================
+    def listen_rntis(self, tti):
+        if self.mac_state == "PRACH_SENT":
+            return set(range(1, 11))
+        return {self.crnti} if self.crnti else set()
+
+    def mib_received(self, tti, pbch):
+        self.mib = pbch
+
+    def get_prach(self, tti):
+        if self.mac_state == "IDLE":
+            self.mac_state = "PRACH_SENT"
+            return self.preamble
+        return None
+
+    def tb_decoded(self, tti, payload, snr_db):
+        if payload is None:
+            self.metrics["dl_crc_err"] += 1
+            return
+        if self.mac_state == "PRACH_SENT" and len(payload) >= 4 and payload[0] == 0x52:
+            if payload[1] == self.preamble:
+                self.crnti = (payload[2] << 8) | payload[3]
+                self.mac_state = "CONNECTED"
+                self._start_rrc_connection()
+            return
+        for lcid, sdu in pdu.unpack(payload):
+            if lcid == pdu.LCID_CCCH:
+                self._rx_ccch(sdu)
+            elif lcid in self.rlc:
+                self.rlc[lcid].write_pdu(sdu)
+        if self.crnti:
+            self._acks.append(dict(rnti=self.crnti, ack=[1]))
+
+    def ul_grant(self, tti, grant):
+        self._ul_grants.append(grant)
+
+    def harq_ack(self, tti, ack):
+        self.metrics["phich_ack" if ack else "phich_nack"] += 1
+
+    def get_pusch(self, tti):
+        out = []
+        while self._ul_grants:
+            g = self._ul_grants.popleft()
+            subs = []
+            room = 1000
+            if self.ul_ccch:
+                subs.append((pdu.LCID_CCCH, self.ul_ccch.popleft()))
+            for lcid in sorted(self.rlc):
+                while room > 8 and self.rlc[lcid].has_data():
+                    p = self.rlc[lcid].read_pdu(room - 4)
+                    if p is None:
+                        break
+                    subs.append((lcid, p))
+                    room -= len(p) + 3
+            if self._pending_ul_bytes():
+                subs.append((pdu.LCID_SBSR, bytes([min(255, self._pending_ul_bytes())])))
+            if subs:
+                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi, g.rv)
+                out.append((g2, pdu.pack(subs)))
+        return out
+
+    def get_pucch(self, tti):
+        if self._acks:
+            a = self._acks.popleft()
+            a["sr"] = self._pending_ul_bytes() > 0
+            return a
+        if self._pending_ul_bytes() and self.mac_state == "CONNECTED":
+            return dict(rnti=self.crnti, sr=True, ack=[])
+        return None
+
+    def _pending_ul_bytes(self):
+        n = sum(len(s) for s in self.ul_ccch)
+        for e in self.rlc.values():
+            if e.has_data():
+                n += 100
+        return n
+
+    _ra_timer = 0
+
+    def tick(self):
+        for e in self.rlc.values():
+            e.timer_tick()
+        # RA supervision (proc_ra.cc backoff/retry): retry PRACH if no RAR
+        if self.mac_state == "PRACH_SENT":
+            self._ra_timer += 1
+            if self._ra_timer > 20:
+                self._ra_timer = 0
+                self.mac_state = "IDLE"
+                self.metrics["ra_retries"] += 1
+        else:
+            self._ra_timer = 0
+        # drain app uplink queue into the DRB
+        while self.gw_tx and DRB1_LCID in self.pdcp:
+            ip_pkt = self.gw_tx.popleft()
+            self.rlc[DRB1_LCID].write_sdu(self.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+
+    # ================= RRC (rrc.cc procedures) =================
+    def _start_rrc_connection(self):
+        self._setup_srb1()
+        self.rrc_state = "CONNECTING"
+        self.ul_ccch.append(codec.encode(
+            rrc_msgs.RrcConnectionRequest(ue_identity=hash(self.usim.imsi) & 0xFFFF)))
+
+    def _rx_ccch(self, sdu):
+        msg = codec.decode(sdu)
+        if isinstance(msg, rrc_msgs.RrcConnectionSetup):
+            self.rrc_state = "CONNECTED"
+            attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
+            self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
+                nas_pdu=codec.encode(attach)))
+            self.emm_state = "ATTACHING"
+
+    def _send_srb1(self, msg):
+        self.rlc[SRB1].write_sdu(self.pdcp[SRB1].write_sdu(codec.encode(msg)))
+
+    def _rx_rrc_srb1(self, sdu):
+        msg = codec.decode(sdu)
+        if isinstance(msg, rrc_msgs.DlInformationTransfer):
+            self._rx_nas(codec.decode(msg.nas_pdu))
+        elif isinstance(msg, rrc_msgs.SecurityModeCommand):
+            self._send_srb1(rrc_msgs.SecurityModeComplete())
+            k_rrc_enc = security.kdf_rrc_up_key(self.kenb, security.EEA2, 0x03)
+            k_rrc_int = security.kdf_rrc_up_key(self.kenb, security.EIA2, 0x04)
+            self.pdcp[SRB1].config_security(security.EEA2, security.EIA2,
+                                            k_rrc_enc, k_rrc_int)
+        elif isinstance(msg, rrc_msgs.UECapabilityEnquiry):
+            self._send_srb1(rrc_msgs.UECapabilityInformation())
+        elif isinstance(msg, rrc_msgs.RrcConnectionReconfiguration):
+            for drb in msg.drbs_to_add:
+                self._setup_drb(drb.lcid, drb.rlc_mode)
+            self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
+            if msg.nas_pdu:
+                self._rx_nas(codec.decode(msg.nas_pdu))
+        elif isinstance(msg, rrc_msgs.RrcConnectionRelease):
+            self.rrc_state = "IDLE"
+
+    # ================= NAS (nas.cc EMM) =================
+    def _rx_nas(self, msg):
+        if isinstance(msg, nas_msgs.AuthenticationRequest):
+            res, kasme = self.usim.authenticate(msg.rand, msg.autn)
+            self.kasme = kasme
+            self._send_nas(nas_msgs.AuthenticationResponse(res=res))
+        elif isinstance(msg, nas_msgs.NasSecurityModeCommand):
+            self.kenb = security.kdf_kenb(self.kasme, 0)
+            self._send_nas(nas_msgs.NasSecurityModeComplete())
+        elif isinstance(msg, nas_msgs.AttachAccept):
+            self.ip_addr = msg.ip_addr
+            self.emm_state = "REGISTERED"
+            self._send_nas(nas_msgs.AttachComplete())
+            self.metrics["attach_ok"] += 1
+
+    def _send_nas(self, msg):
+        self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))
+
+    # ================= GW (gw.cc) =================
+    def _gw_deliver(self, ip_pkt):
+        self.gw_rx.append(ip_pkt)
+        self.metrics["dl_ip_bytes"] += len(ip_pkt)
+
+    def gw_send(self, ip_pkt: bytes):
+        self.gw_tx.append(ip_pkt)
