@@ -1,0 +1,85 @@
+"""PUCCH formats 1/1a/1b/2 + UCI RM codes."""
+
+import jax
+import numpy as np
+import pytest
+
+from srslte_emane_tpu.ops import channel, cplx, ofdm
+from srslte_emane_tpu.phch import grid as grid_mod, pucch, uci
+
+CELL = grid_mod.CellConfig(n_prb=25, cell_id=150)
+
+
+def test_rm32_roundtrip():
+    rng = np.random.default_rng(0)
+    for o in (4, 8, 11):
+        bits = rng.integers(0, 2, (3, o), dtype=np.int8)
+        for e in (32, 50):
+            cw = np.asarray(uci.encode_rm(bits, e))
+            llr = (1.0 - 2.0 * cw).astype(np.float32)
+            llr += rng.normal(0, 0.4, llr.shape).astype(np.float32)
+            out, _ = uci.decode_rm(llr, o, "rm32")
+            np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_rm20_roundtrip():
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, (4, 6), dtype=np.int8)
+    cw = np.asarray(uci.encode_rm20(bits))
+    assert cw.shape == (4, 20)
+    out, _ = uci.decode_rm((1.0 - 2.0 * cw).astype(np.float32), 6, "rm20")
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def _through(grid, key, snr):
+    t = ofdm.modulate(grid, CELL.n_prb)
+    rx = channel.awgn(key, t, snr)
+    return ofdm.demodulate(rx, CELL.n_prb)
+
+
+def test_pucch_f1a_ack_nack():
+    B = 2
+    d0 = np.array([[[1.0, 0.0]], [[-1.0, 0.0]]], np.float32)[:, 0]  # ACK, NACK
+    g = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+    g = pucch.encode_f1(jnp_c(d0), CELL, 2, n_pucch=5, grid=g)
+    rg = _through(g, jax.random.PRNGKey(0), 8.0)
+    corr, energy = pucch.detect_f1(rg, CELL, 2, n_pucch=5)
+    corr = np.asarray(corr)
+    assert corr[0, 0] > 0.1 and corr[1, 0] < -0.1  # BPSK signs recovered
+    # absent PUCCH resource: low energy
+    _, e_absent = pucch.detect_f1(rg, CELL, 2, n_pucch=17)
+    assert np.asarray(e_absent).max() < np.asarray(energy).min() * 0.2
+
+
+def jnp_c(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def test_pucch_f1_orthogonality_two_ues():
+    """Two UEs on different cyclic shifts of the SAME PRB must separate."""
+    B = 1
+    g = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+    ack = np.array([[1.0, 0.0]], np.float32)
+    nack = np.array([[-1.0, 0.0]], np.float32)
+    g = pucch.encode_f1(jnp_c(ack), CELL, 3, n_pucch=0, grid=g)
+    g2 = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+    g2 = pucch.encode_f1(jnp_c(nack), CELL, 3, n_pucch=6, grid=g2)
+    combined = g + g2  # superposition on the air
+    rg = _through(combined, jax.random.PRNGKey(1), 15.0)
+    c0, _ = pucch.detect_f1(rg, CELL, 3, n_pucch=0)
+    c1, _ = pucch.detect_f1(rg, CELL, 3, n_pucch=6)
+    assert np.asarray(c0)[0, 0] > 0.1
+    assert np.asarray(c1)[0, 0] < -0.1
+
+
+def test_pucch_f2_cqi():
+    rng = np.random.default_rng(2)
+    B = 2
+    bits = rng.integers(0, 2, (B, 6), dtype=np.int8)
+    g = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+    g = pucch.encode_f2(bits, CELL, 4, n_pucch2=3, grid=g)
+    rg = _through(g, jax.random.PRNGKey(3), 10.0)
+    out, metric = pucch.decode_f2(rg, CELL, 4, n_pucch2=3, n_bits=6)
+    np.testing.assert_array_equal(np.asarray(out), bits)
