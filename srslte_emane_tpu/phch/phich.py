@@ -60,7 +60,7 @@ def encode(acks, cell: grid_mod.CellConfig, sf_idx: int, grid, ng: str = "1"):
     Places all PHICH groups into grid."""
     sm = jnp.asarray(_spread_matrix(cell.cell_id, sf_idx))  # (8, 12, 2)
     d = jnp.einsum("bgs,sic->bgic", acks.astype(jnp.float32), sm)  # (B,G,12,2)
-    idx = re_indices(cell, ng)  # (G, 12)
+    idx = re_indices(cell, ng)[: d.shape[1]]  # (G, 12)
     flat = grid.reshape(grid.shape[0], -1, 2)
     flat = flat.at[:, jnp.asarray(idx.reshape(-1)), :].set(
         d.reshape(d.shape[0], -1, 2)
