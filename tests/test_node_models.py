@@ -48,7 +48,7 @@ def test_full_dl_subframe_sf0():
 
 
 def test_two_ue_grants_same_subframe():
-    cell = grid_mod.CellConfig(n_prb=25, cell_id=5, cfi=1)
+    cell = grid_mod.CellConfig(n_prb=25, cell_id=5, cfi=2)
     sf = 4
     g1 = tuple(1 if i < 8 else 0 for i in range(25))
     g2 = tuple(1 if 12 <= i < 25 else 0 for i in range(25))
