@@ -1,0 +1,119 @@
+"""netsim: whole-network LTE emulation in one process — the operational
+equivalent of running srsepc + srsenb + N x srsue under EMANE (README.md:3-7
+of the reference), faster than real time.
+
+Usage:
+    python -m srslte_emane_tpu.apps.netsim [--ues 2] [--ttis 200] [--paced]
+           [--conf netsim.conf] [--pathloss 80] [--csv metrics.csv]
+           [--pcap /tmp/mac.pcap] [--ostat-port 47100]
+
+Prints a metrics summary and (optionally) serves the ostatistic endpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from ..epc import hss as hss_mod, mme as mme_mod, spgw as spgw_mod
+from ..runtime import otabus, phy_adapter, sinr, ttiloop
+from ..stack import enb_stack, security, ue_stack
+from ..utils import metrics as metrics_mod, pcap as pcap_mod
+
+
+def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
+                  paced: bool = False, ue_pathloss: list = None):
+    n = 1 + n_ues
+    pl = np.full((n, n), pathloss_db, np.float32)
+    np.fill_diagonal(pl, 0)
+    if ue_pathloss:
+        for i, v in enumerate(ue_pathloss[:n_ues]):
+            pl[0, 1 + i] = pl[1 + i, 0] = v
+    prop = sinr.Propagation(pathloss_db=pl)
+    bus = otabus.OtaBus(prop, node_ids=list(range(n)), n_prb=n_prb, paced=paced)
+    net = ttiloop.Network(bus)
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=n_prb)
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=n_prb, mac=enb))
+    ues = []
+    for i in range(n_ues):
+        imsi = f"0010100000000{i:02d}"
+        key = bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        opc = security.milenage_opc(key, b"\x00" * 16)
+        ue = ue_stack.UeStack(ue_stack.Usim(imsi, key, opc), preamble=(7 + i) % 64)
+        net.add(phy_adapter.UePhyAdapter(bus, 1 + i, cell_id=1, n_prb=n_prb, stack=ue))
+        ues.append(ue)
+    return dict(net=net, bus=bus, mme=mme, spgw=spgw, enb=enb, ues=ues, hss=hss)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ues", type=int, default=2)
+    ap.add_argument("--ttis", type=int, default=300)
+    ap.add_argument("--prb", type=int, default=25)
+    ap.add_argument("--pathloss", type=float, default=80.0)
+    ap.add_argument("--paced", action="store_true")
+    ap.add_argument("--csv", default="")
+    ap.add_argument("--pcap", default="")
+    ap.add_argument("--ostat-port", type=int, default=0)
+    ap.add_argument("--traffic-bytes", type=int, default=10000)
+    args = ap.parse_args(argv)
+
+    sysd = build_network(args.ues, args.pathloss, args.prb, args.paced)
+    net, mme, spgw, enb, ues = (sysd[k] for k in ("net", "mme", "spgw", "enb", "ues"))
+
+    hub = metrics_mod.MetricsHub()
+    hub.add_source("enb", lambda: dict(enb.metrics))
+    hub.add_source("epc", lambda: dict(spgw.metrics, **mme.metrics))
+    for i, ue in enumerate(ues):
+        hub.add_source(f"ue{i}", lambda u=ue: dict(u.metrics, emm=u.emm_state))
+    if args.csv:
+        hub.add_listener(metrics_mod.CsvMetrics(args.csv))
+    ostat = None
+    if args.ostat_port:
+        ostat = metrics_mod.OStatServer(hub, port=args.ostat_port)
+
+    mac_pcap = pcap_mod.MacPcap(args.pcap) if args.pcap else None
+
+    t0 = time.time()
+    # phase 1: attach
+    net.run(min(args.ttis, 100 + 20 * args.ues))
+    attached = [u for u in ues if u.emm_state == "REGISTERED"]
+    # phase 2: traffic to every attached UE + uplink
+    for u in attached:
+        pkt = spgw_mod.make_ipv4("8.8.8.8", u.ip_addr, b"d" * 400)
+        for _ in range(max(1, args.traffic_bytes // 400)):
+            spgw.handle_sgi_pdu(pkt)
+        u.gw_send(spgw_mod.make_ipv4(u.ip_addr, "8.8.8.8", b"u" * 400))
+    remaining = max(0, args.ttis - (100 + 20 * args.ues))
+    net.run(remaining)
+    wall = time.time() - t0
+    hub.poll()
+
+    summary = dict(
+        ttis=net.bus.curr_tti if net.bus.curr_tti else args.ttis,
+        wall_s=round(wall, 3),
+        ttis_per_sec=round(args.ttis / wall, 1),
+        realtime_factor=round(args.ttis / wall / 1000.0, 2),
+        attached=len(attached),
+        ues=args.ues,
+        dl_ip_bytes=sum(u.metrics.get("dl_ip_bytes", 0) for u in ues),
+        ul_ip_bytes=spgw.metrics["ul_bytes"],
+    )
+    print(json.dumps(summary))
+    if mac_pcap:
+        mac_pcap.close()
+    if ostat:
+        ostat.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    main()
