@@ -1,0 +1,7 @@
+#!/bin/bash
+# Build the native runtime components (C++ -> shared lib, ctypes-consumed).
+set -e
+cd "$(dirname "$0")/.."
+g++ -O3 -shared -fPIC -std=c++17 -o srslte_emane_tpu/native/libemanelte_tpu.so \
+    srslte_emane_tpu/native/emanelte_bus.cpp
+echo "built srslte_emane_tpu/native/libemanelte_tpu.so"
