@@ -74,45 +74,64 @@ def encode(mib_bits, cell: grid_mod.CellConfig, sfn: int, grid):
     return flat.reshape(grid.shape)
 
 
-def decode(rx_grid, ce, cell: grid_mod.CellConfig):
-    """Hypothesis decode over (4 frame offsets x 3 port counts).
-
-    Returns (mib (B, 24), n_ports (B,), sfn_offset (B,), ok (B,))."""
+def _llrs_port_hyp(rx_grid, ces, cell: grid_mod.CellConfig, n_ports: int):
+    """PBCH symbol LLRs under a port-count hypothesis: SISO ZF for 1 port,
+    SFBC/Alamouti combining over ports 0/1 for 2 (and, approximately, 4)."""
     from . import chest
+    from ..ops import mimo
 
     B = rx_grid.shape[0]
     idx = jnp.asarray(re_indices(cell))
     y = jnp.take(rx_grid.reshape(B, -1, 2), idx, axis=-2)
-    h = jnp.take(ce.reshape(B, -1, 2), idx, axis=-2)
-    x_eq, csi = chest.equalize_zf(y, h)
-    llr = modem.demod_soft(x_eq, modem.QPSK) * jnp.repeat(csi, 2, axis=-1)  # (B, 480)
+    if n_ports == 1:
+        h = jnp.take(ces[0].reshape(B, -1, 2), idx, axis=-2)
+        x_eq, csi = chest.equalize_zf(y, h)
+        return modem.demod_soft(x_eq, modem.QPSK) * jnp.repeat(csi, 2, axis=-1)
+    h = jnp.stack(
+        [jnp.take(ces[p].reshape(B, -1, 2), idx, axis=-2) for p in (0, 1)],
+        axis=1,
+    )  # (B, 2, 240, 2)
+    layers, csi = mimo.decode_sfbc(y, h)  # (B, 2, 120, 2), (B, 2, 120)
+    x = mimo.layer_demap(layers, 1)[0]  # (B, 240, 2) symbol stream
+    w = csi.swapaxes(-1, -2).reshape(csi.shape[0], -1)  # interleave layers
+    return modem.demod_soft(x, modem.QPSK) * jnp.repeat(w, 2, axis=-1)
 
-    # place the segment at each offset hypothesis in a zeroed 1920 buffer
-    segs = []
-    for off in range(4):
-        buf = jnp.zeros((B, CODED), llr.dtype)
-        segs.append(buf.at[:, off * SEG : (off + 1) * SEG].set(llr))
-    hyp = jnp.stack(segs, axis=1).reshape(B * 4, CODED)  # (B*4, 1920)
-    hyp = scrambling.scramble_llrs(hyp, cell.cell_id)
-    streams = convcoder.rate_unmatch_cc(hyp, 40)  # (B*4, 3, 40)
-    bits = viterbi.viterbi_decode(streams)  # (B*4, 40)
-    # CRC with port masks
-    results = []
-    for p in (1, 2, 4):
-        mask = jnp.asarray(PORT_MASKS[p])
+
+def decode(rx_grid, ce, cell: grid_mod.CellConfig, ce_port1=None):
+    """Hypothesis decode over (4 frame offsets x 3 port counts).
+
+    ce: port-0 channel estimate; ce_port1: optional port-1 estimate (enables
+    true SFBC hypotheses for 2/4-port cells).
+    Returns (mib (B, 24), n_ports (B,), sfn_offset (B,), ok (B,))."""
+    B = rx_grid.shape[0]
+    ces = [ce, ce_port1 if ce_port1 is not None else ce]
+    all_bits, all_ok = [], []
+    for p_hyp, nport in ((0, 1), (1, 2), (2, 4)):
+        llr = _llrs_port_hyp(rx_grid, ces, cell, 1 if nport == 1 else 2)
+        segs = []
+        for off in range(4):
+            buf = jnp.zeros((B, CODED), llr.dtype)
+            segs.append(buf.at[:, off * SEG : (off + 1) * SEG].set(llr))
+        hyp = jnp.stack(segs, axis=1).reshape(B * 4, CODED)
+        hyp = scrambling.scramble_llrs(hyp, cell.cell_id)
+        streams = convcoder.rate_unmatch_cc(hyp, 40)
+        bits = viterbi.viterbi_decode(streams)  # (B*4, 40)
+        mask = jnp.asarray(PORT_MASKS[nport])
         unmasked = jnp.concatenate(
             [bits[:, :MIB_LEN], bits[:, MIB_LEN:] ^ mask], axis=1
         )
         ok = crc_mod.crc_ok(unmasked, crc_mod.LTE_CRC16)
-        results.append(ok)
-    okp = jnp.stack(results, axis=1).reshape(B, 4, 3)  # (B, off, port_idx)
+        all_bits.append(bits.reshape(B, 4, 40))
+        all_ok.append(ok.reshape(B, 4))
+    okp = jnp.stack(all_ok, axis=2)  # (B, off, port_idx)
+    bitsp = jnp.stack(all_bits, axis=2)  # (B, off, port_idx, 40)
     flat_ok = okp.reshape(B, 12)
-    best = jnp.argmax(flat_ok.astype(jnp.int32), axis=1)  # first passing hyp
+    best = jnp.argmax(flat_ok.astype(jnp.int32), axis=1)
     ok = jnp.any(flat_ok, axis=1)
     off_best = best // 3
     port_best = jnp.asarray(np.array([1, 2, 4]))[best % 3]
     mib = jnp.take_along_axis(
-        bits.reshape(B, 4, 40), off_best[:, None, None], axis=1
+        bitsp.reshape(B, 12, 40), best[:, None, None], axis=1
     )[:, 0, :MIB_LEN]
     return mib.astype(jnp.int8), port_best, off_best, ok
 

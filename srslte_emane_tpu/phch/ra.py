@@ -59,6 +59,14 @@ def ul_tbs(mcs: int, n_prb: int) -> int:
     return int(TBS_TABLE[UL_MCS_TO_ITBS[mcs], n_prb - 1])
 
 
+def dl_tbs_ra_format1a_common(mcs: int, tpc: int) -> int:
+    """DCI format 1A addressed to SI/P/RA-RNTI: I_TBS = I_MCS directly and
+    the TBS column is N_PRB_1A in {2, 3} from the TPC LSB (36.213 §7.1.7.2),
+    regardless of the actual allocation width."""
+    n_prb_1a = 2 + (tpc & 1)
+    return int(TBS_TABLE[mcs, n_prb_1a - 1])
+
+
 def rbg_size(n_prb: int) -> int:
     """Type-0 RBG size P (36.213 Table 7.1.6.1-1)."""
     if n_prb <= 10:
