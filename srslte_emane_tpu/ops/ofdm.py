@@ -85,3 +85,69 @@ def demodulate(samples, n_prb: int):
     x = jnp.stack(syms, axis=-3)  # (..., 14, N, 2)
     freq = dft.dft(x)
     return jnp.take(freq, jnp.asarray(bins), axis=-2)
+
+
+# ---------------- MBSFN hybrid-CP subframes (ofdm.c mbsfn path) ----------------
+
+N_SYM_MBSFN = 10  # extended-CP symbols after the 2-symbol non-MBSFN region
+
+
+@functools.lru_cache(maxsize=None)
+def mbsfn_layout(n_prb: int):
+    """(starts, cps) of the 2 normal-CP control symbols, the guard length,
+    and the 10 extended-CP MBSFN symbols (ofdm.c:122-147)."""
+    p = params(n_prb)
+    n = p["n"]
+    cp_ext = 512 * n // 2048
+    out = [(0, p["cp0"]), (p["cp0"] + n, p["cp"])]
+    t = p["cp0"] + p["cp"] + 2 * n
+    guard = 2 * cp_ext - p["cp0"] - p["cp"]
+    t += guard
+    mb = []
+    for l in range(N_SYM_MBSFN):
+        mb.append((t, cp_ext))
+        t += cp_ext + n
+    assert t == p["sf_len"], (t, p["sf_len"])
+    return tuple(out), guard, tuple(mb)
+
+
+def modulate_mbsfn(ctrl_grid, mbsfn_grid, n_prb: int):
+    """(B, 2, NRE, 2) control (normal CP) + (B, 10, NRE, 2) MBSFN (ext CP)
+    -> (B, SF_LEN, 2)."""
+    p = params(n_prb)
+    n = p["n"]
+    bins = jnp.asarray(_bin_map(n_prb))
+    ctrl_syms, guard, mb_syms = mbsfn_layout(n_prb)
+
+    def to_time(grid):
+        shape = grid.shape[:-2] + (n, 2)
+        x = jnp.zeros(shape, grid.dtype)
+        x = x.at[..., bins, :].set(grid)
+        return dft.idft(x)
+
+    tc = to_time(ctrl_grid)
+    tm = to_time(mbsfn_grid)
+    pieces = []
+    for l, (start, cp) in enumerate(ctrl_syms):
+        pieces.append(tc[..., l, n - cp :, :])
+        pieces.append(tc[..., l, :, :])
+    pieces.append(jnp.zeros(ctrl_grid.shape[:-3] + (guard, 2), ctrl_grid.dtype))
+    for l, (start, cp) in enumerate(mb_syms):
+        pieces.append(tm[..., l, n - cp :, :])
+        pieces.append(tm[..., l, :, :])
+    return jnp.concatenate(pieces, axis=-2)
+
+
+def demodulate_mbsfn(samples, n_prb: int):
+    """-> (ctrl (B, 2, NRE, 2), mbsfn (B, 10, NRE, 2))."""
+    p = params(n_prb)
+    n = p["n"]
+    bins = jnp.asarray(_bin_map(n_prb))
+    ctrl_syms, _, mb_syms = mbsfn_layout(n_prb)
+
+    def grab(symlist):
+        xs = [samples[..., s + cp : s + cp + n, :] for s, cp in symlist]
+        x = jnp.stack(xs, axis=-3)
+        return jnp.take(dft.dft(x), bins, axis=-2)
+
+    return grab(ctrl_syms), grab(mb_syms)
