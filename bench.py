@@ -58,11 +58,12 @@ def main():
     assert ok_h.all(), f"decode failed at bench SNR: {ok_h}"
     assert (np.asarray(out) == payload).all()
 
-    # timed decode loop
+    # timed decode loop — force a host readback every iteration so async
+    # dispatch can't hide execution time on remote-device backends
     t0 = time.time()
     for _ in range(iters):
         out, ok = rx_fn(rx_samples)
-    jax.block_until_ready(out)
+        np.asarray(ok)
     dt = time.time() - t0
     sf_per_s = batch * iters / dt
 
@@ -70,7 +71,7 @@ def main():
     t0 = time.time()
     for _ in range(iters):
         tx = tx_fn(payload)
-    jax.block_until_ready(tx)
+        np.asarray(tx[0, 0])
     enc_sf_per_s = batch * iters / (time.time() - t0)
 
     mbps = sf_per_s * cfg.tbs / 1e6

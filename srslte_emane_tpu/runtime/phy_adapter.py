@@ -178,6 +178,15 @@ class UePhyAdapter:
             chans = {}
             for c in frame.txc.channels:
                 chans.setdefault((c.channel_type, c.rnti), c)
+            # sync monitoring (36.331 in-sync/out-of-sync -> T310): evaluate
+            # a wideband QPSK reference against the serving cell's SINR
+            probe = otamsg.ChannelMessage(
+                otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 0,
+                prb_slot0=tuple(range(self.n_prb)))
+            in_sync, snr = tester.check(probe)
+            notify = getattr(self.stack, "sync_indication", None)
+            if notify:
+                notify(tti, in_sync, snr)
             if msg.pbch is not None:
                 cm = chans.get((otamsg.Chan.PBCH, 0))
                 if cm:

@@ -211,6 +211,8 @@ class EnbStack:
             ue.state = "RRC_CONNECTED"
             ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())
             self.metrics["rrc_setup"] += 1
+        elif isinstance(msg, rrc_msgs.RrcConnectionReestablishmentRequest):
+            self.handle_reestablishment(ue, msg)
 
     def _rx_pdcp(self, ue: UeContext, lcid: int, rlc_sdu: bytes):
         ue.pdcp[lcid].write_pdu(rlc_sdu)
@@ -242,6 +244,32 @@ class EnbStack:
             self.metrics["reconfig_ok"] += 1
         elif isinstance(msg, rrc_msgs.MeasurementReport):
             self.metrics["meas_reports"] += 1
+
+    # ================= RRC procedures: paging / release / reestablishment ==
+    def page(self, ue_identity: int):
+        """Broadcast paging (rrc.cc paging): rides a P-RNTI CCCH grant."""
+        self.ccch_dl.append((0xFFFE, codec.encode(rrc_msgs.Paging(ue_identity))))
+        self.metrics["paging_tx"] += 1
+
+    def release_ue(self, rnti: int, cause: str = "user-inactivity"):
+        ue = self.ues.get(rnti)
+        if ue:
+            ue.send_rrc(SRB1, rrc_msgs.RrcConnectionRelease(cause=cause))
+            ue.state = "RRC_IDLE"
+            self.metrics["rrc_release"] += 1
+
+    def handle_reestablishment(self, ue, msg):
+        """Reestablishment after RLF (rrc.cc): adopt the old UE context —
+        bearers, PDCP security state, TEIDs — under the new C-RNTI."""
+        old = self.ues.get(msg.c_rnti)
+        if old is None or old.kenb is None or old is ue:
+            return  # reject: no context -> UE will fall back to full attach
+        del self.ues[msg.c_rnti]
+        old.rnti = ue.rnti
+        self.ues[ue.rnti] = old
+        old.state = "RRC_CONNECTED"
+        old.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())
+        self.metrics["rrc_reest"] += 1
 
     # ================= S1AP callbacks (from MME) =================
     def dl_nas(self, msg: mme_mod.DownlinkNASTransport):

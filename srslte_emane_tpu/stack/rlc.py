@@ -286,12 +286,24 @@ class RlcAm:
         self.metrics["tx_pdus"] += 1
         return pdu
 
+    MAX_NACKS = 16
+
     def _build_status(self) -> bytes:
-        """STATUS PDU: [D/C=0][ACK_SN(2B)][n_nack(1B)][NACK_SN(2B)...]."""
-        nacks = sorted(self._missing_sns())[:16]
+        """STATUS PDU: [D/C=0][ACK_SN(2B)][n_nack(1B)][NACK_SN(2B)...].
+
+        If the NACK list must be truncated, ACK_SN is lowered to the first
+        unreported missing SN so the transmitter never falsely acks a gap
+        (36.322 status triggering with window limits)."""
+        missing = sorted(self._missing_sns())
+        if len(missing) > self.MAX_NACKS:
+            nacks = missing[: self.MAX_NACKS]
+            ack_sn = missing[self.MAX_NACKS]
+        else:
+            nacks = missing
+            ack_sn = self._highest_expected()
         out = (
             bytes([0x00])
-            + struct.pack("!H", self._highest_expected())
+            + struct.pack("!H", ack_sn)
             + bytes([len(nacks)])
             + b"".join(struct.pack("!H", sn) for sn in nacks)
         )

@@ -74,10 +74,15 @@ class UeStack:
             k_enc=k_up, is_ue=True)
 
     # ================= phy adapter interface =================
+    P_RNTI = 0xFFFE
+
     def listen_rntis(self, tti):
         if self.mac_state == "PRACH_SENT":
             return set(range(1, 11))
-        return {self.crnti} if self.crnti else set()
+        out = {self.crnti} if self.crnti else set()
+        if self.rrc_state == "IDLE" and self.emm_state == "REGISTERED":
+            out.add(self.P_RNTI)  # paging occasions while registered-idle
+        return out
 
     def mib_received(self, tti, pbch):
         self.mib = pbch
@@ -87,6 +92,25 @@ class UeStack:
             self.mac_state = "PRACH_SENT"
             return self.preamble
         return None
+
+    _consec_err = 0
+    N310 = 10  # consecutive out-of-sync indications before RLF (36.331 T310)
+
+    def sync_indication(self, tti, in_sync: bool, snr_db: float):
+        """Per-TTI serving-cell quality indication from the PHY adapter."""
+        self.last_rsrp_snr = snr_db
+        if in_sync:
+            self._consec_err = 0
+            return
+        self._consec_err += 1
+        if self.rrc_state == "CONNECTED" and self._consec_err >= self.N310:
+            # radio link failure -> reestablishment (rrc.cc RLF handling)
+            self.metrics["rlf"] += 1
+            self._consec_err = 0
+            self._old_crnti = self.crnti
+            self.rrc_state = "REESTABLISHING"
+            self.mac_state = "IDLE"
+            self.crnti = None
 
     def tb_decoded(self, tti, payload, snr_db):
         if payload is None:
@@ -171,6 +195,12 @@ class UeStack:
 
     # ================= RRC (rrc.cc procedures) =================
     def _start_rrc_connection(self):
+        if self.rrc_state == "REESTABLISHING":
+            self.ul_ccch.append(codec.encode(
+                rrc_msgs.RrcConnectionReestablishmentRequest(
+                    c_rnti=getattr(self, "_old_crnti", 0) or 0,
+                    cause="otherFailure")))
+            return
         self._setup_srb1()
         self.rrc_state = "CONNECTING"
         self.ul_ccch.append(codec.encode(
@@ -179,11 +209,21 @@ class UeStack:
     def _rx_ccch(self, sdu):
         msg = codec.decode(sdu)
         if isinstance(msg, rrc_msgs.RrcConnectionSetup):
+            if self.rrc_state == "REESTABLISHING":
+                self.rrc_state = "CONNECTED"
+                self.metrics["reest_ok"] += 1
+                return
             self.rrc_state = "CONNECTED"
             attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                 nas_pdu=codec.encode(attach)))
             self.emm_state = "ATTACHING"
+        elif isinstance(msg, rrc_msgs.Paging):
+            if msg.ue_identity in (0, hash(self.usim.imsi) & 0xFFFF):
+                self.metrics["paged"] += 1
+                if self.rrc_state == "IDLE":
+                    self.mac_state = "IDLE"  # trigger service request via RA
+                    self.crnti = None
 
     def _send_srb1(self, msg):
         self.rlc[SRB1].write_sdu(self.pdcp[SRB1].write_sdu(codec.encode(msg)))

@@ -1,0 +1,66 @@
+"""RRC procedures: release + paging re-entry, RLF -> reestablishment."""
+
+import numpy as np
+
+from srslte_emane_tpu.epc import hss as hss_mod, mme as mme_mod, spgw as spgw_mod
+from srslte_emane_tpu.runtime import otabus, phy_adapter, sinr, ttiloop
+from srslte_emane_tpu.stack import enb_stack, security, ue_stack
+
+
+def _build():
+    pl = np.array([[0, 80], [80, 0]], np.float32)
+    prop = sinr.Propagation(pathloss_db=pl)
+    bus = otabus.OtaBus(prop, node_ids=[0, 1], n_prb=25)
+    net = ttiloop.Network(bus)
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=25)
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25, mac=enb))
+    imsi, key = "001010000000001", bytes(range(16))
+    hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+    ue = ue_stack.UeStack(ue_stack.Usim(imsi, key, security.milenage_opc(key, b"\x00" * 16)))
+    net.add(phy_adapter.UePhyAdapter(bus, 1, cell_id=1, n_prb=25, stack=ue))
+    return net, prop, enb, ue, spgw
+
+
+def test_release_then_paging_reentry():
+    net, prop, enb, ue, spgw = _build()
+    net.run(60)
+    assert ue.emm_state == "REGISTERED"
+    rnti = ue.crnti
+    enb.release_ue(rnti)
+    net.run(10)
+    assert ue.rrc_state == "IDLE"
+    # page the UE -> it performs RA again and re-attaches
+    enb.page(0)  # broadcast identity 0 matches any
+    net.run(100)
+    assert ue.metrics["paged"] == 1
+    assert ue.rrc_state == "CONNECTED"
+
+
+def test_rlf_reestablishment_preserves_session():
+    net, prop, enb, ue, spgw = _build()
+    net.run(60)
+    assert ue.emm_state == "REGISTERED"
+    old_rnti = ue.crnti
+    ip = ue.ip_addr
+    # deep fade: all DL traffic fails SINR -> UE declares RLF
+    prop.pathloss_db[0, 1] = prop.pathloss_db[1, 0] = 150.0
+    for _ in range(30):
+        spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ip, b"x" * 50))
+        net.run(1)
+    assert ue.metrics["rlf"] >= 1, dict(ue.metrics)
+    # channel recovers -> reestablishment with context continuity
+    prop.pathloss_db[0, 1] = prop.pathloss_db[1, 0] = 80.0
+    net.run(60)
+    assert ue.rrc_state == "CONNECTED"
+    assert enb.metrics["rrc_reest"] == 1
+    assert ue.ip_addr == ip  # session survived (no re-attach)
+    # user plane still works end-to-end
+    pkt = spgw_mod.make_ipv4("8.8.8.8", ip, b"after-rlf" * 10)
+    assert spgw.handle_sgi_pdu(pkt)
+    net.run(150)  # RLC AM first recovers the 30 faded PDUs (16 NACKs/status)
+    assert any(p == pkt for p in ue.gw_rx)
+    # and the in-fade packets were NOT lost: AM delivered all of them in order
+    assert sum(1 for p in ue.gw_rx if p.endswith(b"x" * 50)) == 30
