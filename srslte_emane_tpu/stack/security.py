@@ -46,6 +46,10 @@ def eea2(key: bytes, count: int, bearer: int, direction: int, data: bytes) -> by
 def cipher(algo: int, key, count, bearer, direction, data: bytes) -> bytes:
     if algo == EEA0:
         return eea0(key, count, bearer, direction, data)
+    if algo == EEA1:
+        from . import snow3g
+
+        return snow3g.eea1(key, count, bearer, direction, data)
     if algo == EEA2:
         return eea2(key, count, bearer, direction, data)
     raise NotImplementedError(f"EEA{algo} not available in this round")
@@ -68,6 +72,11 @@ def eia2(key: bytes, count: int, bearer: int, direction: int, data: bytes) -> by
 def integrity(algo: int, key, count, bearer, direction, data: bytes) -> bytes:
     if algo == EIA0:
         return b"\x00\x00\x00\x00"
+    if algo == EIA1:
+        from . import snow3g
+
+        # 33.401 B.2.2: FRESH = BEARER << 27
+        return snow3g.eia1(key, count, (bearer & 0x1F) << 27, direction, data)
     if algo == EIA2:
         return eia2(key, count, bearer, direction, data)
     raise NotImplementedError(f"EIA{algo} not available in this round")
