@@ -12,7 +12,7 @@ import collections
 
 from ..epc import spgw as spgw_mod
 from ..runtime.phy_adapter import DlGrant, UlGrant
-from . import codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
+from . import cb, codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
 from ..epc import mme as mme_mod
 
 SRB0, SRB1, SRB2 = 0, 1, 2
@@ -38,17 +38,17 @@ class UeContext:
 
     def _setup_srb(self, lcid):
         self.rlc[lcid] = rlc_mod.RlcAm(
-            deliver=lambda sdu, l=lcid: self.stack._rx_pdcp(self, l, sdu))
+            deliver=cb.Cb(self.stack, "_rx_pdcp", self, lcid))
         self.pdcp[lcid] = pdcp_mod.PdcpEntity(
-            deliver=lambda sdu, l=lcid: self.stack._rx_rrc(self, l, sdu),
+            deliver=cb.Cb(self.stack, "_rx_rrc", self, lcid),
             is_srb=True, bearer_id=lcid, is_ue=False)
 
     def setup_drb(self, lcid, mode="am"):
         cls = rlc_mod.RlcAm if mode == "am" else rlc_mod.RlcUm
         self.rlc[lcid] = cls(
-            deliver=lambda sdu, l=lcid: self.stack._rx_pdcp(self, l, sdu))
+            deliver=cb.Cb(self.stack, "_rx_pdcp", self, lcid))
         self.pdcp[lcid] = pdcp_mod.PdcpEntity(
-            deliver=lambda sdu: self.stack._ul_user_data(self, sdu),
+            deliver=cb.Cb(self.stack, "_ul_user_data", self),
             is_srb=False, bearer_id=lcid,
             ciph_algo=security.EEA2 if self.kenb else security.EEA0,
             k_enc=security.kdf_rrc_up_key(self.kenb, security.EEA2, 0x05)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import collections
 
-from . import codec, nas_msgs, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
+from . import cb, codec, nas_msgs, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
 from ..runtime.phy_adapter import UlGrant
 
 SRB0, SRB1 = 0, 1
@@ -57,15 +57,17 @@ class UeStack:
         self.mib = None
 
     # ================= bearers =================
+    def _rlc_to_pdcp(self, lcid, sdu):
+        self.pdcp[lcid].write_pdu(sdu)
+
     def _setup_srb1(self):
-        self.rlc[SRB1] = rlc_mod.RlcAm(
-            deliver=lambda sdu: self.pdcp[SRB1].write_pdu(sdu))
+        self.rlc[SRB1] = rlc_mod.RlcAm(deliver=cb.Cb(self, "_rlc_to_pdcp", SRB1))
         self.pdcp[SRB1] = pdcp_mod.PdcpEntity(
             deliver=self._rx_rrc_srb1, is_srb=True, bearer_id=SRB1, is_ue=True)
 
     def _setup_drb(self, lcid, mode="am"):
         cls = rlc_mod.RlcAm if mode == "am" else rlc_mod.RlcUm
-        self.rlc[lcid] = cls(deliver=lambda sdu: self.pdcp[lcid].write_pdu(sdu))
+        self.rlc[lcid] = cls(deliver=cb.Cb(self, "_rlc_to_pdcp", lcid))
         k_up = (security.kdf_rrc_up_key(self.kenb, security.EEA2, 0x05)
                 if self.kenb else b"\x00" * 16)
         self.pdcp[lcid] = pdcp_mod.PdcpEntity(
