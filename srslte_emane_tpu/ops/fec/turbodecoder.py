@@ -135,39 +135,52 @@ def _map_decode(ls_eff: jnp.ndarray, lp: jnp.ndarray, tail_x: jnp.ndarray, tail_
     combo_fwd = (pu * 2 + pz[ps, pu]).astype(np.int32)  # (8,2) for alpha gather
     combo_bwd = (np.arange(2)[None, :] * 2 + pz).astype(np.int32)  # (8,2) for beta
 
-    def alpha_step(alpha, g_t):
+    def alpha_step(alpha, g_t, norm=True):
         # alpha: (B, W, 8); g_t: (B, W, 4)
         cand = alpha[..., ps] + g_t[..., combo_fwd]  # (B, W, 8, 2)
         out = jnp.max(cand, axis=-1)
-        return out - jnp.max(out, axis=-1, keepdims=True)
+        if norm:
+            out = out - jnp.max(out, axis=-1, keepdims=True)
+        return out
 
-    def beta_step(beta, g_t):
+    def beta_step(beta, g_t, norm=True):
         cand = beta[..., ns] + g_t[..., combo_bwd]  # (B, W, 8, 2)
         out = jnp.max(cand, axis=-1)
-        return out - jnp.max(out, axis=-1, keepdims=True)
+        if norm:
+            out = out - jnp.max(out, axis=-1, keepdims=True)
+        return out
 
-    # ---- alpha ----
+    # unroll factor: several trellis steps per lax.scan iteration amortizes
+    # per-step dispatch; normalization every 2 steps (turbodecoder_win.h)
+    U = 4 if L % 4 == 0 and H % 4 == 0 else 1
+
+    def _unrolled(step_fn):
+        def body(c, g_u):  # g_u: (U, B, W, 4)
+            outs = []
+            for u in range(U):
+                outs.append(c)
+                c = step_fn(c, g_u[u], norm=(u % 2 == 1))
+            return c, jnp.stack(outs)
+        return body
+
     uniform = jnp.zeros((B, W, 8), dtype=ls_eff.dtype)
+    # ---- alpha ----
+    ga = ga_halo.transpose(2, 0, 1, 3).reshape(H // U if U > 1 else H, U, B, W, 4) \
+        if U > 1 else ga_halo.transpose(2, 0, 1, 3)[:, None]
     a_init = jax.lax.scan(
-        lambda c, g_t: (alpha_step(c, g_t), None),
-        uniform,
-        ga_halo.transpose(2, 0, 1, 3),
+        lambda c, g_u: (_unrolled(alpha_step)(c, g_u)[0], None), uniform, ga
     )[0]
     exact0 = jnp.full((8,), NEG, dtype=ls_eff.dtype).at[0].set(0.0)
     a_init = a_init.at[:, 0, :].set(exact0)
-
-    def alpha_scan(c, g_t):
-        nxt = alpha_step(c, g_t)
-        return nxt, c  # emit alpha *before* consuming step t
-
-    _, alphas = jax.lax.scan(alpha_scan, a_init, g_win.transpose(2, 0, 1, 3))
-    # alphas: (L, B, W, 8) = alpha at start of each step
+    gw = g_win.transpose(2, 0, 1, 3).reshape(L // U, U, B, W, 4)
+    _, alphas = jax.lax.scan(_unrolled(alpha_step), a_init, gw)
+    alphas = alphas.reshape(L, B, W, 8)  # alpha at start of each step
 
     # ---- beta ----
+    gb = gb_halo.transpose(2, 0, 1, 3)[::-1]
+    gb = gb.reshape(H // U if U > 1 else H, U, B, W, 4) if U > 1 else gb[:, None]
     b_init = jax.lax.scan(
-        lambda c, g_t: (beta_step(c, g_t), None),
-        uniform,
-        gb_halo.transpose(2, 0, 1, 3)[::-1],
+        lambda c, g_u: (_unrolled(beta_step)(c, g_u)[0], None), uniform, gb
     )[0]
     # exact termination: beta_K from tail path metrics
     beta_tail = 0.5 * jnp.einsum(
@@ -177,12 +190,16 @@ def _map_decode(ls_eff: jnp.ndarray, lp: jnp.ndarray, tail_x: jnp.ndarray, tail_
     )
     b_init = b_init.at[:, W - 1, :].set(beta_tail - jnp.max(beta_tail, axis=-1, keepdims=True))
 
-    def beta_scan(c, g_t):
-        nxt = beta_step(c, g_t)
-        return nxt, nxt  # emit beta at start of step t (after consuming t)
+    def beta_scan(c, g_u):
+        outs = []
+        for u in range(U):
+            c = beta_step(c, g_u[u], norm=(u % 2 == 1))
+            outs.append(c)
+        return c, jnp.stack(outs)  # emit beta after consuming each step
 
-    _, betas_rev = jax.lax.scan(beta_scan, b_init, g_win.transpose(2, 0, 1, 3)[::-1])
-    betas = betas_rev[::-1]  # betas[t] = beta at position t+1 boundary? no: see below
+    gwr = g_win.transpose(2, 0, 1, 3)[::-1].reshape(L // U, U, B, W, 4)
+    _, betas_rev = jax.lax.scan(beta_scan, b_init, gwr)
+    betas = betas_rev.reshape(L, B, W, 8)[::-1]
     # beta_scan consumed g in reverse; betas[t] (after flip) = beta *at* position t
     # i.e. the backward metric for states before step t was consumed -> this is
     # beta_{t} meaning metrics at trellis node t ... we need beta at node t+1
