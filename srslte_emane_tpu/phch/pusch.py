@@ -62,14 +62,51 @@ def re_indices(n_prb_cell: int, rb_start: int, l_prb: int):
     return data, dmrs
 
 
+def uci_dims(l_prb: int, qm: int, n_ack: int, n_ri: int, n_cqi: int,
+             beta_ack: float = 20.0, beta_ri: float = 12.5, beta_cqi: float = 5.0):
+    """(q_ack, q_ri, q_cqi) coded bit counts and the SCH data size G_data."""
+    from . import pusch_uci
+
+    g_total = 12 * l_prb * N_DATA_SYMS * qm
+    q_ack = pusch_uci.n_uci_symbols(n_ack, beta_ack, qm, g_total) * qm if n_ack else 0
+    q_ri = pusch_uci.n_uci_symbols(n_ri, beta_ri, qm, g_total) * qm if n_ri else 0
+    q_cqi = pusch_uci.n_uci_symbols(max(n_cqi, 32 // max(qm, 1)), beta_cqi, qm, g_total) * qm if n_cqi else 0
+    g_data = g_total - q_ri - q_cqi
+    return q_ack, q_ri, q_cqi, g_data
+
+
 def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
-           rnti: int, rb_start: int, l_prb: int, grid=None):
-    """UE-side PUSCH encode into a UL subframe grid (B, 14, NRE, 2)."""
+           rnti: int, rb_start: int, l_prb: int, grid=None, uci=None):
+    """UE-side PUSCH encode into a UL subframe grid (B, 14, NRE, 2).
+
+    uci: optional dict(ack=(B,n) bits, ri=(B,n) bits, cqi=(B,n) bits) —
+    multiplexed per 36.212 §5.2.2.6/5.2.2.8 (sch.c UL-SCH path)."""
+    from . import pusch_uci, uci as uci_codes
+
     assert valid_n_prb(l_prb), l_prb
     m_sc = 12 * l_prb
-    assert cfg.G == m_sc * N_DATA_SYMS * cfg.Qm
+    g_total = m_sc * N_DATA_SYMS * cfg.Qm
     cw = sch.encode_tb(tb_bits, cfg)
-    il = interleave(cw, cfg.Qm)
+    if uci:
+        ack = uci.get("ack")
+        ri = uci.get("ri")
+        cqi = uci.get("cqi")
+        q_ack, q_ri, q_cqi, g_data = uci_dims(
+            l_prb, cfg.Qm, 0 if ack is None else ack.shape[-1],
+            0 if ri is None else ri.shape[-1],
+            0 if cqi is None else cqi.shape[-1])
+        assert cfg.G == g_data, (cfg.G, g_data)
+        parts = []
+        if cqi is not None:
+            parts.append(uci_codes.encode_rm(cqi, q_cqi))
+        parts.append(cw)
+        data = jnp.concatenate(parts, axis=-1)
+        ri_c = pusch_uci.encode_ack_ri(ri, q_ri // cfg.Qm, cfg.Qm) if ri is not None else None
+        ack_c = pusch_uci.encode_ack_ri(ack, q_ack // cfg.Qm, cfg.Qm) if ack is not None else None
+        il = pusch_uci.multiplex(data, ri_c, ack_c, cfg.Qm)
+    else:
+        assert cfg.G == g_total
+        il = interleave(cw, cfg.Qm)
     c_init = scrambling.pusch_cinit(rnti, sf_idx, cell.cell_id)
     scr = scrambling.scramble_bits(il, c_init)
     syms = modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm])  # (B, 12*m_sc, 2)
@@ -119,8 +156,11 @@ def estimate_ul(rx_grid, cell: grid_mod.CellConfig, sf_idx: int,
 
 
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
-           rnti: int, rb_start: int, l_prb: int, softbuf=None, max_iter: int = 8):
-    """eNB-side PUSCH decode.  Returns (payload, ok, softbuf, noise_est)."""
+           rnti: int, rb_start: int, l_prb: int, softbuf=None, max_iter: int = 8,
+           uci_dims_in=None):
+    """eNB-side PUSCH decode.  Returns (payload, ok, softbuf, noise_est)
+    or, with uci_dims_in=(q_ack, q_ri, q_cqi, n_ack, n_ri, n_cqi), a dict
+    also carrying decoded ack/ri/cqi."""
     m_sc = 12 * l_prb
     data_idx, _ = re_indices(cell.n_prb, rb_start, l_prb)
     B = rx_grid.shape[0]
@@ -138,6 +178,21 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     llr = llr * w
     c_init = scrambling.pusch_cinit(rnti, sf_idx, cell.cell_id)
     llr = scrambling.scramble_llrs(llr, c_init)
+    if uci_dims_in is not None:
+        from . import pusch_uci, uci as uci_codes
+
+        q_ack, q_ri, q_cqi, n_ack, n_ri, n_cqi = uci_dims_in
+        data, ri_llr, ack_llr = pusch_uci.demultiplex(llr, cfg.Qm, q_ri, q_ack)
+        cqi_bits = None
+        if q_cqi:
+            cqi_llr, data = data[..., :q_cqi], data[..., q_cqi:]
+            cqi_bits, _ = uci_codes.decode_rm(cqi_llr, n_cqi, "rm32")
+        payload, ok, softbuf, _ = sch.decode_tb(data, cfg, softbuf, max_iter)
+        out = dict(payload=payload, ok=ok, softbuf=softbuf, noise=noise,
+                   cqi=cqi_bits)
+        out["ri"] = pusch_uci.decode_ack_ri(ri_llr, n_ri, cfg.Qm) if q_ri else None
+        out["ack"] = pusch_uci.decode_ack_ri(ack_llr, n_ack, cfg.Qm) if q_ack else None
+        return out
     llr = deinterleave(llr, cfg.Qm)
     payload, ok, softbuf, _ = sch.decode_tb(llr, cfg, softbuf, max_iter)
     return payload, ok, softbuf, noise
