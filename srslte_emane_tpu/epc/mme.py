@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 
-from ..stack import codec, nas_msgs, security
+from ..stack import codec, nas_msgs, security  # noqa: F401 (security: HO keys)
 
 
 @codec.register
@@ -59,6 +59,43 @@ class UEContextReleaseCommand:
     mme_ue_id: int
     enb_ue_id: int
     cause: str = "user-inactivity"
+
+
+@codec.register
+@dataclasses.dataclass
+class HandoverRequired:
+    mme_ue_id: int
+    enb_ue_id: int
+    target_pci: int
+
+
+@codec.register
+@dataclasses.dataclass
+class HandoverRequest:
+    mme_ue_id: int
+    kenb_star: bytes
+    ue_ip: str
+    teid_spgw: int
+    teid_enb: int
+
+
+@codec.register
+@dataclasses.dataclass
+class HandoverCommand:
+    """Container back to the source eNB (-> RRC mobility control info)."""
+    mme_ue_id: int
+    enb_ue_id: int
+    target_pci: int
+    new_rnti: int
+    dedicated_preamble: int
+    kenb_star: bytes
+
+
+@codec.register
+@dataclasses.dataclass
+class PathSwitchRequest:
+    mme_ue_id: int
+    target_enb_ue_id: int
 
 
 class Mme:
@@ -131,6 +168,40 @@ class Mme:
             ue["state"] = "DETACHED"
             self.enbs[ue["enb_id"]].release(UEContextReleaseCommand(
                 msg.mme_ue_id, msg.enb_ue_id, "detach"))
+
+    # ---- S1 handover (s1ap_ctx_mngmt_proc.cc / intra-MME HO) ----
+    def handover_required(self, enb_id: int, msg: HandoverRequired):
+        ue = self.ues.get(msg.mme_ue_id)
+        if ue is None:
+            return
+        target = next(((eid, enb) for eid, enb in self.enbs.items()
+                       if getattr(enb, "cell_pci", None) == msg.target_pci), None)
+        if target is None:
+            return
+        ue_ip = ue.get("ue_ip")
+        kenb_star = security.kdf(ue["vec"]["kasme"], 0x13,
+                                 msg.target_pci.to_bytes(2, "big"))
+        sess = self.spgw.by_ip.get(ue_ip, {})
+        req = HandoverRequest(mme_ue_id=msg.mme_ue_id, kenb_star=kenb_star,
+                              ue_ip=ue_ip,
+                              teid_spgw=sess.get("teid_in", 0),
+                              teid_enb=sess.get("teid_out", 0))
+        cmd = target[1].ho_request(req)
+        ue["ho_target_enb"] = target[0]
+        self.enbs[ue["enb_id"]].ho_command(HandoverCommand(
+            mme_ue_id=msg.mme_ue_id, enb_ue_id=msg.enb_ue_id,
+            target_pci=msg.target_pci, new_rnti=cmd["new_rnti"],
+            dedicated_preamble=cmd["preamble"], kenb_star=kenb_star))
+
+    def path_switch(self, enb_id: int, msg: PathSwitchRequest):
+        ue = self.ues.get(msg.mme_ue_id)
+        if ue is None:
+            return
+        target = self.enbs[enb_id]
+        self.spgw.path_switch(ue["ue_ip"], target.gtpu_dl)
+        ue["enb_id"] = enb_id
+        ue["enb_ue_id"] = msg.target_enb_ue_id
+        self.metrics["handover_ok"] = self.metrics.get("handover_ok", 0) + 1
 
     def _dl_nas(self, enb_id, mme_ue_id, enb_ue_id, nas_msg):
         self.enbs[enb_id].dl_nas(DownlinkNASTransport(

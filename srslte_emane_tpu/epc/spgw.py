@@ -45,9 +45,19 @@ class Spgw:
         teid_in = self.next_teid  # our rx teid (eNB sends UL with this)
         teid_out = self.next_teid + 1  # eNB's rx teid (we send DL with it)
         self.next_teid += 2
-        self.by_ip[ue_ip] = dict(teid_out=teid_out, enb_tx=enb_tx, imsi=imsi)
+        self.by_ip[ue_ip] = dict(teid_out=teid_out, teid_in=teid_in,
+                                 enb_tx=enb_tx, imsi=imsi)
         self.by_teid_in[teid_in] = ue_ip
         return dict(ue_ip=ue_ip, teid_in=teid_in, teid_out=teid_out)
+
+    def path_switch(self, ue_ip: str, enb_tx):
+        """S1 path switch after handover (gtpc.cc modify-bearer): point the
+        DL tunnel at the target eNB; TEIDs are preserved."""
+        sess = self.by_ip.get(ue_ip)
+        if sess is None:
+            return False
+        sess["enb_tx"] = enb_tx
+        return True
 
     # ---- user plane (spgw.cc:114-158 select loop bodies) ----
     def handle_sgi_pdu(self, ip_pkt: bytes):

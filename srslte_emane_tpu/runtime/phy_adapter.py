@@ -168,12 +168,24 @@ class UePhyAdapter:
         getattr(self.stack, "tick", lambda: None)()
         self._tx(tti)
 
+    @property
+    def serving_cell(self):
+        return getattr(self.stack, "serving_pci", None) or self.cell_id
+
     def _rx(self, tti: int):
         for frame, tester in self.bus.get_messages(self.node_id):
             msg = frame.msg
             if not isinstance(msg, otamsg.EnbDlMessage):
                 continue
-            if msg.phy_cell_id != self.cell_id:
+            if msg.phy_cell_id != self.serving_cell:
+                # neighbor-cell measurement (intra_measure role)
+                probe = otamsg.ChannelMessage(
+                    otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 0,
+                    prb_slot0=tuple(range(self.n_prb)))
+                _, snr = tester.check(probe)
+                notify = getattr(self.stack, "neighbor_meas", None)
+                if notify:
+                    notify(tti, msg.phy_cell_id, snr)
                 continue
             chans = {}
             for c in frame.txc.channels:
@@ -222,10 +234,11 @@ class UePhyAdapter:
                     self.stack.harq_ack(msg.tti, bool(ph["ack"]))
 
     def _tx(self, tti: int):
+        serving = self.serving_cell
         msg = otamsg.UeUlMessage(tti=tti, crnti=self.crnti or 0,
-                                 phy_cell_id=self.cell_id)
+                                 phy_cell_id=serving)
         txc = otamsg.TxControl(
-            tti_tx=tti, phy_cell_id=self.cell_id, is_downlink=False,
+            tti_tx=tti, phy_cell_id=serving, is_downlink=False,
             tx_seqnum=self._seq, num_resource_blocks=self.n_prb,
             reference_signal_power_mw=self.tx_power_mw,
         )

@@ -32,14 +32,15 @@ THRESHOLD_DB = {
     otamsg.Mod.QAM64: 15.0,
     otamsg.Mod.QAM256: 22.0,
 }
-# control channels are more protected
+# control channels are more protected (PDCCH at aggregation 8 decodes well
+# below the QPSK data knee; PRACH's ZC correlation gain is larger still)
 CONTROL_MARGIN_DB = {
     otamsg.Chan.PBCH: -4.0,
     otamsg.Chan.PCFICH: -4.0,
-    otamsg.Chan.PDCCH: -3.0,
-    otamsg.Chan.PHICH: -3.0,
+    otamsg.Chan.PDCCH: -6.0,
+    otamsg.Chan.PHICH: -4.0,
     otamsg.Chan.PRACH: -8.0,
-    otamsg.Chan.PUCCH: -3.0,
+    otamsg.Chan.PUCCH: -4.0,
 }
 
 
@@ -92,7 +93,10 @@ class SinrTester:
         self.noise_floor_dbm = noise_floor_dbm
 
     def check(self, chmsg: otamsg.ChannelMessage):
-        """Returns (passed, sinr_db)."""
+        """Returns (passed, sinr_db).  The threshold is the modulation's
+        BLER-knee adjusted by the effective code rate (EMANE's BLER curves
+        are per-MCS; the rate term reproduces the low-MCS robustness that
+        lets e.g. a handover command survive cell-edge SINR)."""
         prbs = sorted(set(chmsg.prb_slot0) | set(chmsg.prb_slot1))
         if not prbs:
             prbs = list(range(len(self._rb)))
@@ -100,6 +104,13 @@ class SinrTester:
         thr = THRESHOLD_DB[chmsg.modulation] + CONTROL_MARGIN_DB.get(
             chmsg.channel_type, 0.0
         )
+        if chmsg.number_of_bits and chmsg.channel_type in (
+                otamsg.Chan.PDSCH, otamsg.Chan.PUSCH):
+            qm = int(chmsg.modulation)
+            n_re = max(1, len(prbs)) * 12 * 12
+            rate = chmsg.number_of_bits / (n_re * max(qm, 1))
+            # ~6 dB per doubling of rate around the 0.5 operating point
+            thr += float(np.clip(6.0 * np.log2(max(rate, 1e-3) / 0.5), -8.0, 6.0))
         return sinr >= thr, sinr
 
 

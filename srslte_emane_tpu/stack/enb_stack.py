@@ -11,6 +11,7 @@ from __future__ import annotations
 import collections
 
 from ..epc import spgw as spgw_mod
+from ..phch import ra
 from ..runtime.phy_adapter import DlGrant, UlGrant
 from . import cb, codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
 from ..epc import mme as mme_mod
@@ -68,23 +69,32 @@ class EnbStack:
     toward runtime.phy_adapter.EnbPhyAdapter."""
 
     def __init__(self, mme: mme_mod.Mme, enb_id: int = 1, n_prb: int = 25,
-                 mcs: int = 9):
+                 mcs: int = 9, pci: int = 1):
         self.enb_id = enb_id
+        self.cell_pci = pci
         self.n_prb = n_prb
         self.mcs = mcs
         self.mme = mme
         self.ues = {}
-        self.next_rnti = 0x46
+        self.next_rnti = 0x46 + 0x100 * enb_id
         self.rar_pending = []
         self.ccch_dl = collections.deque()
         self.phich_queue = []
         self.by_teid = {}
+        self.dedicated_preambles = {}  # preamble -> rnti (contention-free HO)
+        self._next_ded_preamble = 60
         self._rr = 0
         self.metrics = collections.Counter()
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
     def rach_detected(self, tti, preamble):
+        if preamble in self.dedicated_preambles:
+            # contention-free RA of an incoming handover UE
+            rnti = self.dedicated_preambles.pop(preamble)
+            self.rar_pending.append((tti, preamble, rnti))
+            self.metrics["rach_ho"] += 1
+            return
         rnti = self.next_rnti
         self.next_rnti += 1
         self.ues[rnti] = UeContext(rnti, self)
@@ -152,8 +162,16 @@ class EnbStack:
             rnti = active[self._rr % len(active)]
             self._rr += 1
             u = self.ues[rnti]
+            # SRB traffic rides the most robust MCS (cell-edge delivery of
+            # RRC messages, e.g. the handover command); the TB size follows
+            # from (mcs, free PRBs) like a real TBS lookup, and RLC segments
+            # larger messages across TTIs.
+            has_srb = any(l <= SRB2 and u.rlc[l].has_data() for l in u.rlc)
+            mcs = 0 if has_srb else self.mcs
+            n_prb_free = self.n_prb - cursor
+            tb_bytes = min(TB_BYTES, max(8, ra.dl_tbs(mcs, n_prb_free) // 8))
             subs = []
-            room = TB_BYTES
+            room = tb_bytes
             for lcid in sorted(u.rlc):
                 while room > 8 and u.rlc[lcid].has_data():
                     p = u.rlc[lcid].read_pdu(room - 4)
@@ -162,10 +180,12 @@ class EnbStack:
                     subs.append((lcid, p))
                     room -= len(p) + 3
             if subs:
-                n_prb = min(self.n_prb - cursor, max(2, (TB_BYTES - room) // 100))
+                n_bytes = tb_bytes - room
+                bytes_per_prb = max(2, ra.dl_tbs(mcs, 1) // 8)
+                n_prb = min(n_prb_free, max(2, -(-n_bytes // bytes_per_prb)))
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
-                                      mcs=self.mcs, payload=pdu.pack(subs)))
-                self.metrics["dl_bytes"] += TB_BYTES - room
+                                      mcs=mcs, payload=pdu.pack(subs)))
+                self.metrics["dl_bytes"] += n_bytes
         return grants
 
     def get_ul_sched(self, tti):
@@ -242,8 +262,21 @@ class EnbStack:
                 nas_pdu=ue.pending_nas))
         elif isinstance(msg, rrc_msgs.RrcConnectionReconfigurationComplete):
             self.metrics["reconfig_ok"] += 1
+            if getattr(ue, "is_ho", False):
+                ue.is_ho = False
+                self.mme.path_switch(self.enb_id, mme_mod.PathSwitchRequest(
+                    mme_ue_id=ue.mme_ue_id, target_enb_ue_id=ue.enb_ue_id))
+                self.metrics["ho_complete"] += 1
         elif isinstance(msg, rrc_msgs.MeasurementReport):
             self.metrics["meas_reports"] += 1
+            # A3-style decision: neighbor sufficiently above serving -> S1 HO
+            if msg.neigh:
+                pci, snr = max(msg.neigh, key=lambda x: x[1])
+                if snr > msg.rsrp_dbm + 1.0 and pci != self.cell_pci:
+                    self.mme.handover_required(self.enb_id, mme_mod.HandoverRequired(
+                        mme_ue_id=ue.mme_ue_id, enb_ue_id=ue.enb_ue_id,
+                        target_pci=pci))
+                    self.metrics["ho_required"] += 1
 
     # ================= RRC procedures: paging / release / reestablishment ==
     def page(self, ue_identity: int):
@@ -291,6 +324,42 @@ class EnbStack:
         ue = self._by_enb_ue_id(msg.enb_ue_id)
         ue.send_rrc(SRB1, rrc_msgs.RrcConnectionRelease())
         ue.state = "RRC_IDLE"
+
+    # ---- S1 handover (target side) ----
+    def ho_request(self, req: mme_mod.HandoverRequest) -> dict:
+        """Admission at the target: prepare a UE context + contention-free
+        preamble; keys from KeNB* (rrc.cc HO preparation)."""
+        rnti = self.next_rnti
+        self.next_rnti += 1
+        ue = UeContext(rnti, self)
+        ue.state = "HO_PREP"
+        ue.is_ho = True
+        ue.mme_ue_id = req.mme_ue_id
+        ue.kenb = req.kenb_star
+        ue.teid_spgw = req.teid_spgw
+        ue.teid_enb = req.teid_enb
+        k_rrc_enc = security.kdf_rrc_up_key(ue.kenb, security.EEA2, 0x03)
+        k_rrc_int = security.kdf_rrc_up_key(ue.kenb, security.EIA2, 0x04)
+        ue.pdcp[SRB1].config_security(security.EEA2, security.EIA2,
+                                      k_rrc_enc, k_rrc_int)
+        ue.setup_drb(DRB1_LCID)
+        self.by_teid[ue.teid_enb] = ue
+        self.ues[rnti] = ue
+        preamble = self._next_ded_preamble
+        self._next_ded_preamble = 60 + (self._next_ded_preamble - 59) % 4
+        self.dedicated_preambles[preamble] = rnti
+        self.metrics["ho_admitted"] += 1
+        return dict(new_rnti=rnti, preamble=preamble)
+
+    # ---- S1 handover (source side) ----
+    def ho_command(self, cmd: mme_mod.HandoverCommand):
+        ue = self._by_enb_ue_id(cmd.enb_ue_id)
+        ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
+            mobility=rrc_msgs.MobilityControlInfo(
+                target_pci=cmd.target_pci, new_rnti=cmd.new_rnti,
+                dedicated_preamble=cmd.dedicated_preamble)))
+        ue.state = "HO_OUT"
+        self.metrics["ho_command"] += 1
 
     def _by_enb_ue_id(self, enb_ue_id):
         for u in self.ues.values():

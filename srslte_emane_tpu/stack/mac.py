@@ -82,7 +82,12 @@ class EnbMac:
             self._rr_next += 1
             u = self.ues[r]
             payload = u["dl_queue"].popleft()[:MAX_DL_BYTES_PER_TTI]
-            n_prb_needed = min(self.n_prb, max(2, len(payload) // 100))
+            # size the allocation from the per-PRB TBS at this MCS so the
+            # effective code rate stays at the modulation's operating point
+            from ..phch import ra
+
+            bytes_per_prb = max(2, ra.dl_tbs(self.mcs, 1) // 8)
+            n_prb_needed = min(self.n_prb, max(2, -(-len(payload) // bytes_per_prb)))
             grants.append(DlGrant(rnti=r, prb_mask=self._alloc(n_prb_needed),
                                   mcs=self.mcs, payload=payload))
             self.metrics["dl_bytes"] += len(payload)

@@ -82,10 +82,20 @@ class DrbToAdd:
 
 @codec.register
 @dataclasses.dataclass
+class MobilityControlInfo:
+    """Handover command content (36.331 mobilityControlInfo)."""
+    target_pci: int
+    new_rnti: int
+    dedicated_preamble: int
+
+
+@codec.register
+@dataclasses.dataclass
 class RrcConnectionReconfiguration:
     drbs_to_add: list = dataclasses.field(default_factory=list)
     nas_pdu: bytes = b""
     meas_config: dict = dataclasses.field(default_factory=dict)
+    mobility: object = None  # MobilityControlInfo for handover
 
 
 @codec.register

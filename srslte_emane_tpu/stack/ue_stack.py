@@ -89,7 +89,39 @@ class UeStack:
     def mib_received(self, tti, pbch):
         self.mib = pbch
 
+    # ---- neighbor measurement + A3 reporting (rrc measurements) ----
+    serving_pci = None
+    _neigh_snr = None
+    _a3_count = 0
+    _last_report_tti = -100
+
+    def neighbor_meas(self, tti, pci, snr_db):
+        if self._neigh_snr is None:
+            self._neigh_snr = {}
+        prev = self._neigh_snr.get(pci, snr_db)
+        self._neigh_snr[pci] = 0.8 * prev + 0.2 * snr_db
+        if self.rrc_state != "CONNECTED":
+            return
+        serving = getattr(self, "last_rsrp_snr", None)
+        if serving is None:
+            return
+        best = max(self._neigh_snr.items(), key=lambda kv: kv[1])
+        if best[1] > serving + 1.0:  # A3 offset 1 dB
+            self._a3_count += 1
+        else:
+            self._a3_count = 0
+        if self._a3_count >= 3 and tti - self._last_report_tti > 50:
+            self._last_report_tti = tti
+            self._a3_count = 0
+            self._send_srb1(rrc_msgs.MeasurementReport(
+                rsrp_dbm=serving, neigh=[[best[0], best[1]]]))
+            self.metrics["meas_reports"] += 1
+
     def get_prach(self, tti):
+        if self.mac_state == "HO_PRACH":
+            self.mac_state = "PRACH_SENT"
+            self._ho_pending = True
+            return self._ho_preamble
         if self.mac_state == "IDLE":
             self.mac_state = "PRACH_SENT"
             return self.preamble
@@ -119,6 +151,15 @@ class UeStack:
             self.metrics["dl_crc_err"] += 1
             return
         if self.mac_state == "PRACH_SENT" and len(payload) >= 4 and payload[0] == 0x52:
+            if getattr(self, "_ho_pending", False) and payload[1] == self._ho_preamble:
+                # contention-free RA at the handover target completed
+                self._ho_pending = False
+                self.crnti = (payload[2] << 8) | payload[3]
+                self.mac_state = "CONNECTED"
+                self.rrc_state = "CONNECTED"
+                self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
+                self.metrics["ho_complete"] += 1
+                return
             if payload[1] == self.preamble:
                 self.crnti = (payload[2] << 8) | payload[3]
                 self.mac_state = "CONNECTED"
@@ -186,7 +227,8 @@ class UeStack:
             self._ra_timer += 1
             if self._ra_timer > 20:
                 self._ra_timer = 0
-                self.mac_state = "IDLE"
+                # handover RA retries stay contention-free at the target
+                self.mac_state = "HO_PRACH" if getattr(self, "_ho_pending", False) else "IDLE"
                 self.metrics["ra_retries"] += 1
         else:
             self._ra_timer = 0
@@ -243,6 +285,9 @@ class UeStack:
         elif isinstance(msg, rrc_msgs.UECapabilityEnquiry):
             self._send_srb1(rrc_msgs.UECapabilityInformation())
         elif isinstance(msg, rrc_msgs.RrcConnectionReconfiguration):
+            if msg.mobility is not None:
+                self._execute_handover(msg.mobility)
+                return
             for drb in msg.drbs_to_add:
                 self._setup_drb(drb.lcid, drb.rlc_mode)
             self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
@@ -250,6 +295,26 @@ class UeStack:
                 self._rx_nas(codec.decode(msg.nas_pdu))
         elif isinstance(msg, rrc_msgs.RrcConnectionRelease):
             self.rrc_state = "IDLE"
+
+    def _execute_handover(self, mob):
+        """36.331 handover execution: switch serving cell, re-key from
+        KeNB* = KDF(Kasme, 0x13, target_pci), contention-free RA."""
+        self.serving_pci = mob.target_pci
+        self.kenb = security.kdf(self.kasme, 0x13,
+                                 mob.target_pci.to_bytes(2, "big"))
+        self._ho_preamble = mob.dedicated_preamble
+        # re-establish SRB1/DRB with the new keys (PDCP re-establishment)
+        self._setup_srb1()
+        k_rrc_enc = security.kdf_rrc_up_key(self.kenb, security.EEA2, 0x03)
+        k_rrc_int = security.kdf_rrc_up_key(self.kenb, security.EIA2, 0x04)
+        self.pdcp[SRB1].config_security(security.EEA2, security.EIA2,
+                                        k_rrc_enc, k_rrc_int)
+        self._setup_drb(DRB1_LCID)
+        self._neigh_snr = {}
+        self._a3_count = 0
+        self.crnti = mob.new_rnti
+        self.mac_state = "HO_PRACH"
+        self.metrics["ho_exec"] += 1
 
     # ================= NAS (nas.cc EMM) =================
     def _rx_nas(self, msg):

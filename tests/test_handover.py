@@ -1,0 +1,60 @@
+"""S1 intra-MME handover: measurement-triggered, contention-free RA at the
+target, path switch, session continuity."""
+
+import numpy as np
+
+from srslte_emane_tpu.epc import hss as hss_mod, mme as mme_mod, spgw as spgw_mod
+from srslte_emane_tpu.runtime import otabus, phy_adapter, sinr, ttiloop
+from srslte_emane_tpu.stack import enb_stack, security, ue_stack
+
+
+def test_s1_handover():
+    # nodes: 0 = eNB A (pci 1), 1 = eNB B (pci 2), 2 = UE (near A initially)
+    pl = np.array([[0, 100, 70], [100, 0, 95], [70, 95, 0]], np.float32)
+    prop = sinr.Propagation(pathloss_db=pl)
+    bus = otabus.OtaBus(prop, node_ids=[0, 1, 2], n_prb=25)
+    net = ttiloop.Network(bus)
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb_a = enb_stack.EnbStack(mme, enb_id=1, n_prb=25, pci=1)
+    enb_b = enb_stack.EnbStack(mme, enb_id=2, n_prb=25, pci=2)
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25, mac=enb_a))
+    net.add(phy_adapter.EnbPhyAdapter(bus, 1, cell_id=2, n_prb=25, mac=enb_b))
+    imsi, key = "001010000000001", bytes(range(16))
+    hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+    ue = ue_stack.UeStack(ue_stack.Usim(imsi, key, security.milenage_opc(key, b"\x00" * 16)))
+    net.add(phy_adapter.UePhyAdapter(bus, 2, cell_id=1, n_prb=25, stack=ue))
+
+    net.run(80)
+    assert ue.emm_state == "REGISTERED"
+    ip = ue.ip_addr
+    # keep some DL traffic flowing so the serving-cell SNR stays sampled
+    spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ip, b"pre" * 30))
+    net.run(20)
+    assert ue.gw_rx
+
+    # UE "moves" gradually toward B: crossover over ~200 TTIs
+    for a_pl, b_pl in [(75, 90), (79, 86), (82, 83), (83, 82), (85, 80),
+                       (90, 75), (95, 70)]:
+        prop.pathloss_db[0, 2] = prop.pathloss_db[2, 0] = a_pl
+        prop.pathloss_db[1, 2] = prop.pathloss_db[2, 1] = b_pl
+        spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ip, b"move" * 10))
+        net.run(30)
+    net.run(60)
+    assert ue.metrics.get("meas_reports", 0) >= 1, dict(ue.metrics)
+    assert enb_a.metrics.get("ho_required", 0) >= 1, dict(enb_a.metrics)
+    assert enb_b.metrics.get("ho_admitted", 0) == 1, dict(enb_b.metrics)
+    assert ue.metrics.get("ho_complete", 0) == 1, dict(ue.metrics)
+    assert enb_b.metrics.get("ho_complete", 0) == 1, dict(enb_b.metrics)
+    assert mme.metrics.get("handover_ok", 0) == 1
+    assert ue.serving_pci == 2
+
+    # user plane continues through the TARGET after path switch, same IP
+    n_before = len(ue.gw_rx)
+    pkt = spgw_mod.make_ipv4("8.8.8.8", ip, b"post-ho" * 20)
+    assert spgw.handle_sgi_pdu(pkt)
+    net.run(40)
+    assert len(ue.gw_rx) > n_before
+    assert ue.gw_rx[-1] == pkt
+    assert ue.ip_addr == ip
