@@ -216,6 +216,9 @@ class EnbStack:
         self.phich_queue = []
         return out
 
+    def get_pci(self):
+        return self.cell_pci
+
     def tick(self):
         for u in self.ues.values():
             for e in u.rlc.values():
