@@ -334,6 +334,13 @@ class UeStack:
     def _send_nas(self, msg):
         self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))
 
+    def switch_off(self):
+        """NAS detach (ue_stack_lte.cc switch_off -> nas detach request)."""
+        if self.emm_state == "REGISTERED":
+            self._send_nas(nas_msgs.DetachRequest(switch_off=True))
+            self.emm_state = "DEREGISTERED"
+            self.metrics["detach"] += 1
+
     # ================= GW (gw.cc) =================
     def _gw_deliver(self, ip_pkt):
         self.gw_rx.append(ip_pkt)
