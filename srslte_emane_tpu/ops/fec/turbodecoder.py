@@ -164,18 +164,6 @@ def _map_decode(ls_eff: jnp.ndarray, lp: jnp.ndarray, tail_x: jnp.ndarray, tail_
         return body
 
     uniform = jnp.zeros((B, W, 8), dtype=ls_eff.dtype)
-    # ---- alpha ----
-    ga = ga_halo.transpose(2, 0, 1, 3).reshape(H // U if U > 1 else H, U, B, W, 4) \
-        if U > 1 else ga_halo.transpose(2, 0, 1, 3)[:, None]
-    a_init = jax.lax.scan(
-        lambda c, g_u: (_unrolled(alpha_step)(c, g_u)[0], None), uniform, ga
-    )[0]
-    exact0 = jnp.full((8,), NEG, dtype=ls_eff.dtype).at[0].set(0.0)
-    a_init = a_init.at[:, 0, :].set(exact0)
-    gw = g_win.transpose(2, 0, 1, 3).reshape(L // U, U, B, W, 4)
-    _, alphas = jax.lax.scan(_unrolled(alpha_step), a_init, gw)
-    alphas = alphas.reshape(L, B, W, 8)  # alpha at start of each step
-
     # ---- beta ----
     gb = gb_halo.transpose(2, 0, 1, 3)[::-1]
     gb = gb.reshape(H // U if U > 1 else H, U, B, W, 4) if U > 1 else gb[:, None]
@@ -211,15 +199,35 @@ def _map_decode(ls_eff: jnp.ndarray, lp: jnp.ndarray, tail_x: jnp.ndarray, tail_
     # only for the *per-window* layout: b_init is (B, W, 8) and betas are
     # (L, B, W, 8) per-window node metrics.
 
-    # ---- combine: posterior llr_t = max_{u=0 trans}(a+g+b') - max_{u=1} ----
-    g_t_all = g_win.transpose(2, 0, 1, 3)  # (L, B, W, 4)
-    combo_all = (np.arange(2)[:, None] * 2 + pz.T).astype(np.int32)  # (2,8): [u, s]
-    # cand[u, s] = alpha[s] + gamma[combo(u, parity(s,u))] + beta_next[ns[s,u]]
-    a_exp = alphas[..., None, :]  # (L,B,W,1,8)
-    g_exp = g_t_all[..., combo_all]  # (L,B,W,2,8)
-    b_exp = beta_next[..., ns.T]  # (L,B,W,2,8)
-    m = jnp.max(a_exp + g_exp + b_exp, axis=-1)  # (L,B,W,2)
-    llr = m[..., 0] - m[..., 1]  # (L,B,W)
+    # ---- alpha scan with FUSED posterior combine ----
+    # computing llr_t inside the forward scan avoids materializing the
+    # (L,B,W,8) alphas and the (L,B,W,2,8) transition candidates.
+    combo_all = (np.arange(2)[:, None] * 2 + pz.T).astype(np.int32)  # (2,8)
+    ns_t = ns.T  # (2, 8): next state per (u, s)
+
+    ga = ga_halo.transpose(2, 0, 1, 3).reshape(H // U if U > 1 else H, U, B, W, 4) \
+        if U > 1 else ga_halo.transpose(2, 0, 1, 3)[:, None]
+    a_init = jax.lax.scan(
+        lambda c, g_u: (_unrolled(alpha_step)(c, g_u)[0], None), uniform, ga
+    )[0]
+    exact0 = jnp.full((8,), NEG, dtype=ls_eff.dtype).at[0].set(0.0)
+    a_init = a_init.at[:, 0, :].set(exact0)
+    gw = g_win.transpose(2, 0, 1, 3).reshape(L // U, U, B, W, 4)
+    bn = beta_next.reshape(L // U, U, B, W, 8)
+
+    def fwd_combine(alpha, xs):
+        g_u, b_u = xs  # (U,B,W,4), (U,B,W,8)
+        llrs = []
+        for u in range(U):
+            # cand[u', s] = alpha[s] + g[combo(u', pz[s,u'])] + beta'[ns[s,u']]
+            cand = alpha[..., None, :] + g_u[u][..., combo_all] + b_u[u][..., ns_t]
+            m = jnp.max(cand, axis=-1)  # (B, W, 2)
+            llrs.append(m[..., 0] - m[..., 1])
+            alpha = alpha_step(alpha, g_u[u], norm=(u % 2 == 1))
+        return alpha, jnp.stack(llrs)
+
+    _, llr = jax.lax.scan(fwd_combine, a_init, (gw, bn))
+    llr = llr.reshape(L, B, W)
     return llr.transpose(1, 2, 0).reshape(B, K)
 
 
