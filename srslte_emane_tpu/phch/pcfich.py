@@ -47,15 +47,25 @@ def encode(cfi, cell: grid_mod.CellConfig, sf_idx: int, grid):
     return flat.reshape(grid.shape)
 
 
-def decode(rx_grid, ce, cell: grid_mod.CellConfig, sf_idx: int):
-    """Soft-ML CFI detection.  Returns (cfi (B,) int32 in 1..3, corr (B,3))."""
+def decode(rx_grid, ce, cell: grid_mod.CellConfig, sf_idx: int, ce_port1=None):
+    """Soft-ML CFI detection.  Returns (cfi (B,) int32 in 1..3, corr (B,3)).
+
+    With ce_port1 given, uses SFBC/Alamouti combining (2-port cells)."""
     from . import chest
+    from ..ops import mimo
 
     idx = jnp.asarray(re_indices(cell))
     y = jnp.take(rx_grid.reshape(rx_grid.shape[0], -1, 2), idx, axis=-2)
     h = jnp.take(ce.reshape(ce.shape[0], -1, 2), idx, axis=-2)
-    x_eq, csi = chest.equalize_zf(y, h)
-    llr = modem.demod_soft(x_eq, modem.QPSK) * jnp.repeat(csi, 2, axis=-1)
+    if ce_port1 is not None:
+        h1 = jnp.take(ce_port1.reshape(ce.shape[0], -1, 2), idx, axis=-2)
+        layers, csi = mimo.decode_sfbc(y, jnp.stack([h, h1], axis=1))
+        x_eq = mimo.layer_demap(layers, 1)[0]
+        w = csi.swapaxes(-1, -2).reshape(csi.shape[0], -1)
+        llr = modem.demod_soft(x_eq, modem.QPSK) * jnp.repeat(w, 2, axis=-1)
+    else:
+        x_eq, csi = chest.equalize_zf(y, h)
+        llr = modem.demod_soft(x_eq, modem.QPSK) * jnp.repeat(csi, 2, axis=-1)
     c_init = scrambling.pcfich_cinit(sf_idx, cell.cell_id)
     llr = scrambling.scramble_llrs(llr, c_init)
     # correlation with bipolar codewords (positive llr = bit 0)

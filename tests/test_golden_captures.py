@@ -65,6 +65,27 @@ def test_sib_decode_from_amar_capture(sf_i, exp_mcs):
     assert np.asarray(okc).all(), "SIB transport block CRC failed"
 
 
+def test_pcfich_from_10mhz_capture():
+    """pcfich_file_test: cell 150, 50 PRB, 2 ports (signal.10M.dat holds one
+    slot; the control region lives in symbol 0)."""
+    from srslte_emane_tpu.phch import pcfich
+
+    x = iq_io.read_cf32(f"{FIX}/signal.10M.dat")
+    sf_len = 15360
+    buf = np.zeros(sf_len, np.complex64)
+    buf[: len(x)] = x[:sf_len]
+    cell = grid_mod.CellConfig(n_prb=50, cell_id=150, n_ports=2)
+    g = ofdm.demodulate(cplx.from_numpy(buf[None]), 50)
+    ch0 = chest.estimate(g, cell, 0, port=0)
+    ch1 = chest.estimate(g, cell, 0, port=1)
+    cfi, corr = pcfich.decode(g, ch0.ce, cell, 0, ce_port1=ch1.ce)
+    corr = np.asarray(corr)[0]
+    best = np.argsort(corr)
+    # confident decode: winning codeword clearly separated
+    assert corr[best[-1]] > 2.5 * abs(corr[best[-2]]), corr
+    assert int(np.asarray(cfi)[0]) in (1, 2, 3)
+
+
 def test_mib_from_amar_capture():
     x = iq_io.read_cf32(f"{FIX}/signal.1.92M.amar.dat")
     cell = grid_mod.CellConfig(n_prb=6, cell_id=1, n_ports=1)
