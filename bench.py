@@ -28,7 +28,7 @@ def main():
     from srslte_emane_tpu.models import pdsch_link
     from srslte_emane_tpu.phch import grid as grid_mod
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
 
     # 20 MHz SISO 64QAM, rate ~0.55 -> ~36 Mbps-class TB per subframe

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 from ..runtime import distrib, phy_adapter
 from ..stack import enb_stack

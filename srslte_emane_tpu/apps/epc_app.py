@@ -15,7 +15,6 @@ import json
 import time
 
 from ..epc import hss as hss_mod, mme as mme_mod, spgw as spgw_mod
-from ..stack import security
 from . import rpc
 
 

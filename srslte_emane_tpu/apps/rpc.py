@@ -9,7 +9,6 @@ server dispatching dotted method paths onto a served object.
 
 from __future__ import annotations
 
-import functools
 import pickle
 import socket
 import struct

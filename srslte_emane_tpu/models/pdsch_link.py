@@ -14,7 +14,6 @@ import dataclasses
 import functools
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import channel, ofdm
 from ..phch import grid as grid_mod

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ofdm
-from ..phch import chest, dci as dci_mod, grid as grid_mod
+from ..phch import chest, dci as dci_mod
 from ..phch import pcfich as pcfich_mod
 from ..phch import pdcch as pdcch_mod
 from ..phch import pdsch as pdsch_mod

@@ -14,10 +14,9 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..ops import cplx, dft, fading, ofdm
+from ..ops import cplx, ofdm
 from ..phch import chest, grid as grid_mod, pbch, sync
 
 

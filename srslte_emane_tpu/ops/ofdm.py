@@ -20,7 +20,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from . import cplx, dft
+from . import dft
 
 N_SYM_SF = 14  # normal CP
 

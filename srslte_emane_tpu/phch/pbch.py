@@ -18,7 +18,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import cplx, modem, scrambling
+from ..ops import modem, scrambling
 from ..ops.fec import convcoder, crc as crc_mod, viterbi
 from . import grid as grid_mod
 

@@ -15,7 +15,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import cplx, modem, scrambling
+from ..ops import modem, scrambling
 from . import grid as grid_mod, regs as regs_mod
 
 # 36.212 Table 5.3.4-1: repeating patterns (0,1,1) / (1,0,1) / (1,1,0), 32 bits

@@ -18,7 +18,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import cplx, modem, scrambling, sequence
+from ..ops import modem, scrambling, sequence
 from ..ops.fec import convcoder, crc as crc_mod, viterbi
 from . import chest, grid as grid_mod, regs as regs_mod
 

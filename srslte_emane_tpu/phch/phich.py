@@ -15,7 +15,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import cplx, sequence as seq_mod
+from ..ops import sequence as seq_mod
 from . import grid as grid_mod, regs as regs_mod
 
 NSF = 4  # spreading factor, normal CP

@@ -20,7 +20,6 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from . import uci as uci_mod
 
 RI_COLS = (1, 4, 7, 10)
 ACK_COLS = (2, 3, 8, 9)

@@ -7,7 +7,6 @@ scripts/extract_tbs_tables.py — pure 3GPP spec data).
 
 from __future__ import annotations
 
-import functools
 import pathlib
 
 import numpy as np

@@ -17,7 +17,6 @@ import collections
 import time
 import typing
 
-import numpy as np
 
 from . import otamsg, sinr as sinr_mod
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 import typing
 
-import numpy as np
 
 from ..phch import ra
 from . import otabus, otamsg

@@ -13,7 +13,6 @@ rides the phch/ layer in waveform mode.
 from __future__ import annotations
 
 import collections
-import dataclasses
 
 from ..phch import ra
 from ..runtime.phy_adapter import DlGrant, UlGrant

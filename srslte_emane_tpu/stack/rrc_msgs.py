@@ -8,7 +8,6 @@ reconfiguration (DRB setup), release, paging, measurements, reestablishment.
 from __future__ import annotations
 
 import dataclasses
-import typing
 
 from . import codec
 

@@ -8,7 +8,6 @@ and hex-sum options (patches/log_threadid.patch).
 from __future__ import annotations
 
 import logging
-import threading
 
 _LEVELS = {"none": logging.CRITICAL + 10, "error": logging.ERROR,
            "warning": logging.WARNING, "info": logging.INFO,
