@@ -67,6 +67,9 @@ class ChestResult(typing.NamedTuple):
     noise_est: jnp.ndarray  # (...,) noise variance estimate
     rsrp: jnp.ndarray  # (...,) reference signal received power
     snr_db: jnp.ndarray  # (...,)
+    rssi: jnp.ndarray = None  # (...,) mean RE power over the grid
+    rsrq_db: jnp.ndarray = None  # (...,) N_PRB * RSRP / RSSI
+    sync_err: jnp.ndarray = None  # (...,) timing offset estimate (samples)
 
 
 def estimate(rx_grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0) -> ChestResult:
@@ -105,7 +108,21 @@ def estimate(rx_grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0) -> 
     # 1.5 compensates the variance reduction of the 3-tap average (2/3 factor)
     rsrp = jnp.mean(cplx.abs2(h_at_p).reshape(resid.shape[:-2] + (-1,)), axis=-1)
     snr = rsrp / jnp.maximum(noise, 1e-12)
-    return ChestResult(ce, noise, rsrp, 10.0 * jnp.log10(jnp.maximum(snr, 1e-12)))
+    # RSSI / RSRQ (36.214 wideband definitions; chest_dl.h:49-68 outputs)
+    p_grid = cplx.abs2(rx_grid)  # (..., 14, NRE)
+    rssi = jnp.mean(p_grid.reshape(p_grid.shape[:-2] + (-1,)), axis=-1)
+    rsrq = cell.n_prb * rsrp / jnp.maximum(rssi * cell.nre / 12.0, 1e-12)
+    # timing offset from the mean per-subcarrier phase ramp of the LS pilots
+    # (refsignal_dl_sync.c role): h[k+1] conj(h[k]) angle ~ -2 pi d / N_fft
+    prod = cplx.mul_conj(h_ls[..., 1:, :], h_ls[..., :-1, :])
+    acc = jnp.sum(prod.reshape(prod.shape[:-3] + (-1, 2)), axis=-2)
+    ang = jnp.arctan2(acc[..., 1], acc[..., 0])
+    n_fft = {6: 128, 15: 256, 25: 512, 50: 1024, 75: 1536, 100: 2048}[cell.n_prb]
+    sync_err = -ang * n_fft / (2.0 * np.pi * 6.0)  # pilots are 6 sc apart
+    return ChestResult(ce, noise, rsrp,
+                       10.0 * jnp.log10(jnp.maximum(snr, 1e-12)),
+                       rssi, 10.0 * jnp.log10(jnp.maximum(rsrq, 1e-12)),
+                       sync_err)
 
 
 def equalize_zf(rx, ce, eps: float = 1e-9):
