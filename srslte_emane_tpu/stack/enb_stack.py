@@ -110,6 +110,25 @@ class EnbStack:
 
     def ack_info(self, tti, rnti, ack):
         self.metrics["dl_ack" if ack else "dl_nack"] += 1
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        # MAC HARQ (scheduler_harq.cc role, stop-and-wait per grant at
+        # message level): NACK -> retransmit the stored TB
+        if not ack and getattr(ue, "harq_last_tb", None) is not None:
+            ue.harq_retx = ue.harq_last_tb
+            self.metrics["harq_retx"] += 1
+        if ack:
+            ue.harq_last_tb = None
+
+    def cqi_info(self, tti, rnti, cqi: int):
+        """CQI report -> link adaptation (scheduler_ue.cc MCS selection)."""
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        # simple CQI->MCS map (monotone subset of 36.213 tables)
+        ue.dl_mcs = max(0, min(28, 2 * cqi - 2))
+        self.metrics["cqi_reports"] += 1
 
     def ul_pdu(self, tti, rnti, payload, sinr):
         ue = self.ues.get(rnti)
@@ -155,6 +174,14 @@ class EnbStack:
             mac_pdu = pdu.pack([(pdu.LCID_CCCH, data)])
             grants.append(DlGrant(rnti=rnti, prb_mask=alloc(4),
                                   mcs=self.mcs, payload=mac_pdu))
+        # HARQ retransmissions take precedence (scheduler_harq.cc)
+        for rnti, u in list(self.ues.items()):
+            retx = getattr(u, "harq_retx", None)
+            if retx is not None and cursor + retx[1] <= self.n_prb:
+                u.harq_retx = None
+                payload, n_prb_tx, mcs_tx = retx
+                grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb_tx),
+                                      mcs=mcs_tx, payload=payload, rv=2))
         # RR over UEs with RLC data
         active = [r for r, u in self.ues.items()
                   if any(e.has_data() for e in u.rlc.values())]
@@ -167,7 +194,7 @@ class EnbStack:
             # from (mcs, free PRBs) like a real TBS lookup, and RLC segments
             # larger messages across TTIs.
             has_srb = any(l <= SRB2 and u.rlc[l].has_data() for l in u.rlc)
-            mcs = 0 if has_srb else self.mcs
+            mcs = 0 if has_srb else getattr(u, "dl_mcs", self.mcs)
             n_prb_free = self.n_prb - cursor
             tb_bytes = min(TB_BYTES, max(8, ra.dl_tbs(mcs, n_prb_free) // 8))
             subs = []
@@ -183,8 +210,10 @@ class EnbStack:
                 n_bytes = tb_bytes - room
                 bytes_per_prb = max(2, ra.dl_tbs(mcs, 1) // 8)
                 n_prb = min(n_prb_free, max(2, -(-n_bytes // bytes_per_prb)))
+                payload = pdu.pack(subs)
+                u.harq_last_tb = (payload, n_prb, mcs)  # for HARQ retx
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
-                                      mcs=mcs, payload=pdu.pack(subs)))
+                                      mcs=mcs, payload=payload))
                 self.metrics["dl_bytes"] += n_bytes
         return grants
 

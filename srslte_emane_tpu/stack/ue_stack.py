@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import collections
 
+import numpy as np
+
 from . import cb, codec, nas_msgs, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
 from ..runtime.phy_adapter import UlGrant
 
@@ -149,6 +151,8 @@ class UeStack:
     def tb_decoded(self, tti, payload, snr_db):
         if payload is None:
             self.metrics["dl_crc_err"] += 1
+            if self.crnti:  # HARQ NACK -> eNB retransmits
+                self._acks.append(dict(rnti=self.crnti, ack=[0]))
             return
         if self.mac_state == "PRACH_SENT" and len(payload) >= 4 and payload[0] == 0x52:
             if getattr(self, "_ho_pending", False) and payload[1] == self._ho_preamble:
@@ -201,14 +205,25 @@ class UeStack:
                 out.append((g2, pdu.pack(subs)))
         return out
 
+    _cqi_timer = 0
+
     def get_pucch(self, tti):
+        out = None
         if self._acks:
-            a = self._acks.popleft()
-            a["sr"] = self._pending_ul_bytes() > 0
-            return a
-        if self._pending_ul_bytes() and self.mac_state == "CONNECTED":
-            return dict(rnti=self.crnti, sr=True, ack=[])
-        return None
+            out = self._acks.popleft()
+            out["sr"] = self._pending_ul_bytes() > 0
+        elif self._pending_ul_bytes() and self.mac_state == "CONNECTED":
+            out = dict(rnti=self.crnti, sr=True, ack=[])
+        # periodic wideband CQI from the serving-cell SNR (cqi.c reporting)
+        self._cqi_timer += 1
+        if (self.mac_state == "CONNECTED" and self._cqi_timer >= 20
+                and getattr(self, "last_rsrp_snr", None) is not None):
+            self._cqi_timer = 0
+            cqi = int(np.clip(round(self.last_rsrp_snr / 2.0 + 2), 1, 15))
+            if out is None:
+                out = dict(rnti=self.crnti, sr=False, ack=[])
+            out["cqi"] = cqi
+        return out
 
     def _pending_ul_bytes(self):
         n = sum(len(s) for s in self.ul_ccch)
