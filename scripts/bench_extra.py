@@ -49,10 +49,10 @@ def main():
     tbs = (int(G * 0.5) - 24) // 8 * 8
     cfg = sch.SchConfig(tbs=tbs, G=G, Qm=qm, Nl=1)
     payload = rng.integers(0, 2, (batch, tbs), dtype=np.int8)
-    g = pusch.encode(payload, cfg, cell, 2, 0x5A, 0, l_prb)
-    t = ofdm.modulate(g, 100)
+    t = jax.jit(lambda p: ofdm.modulate(
+        pusch.encode(p, cfg, cell, 2, 0x5A, 0, l_prb), 100))(payload)
     rx = channel.awgn(jax.random.PRNGKey(0), t, 14.0)
-    rg = ofdm.demodulate(rx, 100)
+    rg = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx)
     dec = jax.jit(lambda r: pusch.decode(r, cfg, cell, 2, 0x5A, 0, l_prb)[:2])
     dt = timed("pusch_decode", dec, rg,
                check=lambda o: np.asarray(o[1]).all() or (_ for _ in ()).throw(AssertionError("UL crc")))
@@ -81,9 +81,9 @@ def main():
         pdsch.encode_tm([a, b], cfgs, cell2, 1, 0x46, prb_mask, "tm3"), 100))
     tx2 = enc(*tbs_list)
     h = (rng.normal(size=(batch, 2, 2)) + 1j * rng.normal(size=(batch, 2, 2))).astype(np.complex64)
-    h = h + 2.5 * np.eye(2)[None]
-    rx2 = channel.mimo_flat(jax.random.PRNGKey(2), tx2, cplx.from_numpy(h), 24.0)
-    rg2 = ofdm.demodulate(rx2, 100)
+    h = h + 3.5 * np.eye(2)[None]
+    rx2 = channel.mimo_flat(jax.random.PRNGKey(2), tx2, cplx.from_numpy(h), 30.0)
+    rg2 = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx2)
     dec2 = jax.jit(lambda r: pdsch.decode_tm(r, cfgs, cell2, 1, 0x46, prb_mask, "tm3")[:2])
     dt = timed("mimo_tm3_decode", dec2, rg2,
                check=lambda o: all(np.asarray(x).all() for x in o[1]) or (_ for _ in ()).throw(AssertionError("mimo crc")))
