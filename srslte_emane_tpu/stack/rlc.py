@@ -206,15 +206,18 @@ class RlcAm:
 
     D_DATA, D_STATUS = 1, 0
 
-    def __init__(self, deliver, poll_pdu: int = 4, t_status_prohibit: int = 0,
+    def __init__(self, deliver, poll_pdu: int = 4, t_poll_retx: int = 35,
                  max_retx: int = 16, on_max_retx=None):
         self.deliver = deliver
         self.tx_q = collections.deque()
         self.tx_sn = 0
+        self.vt_a = 0  # oldest unacked SN (modular window base)
         self.tx_window = {}  # sn -> payload (unacked)
         self.retx_q = collections.deque()
         self.pdus_since_poll = 0
         self.poll_pdu = poll_pdu
+        self.t_poll_retx = t_poll_retx
+        self._poll_timer = 0
         self.rx = {}
         self.vr_r = 0
         self.status_requested = False
@@ -224,6 +227,10 @@ class RlcAm:
         self.partial = b""
         self._carry_start = False
         self.metrics = collections.Counter()
+
+    def _dist(self, sn: int) -> int:
+        """Modular distance of sn from the window base vt_a."""
+        return (sn - self.vt_a) % MOD_AM
 
     # -- transmit side --
     def write_sdu(self, sdu: bytes):
@@ -310,16 +317,22 @@ class RlcAm:
         self.metrics["tx_status"] += 1
         return out
 
+    def _rx_dist(self, sn: int) -> int:
+        return (sn - self.vr_r) % MOD_AM
+
     def _highest_expected(self):
+        """SN after the highest received, in modular order from vr_r."""
         if not self.rx:
             return self.vr_r
-        return (max(self.rx.keys()) + 1) % MOD_AM
+        hi = max(self.rx.keys(), key=self._rx_dist)
+        return (hi + 1) % MOD_AM
 
     def _missing_sns(self):
         if not self.rx:
             return []
-        hi = max(self.rx.keys())
-        return [sn for sn in range(self.vr_r, hi) if sn not in self.rx]
+        span = self._rx_dist(max(self.rx.keys(), key=self._rx_dist))
+        return [(self.vr_r + i) % MOD_AM for i in range(span)
+                if (self.vr_r + i) % MOD_AM not in self.rx]
 
     # -- receive side --
     def write_pdu(self, pdu: bytes):
@@ -331,7 +344,13 @@ class RlcAm:
         b0, sn, lis, payload = _unpack_li_headers(pdu)
         poll = (b0 >> 5) & 1
         self.metrics["rx_pdus"] += 1
-        self.rx[sn] = (b0, lis, payload)
+        # receive window: PDUs modularly behind vr_r are duplicates of
+        # already-delivered data — acknowledge (via status) but don't store
+        if self._rx_dist(sn) < MOD_AM // 2:
+            self.rx[sn] = (b0, lis, payload)
+        else:
+            self.metrics["rx_dup"] += 1
+            self.status_requested = True
         if poll:
             self.status_requested = True
         self._deliver_in_order()
@@ -363,19 +382,38 @@ class RlcAm:
     def _handle_status(self, pdu: bytes):
         ack_sn = struct.unpack("!H", pdu[1:3])[0]
         n_nack = pdu[3]
-        nacks = [struct.unpack("!H", pdu[4 + 2 * i : 6 + 2 * i])[0] for i in range(n_nack)]
+        nacks = set(struct.unpack("!H", pdu[4 + 2 * i : 6 + 2 * i])[0]
+                    for i in range(n_nack))
         self.metrics["rx_status"] += 1
-        # ack everything below ack_sn except nacked
+        self._poll_timer = 0
+        # ack everything in [vt_a, ack_sn) (modular) except nacked
+        ack_dist = self._dist(ack_sn)
         for sn in list(self.tx_window.keys()):
-            if sn < ack_sn and sn not in nacks:
+            if self._dist(sn) < ack_dist and sn not in nacks:
                 del self.tx_window[sn]
                 self.retx_count.pop(sn, None)
         for sn in nacks:
             if sn in self.tx_window and sn not in self.retx_q:
                 self.retx_q.append(sn)
+        # advance the window base to the oldest unacked
+        if self.tx_window:
+            self.vt_a = min(self.tx_window.keys(), key=self._dist)
+        else:
+            self.vt_a = self.tx_sn
 
     def timer_tick(self):
         # reordering: if gaps persist, request nothing here (receiver-driven
         # status comes from polls); a t_reordering-based status trigger:
         if self._missing_sns():
             self.status_requested = True
+        # t-PollRetransmit (36.322): unacked data with no status feedback ->
+        # retransmit the oldest unacked PDU with a fresh poll
+        if self.tx_window and not self.retx_q:
+            self._poll_timer += 1
+            if self._poll_timer >= self.t_poll_retx:
+                self._poll_timer = 0
+                oldest = min(self.tx_window.keys(), key=self._dist)
+                self.retx_q.append(oldest)
+                self.metrics["poll_retx"] += 1
+        else:
+            self._poll_timer = 0

@@ -98,3 +98,47 @@ def test_am_max_retx_callback():
         a.write_pdu(status)
         a.read_pdu(100)
     assert flagged
+
+
+def test_am_sn_wraparound():
+    """SNs cross the 10-bit modulus under loss; delivery stays in order."""
+    rng = np.random.default_rng(9)
+    out = []
+    a = rlc.RlcAm(lambda s: None, poll_pdu=3)
+    b = rlc.RlcAm(out.append, poll_pdu=3)
+    sdus = [bytes([i & 0xFF]) * 20 for i in range(1500)]  # > 1024 PDUs
+    for s in sdus:
+        a.write_sdu(s)
+    for step in range(12000):
+        pdu = a.read_pdu(60)
+        if pdu is not None and rng.random() > 0.1:
+            b.write_pdu(pdu)
+        back = b.read_pdu(60)
+        if back is not None:
+            a.write_pdu(back)
+        a.timer_tick()
+        b.timer_tick()
+        if len(out) == len(sdus):
+            break
+    assert out == sdus, f"delivered {len(out)}/{len(sdus)}"
+
+
+def test_am_poll_retransmit_timer():
+    """A lost final PDU (poll lost too) is recovered by t-PollRetransmit."""
+    out = []
+    a = rlc.RlcAm(lambda s: None, poll_pdu=10, t_poll_retx=5)
+    b = rlc.RlcAm(out.append, poll_pdu=10)
+    a.write_sdu(b"only-sdu")
+    pdu = a.read_pdu(100)  # transmitted but LOST
+    assert pdu is not None
+    for _ in range(20):
+        a.timer_tick()
+        retx = a.read_pdu(100)
+        if retx is not None:
+            b.write_pdu(retx)
+        back = b.read_pdu(100)
+        if back is not None:
+            a.write_pdu(back)
+        b.timer_tick()
+    assert out == [b"only-sdu"]
+    assert not a.tx_window  # acked after recovery
