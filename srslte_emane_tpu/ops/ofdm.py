@@ -26,8 +26,12 @@ N_SYM_SF = 14  # normal CP
 
 
 @functools.lru_cache(maxsize=None)
-def params(n_prb: int):
-    n = dft.OFDM_SYMBOL_SZ[n_prb]
+def params(n_prb: int, n_fft: int = None):
+    """n_fft overrides the power-of-2 default — srsLTE's default "reduced"
+    rates use 384/768/1152/1536 for 25/50/75/100 PRB (phy_common.c
+    srslte_symbol_sz); captures recorded at those rates decode with the
+    matching n_fft."""
+    n = n_fft or dft.OFDM_SYMBOL_SZ[n_prb]
     cp0 = 160 * n // 2048
     cp = 144 * n // 2048
     sf_len = 2 * (cp0 + n + 6 * (cp + n))
@@ -35,8 +39,8 @@ def params(n_prb: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _bin_map(n_prb: int) -> np.ndarray:
-    p = params(n_prb)
+def _bin_map(n_prb: int, n_fft: int = None) -> np.ndarray:
+    p = params(n_prb, n_fft)
     nre, n = p["nre"], p["n"]
     k = np.arange(nre)
     return np.where(k < nre // 2, (k - nre // 2) % n, k - nre // 2 + 1).astype(np.int32)
@@ -93,10 +97,10 @@ N_SYM_MBSFN = 10  # extended-CP symbols after the 2-symbol non-MBSFN region
 
 
 @functools.lru_cache(maxsize=None)
-def mbsfn_layout(n_prb: int):
+def mbsfn_layout(n_prb: int, n_fft: int = None):
     """(starts, cps) of the 2 normal-CP control symbols, the guard length,
     and the 10 extended-CP MBSFN symbols (ofdm.c:122-147)."""
-    p = params(n_prb)
+    p = params(n_prb, n_fft)
     n = p["n"]
     cp_ext = 512 * n // 2048
     out = [(0, p["cp0"]), (p["cp0"] + n, p["cp"])]
@@ -138,12 +142,12 @@ def modulate_mbsfn(ctrl_grid, mbsfn_grid, n_prb: int):
     return jnp.concatenate(pieces, axis=-2)
 
 
-def demodulate_mbsfn(samples, n_prb: int):
+def demodulate_mbsfn(samples, n_prb: int, n_fft: int = None):
     """-> (ctrl (B, 2, NRE, 2), mbsfn (B, 10, NRE, 2))."""
-    p = params(n_prb)
+    p = params(n_prb, n_fft)
     n = p["n"]
-    bins = jnp.asarray(_bin_map(n_prb))
-    ctrl_syms, _, mb_syms = mbsfn_layout(n_prb)
+    bins = jnp.asarray(_bin_map(n_prb, n_fft))
+    ctrl_syms, _, mb_syms = mbsfn_layout(n_prb, n_fft)
 
     def grab(symlist):
         xs = [samples[..., s + cp : s + cp + n, :] for s, cp in symlist]

@@ -27,9 +27,11 @@ PILOT_FIDX = (0, 1, 0)
 def mbsfn_rs(area_id: int, sf_idx: int, n_prb: int) -> np.ndarray:
     """(3, 6*n_prb) complex pilots for the 3 MBSFN-RS symbols."""
     out = np.zeros((3, 6 * n_prb), dtype=np.complex64)
+    # pilots at extended-CP slot symbols l = 2 (slot 0) and l = 0, 4 (slot 1)
+    slot_l = (2, 0, 4)
     for i, lsym in enumerate(PILOT_SYMS):
         ns = 2 * sf_idx + (0 if i == 0 else 1)
-        lp = i
+        lp = slot_l[i]
         c_init = (512 * (7 * (ns + 1) + lp + 1) * (2 * area_id + 1) + area_id) % (1 << 31)
         c = sequence.gold_sequence_host(c_init, 12 * grid_mod.MAX_PRB)
         m = np.arange(6 * n_prb)

@@ -96,3 +96,19 @@ def test_mib_from_amar_capture():
     assert np.asarray(ok).all()
     assert int(np.asarray(ports)[0]) == 1
     assert pbch.unpack_mib(np.asarray(mib)[0])["n_prb"] == 6
+
+
+def test_pmch_from_capture():
+    """pmch_file_test: decode the eMBMS transport block from the checked-in
+    100-PRB MBSFN capture (MCS2, area 1, recorded at srsLTE's 23.04 Msps /
+    1536-FFT reduced rate)."""
+    from srslte_emane_tpu.phch import pmch
+
+    x = iq_io.read_cf32(f"{FIX}/pmch_100prbs_MCS2_SR0.bin")
+    n_prb, n_fft, area, sf_i = 100, 1536, 1, 1
+    ctrl, mb = ofdm.demodulate_mbsfn(cplx.from_numpy(x[None]), n_prb, n_fft)
+    n_re = pmch.nof_re(n_prb)
+    tbs = ra.dl_tbs(2, n_prb)
+    cfg = sch.SchConfig(tbs=tbs, G=n_re * 2, Qm=2, Nl=1)
+    out, ok = pmch.decode(mb, cfg, n_prb, area, sf_i)
+    assert np.asarray(ok).all(), "PMCH transport block CRC failed"
