@@ -203,6 +203,17 @@ class Mme:
         ue["enb_ue_id"] = msg.target_enb_ue_id
         self.metrics["handover_ok"] = self.metrics.get("handover_ok", 0) + 1
 
+    def page_ue(self, mme_ue_id: int):
+        """S1AP Paging: broadcast to every attached eNB (s1ap paging proc);
+        triggered e.g. by DL data arriving for an idle UE."""
+        ue = self.ues.get(mme_ue_id)
+        if ue is None:
+            return
+        for enb in self.enbs.values():
+            if hasattr(enb, "page"):
+                enb.page(0)  # broadcast identity (s-TMSI matching simplified)
+        self.metrics["paging"] = self.metrics.get("paging", 0) + 1
+
     def _dl_nas(self, enb_id, mme_ue_id, enb_ue_id, nas_msg):
         self.enbs[enb_id].dl_nas(DownlinkNASTransport(
             mme_ue_id=mme_ue_id, enb_ue_id=enb_ue_id,
