@@ -28,7 +28,6 @@ F2_DMRS_SYMS = (1, 5)
 # orthogonal covers (36.211 Table 5.4.1-2), length 4 for data
 W_F1_DATA = np.array([[1, 1, 1, 1], [1, -1, 1, -1], [1, -1, -1, 1]], dtype=np.float32)
 # length-3 DFT covers for DMRS (Table 5.5.2.2.1-2)
-W_F1_DMRS = np.exp(2j * np.pi / 3 * np.outer([0, 1, 2], [0, 0, 0])).T  # filled below
 W_F1_DMRS = np.stack([
     np.ones(3, np.complex64),
     np.exp(2j * np.pi / 3 * np.arange(3) * 1).astype(np.complex64),
@@ -117,10 +116,6 @@ def detect_f1(rx_grid, cell: grid_mod.CellConfig, sf_idx: int, n_pucch: int):
     wf = _f1_waveform(cell.cell_id, sf_idx, n_pucch)
     B = rx_grid.shape[0]
     flat = rx_grid.reshape(B, -1, 2)
-    num = jnp.zeros((B, 2), jnp.float32)
-    acc = jnp.zeros((B, 2), jnp.float32)
-    corr = jnp.zeros((B, 2), jnp.float32)
-    tot = None
     parts = []
     for s in range(2):
         prb = pucch_prb(n_pucch, 2 * sf_idx + s, cell.n_prb)

@@ -34,7 +34,6 @@ class UeContext:
         self.eps_bearer = None
         self.rlc = {}
         self.pdcp = {}
-        self.dl_pending = collections.deque()  # (lcid, ready) flags via rlc
         self._setup_srb(SRB1)
 
     def _setup_srb(self, lcid):
