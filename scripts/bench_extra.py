@@ -42,22 +42,6 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # --- #3: 20 MHz PUSCH uplink ---
-    cell = grid_mod.CellConfig(n_prb=100, cell_id=1)
-    l_prb, qm = 96, 4  # 2^5*3 valid transform size
-    G = 12 * l_prb * 12 * qm
-    tbs = (int(G * 0.5) - 24) // 8 * 8
-    cfg = sch.SchConfig(tbs=tbs, G=G, Qm=qm, Nl=1)
-    payload = rng.integers(0, 2, (batch, tbs), dtype=np.int8)
-    t = jax.jit(lambda p: ofdm.modulate(
-        pusch.encode(p, cfg, cell, 2, 0x5A, 0, l_prb), 100))(payload)
-    rx = channel.awgn(jax.random.PRNGKey(0), t, 14.0)
-    rg = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx)
-    dec = jax.jit(lambda r: pusch.decode(r, cfg, cell, 2, 0x5A, 0, l_prb)[:2])
-    dt = timed("pusch_decode", dec, rg,
-               check=lambda o: np.asarray(o[1]).all() or (_ for _ in ()).throw(AssertionError("UL crc")))
-    print(f"# UL 20MHz 16QAM: {batch/dt:.0f} sf/s ({batch/dt*tbs/1e6:.0f} Mb/s)", file=sys.stderr)
-
     # --- #4: cell search over batched captures ---
     c6 = grid_mod.CellConfig(n_prb=6, cell_id=301)
     gg = cplx.zeros((batch, 14, 72))
@@ -89,6 +73,22 @@ def main():
                check=lambda o: all(np.asarray(x).all() for x in o[1]) or (_ for _ in ()).throw(AssertionError("mimo crc")))
     total_bits = sum(c.tbs for c in cfgs)
     print(f"# MIMO 2x2 TM3 64QAM: {batch/dt:.0f} sf/s ({batch/dt*total_bits/1e6:.0f} Mb/s)", file=sys.stderr)
+
+    # --- #3: 20 MHz PUSCH uplink ---
+    cell = grid_mod.CellConfig(n_prb=100, cell_id=1)
+    l_prb, qm = 96, 4  # 2^5*3 valid transform size
+    G = 12 * l_prb * 12 * qm
+    tbs = (int(G * 0.5) - 24) // 8 * 8
+    cfg = sch.SchConfig(tbs=tbs, G=G, Qm=qm, Nl=1)
+    payload = rng.integers(0, 2, (batch, tbs), dtype=np.int8)
+    t = jax.jit(lambda p: ofdm.modulate(
+        pusch.encode(p, cfg, cell, 2, 0x5A, 0, l_prb), 100))(payload)
+    rx = channel.awgn(jax.random.PRNGKey(0), t, 14.0)
+    rg = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx)
+    dec = jax.jit(lambda r: pusch.decode(r, cfg, cell, 2, 0x5A, 0, l_prb)[:2])
+    dt = timed("pusch_decode", dec, rg,
+               check=lambda o: np.asarray(o[1]).all() or (_ for _ in ()).throw(AssertionError("UL crc")))
+    print(f"# UL 20MHz 16QAM: {batch/dt:.0f} sf/s ({batch/dt*tbs/1e6:.0f} Mb/s)", file=sys.stderr)
 
     print(json.dumps({k: round(batch / v, 1) for k, v in results.items()}))
 
