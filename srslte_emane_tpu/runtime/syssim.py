@@ -73,7 +73,7 @@ class SysSim:
             pre = self.ue.get_prach(self.tti)
             if pre is not None:
                 # immediate ideal RAR
-                rar = bytes([0x52, pre, self.rnti >> 8, self.rnti & 0xFF])
+                rar = pdu.pack_rar(rapid=pre, ta=0, ul_grant=0, t_crnti=self.rnti)
                 self.ue.tb_decoded(self.tti, rar, 30.0)
             self.ue.ul_grant(self.tti, UlGrant(self.rnti, 0, 8, 9))
             for g, payload in self.ue.get_pusch(self.tti):

@@ -160,7 +160,7 @@ class EnbStack:
 
         while self.rar_pending and cursor < self.n_prb:
             _, preamble, rnti = self.rar_pending.pop(0)
-            rar = bytes([0x52, preamble, rnti >> 8, rnti & 0xFF])
+            rar = pdu.pack_rar(rapid=preamble, ta=0, ul_grant=0, t_crnti=rnti)
             m = alloc(2)
             if m is None:
                 break

@@ -70,7 +70,9 @@ class EnbMac:
         # the UE validates by preamble echo (proc_ra.cc contention resolution)
         while self.rar_pending:
             _, preamble, rnti = self.rar_pending.pop(0)
-            rar = bytes([0x52, preamble, rnti >> 8, rnti & 0xFF])
+            from . import pdu as pdu_mod
+
+            rar = pdu_mod.pack_rar(rapid=preamble, ta=0, ul_grant=0, t_crnti=rnti)
             grants.append(DlGrant(rnti=1 + tti % 10, prb_mask=self._alloc(2),
                                   mcs=0, payload=rar))
             self.metrics["rar"] += 1
@@ -134,9 +136,12 @@ class UeMac:
             self._acks.append(dict(rnti=self.crnti, ack=[0]))
             return
         self.metrics["dl_crc_ok"] += 1
-        if self.state == "PRACH_SENT" and len(payload) >= 4 and payload[0] == 0x52:
-            if payload[1] == self.preamble:
-                self.crnti = (payload[2] << 8) | payload[3]
+        from . import pdu as pdu_mod
+
+        if self.state == "PRACH_SENT" and pdu_mod.is_rar(payload):
+            rar = pdu_mod.unpack_rar(payload)
+            if rar["rapid"] == self.preamble:
+                self.crnti = rar["t_crnti"]
                 self.state = "CONNECTED"
                 self.metrics["connected"] += 1
             return

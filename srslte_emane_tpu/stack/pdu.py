@@ -43,6 +43,27 @@ def pack(subpdus, tb_size: int = None) -> bytes:
     return pdu
 
 
+def pack_rar(rapid: int, ta: int, ul_grant: int, t_crnti: int) -> bytes:
+    """Random Access Response MAC PDU (36.321 §6.1.5 / §6.2.2):
+    subheader [E=0|T=1|RAPID(6)] + payload [R|TA(11)|UL grant(20)|T-CRNTI(16)]."""
+    hdr = bytes([0x40 | (rapid & 0x3F)])
+    body = (
+        ((ta & 0x7FF) << 36) | ((ul_grant & 0xFFFFF) << 16) | (t_crnti & 0xFFFF)
+    ).to_bytes(6, "big")
+    return hdr + body
+
+
+def is_rar(pdu_bytes: bytes) -> bool:
+    return len(pdu_bytes) >= 7 and (pdu_bytes[0] & 0xC0) == 0x40
+
+
+def unpack_rar(pdu_bytes: bytes) -> dict:
+    rapid = pdu_bytes[0] & 0x3F
+    v = int.from_bytes(pdu_bytes[1:7], "big")
+    return dict(rapid=rapid, ta=(v >> 36) & 0x7FF,
+                ul_grant=(v >> 16) & 0xFFFFF, t_crnti=v & 0xFFFF)
+
+
 def unpack(pdu: bytes):
     """Returns list of (lcid, payload).  The final subPDU takes the rest of
     the PDU (minus trailing zero padding is NOT stripped — RLC/len-aware

@@ -154,18 +154,19 @@ class UeStack:
             if self.crnti:  # HARQ NACK -> eNB retransmits
                 self._acks.append(dict(rnti=self.crnti, ack=[0]))
             return
-        if self.mac_state == "PRACH_SENT" and len(payload) >= 4 and payload[0] == 0x52:
-            if getattr(self, "_ho_pending", False) and payload[1] == self._ho_preamble:
+        if self.mac_state == "PRACH_SENT" and pdu.is_rar(payload):
+            rar = pdu.unpack_rar(payload)
+            if getattr(self, "_ho_pending", False) and rar["rapid"] == self._ho_preamble:
                 # contention-free RA at the handover target completed
                 self._ho_pending = False
-                self.crnti = (payload[2] << 8) | payload[3]
+                self.crnti = rar["t_crnti"]
                 self.mac_state = "CONNECTED"
                 self.rrc_state = "CONNECTED"
                 self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
                 self.metrics["ho_complete"] += 1
                 return
-            if payload[1] == self.preamble:
-                self.crnti = (payload[2] << 8) | payload[3]
+            if rar["rapid"] == self.preamble:
+                self.crnti = rar["t_crnti"]
                 self.mac_state = "CONNECTED"
                 self._start_rrc_connection()
             return
