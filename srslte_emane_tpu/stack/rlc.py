@@ -82,10 +82,14 @@ def _unpack_li_headers(pdu: bytes):
 
 
 class RlcUm:
-    """UM with 10-bit SN, segmentation + reassembly + reordering."""
+    """UM with 10-bit (default) or 5-bit SN; segmentation + reassembly +
+    reordering (36.322 §5.1.2 / rlc_um.cc)."""
 
-    def __init__(self, deliver, t_reordering: int = 35):
+    def __init__(self, deliver, t_reordering: int = 35, sn_bits: int = 10):
+        assert sn_bits in (5, 10)
         self.deliver = deliver
+        self.sn_bits = sn_bits
+        self.sn_mod = 1 << sn_bits
         self.tx_q = collections.deque()
         self.tx_sn = 0
         self.rx = {}
@@ -96,6 +100,36 @@ class RlcUm:
         self.partial = b""
         self.partial_fi_ok = False
         self.metrics = collections.Counter()
+
+    def _pack(self, hdr_bits, sn, lis, payload):
+        if self.sn_bits == 10:
+            return _pack_li_headers(hdr_bits, sn, lis, payload)
+        # 5-bit SN: single header byte [FI(2) E(1) SN(5)]
+        e = 1 if lis else 0
+        fi2 = hdr_bits >> 3  # (fi_start << 1) | fi_end
+        hdr = bytes([(fi2 << 6) | (e << 5) | (sn & 0x1F)])
+        ext = b""
+        for i, li in enumerate(lis):
+            last = i == len(lis) - 1
+            ext += bytes([((0 if last else 1) << 7) | (li >> 4), (li & 0xF) << 4])
+        return hdr + ext + payload
+
+    def _unpack(self, pdu):
+        if self.sn_bits == 10:
+            return _unpack_li_headers(pdu)
+        b0 = pdu[0]
+        fi = (b0 >> 6) & 0x3
+        e = (b0 >> 5) & 1
+        sn = b0 & 0x1F
+        pos = 1
+        lis = []
+        while e:
+            e = (pdu[pos] >> 7) & 1
+            lis.append(((pdu[pos] & 0x7F) << 4) | (pdu[pos + 1] >> 4))
+            pos += 2
+        # return in the 10-bit-compatible (b0-with-FI-at-4/3, sn, ...) form
+        b0_compat = (fi >> 1) << 4 | (fi & 1) << 3
+        return b0_compat, sn, lis, pdu[pos:]
 
     def write_sdu(self, sdu: bytes):
         self.tx_q.append(bytes(sdu))
@@ -137,13 +171,13 @@ class RlcUm:
             return None
         self._carry_start = fi_end == 1
         hdr_bits = (fi_start << 4) | (fi_end << 3)
-        pdu = _pack_li_headers(hdr_bits, self.tx_sn, lis, b"".join(segs))
-        self.tx_sn = (self.tx_sn + 1) % MOD_UM
+        pdu = self._pack(hdr_bits, self.tx_sn, lis, b"".join(segs))
+        self.tx_sn = (self.tx_sn + 1) % self.sn_mod
         self.metrics["tx_pdus"] += 1
         return pdu
 
     def write_pdu(self, pdu: bytes):
-        b0, sn, lis, payload = _unpack_li_headers(pdu)
+        b0, sn, lis, payload = self._unpack(pdu)
         fi_start = (b0 >> 4) & 1
         fi_end = (b0 >> 3) & 1
         self.metrics["rx_pdus"] += 1
@@ -184,7 +218,7 @@ class RlcUm:
                         self.metrics["rx_sdus"] += 1
                     else:
                         self.partial = part
-            self.vr_ur = (self.vr_ur + 1) % MOD_UM
+            self.vr_ur = (self.vr_ur + 1) % self.sn_mod
 
     def timer_tick(self):
         # gap detection: skip over losses after t_reordering

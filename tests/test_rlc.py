@@ -142,3 +142,15 @@ def test_am_poll_retransmit_timer():
         b.timer_tick()
     assert out == [b"only-sdu"]
     assert not a.tx_window  # acked after recovery
+
+
+def test_um_5bit_sn_mode():
+    out = []
+    tx = rlc.RlcUm(lambda s: None, sn_bits=5)
+    rx = rlc.RlcUm(out.append, sn_bits=5)
+    sdus = [bytes([i]) * 45 for i in range(64)]  # crosses the 5-bit wrap
+    for s in sdus:
+        tx.write_sdu(s)
+    while tx.has_data():
+        rx.write_pdu(tx.read_pdu(60))
+    assert out == sdus
