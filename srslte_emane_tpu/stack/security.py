@@ -3,8 +3,8 @@ Milenage AKA, key derivation.
 
 Reference behavior: `lib/src/common/{security.cc,liblte_security.cc,
 snow_3g.cc,zuc.cc}` — EEA0/1/2/3 + EIA1/2/3 (security.h:35-52,106-126),
-Milenage f1-f5, KDFs.  EEA1/EIA1 (SNOW3G) and EEA3/EIA3 (ZUC) are gated on
-a later round; the negotiated-algorithm plumbing treats them as unavailable.
+Milenage f1-f5, KDFs.  EEA1/EIA1 (SNOW3G, stack/snow3g.py) and EEA3/EIA3
+(ZUC, stack/zuc.py) dispatch to the spec-validated stream ciphers.
 
 AES primitives come from the `cryptography` package (OpenSSL-backed).
 """
@@ -52,7 +52,11 @@ def cipher(algo: int, key, count, bearer, direction, data: bytes) -> bytes:
         return snow3g.eea1(key, count, bearer, direction, data)
     if algo == EEA2:
         return eea2(key, count, bearer, direction, data)
-    raise NotImplementedError(f"EEA{algo} not available in this round")
+    if algo == EEA3:
+        from . import zuc
+
+        return zuc.eea3(key, count, bearer, direction, data)
+    raise NotImplementedError(f"EEA{algo} unknown")
 
 
 decipher = cipher  # stream ciphers are symmetric
@@ -79,7 +83,11 @@ def integrity(algo: int, key, count, bearer, direction, data: bytes) -> bytes:
         return snow3g.eia1(key, count, (bearer & 0x1F) << 27, direction, data)
     if algo == EIA2:
         return eia2(key, count, bearer, direction, data)
-    raise NotImplementedError(f"EIA{algo} not available in this round")
+    if algo == EIA3:
+        from . import zuc
+
+        return zuc.eia3(key, count, bearer, direction, data)
+    raise NotImplementedError(f"EIA{algo} unknown")
 
 
 # ---------------- Milenage (35.206) ----------------
