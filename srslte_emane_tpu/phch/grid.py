@@ -113,22 +113,25 @@ def reserved_mask(cell: CellConfig, sf_idx: int, has_pss_sss: bool = True, has_p
 
 
 @functools.lru_cache(maxsize=None)
-def pdsch_re_indices(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> np.ndarray:
+def pdsch_re_indices(cell: CellConfig, sf_idx: int, prb_mask: tuple,
+                     max_sym: int = N_SYM) -> np.ndarray:
     """Ordered flat RE indices (sym*NRE + k) for a PDSCH allocation.
 
     Mapping order per 36.211 §6.3.5: frequency (k) first within each symbol
-    l = cfi..13, over allocated PRBs only, skipping reserved REs."""
+    l = cfi..13, over allocated PRBs only, skipping reserved REs.  `max_sym`
+    truncates the symbol range for TDD DwPTS (phch/tdd.py:nof_dw)."""
     res = reserved_mask(cell, sf_idx)
     k_allowed = np.zeros(cell.nre, dtype=bool)
     for prb, on in enumerate(prb_mask):
         if on:
             k_allowed[12 * prb : 12 * (prb + 1)] = True
     idx = []
-    for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), N_SYM):
+    for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), max_sym):
         ks = np.flatnonzero(k_allowed & ~res[sym])
         idx.append(sym * cell.nre + ks)
     return np.concatenate(idx).astype(np.int32)
 
 
-def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> int:
-    return len(pdsch_re_indices(cell, sf_idx, prb_mask))
+def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple,
+           max_sym: int = N_SYM) -> int:
+    return len(pdsch_re_indices(cell, sf_idx, prb_mask, max_sym))

@@ -33,12 +33,13 @@ def put_crs(grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0):
 
 
 def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
-           rnti: int, prb_mask: tuple, grid=None, codeword_q: int = 0):
+           rnti: int, prb_mask: tuple, grid=None, codeword_q: int = 0,
+           max_sym: int = grid_mod.N_SYM):
     """Encode one PDSCH grant into a subframe grid.
 
     tb_bits: (B, tbs). Returns grid (B, 14, NRE, 2) with CRS + PDSCH placed.
     """
-    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask)
+    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask, max_sym)
     assert cfg.G == len(re_idx) * cfg.Qm, (cfg.G, len(re_idx), cfg.Qm)
     cw = sch.encode_tb(tb_bits, cfg)  # (B, G)
     c_init = scrambling.pdsch_cinit(rnti, codeword_q, sf_idx, cell.cell_id)
@@ -184,11 +185,12 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
 
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, softbuf=None, max_iter: int = 8,
-           codeword_q: int = 0, use_csi: bool = True):
+           codeword_q: int = 0, use_csi: bool = True,
+           max_sym: int = grid_mod.N_SYM):
     """Decode one PDSCH grant from a received subframe grid (B, 14, NRE, 2).
 
     Returns (payload bits (B, tbs), crc ok (B,), softbuf', ChestResult)."""
-    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask)
+    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask, max_sym)
     ch = chest.estimate(rx_grid, cell, sf_idx)
     flat_rx = rx_grid.reshape(rx_grid.shape[:-3] + (grid_mod.N_SYM * cell.nre, 2))
     flat_ce = ch.ce.reshape(flat_rx.shape)

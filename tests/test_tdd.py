@@ -1,0 +1,69 @@
+"""TDD frame structure (36.211 §4.2) + DwPTS-truncated PDSCH round trip."""
+
+import numpy as np
+
+from srslte_emane_tpu.phch import grid as grid_mod, pdsch, sch, tdd
+
+
+def test_ul_dl_patterns():
+    # every config: sf0 = D, sf1 = S, sf2 = U (36.211 Table 4.2-2 invariants)
+    for cfg in range(7):
+        assert tdd.sf_type(cfg, 0) == "D"
+        assert tdd.sf_type(cfg, 1) == "S"
+        assert tdd.sf_type(cfg, 2) == "U"
+    # config 1: DSUUDDSUUD
+    assert tdd.dl_subframes(1) == (0, 1, 4, 5, 6, 9)
+    assert tdd.ul_subframes(1) == (2, 3, 7, 8)
+    # 5ms configs have a second special subframe at sf6
+    for cfg in (0, 1, 2, 6):
+        assert tdd.sf_type(cfg, 6) == "S"
+    for cfg in (3, 4, 5):
+        assert tdd.sf_type(cfg, 6) == "D"
+
+
+def test_special_subframe_tables():
+    for ss in range(10):
+        assert tdd.nof_dw(ss) + tdd.nof_gp(ss) + tdd.nof_up(ss) == 14
+        assert tdd.nof_dw_slot(ss, 0) + tdd.nof_dw_slot(ss, 1) == tdd.nof_dw(ss)
+    assert tdd.nof_dw(4) == 12 and tdd.nof_up(4) == 1
+    assert tdd.nof_dw(7) == 10 and tdd.nof_up(7) == 2
+    assert tdd.nof_harq(0) == 7 and tdd.nof_harq(5) == 1
+
+
+def test_symbol_masks():
+    dl = tdd.dl_symbol_mask(2, 7)  # DSUDDDSUDD, DwPTS=10
+    ul = tdd.ul_symbol_mask(2, 7)
+    assert dl[0].all() and not ul[0].any()
+    assert dl[1, :10].all() and not dl[1, 10:].any()
+    assert ul[1, 12:].all() and not ul[1, :12].any()  # UpPTS = last 2
+    assert ul[2].all() and not dl[2].any()
+    assert not (dl & ul).any()
+
+
+def test_dwpts_pdsch_roundtrip():
+    """PDSCH in a special subframe: symbols truncated to DwPTS."""
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=3)
+    prb_mask = (1,) * 15
+    sf_idx = 1
+    max_sym = tdd.pdsch_max_sym(1, 7, sf_idx)  # DwPTS = 10 symbols
+    n_re = grid_mod.nof_re(cell, sf_idx, prb_mask, max_sym)
+    assert n_re < grid_mod.nof_re(cell, sf_idx, prb_mask)
+    qm = 4
+    cfg = sch.SchConfig(tbs=(n_re * qm // 2 - 24) // 8 * 8, G=n_re * qm,
+                        Qm=qm, Nl=1)
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, (2, cfg.tbs), dtype=np.int8)
+    g = pdsch.encode(tb, cfg, cell, sf_idx, 0x46, prb_mask, max_sym=max_sym)
+    # GP/UpPTS symbols carry nothing but (possibly) CRS: zero beyond DwPTS
+    g = np.asarray(g)
+    assert np.abs(g[:, 10, :, :]).max() == 0  # symbol 10 in GP (no CRS sym)
+    out, ok, _, _ = pdsch.decode(
+        jnp_arr(g), cfg, cell, sf_idx, 0x46, prb_mask, max_sym=max_sym)
+    assert np.asarray(ok).all()
+    assert (np.asarray(out) == tb).all()
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
