@@ -231,7 +231,7 @@ def _map_decode(ls_eff: jnp.ndarray, lp: jnp.ndarray, tail_x: jnp.ndarray, tail_
     return llr.transpose(1, 2, 0).reshape(B, K)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def turbo_decode(
     d0: jnp.ndarray,
     d1: jnp.ndarray,
@@ -240,6 +240,7 @@ def turbo_decode(
     k: int,
     max_iter: int = 8,
     crc: tuple = crc_mod.LTE_CRC24B,
+    use_pallas: bool = False,
 ):
     """Decode a batch of code blocks with CRC-gated early stop.
 
@@ -261,6 +262,13 @@ def turbo_decode(
     tail_x2 = jnp.stack([d0[:, k + 2], d2[:, k + 2], d1[:, k + 3]], axis=-1)
     tail_z2 = jnp.stack([d1[:, k + 2], d0[:, k + 3], d2[:, k + 3]], axis=-1)
 
+    if use_pallas:
+        from . import turbodecoder_pallas
+
+        map_fn = turbodecoder_pallas.map_decode_pallas
+    else:
+        map_fn = _map_decode
+
     def check(bits):
         if crc is None:
             return jnp.zeros((B,), dtype=bool)
@@ -268,11 +276,11 @@ def turbo_decode(
 
     def body(state):
         it, apri1, done, bits_out, pass_out = state
-        post1 = _map_decode(ls + apri1, lp1, tail_x1, tail_z1)
+        post1 = map_fn(ls + apri1, lp1, tail_x1, tail_z1)
         ext1 = (post1 - (ls + apri1)) * EXT_SCALE
         apri2 = jnp.take(ext1, perm, axis=1)
         ls2 = jnp.take(ls, perm, axis=1)
-        post2 = _map_decode(ls2 + apri2, lp2, tail_x2, tail_z2)
+        post2 = map_fn(ls2 + apri2, lp2, tail_x2, tail_z2)
         ext2 = (post2 - (ls2 + apri2)) * EXT_SCALE
         apri1_new = jnp.take(ext2, inv_perm, axis=1)
         bits = (jnp.take(post2, inv_perm, axis=1) < 0).astype(jnp.int8)

@@ -114,11 +114,16 @@ def map_window_tiles(g, a_init, b_init, interpret: bool = False):
     )(g, a_init, b_init)
 
 
-def map_decode_pallas(ls_eff, lp, tail_x, tail_z, interpret: bool = False):
+def map_decode_pallas(ls_eff, lp, tail_x, tail_z, interpret: bool | None = None):
     """Drop-in for turbodecoder._map_decode using the Pallas kernel.
 
     Halo pre-scans and tail/edge inits reuse the XLA machinery (they are a
-    small fraction of the work); the O(K) MAP itself runs in the kernel."""
+    small fraction of the work); the O(K) MAP itself runs in the kernel.
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere."""
+    import jax as _jax
+
+    if interpret is None:
+        interpret = _jax.default_backend() != "tpu"
     from . import turbodecoder as td
 
     T = td._trellis()

@@ -124,7 +124,8 @@ def init_softbuffer(batch: int, cfg: SchConfig):
     ]
 
 
-def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8):
+def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8,
+              use_pallas: bool = False):
     """(B, G) codeword LLRs (positive = bit 0) -> (tb_bits (B, tbs), ok (B,),
     softbuf', n_iter).
 
@@ -149,7 +150,8 @@ def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8):
         l0, l1, l2 = rm_turbo.wbuf_to_d_llrs(wbuf, kr, f)
         nB = len(rs) * B
         bits, ok, it = turbodecoder.turbo_decode(
-            l0, l1, l2, jnp.ones((nB,), bool), kr, max_iter, check
+            l0, l1, l2, jnp.ones((nB,), bool), kr, max_iter, check,
+            use_pallas=use_pallas,
         )
         total_iters += it
         for i, r in enumerate(rs):

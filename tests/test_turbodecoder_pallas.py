@@ -23,3 +23,22 @@ def test_pallas_map_matches_xla(k):
         ls, lp, tail_x, tail_z, interpret=True))
     # normalization points differ; LLRs are normalization-invariant
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+def test_turbo_decode_use_pallas_flag():
+    """Full turbo_decode with the Pallas MAP (interpreter on CPU), tiny CB."""
+    import numpy as np
+
+    from srslte_emane_tpu.ops.fec import crc as crc_mod, turbo, turbodecoder
+
+    k = 40
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 2, (2, k - 24), dtype=np.int8)
+    bits = np.asarray(crc_mod.crc_attach(payload, crc_mod.LTE_CRC24B))
+    d0, d1, d2 = (np.asarray(x).astype(np.float32) for x in turbo.turbo_encode(bits))
+    llr = lambda d: ((1 - 2.0 * d) * 8).astype(np.float32)
+    out, ok, _ = turbodecoder.turbo_decode(
+        llr(d0), llr(d1), llr(d2), np.ones(2, bool), k, 4,
+        crc_mod.LTE_CRC24B, True)
+    assert np.asarray(ok).all()
+    assert (np.asarray(out) == bits).all()
