@@ -43,20 +43,32 @@ def main():
     payload = rng.integers(0, 2, size=(batch, cfg.tbs), dtype=np.int8)
 
     tx_fn = jax.jit(lambda p: pdsch_link.tx_subframe(p, cfg))
-    rx_fn = jax.jit(lambda s: pdsch_link.rx_subframe(s, cfg)[:2])
 
     from srslte_emane_tpu.ops import channel
 
     key = jax.random.PRNGKey(0)
-    t0 = time.time()
     tx = tx_fn(payload)
     rx_samples = channel.awgn(key, tx, cfg.snr_db)
-    out, ok = rx_fn(rx_samples)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    ok_h = np.asarray(ok)
-    assert ok_h.all(), f"decode failed at bench SNR: {ok_h}"
-    assert (np.asarray(out) == payload).all()
+
+    # Pallas MAP kernel on TPU (+29% end-to-end vs the XLA scan, see
+    # docs/BENCHMARKS.md); fall back to the pure-XLA path on any failure.
+    variants = [True, False] if jax.default_backend() == "tpu" else [False]
+    for use_pallas in variants:
+        rx_fn = jax.jit(
+            lambda s, up=use_pallas: pdsch_link.rx_subframe(s, cfg, use_pallas=up)[:2])
+        try:
+            t0 = time.time()
+            out, ok = rx_fn(rx_samples)
+            jax.block_until_ready(out)
+            compile_s = time.time() - t0
+            ok_h = np.asarray(ok)
+            assert ok_h.all(), f"decode failed at bench SNR: {ok_h}"
+            assert (np.asarray(out) == payload).all()
+            break
+        except Exception:
+            if use_pallas is False:
+                raise
+            print("# pallas path failed; falling back to XLA", file=sys.stderr)
 
     # timed decode loop.  Device execution is sequential, so one forced host
     # readback of the LAST iteration's output proves all N completed — that

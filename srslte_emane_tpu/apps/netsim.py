@@ -26,7 +26,8 @@ from ..utils import metrics as metrics_mod, pcap as pcap_mod
 
 
 def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
-                  paced: bool = False, ue_pathloss: list = None):
+                  paced: bool = False, ue_pathloss: list = None,
+                  sched_policy: str = "rr"):
     n = 1 + n_ues
     pl = np.full((n, n), pathloss_db, np.float32)
     np.fill_diagonal(pl, 0)
@@ -39,7 +40,8 @@ def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
     hss = hss_mod.Hss()
     spgw = spgw_mod.Spgw()
     mme = mme_mod.Mme(hss, spgw)
-    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=n_prb)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=n_prb,
+                             sched_policy=sched_policy)
     net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=n_prb, mac=enb))
     ues = []
     for i in range(n_ues):

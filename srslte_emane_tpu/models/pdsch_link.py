@@ -59,12 +59,12 @@ def tx_subframe(payload, cfg: LinkConfig):
     return ofdm.modulate(g, cfg.cell.n_prb)
 
 
-def rx_subframe(samples, cfg: LinkConfig, softbuf=None):
+def rx_subframe(samples, cfg: LinkConfig, softbuf=None, use_pallas: bool = False):
     """(B, SF_LEN, 2) -> (payload (B, tbs), ok (B,), softbuf, chest)."""
     g = ofdm.demodulate(samples, cfg.cell.n_prb)
     return pdsch.decode(
         g, cfg.sch_cfg, cfg.cell, cfg.sf_idx, cfg.rnti, cfg.prb_mask,
-        softbuf=softbuf, max_iter=cfg.max_iter,
+        softbuf=softbuf, max_iter=cfg.max_iter, use_pallas=use_pallas,
     )
 
 

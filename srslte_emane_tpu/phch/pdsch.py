@@ -186,7 +186,7 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, softbuf=None, max_iter: int = 8,
            codeword_q: int = 0, use_csi: bool = True,
-           max_sym: int = grid_mod.N_SYM):
+           max_sym: int = grid_mod.N_SYM, use_pallas: bool = False):
     """Decode one PDSCH grant from a received subframe grid (B, 14, NRE, 2).
 
     Returns (payload bits (B, tbs), crc ok (B,), softbuf', ChestResult)."""
@@ -204,5 +204,6 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
         llr = llr * w
     c_init = scrambling.pdsch_cinit(rnti, codeword_q, sf_idx, cell.cell_id)
     llr = scrambling.scramble_llrs(llr, c_init)
-    payload, ok, softbuf, n_it = sch.decode_tb(llr, cfg, softbuf, max_iter)
+    payload, ok, softbuf, n_it = sch.decode_tb(llr, cfg, softbuf, max_iter,
+                                               use_pallas=use_pallas)
     return payload, ok, softbuf, ch

@@ -19,6 +19,8 @@ from ..epc import mme as mme_mod
 SRB0, SRB1, SRB2 = 0, 1, 2
 DRB1_LCID = 3
 TB_BYTES = 1500  # per-TTI transport block budget at message level
+N_HARQ_PROC = 8  # DL HARQ processes per UE (36.213 FDD)
+PF_ALPHA = 0.01  # proportional-fair throughput EWMA coefficient
 
 
 class UeContext:
@@ -34,6 +36,13 @@ class UeContext:
         self.eps_bearer = None
         self.rlc = {}
         self.pdcp = {}
+        # DL HARQ: 8 explicit processes (dl_harq.cc). pid -> (payload, n_prb,
+        # mcs, rv); in-flight order tracked FIFO (synchronous ACK timing means
+        # PUCCH ACKs arrive in TX order at message level).
+        self.dl_harq = {}
+        self.harq_fifo = collections.deque()
+        self.harq_retx_q = collections.deque()
+        self.avg_thr = 1.0  # bits/TTI EWMA for proportional-fair
         self._setup_srb(SRB1)
 
     def _setup_srb(self, lcid):
@@ -68,7 +77,9 @@ class EnbStack:
     toward runtime.phy_adapter.EnbPhyAdapter."""
 
     def __init__(self, mme: mme_mod.Mme, enb_id: int = 1, n_prb: int = 25,
-                 mcs: int = 9, pci: int = 1):
+                 mcs: int = 9, pci: int = 1, sched_policy: str = "rr"):
+        assert sched_policy in ("rr", "pf")
+        self.sched_policy = sched_policy
         self.enb_id = enb_id
         self.cell_pci = pci
         self.n_prb = n_prb
@@ -110,15 +121,22 @@ class EnbStack:
     def ack_info(self, tti, rnti, ack):
         self.metrics["dl_ack" if ack else "dl_nack"] += 1
         ue = self.ues.get(rnti)
-        if ue is None:
+        if ue is None or not ue.harq_fifo:
             return
-        # MAC HARQ (scheduler_harq.cc role, stop-and-wait per grant at
-        # message level): NACK -> retransmit the stored TB
-        if not ack and getattr(ue, "harq_last_tb", None) is not None:
-            ue.harq_retx = ue.harq_last_tb
-            self.metrics["harq_retx"] += 1
+        # MAC HARQ (scheduler_harq.cc / dl_harq.cc): ACKs pop the oldest
+        # in-flight process; NACK queues that process for retransmission.
+        pid = ue.harq_fifo.popleft()
         if ack:
-            ue.harq_last_tb = None
+            ue.dl_harq.pop(pid, None)
+        elif pid in ue.dl_harq:
+            payload, n_prb, mcs, n_tx = ue.dl_harq[pid]
+            if n_tx >= 4:  # max 4 transmissions, then drop
+                ue.dl_harq.pop(pid, None)
+                self.metrics["harq_drop"] += 1
+            else:
+                ue.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
+                ue.harq_retx_q.append(pid)
+                self.metrics["harq_retx"] += 1
 
     def cqi_info(self, tti, rnti, cqi: int):
         """CQI report -> link adaptation (scheduler_ue.cc MCS selection)."""
@@ -173,20 +191,42 @@ class EnbStack:
             mac_pdu = pdu.pack([(pdu.LCID_CCCH, data)])
             grants.append(DlGrant(rnti=rnti, prb_mask=alloc(4),
                                   mcs=self.mcs, payload=mac_pdu))
-        # HARQ retransmissions take precedence (scheduler_harq.cc)
+        # HARQ retransmissions take precedence (scheduler_harq.cc); the
+        # retransmission keeps its original PRB count and MCS, rv follows
+        # the LTE redundancy-version sequence 0,2,3,1 (dl_harq.cc).
+        RV_SEQ = (0, 2, 3, 1)
         for rnti, u in list(self.ues.items()):
-            retx = getattr(u, "harq_retx", None)
-            if retx is not None and cursor + retx[1] <= self.n_prb:
-                u.harq_retx = None
-                payload, n_prb_tx, mcs_tx = retx
+            while u.harq_retx_q and cursor < self.n_prb:
+                pid = u.harq_retx_q[0]
+                if pid not in u.dl_harq:
+                    u.harq_retx_q.popleft()
+                    continue
+                payload, n_prb_tx, mcs_tx, n_tx = u.dl_harq[pid]
+                if cursor + n_prb_tx > self.n_prb:
+                    break
+                u.harq_retx_q.popleft()
+                u.harq_fifo.append(pid)
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb_tx),
-                                      mcs=mcs_tx, payload=payload, rv=2))
-        # RR over UEs with RLC data
+                                      mcs=mcs_tx, payload=payload,
+                                      harq_pid=pid, rv=RV_SEQ[(n_tx - 1) % 4]))
+        # new transmissions: RR or proportional-fair over UEs with RLC data
+        # and a free HARQ process
         active = [r for r, u in self.ues.items()
-                  if any(e.has_data() for e in u.rlc.values())]
+                  if any(e.has_data() for e in u.rlc.values())
+                  and self._free_pid(u) is not None]
+        # PF bookkeeping: everyone's average decays each TTI (served UEs add
+        # their grant size below); floor keeps the metric finite
+        for r, u in self.ues.items():
+            u.avg_thr = max(1.0, u.avg_thr * (1 - PF_ALPHA))
         if active and cursor < self.n_prb - 2:
-            rnti = active[self._rr % len(active)]
-            self._rr += 1
+            if self.sched_policy == "pf":
+                n_free = self.n_prb - cursor
+                rnti = max(active, key=lambda r: ra.dl_tbs(
+                    getattr(self.ues[r], "dl_mcs", self.mcs), n_free)
+                    / self.ues[r].avg_thr)
+            else:
+                rnti = active[self._rr % len(active)]
+                self._rr += 1
             u = self.ues[rnti]
             # SRB traffic rides the most robust MCS (cell-edge delivery of
             # RRC messages, e.g. the handover command); the TB size follows
@@ -210,9 +250,12 @@ class EnbStack:
                 bytes_per_prb = max(2, ra.dl_tbs(mcs, 1) // 8)
                 n_prb = min(n_prb_free, max(2, -(-n_bytes // bytes_per_prb)))
                 payload = pdu.pack(subs)
-                u.harq_last_tb = (payload, n_prb, mcs)  # for HARQ retx
+                pid = self._free_pid(u)
+                u.dl_harq[pid] = (payload, n_prb, mcs, 1)
+                u.harq_fifo.append(pid)
+                u.avg_thr += PF_ALPHA * 8 * n_bytes
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
-                                      mcs=mcs, payload=payload))
+                                      mcs=mcs, payload=payload, harq_pid=pid))
                 self.metrics["dl_bytes"] += n_bytes
         return grants
 
@@ -254,6 +297,14 @@ class EnbStack:
 
     def _alloc(self, n):
         return tuple(1 if i < n else 0 for i in range(self.n_prb))
+
+    @staticmethod
+    def _free_pid(u):
+        """Lowest DL HARQ process id not in flight and not holding a TB."""
+        for pid in range(N_HARQ_PROC):
+            if pid not in u.dl_harq:
+                return pid
+        return None
 
     # ================= RRC (rrc.cc) =================
     def _rx_ccch(self, ue: UeContext, sdu: bytes):
