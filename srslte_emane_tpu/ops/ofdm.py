@@ -26,16 +26,23 @@ N_SYM_SF = 14  # normal CP
 
 
 @functools.lru_cache(maxsize=None)
-def params(n_prb: int, n_fft: int = None):
+def params(n_prb: int, n_fft: int = None, cp: str = "normal"):
     """n_fft overrides the power-of-2 default — srsLTE's default "reduced"
     rates use 384/768/1152/1536 for 25/50/75/100 PRB (phy_common.c
     srslte_symbol_sz); captures recorded at those rates decode with the
     matching n_fft."""
     n = n_fft or dft.OFDM_SYMBOL_SZ[n_prb]
-    cp0 = 160 * n // 2048
-    cp = 144 * n // 2048
-    sf_len = 2 * (cp0 + n + 6 * (cp + n))
-    return dict(n=n, cp0=cp0, cp=cp, sf_len=sf_len, nre=12 * n_prb)
+    if cp == "normal":
+        cp0 = 160 * n // 2048
+        cpl = 144 * n // 2048
+        sf_len = 2 * (cp0 + n + 6 * (cpl + n))
+        n_sym = 14
+    else:  # extended CP: 6 symbols/slot, all CPs = N/4 (512@2048)
+        cp0 = cpl = 512 * n // 2048
+        sf_len = 2 * 6 * (cpl + n)
+        n_sym = 12
+    return dict(n=n, cp0=cp0, cp=cpl, sf_len=sf_len, nre=12 * n_prb,
+                n_sym=n_sym)
 
 
 @functools.lru_cache(maxsize=None)
@@ -47,46 +54,46 @@ def _bin_map(n_prb: int, n_fft: int = None) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _symbol_starts(n_prb: int) -> tuple:
-    """(start, cp_len) of each of the 14 symbols within the subframe."""
-    p = params(n_prb)
+def _symbol_starts(n_prb: int, cp: str = "normal") -> tuple:
+    """(start, cp_len) of each OFDM symbol within the subframe."""
+    p = params(n_prb, cp=cp)
     out = []
     t = 0
     for slot in range(2):
-        for l in range(7):
-            cp = p["cp0"] if l == 0 else p["cp"]
-            out.append((t, cp))
-            t += cp + p["n"]
+        for l in range(p["n_sym"] // 2):
+            cpl = p["cp0"] if l == 0 else p["cp"]
+            out.append((t, cpl))
+            t += cpl + p["n"]
     assert t == p["sf_len"]
     return tuple(out)
 
 
-def modulate(grid, n_prb: int):
-    """Resource grid (..., 14, NRE, 2) -> time samples (..., SF_LEN, 2)."""
-    p = params(n_prb)
+def modulate(grid, n_prb: int, cp: str = "normal"):
+    """Resource grid (..., n_sym, NRE, 2) -> time samples (..., SF_LEN, 2)."""
+    p = params(n_prb, cp=cp)
     n, nre = p["n"], p["nre"]
     bins = _bin_map(n_prb)
-    shape = grid.shape[:-3] + (N_SYM_SF, n, 2)
+    shape = grid.shape[:-3] + (p["n_sym"], n, 2)
     x = jnp.zeros(shape, grid.dtype)
     x = x.at[..., jnp.asarray(bins), :].set(grid)
-    time = dft.idft(x)  # operates on axis -2: (..., 14, N, 2)
+    time = dft.idft(x)  # operates on axis -2: (..., n_sym, N, 2)
     pieces = []
-    for l, (start, cp) in enumerate(_symbol_starts(n_prb)):
+    for l, (start, cpl) in enumerate(_symbol_starts(n_prb, cp)):
         sym = time[..., l, :, :]
-        pieces.append(sym[..., n - cp :, :])  # cyclic prefix
+        pieces.append(sym[..., n - cpl :, :])  # cyclic prefix
         pieces.append(sym)
     return jnp.concatenate(pieces, axis=-2)
 
 
-def demodulate(samples, n_prb: int):
-    """Time samples (..., SF_LEN, 2) -> resource grid (..., 14, NRE, 2)."""
-    p = params(n_prb)
+def demodulate(samples, n_prb: int, cp: str = "normal"):
+    """Time samples (..., SF_LEN, 2) -> resource grid (..., n_sym, NRE, 2)."""
+    p = params(n_prb, cp=cp)
     n = p["n"]
     bins = _bin_map(n_prb)
     syms = []
-    for start, cp in _symbol_starts(n_prb):
-        syms.append(samples[..., start + cp : start + cp + n, :])
-    x = jnp.stack(syms, axis=-3)  # (..., 14, N, 2)
+    for start, cpl in _symbol_starts(n_prb, cp):
+        syms.append(samples[..., start + cpl : start + cpl + n, :])
+    x = jnp.stack(syms, axis=-3)  # (..., n_sym, N, 2)
     freq = dft.dft(x)
     return jnp.take(freq, jnp.asarray(bins), axis=-2)
 

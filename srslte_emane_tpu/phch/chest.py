@@ -44,11 +44,11 @@ def _freq_interp_matrix(n_prb: int, fidx0: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _time_interp_matrix(syms: tuple) -> np.ndarray:
-    """(14, len(syms)) linear interp/extrapolation across OFDM symbols."""
+def _time_interp_matrix(syms: tuple, n_sym: int = grid_mod.N_SYM) -> np.ndarray:
+    """(n_sym, len(syms)) linear interp/extrapolation across OFDM symbols."""
     s = np.asarray(syms, dtype=np.float64)
-    m = np.zeros((grid_mod.N_SYM, len(s)), dtype=np.float32)
-    for l in range(grid_mod.N_SYM):
+    m = np.zeros((n_sym, len(s)), dtype=np.float32)
+    for l in range(n_sym):
         if l <= s[0]:
             j0 = 0
         elif l >= s[-1]:
@@ -77,11 +77,11 @@ def estimate(rx_grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0) -> 
 
     rx_grid: (..., 14, NRE, 2) received grid.
     """
-    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, port)  # (S, 2*n_prb)
-    syms = grid_mod.pilot_syms(port)
-    vals = grid_mod.crs_values(cell.cell_id, sf_idx, cell.n_prb, port)
+    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, port, cell.cp)  # (S, 2*n_prb)
+    syms = grid_mod.pilot_syms(port, cell.cp)
+    vals = grid_mod.crs_values(cell.cell_id, sf_idx, cell.n_prb, port, cell.cp)
     # gather pilots: rx at (sym, k)
-    flat = rx_grid.reshape(rx_grid.shape[:-3] + (grid_mod.N_SYM * cell.nre, 2))
+    flat = rx_grid.reshape(rx_grid.shape[:-3] + (cell.n_sym * cell.nre, 2))
     pidx = (np.asarray(syms)[:, None] * cell.nre + ks).astype(np.int32)  # (S, P)
     y_p = jnp.take(flat, jnp.asarray(pidx.reshape(-1)), axis=-2)
     y_p = y_p.reshape(rx_grid.shape[:-3] + pidx.shape + (2,))  # (..., S, P, 2)
@@ -95,11 +95,11 @@ def estimate(rx_grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0) -> 
         h_f.append(jnp.einsum("kp,...pc->...kc", jnp.asarray(fm), h_ls[..., i, :, :]))
     h_f = jnp.stack(h_f, axis=-3)  # (..., S, NRE, 2)
     # time interpolation
-    tm = _time_interp_matrix(tuple(syms))
+    tm = _time_interp_matrix(tuple(syms), cell.n_sym)
     ce = jnp.einsum("ls,...skc->...lkc", jnp.asarray(tm), h_f)
 
     # noise: residual between raw LS pilots and interpolated estimate at pilots
-    ce_flat = ce.reshape(ce.shape[:-3] + (grid_mod.N_SYM * cell.nre, 2))
+    ce_flat = ce.reshape(ce.shape[:-3] + (cell.n_sym * cell.nre, 2))
     h_at_p = jnp.take(ce_flat, jnp.asarray(pidx.reshape(-1)), axis=-2).reshape(y_p.shape)
     # 3-tap freq smoothing of LS for the reference point
     h_sm = (h_ls + jnp.roll(h_ls, 1, axis=-2) + jnp.roll(h_ls, -1, axis=-2)) / 3.0

@@ -22,8 +22,11 @@ from ..ops import sequence
 
 MAX_PRB = 110
 N_SYM = 14  # normal CP
+N_SYM_EXT = 12  # extended CP
 PILOT_SYMS_P01 = (0, 4, 7, 11)  # subframe symbol indices for ports 0/1
 PILOT_SYMS_P23 = (1, 8)
+PILOT_SYMS_P01_EXT = (0, 3, 6, 9)  # extended CP: l = 0, N_symb-3 per slot
+PILOT_SYMS_P23_EXT = (1, 7)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,10 +35,15 @@ class CellConfig:
     cell_id: int = 0
     n_ports: int = 1
     cfi: int = 1
+    cp: str = "normal"  # "normal" | "ext"
 
     @property
     def nre(self) -> int:
         return 12 * self.n_prb
+
+    @property
+    def n_sym(self) -> int:
+        return N_SYM if self.cp == "normal" else N_SYM_EXT
 
 
 def n_ctrl_symbols(cfi: int, n_prb: int) -> int:
@@ -55,22 +63,27 @@ def cs_v(port: int, ref_sym_idx: int) -> int:
     return 3 if ref_sym_idx == 0 else 0
 
 
-def pilot_syms(port: int) -> tuple:
-    return PILOT_SYMS_P01 if port < 2 else PILOT_SYMS_P23
+def pilot_syms(port: int, cp: str = "normal") -> tuple:
+    if cp == "normal":
+        return PILOT_SYMS_P01 if port < 2 else PILOT_SYMS_P23
+    return PILOT_SYMS_P01_EXT if port < 2 else PILOT_SYMS_P23_EXT
 
 
 @functools.lru_cache(maxsize=None)
-def crs_values(cell_id: int, sf_idx: int, n_prb: int, port: int) -> np.ndarray:
+def crs_values(cell_id: int, sf_idx: int, n_prb: int, port: int,
+               cp: str = "normal") -> np.ndarray:
     """CRS pilot values: (n_pilot_syms, 2*n_prb) complex64.
 
     r(m') = ((1-2c(2m')) + j(1-2c(2m'+1)))/sqrt(2) with
-    c_init = 1024(7(ns+1)+l+1)(2 cell_id+1) + 2 cell_id + 1 (normal CP)."""
-    syms = pilot_syms(port)
+    c_init = 1024(7(ns+1)+l+1)(2 cell_id+1) + 2 cell_id + N_CP."""
+    syms = pilot_syms(port, cp)
+    n_slot_sym = 7 if cp == "normal" else 6
+    n_cp = 1 if cp == "normal" else 0
     out = np.zeros((len(syms), 2 * n_prb), dtype=np.complex64)
     for i, sym in enumerate(syms):
-        ns = 2 * sf_idx + sym // 7
-        l = sym % 7
-        c_init = 1024 * (7 * (ns + 1) + l + 1) * (2 * cell_id + 1) + 2 * cell_id + 1
+        ns = 2 * sf_idx + sym // n_slot_sym
+        l = sym % n_slot_sym
+        c_init = 1024 * (7 * (ns + 1) + l + 1) * (2 * cell_id + 1) + 2 * cell_id + n_cp
         c = sequence.gold_sequence_host(c_init, 4 * MAX_PRB)
         m = np.arange(2 * n_prb)
         mp = m + MAX_PRB - n_prb
@@ -79,9 +92,9 @@ def crs_values(cell_id: int, sf_idx: int, n_prb: int, port: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def crs_k(cell_id: int, n_prb: int, port: int) -> np.ndarray:
+def crs_k(cell_id: int, n_prb: int, port: int, cp: str = "normal") -> np.ndarray:
     """CRS subcarrier indices: (n_pilot_syms, 2*n_prb) int."""
-    syms = pilot_syms(port)
+    syms = pilot_syms(port, cp)
     out = np.zeros((len(syms), 2 * n_prb), dtype=np.int32)
     for i in range(len(syms)):
         fidx = (cs_v(port, i) + cell_id % 6) % 6
@@ -95,26 +108,28 @@ def reserved_mask(cell: CellConfig, sf_idx: int, has_pss_sss: bool = True, has_p
     control region (l < cfi), CRS of all configured ports (on CRS symbols,
     reserved even where another cell's shift would fall? no — only own-cell
     positions, matching pdsch.c put/get), PSS/SSS (sf 0/5), PBCH (sf 0)."""
-    m = np.zeros((N_SYM, cell.nre), dtype=bool)
+    m = np.zeros((cell.n_sym, cell.nre), dtype=bool)
     m[: n_ctrl_symbols(cell.cfi, cell.n_prb), :] = True  # control region
     assert cell.n_ports in (1, 2, 4)
     for p in range(cell.n_ports):
-        ks = crs_k(cell.cell_id, cell.n_prb, p)
-        for i, sym in enumerate(pilot_syms(p)):
+        ks = crs_k(cell.cell_id, cell.n_prb, p, cell.cp)
+        for i, sym in enumerate(pilot_syms(p, cell.cp)):
             m[sym, ks[i]] = True
     center = cell.nre // 2
+    n_slot_sym = cell.n_sym // 2
     if has_pss_sss and sf_idx in (0, 5):
-        m[5, center - 36 : center + 36] = True  # SSS
-        m[6, center - 36 : center + 36] = True  # PSS
+        # PSS on the last, SSS on the second-to-last symbol of slot 0
+        m[n_slot_sym - 2, center - 36 : center + 36] = True  # SSS
+        m[n_slot_sym - 1, center - 36 : center + 36] = True  # PSS
     if has_pbch and sf_idx == 0:
-        for sym in (7, 8, 9, 10):
+        for sym in range(n_slot_sym, n_slot_sym + 4):
             m[sym, center - 36 : center + 36] = True
     return m
 
 
 @functools.lru_cache(maxsize=None)
 def pdsch_re_indices(cell: CellConfig, sf_idx: int, prb_mask: tuple,
-                     max_sym: int = N_SYM) -> np.ndarray:
+                     max_sym: int = 0) -> np.ndarray:
     """Ordered flat RE indices (sym*NRE + k) for a PDSCH allocation.
 
     Mapping order per 36.211 §6.3.5: frequency (k) first within each symbol
@@ -126,12 +141,12 @@ def pdsch_re_indices(cell: CellConfig, sf_idx: int, prb_mask: tuple,
         if on:
             k_allowed[12 * prb : 12 * (prb + 1)] = True
     idx = []
-    for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), max_sym):
+    for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), max_sym or cell.n_sym):
         ks = np.flatnonzero(k_allowed & ~res[sym])
         idx.append(sym * cell.nre + ks)
     return np.concatenate(idx).astype(np.int32)
 
 
 def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple,
-           max_sym: int = N_SYM) -> int:
+           max_sym: int = 0) -> int:
     return len(pdsch_re_indices(cell, sf_idx, prb_mask, max_sym))

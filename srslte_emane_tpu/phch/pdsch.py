@@ -22,11 +22,11 @@ from . import chest, grid as grid_mod, sch
 
 def put_crs(grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0):
     """Scatter CRS pilots for `port` into grid (..., 14, NRE, 2)."""
-    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, port)
-    syms = grid_mod.pilot_syms(port)
-    vals = grid_mod.crs_values(cell.cell_id, sf_idx, cell.n_prb, port)
+    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, port, cell.cp)
+    syms = grid_mod.pilot_syms(port, cell.cp)
+    vals = grid_mod.crs_values(cell.cell_id, sf_idx, cell.n_prb, port, cell.cp)
     pidx = (np.asarray(syms)[:, None] * cell.nre + ks).reshape(-1).astype(np.int32)
-    flat = grid.reshape(grid.shape[:-3] + (grid_mod.N_SYM * cell.nre, 2))
+    flat = grid.reshape(grid.shape[:-3] + (cell.n_sym * cell.nre, 2))
     v = cplx.from_numpy(vals.reshape(-1))
     flat = flat.at[..., jnp.asarray(pidx), :].set(jnp.broadcast_to(v, flat.shape[:-2] + v.shape))
     return flat.reshape(grid.shape)
@@ -34,7 +34,7 @@ def put_crs(grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0):
 
 def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, grid=None, codeword_q: int = 0,
-           max_sym: int = grid_mod.N_SYM):
+           max_sym: int = 0):
     """Encode one PDSCH grant into a subframe grid.
 
     tb_bits: (B, tbs). Returns grid (B, 14, NRE, 2) with CRS + PDSCH placed.
@@ -47,10 +47,10 @@ def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     syms = modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm])  # (B, n_re, 2)
     B = syms.shape[0]
     if grid is None:
-        grid = cplx.zeros((B, grid_mod.N_SYM, cell.nre))
-    flat = grid.reshape(B, grid_mod.N_SYM * cell.nre, 2)
+        grid = cplx.zeros((B, cell.n_sym, cell.nre))
+    flat = grid.reshape(B, cell.n_sym * cell.nre, 2)
     flat = flat.at[:, jnp.asarray(re_idx), :].set(syms)
-    grid = flat.reshape(B, grid_mod.N_SYM, cell.nre, 2)
+    grid = flat.reshape(B, cell.n_sym, cell.nre, 2)
     return put_crs(grid, cell, sf_idx)
 
 
@@ -83,10 +83,10 @@ def encode_tm(tb_list, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
         raise ValueError(tm)
     assert ports.shape[-2] == n_re, (ports.shape, n_re)
     if grids is None:
-        grids = cplx.zeros((B, 2, grid_mod.N_SYM, cell.nre))
-    flat = grids.reshape(B, 2, grid_mod.N_SYM * cell.nre, 2)
+        grids = cplx.zeros((B, 2, cell.n_sym, cell.nre))
+    flat = grids.reshape(B, 2, cell.n_sym * cell.nre, 2)
     flat = flat.at[:, :, jnp.asarray(re_idx), :].set(ports)
-    grids = flat.reshape(B, 2, grid_mod.N_SYM, cell.nre, 2)
+    grids = flat.reshape(B, 2, cell.n_sym, cell.nre, 2)
     for p in range(2):
         grids = grids.at[:, p].set(put_crs(grids[:, p], cell, sf_idx, port=p))
     return grids
@@ -118,7 +118,7 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     B, n_rx = rx_grids.shape[:2]
     ce, noise = estimate_mimo(rx_grids, cell, sf_idx, 2)
     take = lambda a: jnp.take(
-        a.reshape(a.shape[:-3] + (grid_mod.N_SYM * cell.nre, 2)),
+        a.reshape(a.shape[:-3] + (cell.n_sym * cell.nre, 2)),
         jnp.asarray(re_idx), axis=-2,
     )
     y = take(rx_grids)  # (B, n_rx, n_re, 2)
@@ -186,13 +186,13 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, softbuf=None, max_iter: int = 8,
            codeword_q: int = 0, use_csi: bool = True,
-           max_sym: int = grid_mod.N_SYM, use_pallas: bool = False):
+           max_sym: int = 0, use_pallas: bool = False):
     """Decode one PDSCH grant from a received subframe grid (B, 14, NRE, 2).
 
     Returns (payload bits (B, tbs), crc ok (B,), softbuf', ChestResult)."""
     re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask, max_sym)
     ch = chest.estimate(rx_grid, cell, sf_idx)
-    flat_rx = rx_grid.reshape(rx_grid.shape[:-3] + (grid_mod.N_SYM * cell.nre, 2))
+    flat_rx = rx_grid.reshape(rx_grid.shape[:-3] + (cell.n_sym * cell.nre, 2))
     flat_ce = ch.ce.reshape(flat_rx.shape)
     y = jnp.take(flat_rx, jnp.asarray(re_idx), axis=-2)
     h = jnp.take(flat_ce, jnp.asarray(re_idx), axis=-2)

@@ -91,6 +91,10 @@ class EnbStack:
         self.ccch_dl = collections.deque()
         self.phich_queue = []
         self.by_teid = {}
+        # X2 (x2ap role): direct neighbor eNBs by PCI + DL forwarding tunnels
+        self.x2_neighbors = {}
+        self.by_fwd_teid = {}
+        self._next_fwd_teid = 0x8000_0000 + enb_id * 0x1000
         self.dedicated_preambles = {}  # preamble -> rnti (contention-free HO)
         self._next_ded_preamble = 60
         self._rr = 0
@@ -346,19 +350,29 @@ class EnbStack:
             self.metrics["reconfig_ok"] += 1
             if getattr(ue, "is_ho", False):
                 ue.is_ho = False
+                # X2: deliver forwarded DL data first, then switch the S1-U
+                # path — preserves in-order delivery across the handover
+                for ip_pkt in getattr(ue, "fwd_buffer", None) or []:
+                    ue.rlc[DRB1_LCID].write_sdu(
+                        ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+                ue.fwd_buffer = None
                 self.mme.path_switch(self.enb_id, mme_mod.PathSwitchRequest(
                     mme_ue_id=ue.mme_ue_id, target_enb_ue_id=ue.enb_ue_id))
                 self.metrics["ho_complete"] += 1
         elif isinstance(msg, rrc_msgs.MeasurementReport):
             self.metrics["meas_reports"] += 1
-            # A3-style decision: neighbor sufficiently above serving -> S1 HO
+            # A3-style decision: neighbor sufficiently above serving ->
+            # X2 HO when a direct neighbor relation exists, else S1 via MME
             if msg.neigh:
                 pci, snr = max(msg.neigh, key=lambda x: x[1])
                 if snr > msg.rsrp_dbm + 1.0 and pci != self.cell_pci:
-                    self.mme.handover_required(self.enb_id, mme_mod.HandoverRequired(
-                        mme_ue_id=ue.mme_ue_id, enb_ue_id=ue.enb_ue_id,
-                        target_pci=pci))
-                    self.metrics["ho_required"] += 1
+                    if pci in self.x2_neighbors and ue.kenb is not None:
+                        self._x2_handover(ue, pci)
+                    else:
+                        self.mme.handover_required(self.enb_id, mme_mod.HandoverRequired(
+                            mme_ue_id=ue.mme_ue_id, enb_ue_id=ue.enb_ue_id,
+                            target_pci=pci))
+                        self.metrics["ho_required"] += 1
 
     # ================= RRC procedures: paging / release / reestablishment ==
     def page(self, ue_identity: int):
@@ -433,6 +447,74 @@ class EnbStack:
         self.metrics["ho_admitted"] += 1
         return dict(new_rnti=rnti, preamble=preamble)
 
+    # ---- X2 handover (x2ap.cc role: direct eNB-eNB, no MME in the prep) ----
+    def x2_setup(self, other: "EnbStack"):
+        """X2AP Setup: bidirectional neighbor relation keyed by PCI."""
+        self.x2_neighbors[other.cell_pci] = other
+        other.x2_neighbors[self.cell_pci] = self
+
+    def _x2_handover(self, ue: UeContext, target_pci: int):
+        """Source side: prepare at target over X2, command the UE, and start
+        forwarding DL data (36.423 Handover Preparation + SN Status Transfer
+        + data forwarding, message level)."""
+        target = self.x2_neighbors[target_pci]
+        # X2 key derivation: KeNB* from the CURRENT KeNB (33.401 §7.2.8.4
+        # horizontal derivation), unlike S1 which uses a fresh NH from MME
+        kenb_star = security.kdf(ue.kenb, 0x13, target_pci.to_bytes(2, "big"))
+        ack = target.x2_ho_request(dict(
+            mme_ue_id=ue.mme_ue_id, kenb_star=kenb_star,
+            teid_spgw=ue.teid_spgw, teid_enb=ue.teid_enb))
+        ue.x2_fwd = (target, ack["teid_fwd"])
+        ue.state = "HO_OUT"
+        ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
+            mobility=rrc_msgs.MobilityControlInfo(
+                target_pci=target_pci, new_rnti=ack["new_rnti"],
+                dedicated_preamble=ack["preamble"], key_change="x2")))
+        self.metrics["ho_x2"] += 1
+
+    def x2_ho_request(self, req: dict) -> dict:
+        """Target side admission over X2; also allocates a DL data-forwarding
+        GTP tunnel endpoint whose packets buffer until the UE completes."""
+        rnti = self.next_rnti
+        self.next_rnti += 1
+        ue = UeContext(rnti, self)
+        ue.state = "HO_PREP"
+        ue.is_ho = True
+        ue.mme_ue_id = req["mme_ue_id"]
+        ue.kenb = req["kenb_star"]
+        ue.teid_spgw = req["teid_spgw"]
+        ue.teid_enb = req["teid_enb"]
+        k_rrc_enc = security.kdf_rrc_up_key(ue.kenb, security.EEA2, 0x03)
+        k_rrc_int = security.kdf_rrc_up_key(ue.kenb, security.EIA2, 0x04)
+        ue.pdcp[SRB1].config_security(security.EEA2, security.EIA2,
+                                      k_rrc_enc, k_rrc_int)
+        ue.setup_drb(DRB1_LCID)
+        self.by_teid[ue.teid_enb] = ue
+        self.ues[rnti] = ue
+        preamble = self._next_ded_preamble
+        self._next_ded_preamble = 60 + (self._next_ded_preamble - 59) % 4
+        self.dedicated_preambles[preamble] = rnti
+        teid_fwd = self._next_fwd_teid
+        self._next_fwd_teid += 1
+        ue.fwd_buffer = []
+        self.by_fwd_teid[teid_fwd] = ue
+        self.metrics["ho_admitted_x2"] += 1
+        return dict(new_rnti=rnti, preamble=preamble, teid_fwd=teid_fwd)
+
+    def x2_gtpu_fwd(self, pkt: bytes):
+        """X2-U: forwarded DL data from the source eNB.  Buffered until the
+        UE completes the handover, then delivered in order before any
+        post-path-switch S1-U traffic."""
+        teid, ip_pkt = spgw_mod.gtpu_decap(pkt)
+        ue = self.by_fwd_teid.get(teid)
+        if ue is None:
+            return
+        if ue.fwd_buffer is None:  # UE already arrived: deliver directly
+            ue.rlc[DRB1_LCID].write_sdu(ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+        else:
+            ue.fwd_buffer.append(ip_pkt)
+        self.metrics["x2_fwd_pkts"] += 1
+
     # ---- S1 handover (source side) ----
     def ho_command(self, cmd: mme_mod.HandoverCommand):
         ue = self._by_enb_ue_id(cmd.enb_ue_id)
@@ -451,10 +533,16 @@ class EnbStack:
 
     # ================= GTP-U (gtpu.cc) =================
     def gtpu_dl(self, pkt: bytes):
-        """S1-U downlink from SPGW -> PDCP DRB."""
+        """S1-U downlink from SPGW -> PDCP DRB (or X2 forwarding tunnel when
+        the UE is mid-handover)."""
         teid, ip_pkt = spgw_mod.gtpu_decap(pkt)
         ue = self.by_teid.get(teid)
         if ue is None or DRB1_LCID not in ue.pdcp:
+            return
+        fwd = getattr(ue, "x2_fwd", None)
+        if ue.state == "HO_OUT" and fwd is not None:
+            target, teid_fwd = fwd
+            target.x2_gtpu_fwd(spgw_mod.gtpu_encap(teid_fwd, ip_pkt))
             return
         ue.rlc[DRB1_LCID].write_sdu(ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
 

@@ -82,10 +82,14 @@ class DrbToAdd:
 @codec.register
 @dataclasses.dataclass
 class MobilityControlInfo:
-    """Handover command content (36.331 mobilityControlInfo)."""
+    """Handover command content (36.331 mobilityControlInfo).
+
+    key_change mirrors keyChangeIndicator: "s1" -> KeNB* from Kasme (fresh
+    NH via MME), "x2" -> horizontal derivation from the current KeNB."""
     target_pci: int
     new_rnti: int
     dedicated_preamble: int
+    key_change: str = "s1"
 
 
 @codec.register

@@ -314,9 +314,11 @@ class UeStack:
 
     def _execute_handover(self, mob):
         """36.331 handover execution: switch serving cell, re-key from
-        KeNB* = KDF(Kasme, 0x13, target_pci), contention-free RA."""
+        KeNB* (from Kasme for S1 HO, from the current KeNB for X2 — the
+        keyChangeIndicator distinction), contention-free RA."""
         self.serving_pci = mob.target_pci
-        self.kenb = security.kdf(self.kasme, 0x13,
+        root = self.kasme if getattr(mob, "key_change", "s1") == "s1" else self.kenb
+        self.kenb = security.kdf(root, 0x13,
                                  mob.target_pci.to_bytes(2, "big"))
         self._ho_preamble = mob.dedicated_preamble
         # re-establish SRB1/DRB with the new keys (PDCP re-establishment)

@@ -1,0 +1,60 @@
+"""Extended CP for unicast: OFDM symbol layout, CRS positions, PDSCH round
+trip (36.211 extended-CP tables; reference srslte_cp_t EXT paths)."""
+
+import numpy as np
+
+from srslte_emane_tpu.ops import channel, cplx, ofdm
+from srslte_emane_tpu.phch import chest, grid as grid_mod, pdsch, sch
+
+
+def test_ext_cp_symbol_layout():
+    p = ofdm.params(25, cp="ext")
+    assert p["n_sym"] == 12
+    assert p["cp0"] == p["cp"] == 512 * p["n"] // 2048
+    # subframe still spans exactly 1 ms worth of samples
+    assert p["sf_len"] == ofdm.params(25)["sf_len"]
+    starts = ofdm._symbol_starts(25, "ext")
+    assert len(starts) == 12
+
+
+def test_ext_cp_ofdm_roundtrip():
+    rng = np.random.default_rng(0)
+    g = cplx.from_numpy(
+        (rng.normal(size=(2, 12, 300)) + 1j * rng.normal(size=(2, 12, 300)))
+        .astype(np.complex64))
+    t = ofdm.modulate(g, 25, cp="ext")
+    g2 = ofdm.demodulate(t, 25, cp="ext")
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g), atol=1e-4)
+
+
+def test_ext_cp_crs_positions():
+    cell = grid_mod.CellConfig(n_prb=6, cell_id=1, cp="ext")
+    assert cell.n_sym == 12
+    assert grid_mod.pilot_syms(0, "ext") == (0, 3, 6, 9)
+    # CRS sequence differs from the normal-CP one (N_CP term in c_init)
+    v_ext = grid_mod.crs_values(1, 0, 6, 0, "ext")
+    v_norm = grid_mod.crs_values(1, 0, 6, 0, "normal")
+    assert not np.allclose(v_ext, v_norm)
+
+
+def test_ext_cp_pdsch_roundtrip_with_channel():
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=2, cp="ext")
+    prb_mask = (1,) * 15
+    sf_idx = 3
+    n_re = grid_mod.nof_re(cell, sf_idx, prb_mask)
+    qm = 4
+    cfg = sch.SchConfig(tbs=(n_re * qm // 2 - 24) // 8 * 8, G=n_re * qm,
+                        Qm=qm, Nl=1)
+    rng = np.random.default_rng(1)
+    tb = rng.integers(0, 2, (2, cfg.tbs), dtype=np.int8)
+    g = pdsch.encode(tb, cfg, cell, sf_idx, 0x46, prb_mask)
+    assert g.shape[1] == 12
+    t = ofdm.modulate(g, 15, cp="ext")
+    import jax
+
+    rx = channel.awgn(jax.random.PRNGKey(0), t, 20.0)
+    g_rx = ofdm.demodulate(rx, 15, cp="ext")
+    out, ok, _, ch = pdsch.decode(g_rx, cfg, cell, sf_idx, 0x46, prb_mask)
+    assert np.asarray(ok).all()
+    assert (np.asarray(out) == tb).all()
+    assert float(np.asarray(ch.snr_db).mean()) > 12.0

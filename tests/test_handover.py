@@ -58,3 +58,57 @@ def test_s1_handover():
     assert len(ue.gw_rx) > n_before
     assert ue.gw_rx[-1] == pkt
     assert ue.ip_addr == ip
+
+
+def test_x2_handover_with_data_forwarding():
+    """X2 HO: direct eNB-eNB preparation (no MME until path switch), DL data
+    arriving mid-handover rides the X2-U forwarding tunnel and is delivered
+    in order at the target before post-path-switch traffic."""
+    pl = np.array([[0, 100, 70], [100, 0, 95], [70, 95, 0]], np.float32)
+    prop = sinr.Propagation(pathloss_db=pl)
+    bus = otabus.OtaBus(prop, node_ids=[0, 1, 2], n_prb=25)
+    net = ttiloop.Network(bus)
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb_a = enb_stack.EnbStack(mme, enb_id=1, n_prb=25, pci=1)
+    enb_b = enb_stack.EnbStack(mme, enb_id=2, n_prb=25, pci=2)
+    enb_a.x2_setup(enb_b)  # X2 neighbor relation -> X2 HO instead of S1
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25, mac=enb_a))
+    net.add(phy_adapter.EnbPhyAdapter(bus, 1, cell_id=2, n_prb=25, mac=enb_b))
+    imsi, key = "001010000000001", bytes(range(16))
+    hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+    ue = ue_stack.UeStack(ue_stack.Usim(imsi, key, security.milenage_opc(key, b"\x00" * 16)))
+    net.add(phy_adapter.UePhyAdapter(bus, 2, cell_id=1, n_prb=25, stack=ue))
+
+    net.run(80)
+    assert ue.emm_state == "REGISTERED"
+    ip = ue.ip_addr
+    spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ip, b"pre" * 30))
+    net.run(20)
+
+    for a_pl, b_pl in [(75, 90), (79, 86), (82, 83), (83, 82), (85, 80),
+                       (90, 75), (95, 70)]:
+        prop.pathloss_db[0, 2] = prop.pathloss_db[2, 0] = a_pl
+        prop.pathloss_db[1, 2] = prop.pathloss_db[2, 1] = b_pl
+        # DL packets every step: some will land mid-HO and must be forwarded
+        spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ip, b"move" * 10))
+        net.run(30)
+    net.run(60)
+    assert enb_a.metrics.get("ho_x2", 0) == 1, dict(enb_a.metrics)
+    assert enb_a.metrics.get("ho_required", 0) == 0  # no S1 preparation
+    assert enb_b.metrics.get("ho_admitted_x2", 0) == 1, dict(enb_b.metrics)
+    assert enb_b.metrics.get("ho_complete", 0) == 1, dict(enb_b.metrics)
+    assert mme.metrics.get("handover_ok", 0) == 1  # path switch still S1
+    assert ue.serving_pci == 2
+
+    # continuity through the target, same IP
+    n_before = len(ue.gw_rx)
+    pkt = spgw_mod.make_ipv4("8.8.8.8", ip, b"post-x2" * 20)
+    assert spgw.handle_sgi_pdu(pkt)
+    net.run(40)
+    assert len(ue.gw_rx) > n_before
+    assert ue.gw_rx[-1] == pkt
+    # all the "move" datagrams arrived exactly once, in order
+    moves = [p for p in ue.gw_rx if p.endswith(b"move" * 10)]
+    assert len(moves) == 7, len(moves)
