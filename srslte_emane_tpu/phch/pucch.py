@@ -200,3 +200,190 @@ def decode_f2(rx_grid, cell: grid_mod.CellConfig, sf_idx: int, n_pucch2: int,
     llr = modem.demod_soft(d / (jnp.sqrt(cplx.abs2(d))[..., None] + 1e-9), modem.QPSK)
     bits, metric = uci.decode_rm(llr, n_bits, "rm20")
     return bits, metric
+
+
+# ---------------- formats 2a/2b: CQI + 1-2 ACK bits (36.211 §5.4.2) --------
+
+def _ack_symbol_2ab(ack_bits) -> jnp.ndarray:
+    """(B, 1|2) ACK bits -> (B, 2) cf modulation symbol d(10).
+    2a (1 bit): BPSK 0->+1, 1->-1.  2b (2 bits): Table 5.4.2-1."""
+    ack_bits = jnp.asarray(ack_bits)
+    if ack_bits.shape[-1] == 1:
+        re = 1.0 - 2.0 * ack_bits[..., 0].astype(jnp.float32)
+        return jnp.stack([re, jnp.zeros_like(re)], axis=-1)
+    b0 = ack_bits[..., 0].astype(jnp.float32)
+    b1 = ack_bits[..., 1].astype(jnp.float32)
+    # (0,0)->1, (0,1)->-j, (1,0)->j, (1,1)->-1
+    re = (1 - b0) * (1 - b1) - b0 * b1
+    im = b0 * (1 - b1) - (1 - b0) * b1
+    return jnp.stack([re, im], axis=-1)
+
+
+def encode_f2ab(cqi_bits, ack_bits, cell: grid_mod.CellConfig, sf_idx: int,
+                n_pucch2: int, grid):
+    """Format 2a/2b: format-2 CQI with d(10) = ACK symbol modulating the
+    SECOND DMRS symbol (l=5) of each slot (pucch.c format2a/2b path)."""
+    grid = encode_f2(cqi_bits, cell, sf_idx, n_pucch2, grid)
+    d10 = _ack_symbol_2ab(ack_bits)  # (B, 2)
+    ncs = n_cs_cell(cell.cell_id)
+    u_tab = refsignal_ul.f_gh_table(cell.cell_id, False)
+    B = grid.shape[0]
+    flat = grid.reshape(B, -1, 2)
+    l = F2_DMRS_SYMS[1]  # the modulated DMRS symbol
+    for s in range(2):
+        ns = 2 * sf_idx + s
+        u = (int(u_tab[ns]) + cell.cell_id % 30) % 30
+        base = refsignal_ul.base_sequence(u, 0, 12)
+        prb = pucch_prb(n_pucch2, ns, cell.n_prb)
+        ks = 12 * prb + np.arange(12)
+        alpha = 2 * np.pi * ((n_pucch2 % 12 + int(ncs[ns, l])) % 12) / 12
+        ref = cplx.from_numpy(base * np.exp(1j * alpha * np.arange(12)))
+        idx = ((7 * s + l) * cell.nre + ks).astype(np.int32)
+        val = cplx.mul(d10[:, None, :], jnp.asarray(ref)[None])
+        flat = flat.at[:, jnp.asarray(idx), :].set(val)
+    return flat.reshape(grid.shape)
+
+
+def decode_f2ab(rx_grid, cell: grid_mod.CellConfig, sf_idx: int,
+                n_pucch2: int, n_cqi_bits: int, n_ack_bits: int):
+    """Format 2a/2b decode: CQI via the format-2 path with the channel taken
+    from the FIRST DMRS only; ACK by correlating the second DMRS against it."""
+    from ..ops import modem
+
+    ncs = n_cs_cell(cell.cell_id)
+    u_tab = refsignal_ul.f_gh_table(cell.cell_id, False)
+    B = rx_grid.shape[0]
+    flat = rx_grid.reshape(B, -1, 2)
+    llr_parts, ack_corr = [], []
+    for s in range(2):
+        ns = 2 * sf_idx + s
+        u = (int(u_tab[ns]) + cell.cell_id % 30) % 30
+        base = refsignal_ul.base_sequence(u, 0, 12)
+        prb = pucch_prb(n_pucch2, ns, cell.n_prb)
+        ks = 12 * prb + np.arange(12)
+
+        def grab(l):
+            alpha = 2 * np.pi * ((n_pucch2 % 12 + int(ncs[ns, l])) % 12) / 12
+            ref = cplx.from_numpy(base * np.exp(1j * alpha * np.arange(12)))
+            idx = ((7 * s + l) * cell.nre + ks).astype(np.int32)
+            y = jnp.take(flat, jnp.asarray(idx), axis=-2)
+            return cplx.mul_conj(y, jnp.asarray(ref))  # (B, 12, 2)
+
+        h = grab(F2_DMRS_SYMS[0])  # unmodulated DMRS
+        z10 = grab(F2_DMRS_SYMS[1])  # carries d(10) * h
+        ack_corr.append(jnp.sum(cplx.mul_conj(z10, h), axis=-2))  # ~ d(10)
+        for l in F2_DATA_SYMS:
+            z = grab(l)
+            llr_parts.append(jnp.sum(cplx.mul_conj(z, h), axis=-2))
+    d = jnp.stack(llr_parts, axis=1)  # (B, 10, 2)
+    llr = modem.demod_soft(d / (jnp.sqrt(cplx.abs2(d))[..., None] + 1e-9), modem.QPSK)
+    cqi_bits, metric = uci.decode_rm(llr, n_cqi_bits, "rm20")
+    d10 = sum(ack_corr)
+    if n_ack_bits == 1:
+        ack = (d10[..., 0] < 0).astype(jnp.int8)[:, None]
+    else:
+        # invert Table 5.4.2-1: sign(re)/sign(im) quadrants
+        re, im = d10[..., 0], d10[..., 1]
+        b0 = (im > jnp.abs(re)) | (re < -jnp.abs(im))  # j or -1 side
+        b1 = (im < -jnp.abs(re)) | (re < -jnp.abs(im))
+        ack = jnp.stack([b0, b1], axis=-1).astype(jnp.int8)
+    return cqi_bits, ack, metric
+
+
+# ---------------- format 3: multi-bit ACK (Rel-10, 36.211 §5.4.2A) ---------
+
+F3_DATA_SYMS = (0, 2, 3, 4, 6)
+F3_DMRS_SYMS = (1, 5)
+# length-5 DFT orthogonal covers (36.211 Table 5.4.2A-1)
+W_F3 = np.exp(-2j * np.pi / 5 *
+              np.outer(np.arange(5), np.arange(5))).astype(np.complex64)
+
+
+def encode_f3_bits(ack_bits) -> jnp.ndarray:
+    """(B, O<=11) -> (B, 48) coded bits: RM(32,O) + circular repetition
+    (36.212 §5.2.3.1 for O <= 11)."""
+    c32 = uci.encode_rm(ack_bits, 32)
+    return jnp.concatenate([c32, c32[:, :16]], axis=1)
+
+
+def encode_f3(ack_bits, cell: grid_mod.CellConfig, sf_idx: int,
+              n_pucch3: int, grid):
+    """Format 3: 48 coded bits -> 24 QPSK -> 12 per slot, block-spread with a
+    length-5 OCC over the data symbols; DMRS on l=1,5 per slot."""
+    from ..ops import modem
+
+    coded = encode_f3_bits(ack_bits)
+    d = modem.modulate(coded, modem.QPSK)  # (B, 24, 2)
+    n_oc = n_pucch3 % 5
+    prb_m = n_pucch3 // 5
+    ncs = n_cs_cell(cell.cell_id)
+    u_tab = refsignal_ul.f_gh_table(cell.cell_id, False)
+    B = grid.shape[0]
+    flat = grid.reshape(B, -1, 2)
+    for s in range(2):
+        ns = 2 * sf_idx + s
+        u = (int(u_tab[ns]) + cell.cell_id % 30) % 30
+        base = refsignal_ul.base_sequence(u, 0, 12)
+        prb = prb_m // 2 if (prb_m + ns) % 2 == 0 else cell.n_prb - 1 - prb_m // 2
+        ks = 12 * prb + np.arange(12)
+        y = d[:, 12 * s : 12 * (s + 1), :]  # (B, 12, 2) this slot's block
+        for i, l in enumerate(F3_DATA_SYMS):
+            w = W_F3[n_oc, i]
+            wc = jnp.asarray([w.real, w.imag], dtype=jnp.float32)
+            val = cplx.mul(y, jnp.broadcast_to(wc, y.shape))
+            idx = ((7 * s + l) * cell.nre + ks).astype(np.int32)
+            flat = flat.at[:, jnp.asarray(idx), :].set(val)
+        for j, l in enumerate(F3_DMRS_SYMS):
+            alpha = 2 * np.pi * (int(ncs[ns, l]) % 12) / 12
+            ref = cplx.from_numpy(base * np.exp(1j * alpha * np.arange(12)))
+            idx = ((7 * s + l) * cell.nre + ks).astype(np.int32)
+            flat = flat.at[:, jnp.asarray(idx), :].set(
+                jnp.broadcast_to(jnp.asarray(ref), (B, 12, 2)))
+    return flat.reshape(grid.shape)
+
+
+def decode_f3(rx_grid, cell: grid_mod.CellConfig, sf_idx: int,
+              n_pucch3: int, n_bits: int):
+    """Format 3 decode: DMRS channel estimate, OCC despread, RM32 ML over the
+    48 repeated coded bits."""
+    from ..ops import modem
+
+    n_oc = n_pucch3 % 5
+    prb_m = n_pucch3 // 5
+    ncs = n_cs_cell(cell.cell_id)
+    u_tab = refsignal_ul.f_gh_table(cell.cell_id, False)
+    B = rx_grid.shape[0]
+    flat = rx_grid.reshape(B, -1, 2)
+    slots = []
+    for s in range(2):
+        ns = 2 * sf_idx + s
+        u = (int(u_tab[ns]) + cell.cell_id % 30) % 30
+        base = refsignal_ul.base_sequence(u, 0, 12)
+        prb = prb_m // 2 if (prb_m + ns) % 2 == 0 else cell.n_prb - 1 - prb_m // 2
+        ks = 12 * prb + np.arange(12)
+        h_acc = []
+        for l in F3_DMRS_SYMS:
+            alpha = 2 * np.pi * (int(ncs[ns, l]) % 12) / 12
+            ref = cplx.from_numpy(base * np.exp(1j * alpha * np.arange(12)))
+            idx = ((7 * s + l) * cell.nre + ks).astype(np.int32)
+            y = jnp.take(flat, jnp.asarray(idx), axis=-2)
+            h_acc.append(cplx.mul_conj(y, jnp.asarray(ref)))
+        h = sum(h_acc) / 2.0  # (B, 12, 2)
+        acc = None
+        for i, l in enumerate(F3_DATA_SYMS):
+            idx = ((7 * s + l) * cell.nre + ks).astype(np.int32)
+            y = jnp.take(flat, jnp.asarray(idx), axis=-2)
+            w = W_F3[n_oc, i]
+            wc = jnp.asarray([w.real, w.imag], dtype=jnp.float32)
+            z = cplx.mul_conj(y, jnp.broadcast_to(wc, y.shape))  # undo OCC
+            zz = cplx.mul_conj(z, h)  # equalize
+            acc = zz if acc is None else acc + zz
+        slots.append(acc / len(F3_DATA_SYMS))
+    d = jnp.concatenate(slots, axis=1)  # (B, 24, 2)
+    llr = modem.demod_soft(
+        d / (jnp.sqrt(cplx.abs2(d))[..., None] + 1e-9), modem.QPSK)  # (B, 48)
+    # fold the circular repetition back onto the 32 coded positions
+    llr32 = llr.at[:, :16].add(llr[:, 32:]) if hasattr(llr, "at") else llr
+    llr32 = llr32[:, :32]
+    bits, metric = uci.decode_rm(llr32, n_bits, "rm32")
+    return bits, metric

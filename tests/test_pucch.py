@@ -83,3 +83,50 @@ def test_pucch_f2_cqi():
     rg = _through(g, jax.random.PRNGKey(3), 10.0)
     out, metric = pucch.decode_f2(rg, CELL, 4, n_pucch2=3, n_bits=6)
     np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_pucch_f2a_f2b_cqi_plus_ack():
+    rng = np.random.default_rng(4)
+    B = 4
+    cqi = rng.integers(0, 2, (B, 6), dtype=np.int8)
+    for n_ack in (1, 2):
+        ack = rng.integers(0, 2, (B, n_ack), dtype=np.int8)
+        g = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+        g = pucch.encode_f2ab(cqi, ack, CELL, 2, n_pucch2=5, grid=g)
+        rg = _through(g, jax.random.PRNGKey(n_ack), 10.0)
+        out_cqi, out_ack, _ = pucch.decode_f2ab(
+            rg, CELL, 2, n_pucch2=5, n_cqi_bits=6, n_ack_bits=n_ack)
+        np.testing.assert_array_equal(np.asarray(out_cqi), cqi)
+        np.testing.assert_array_equal(np.asarray(out_ack), ack)
+
+
+def test_pucch_f3_multibit_ack():
+    rng = np.random.default_rng(5)
+    B = 3
+    for o in (4, 10):
+        ack = rng.integers(0, 2, (B, o), dtype=np.int8)
+        g = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+        g = pucch.encode_f3(ack, CELL, 1, n_pucch3=7, grid=g)
+        rg = _through(g, jax.random.PRNGKey(o), 8.0)
+        out, _ = pucch.decode_f3(rg, CELL, 1, n_pucch3=7, n_bits=o)
+        np.testing.assert_array_equal(np.asarray(out), ack)
+
+
+def test_pucch_f3_occ_orthogonality():
+    """Two UEs on the same PRB with different length-5 OCC indices decode
+    independently."""
+    rng = np.random.default_rng(6)
+    B = 2
+    a0 = rng.integers(0, 2, (B, 5), dtype=np.int8)
+    a1 = rng.integers(0, 2, (B, 5), dtype=np.int8)
+    g = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+    g = pucch.encode_f3(a0, CELL, 6, n_pucch3=0, grid=g)
+    # second UE adds its signal on the same resources, different OCC
+    g2 = cplx.zeros((B, grid_mod.N_SYM, CELL.nre))
+    g2 = pucch.encode_f3(a1, CELL, 6, n_pucch3=1, grid=g2)
+    both = g + g2
+    rg = _through(both, jax.random.PRNGKey(9), 15.0)
+    out0, _ = pucch.decode_f3(rg, CELL, 6, n_pucch3=0, n_bits=5)
+    out1, _ = pucch.decode_f3(rg, CELL, 6, n_pucch3=1, n_bits=5)
+    np.testing.assert_array_equal(np.asarray(out0), a0)
+    np.testing.assert_array_equal(np.asarray(out1), a1)
