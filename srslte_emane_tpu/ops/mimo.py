@@ -164,3 +164,74 @@ def decode_zf2(y: jnp.ndarray, h: jnp.ndarray, noise=None, eps: float = 1e-9):
     # post-equalization SINR-ish CSI per layer: det / g_other
     csi = jnp.stack([det / (g11 + eps), det / (g00 + eps)], axis=-2)
     return x, csi
+
+
+def precode_sfbc_fstd(layers: jnp.ndarray) -> jnp.ndarray:
+    """TM2 tx diversity with 4 ports: SFBC + frequency-switched diversity
+    (36.211 §6.3.4.3 / precoding.c tx_diversity 4-port).
+
+    layers (..., 4, M, 2) -> ports (..., 4, 4M, 2).  Per RE quadruple
+    (k0..k3): ports (0,2) Alamouti-code (x0,x1) on (k0,k1); ports (1,3)
+    code (x2,x3) on (k2,k3)."""
+    x0, x1 = layers[..., 0, :, :], layers[..., 1, :, :]
+    x2, x3 = layers[..., 2, :, :], layers[..., 3, :, :]
+    z = jnp.zeros_like(x0)
+
+    def quad(a, b, c, d):
+        return jnp.stack([a, b, c, d], axis=-2).reshape(a.shape[:-2] + (-1, 2))
+
+    p0 = quad(x0, x1, z, z)
+    p2 = quad(-cplx.conj(x1), cplx.conj(x0), z, z)
+    p1 = quad(z, z, x2, x3)
+    p3 = quad(z, z, -cplx.conj(x3), cplx.conj(x2))
+    return jnp.stack([p0, p1, p2, p3], axis=-3) / SQRT2
+
+
+def decode_sfbc_fstd(y: jnp.ndarray, h: jnp.ndarray, eps: float = 1e-9):
+    """4-port SFBC-FSTD combining for 1 rx antenna.
+
+    y (..., 4M, 2); h (..., 4, 4M, 2).  Returns (x (..., 4, M, 2), csi)."""
+    shape = y.shape[:-2] + (-1, 4, 2)
+    yq = y.reshape(shape)  # (..., M, quad, 2)
+    hq = [h[..., p, :, :].reshape(shape) for p in range(4)]
+
+    def alamouti(y0, y1, ha, hb):
+        den = cplx.abs2(ha) + cplx.abs2(hb) + eps
+        y1c = cplx.conj(y1)
+        a = (cplx.mul_conj(y0, ha) + cplx.mul(hb, y1c)) / den[..., None]
+        b = cplx.conj(cplx.mul(ha, y1c) - cplx.mul_conj(y0, hb)) / den[..., None]
+        return a, b, den
+
+    # (x0,x1) from REs 0,1 via ports 0/2;  (x2,x3) from REs 2,3 via ports 1/3
+    x0, x1, d01 = alamouti(yq[..., 0, :], yq[..., 1, :],
+                           hq[0][..., 0, :], hq[2][..., 0, :])
+    x2, x3, d23 = alamouti(yq[..., 2, :], yq[..., 3, :],
+                           hq[1][..., 2, :], hq[3][..., 2, :])
+    x = jnp.stack([x0, x1, x2, x3], axis=-3) * SQRT2
+    csi = jnp.stack([d01, d01, d23, d23], axis=-2) / 2.0
+    return x, csi
+
+
+def precode_sm1(layers: jnp.ndarray, pmi: int) -> jnp.ndarray:
+    """Rank-1 closed-loop precoding, 2 ports (TM5/TM6): 1 layer through the
+    codebook vector PMI_2TX_1L[pmi] (36.211 Table 6.3.4.2.3-1)."""
+    w = PMI_2TX_1L[pmi]  # (2,) complex
+    x = layers[..., 0, :, :]  # (..., M, 2)
+    outs = []
+    for p in range(2):
+        wr, wi = float(w[p].real), float(w[p].imag)
+        outs.append(jnp.stack([
+            x[..., 0] * wr - x[..., 1] * wi,
+            x[..., 0] * wi + x[..., 1] * wr,
+        ], axis=-1))
+    return jnp.stack(outs, axis=-3)
+
+
+def decode_mrc_eff(y: jnp.ndarray, h_eff: jnp.ndarray, eps: float = 1e-9):
+    """Single-stream MRC over rx antennas with an effective channel.
+
+    y (..., n_rx, M, 2); h_eff (..., n_rx, M, 2).
+    Returns (x (..., M, 2), csi (..., M))."""
+    num = jnp.sum(cplx.mul_conj(y, h_eff), axis=-3)
+    den = jnp.sum(cplx.abs2(h_eff), axis=-2) + eps
+    return num / den[..., None], den

@@ -150,3 +150,52 @@ def pdsch_re_indices(cell: CellConfig, sf_idx: int, prb_mask: tuple,
 def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple,
            max_sym: int = 0) -> int:
     return len(pdsch_re_indices(cell, sf_idx, prb_mask, max_sym))
+
+
+# ---------------- UE-specific RS, port 5 (TM7 beamforming) ----------------
+
+UERS5_SYMS = (3, 6, 9, 12)  # normal CP (36.211 §6.10.3.2)
+
+
+@functools.lru_cache(maxsize=None)
+def uers5_k(cell_id: int, n_prb: int) -> np.ndarray:
+    """Port-5 UE-RS subcarriers: (4 syms, 3*n_prb) — 3 pilots/PRB/symbol at
+    spacing 4, frequency offset alternating 0/2 plus the cell shift
+    (refsignal_dl.c UE-RS mapping)."""
+    vshift = cell_id % 3
+    out = np.zeros((len(UERS5_SYMS), 3 * n_prb), dtype=np.int32)
+    for i in range(len(UERS5_SYMS)):
+        v = 0 if i % 2 == 0 else 2
+        out[i] = (v + vshift) % 4 + 4 * np.arange(3 * n_prb)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def uers5_values(cell_id: int, sf_idx: int, rnti: int, n_prb: int) -> np.ndarray:
+    """Port-5 UE-RS sequence (4 syms, 3*n_prb): QPSK gold sequence with
+    c_init = (sf+1)(2 cell_id+1) 2^16 + rnti (36.211 §6.10.3.1)."""
+    c_init = ((sf_idx + 1) * (2 * cell_id + 1) << 16) + rnti
+    c = sequence.gold_sequence_host(c_init, 2 * len(UERS5_SYMS) * 3 * MAX_PRB)
+    n = 3 * n_prb
+    out = np.zeros((len(UERS5_SYMS), n), dtype=np.complex64)
+    for i in range(len(UERS5_SYMS)):
+        m = np.arange(n) + i * 3 * MAX_PRB
+        out[i] = ((1 - 2 * c[2 * m]) + 1j * (1 - 2 * c[2 * m + 1])) / np.sqrt(2)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def pdsch_re_indices_tm7(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> np.ndarray:
+    """PDSCH RE indices for TM7: the standard holes plus the port-5 UE-RS."""
+    res = reserved_mask(cell, sf_idx).copy()  # don't pollute the lru cache
+    ks = uers5_k(cell.cell_id, cell.n_prb)
+    for i, sym in enumerate(UERS5_SYMS):
+        res[sym, ks[i]] = True
+    k_allowed = np.zeros(cell.nre, dtype=bool)
+    for prb, on in enumerate(prb_mask):
+        if on:
+            k_allowed[12 * prb : 12 * (prb + 1)] = True
+    idx = []
+    for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), cell.n_sym):
+        idx.append(sym * cell.nre + np.flatnonzero(k_allowed & ~res[sym]))
+    return np.concatenate(idx).astype(np.int32)

@@ -70,7 +70,11 @@ def encode_tm(tb_list, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
         scr = scrambling.scramble_bits(cw, c_init)
         cw_syms.append(modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm]))
     B = cw_syms[0].shape[0]
-    if tm == "tm2":
+    if tm == "tm2" and cell.n_ports == 4:
+        assert n_re % 4 == 0, "4-port SFBC-FSTD needs n_re % 4 == 0"
+        layers = mimo.layer_map(cw_syms, 4)
+        ports = mimo.precode_sfbc_fstd(layers)  # (B, 4, n_re, 2)
+    elif tm == "tm2":
         layers = mimo.layer_map(cw_syms, 2)  # one cw -> 2 layers
         ports = mimo.precode_sfbc(layers)  # (B, 2, n_re, 2)
     elif tm == "tm3":
@@ -79,15 +83,21 @@ def encode_tm(tb_list, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     elif tm == "tm4":
         layers = mimo.layer_map(cw_syms, 2)
         ports = mimo.precode_sm2(layers, pmi)
+    elif tm in ("tm5", "tm6"):
+        # rank-1 closed loop (TM6); TM5 is the same transmission with the
+        # MU-MIMO power offset handled at scheduling level
+        layers = mimo.layer_map(cw_syms, 1)
+        ports = mimo.precode_sm1(layers, pmi)
     else:
         raise ValueError(tm)
+    n_ports = ports.shape[-3]
     assert ports.shape[-2] == n_re, (ports.shape, n_re)
     if grids is None:
-        grids = cplx.zeros((B, 2, cell.n_sym, cell.nre))
-    flat = grids.reshape(B, 2, cell.n_sym * cell.nre, 2)
+        grids = cplx.zeros((B, n_ports, cell.n_sym, cell.nre))
+    flat = grids.reshape(B, n_ports, cell.n_sym * cell.nre, 2)
     flat = flat.at[:, :, jnp.asarray(re_idx), :].set(ports)
-    grids = flat.reshape(B, 2, cell.n_sym, cell.nre, 2)
-    for p in range(2):
+    grids = flat.reshape(B, n_ports, cell.n_sym, cell.nre, 2)
+    for p in range(n_ports):
         grids = grids.at[:, p].set(put_crs(grids[:, p], cell, sf_idx, port=p))
     return grids
 
@@ -116,7 +126,8 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     Returns (payload list, ok list, softbuf list)."""
     re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask)
     B, n_rx = rx_grids.shape[:2]
-    ce, noise = estimate_mimo(rx_grids, cell, sf_idx, 2)
+    n_tx = 4 if (tm == "tm2" and cell.n_ports == 4) else 2
+    ce, noise = estimate_mimo(rx_grids, cell, sf_idx, n_tx)
     take = lambda a: jnp.take(
         a.reshape(a.shape[:-3] + (cell.n_sym * cell.nre, 2)),
         jnp.asarray(re_idx), axis=-2,
@@ -126,9 +137,10 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     n_cw = len(cfg_list)
     if tm == "tm2":
         # SFBC: combine across rx antennas by summing per-antenna combiners
+        dec = mimo.decode_sfbc_fstd if n_tx == 4 else mimo.decode_sfbc
         xs, csis = [], []
         for r in range(n_rx):
-            x_r, csi_r = mimo.decode_sfbc(y[:, r], h[:, r])
+            x_r, csi_r = dec(y[:, r], h[:, r])
             xs.append(x_r * csi_r[..., None])
             csis.append(csi_r)
         csi_sum = sum(csis)
@@ -136,6 +148,19 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
         layers, csi = x, csi_sum
         streams = mimo.layer_demap(layers, 1)
         csi_streams = [csi.swapaxes(-1, -2).reshape(B, -1)]
+    elif tm in ("tm5", "tm6"):
+        # rank-1 closed loop: fold the codebook vector into the channel
+        w = mimo.PMI_2TX_1L[pmi]
+        h_eff = None
+        for p in range(2):
+            wr, wi = float(w[p].real), float(w[p].imag)
+            hp = h[..., p, :, :]  # (B, rx, m, 2)
+            term = jnp.stack([hp[..., 0] * wr - hp[..., 1] * wi,
+                              hp[..., 0] * wi + hp[..., 1] * wr], axis=-1)
+            h_eff = term if h_eff is None else h_eff + term
+        x, csi = mimo.decode_mrc_eff(y, h_eff)
+        streams = [x]
+        csi_streams = [csi]
     elif tm in ("tm3", "tm4"):
         m = len(re_idx)
         if tm == "tm3":
@@ -207,3 +232,85 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     payload, ok, softbuf, n_it = sch.decode_tb(llr, cfg, softbuf, max_iter,
                                                use_pallas=use_pallas)
     return payload, ok, softbuf, ch
+
+
+# ---------------- TM7: single-layer beamforming on port 5 ----------------
+
+def encode_tm7(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig,
+               sf_idx: int, rnti: int, prb_mask: tuple, beam):
+    """TM7: one layer beamformed over the physical antennas with UE-specific
+    RS on port 5 (pdsch.c TM7 / refsignal_dl.c UE-RS; 36.211 §6.10.3).
+
+    beam: (n_tx, 2) cf beamforming vector (transparent to the UE).
+    Returns per-antenna grids (B, n_tx, n_sym, NRE, 2) with CRS per cell port
+    and the UE-RS + PDSCH beamformed."""
+    re_idx = grid_mod.pdsch_re_indices_tm7(cell, sf_idx, prb_mask)
+    assert cfg.G == len(re_idx) * cfg.Qm, (cfg.G, len(re_idx), cfg.Qm)
+    cw = sch.encode_tb(tb_bits, cfg)
+    c_init = scrambling.pdsch_cinit(rnti, 0, sf_idx, cell.cell_id)
+    scr = scrambling.scramble_bits(cw, c_init)
+    x = modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm])  # (B, n_re, 2)
+    B = x.shape[0]
+    n_tx = beam.shape[0]
+    # UE-RS values and positions (within allocated PRBs only)
+    ks = grid_mod.uers5_k(cell.cell_id, cell.n_prb)
+    vals = grid_mod.uers5_values(cell.cell_id, sf_idx, rnti, cell.n_prb)
+    alloc = np.zeros(cell.nre, dtype=bool)
+    for prb, on in enumerate(prb_mask):
+        if on:
+            alloc[12 * prb : 12 * (prb + 1)] = True
+    uers_idx, uers_vals = [], []
+    for i, sym in enumerate(grid_mod.UERS5_SYMS):
+        sel = alloc[ks[i]]
+        uers_idx.append(sym * cell.nre + ks[i][sel])
+        uers_vals.append(vals[i][sel])
+    uers_idx = np.concatenate(uers_idx).astype(np.int32)
+    uers_vals = cplx.from_numpy(np.concatenate(uers_vals))
+
+    grids = cplx.zeros((B, n_tx, cell.n_sym, cell.nre))
+    flat = grids.reshape(B, n_tx, cell.n_sym * cell.nre, 2)
+    for a in range(n_tx):
+        b_a = beam[a]  # (2,)
+        bx = cplx.mul(x, jnp.broadcast_to(b_a, x.shape))
+        br = cplx.mul(jnp.asarray(uers_vals),
+                      jnp.broadcast_to(b_a, uers_vals.shape))
+        flat = flat.at[:, a, jnp.asarray(re_idx), :].set(bx)
+        flat = flat.at[:, a, jnp.asarray(uers_idx), :].set(
+            jnp.broadcast_to(br, (B,) + br.shape))
+    grids = flat.reshape(B, n_tx, cell.n_sym, cell.nre, 2)
+    for p in range(min(cell.n_ports, n_tx)):
+        grids = grids.at[:, p].set(put_crs(grids[:, p], cell, sf_idx, port=p))
+    return grids
+
+
+def decode_tm7(rx_grids, cfg: sch.SchConfig, cell: grid_mod.CellConfig,
+               sf_idx: int, rnti: int, prb_mask: tuple,
+               softbuf=None, max_iter: int = 8):
+    """TM7 decode: effective (beamformed) channel estimated directly from the
+    port-5 UE-RS — the beam is transparent; MRC over rx antennas."""
+    B, n_rx = rx_grids.shape[:2]
+    re_idx = grid_mod.pdsch_re_indices_tm7(cell, sf_idx, prb_mask)
+    ks = grid_mod.uers5_k(cell.cell_id, cell.n_prb)
+    vals = grid_mod.uers5_values(cell.cell_id, sf_idx, rnti, cell.n_prb)
+    flat = rx_grids.reshape(B, n_rx, cell.n_sym * cell.nre, 2)
+    # LS at UE-RS, then freq+time interpolation to the full grid
+    h_f = []
+    for i, sym in enumerate(grid_mod.UERS5_SYMS):
+        idx = (sym * cell.nre + ks[i]).astype(np.int32)
+        y = jnp.take(flat, jnp.asarray(idx), axis=-2)  # (B, rx, P, 2)
+        r = cplx.from_numpy(vals[i])
+        h_ls = cplx.mul_conj(y, jnp.asarray(r))
+        fm = chest.interp_matrix(tuple(ks[i].tolist()), cell.nre)
+        h_f.append(jnp.einsum("kp,...pc->...kc", jnp.asarray(fm), h_ls))
+    h_f = jnp.stack(h_f, axis=-3)  # (B, rx, 4, NRE, 2)
+    tm = chest._time_interp_matrix(grid_mod.UERS5_SYMS, cell.n_sym)
+    ce = jnp.einsum("ls,...skc->...lkc", jnp.asarray(tm), h_f)
+    ce_flat = ce.reshape(B, n_rx, cell.n_sym * cell.nre, 2)
+    y = jnp.take(flat, jnp.asarray(re_idx), axis=-2)
+    h = jnp.take(ce_flat, jnp.asarray(re_idx), axis=-2)
+    x, csi = mimo.decode_mrc_eff(y, h)
+    llr = modem.demod_soft(x, modem.MOD_FROM_QM[cfg.Qm])
+    llr = llr * jnp.repeat(csi, cfg.Qm, axis=-1)
+    c_init = scrambling.pdsch_cinit(rnti, 0, sf_idx, cell.cell_id)
+    llr = scrambling.scramble_llrs(llr, c_init)
+    return sch.decode_tb(llr, cfg, softbuf, max_iter)

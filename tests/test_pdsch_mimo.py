@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from srslte_emane_tpu.ops import channel, cplx, ofdm
+from srslte_emane_tpu.ops import mimo
 from srslte_emane_tpu.phch import grid as grid_mod, pdsch, sch
 
 
@@ -53,3 +54,82 @@ def test_tm4_sm_pmi(pmi):
     for q in range(2):
         assert np.asarray(oks[q]).all(), f"cw{q}"
         np.testing.assert_array_equal(np.asarray(outs[q]), tbs[q])
+
+
+def test_tm2_four_port_sfbc_fstd():
+    """4-port tx diversity (SFBC-FSTD): single codeword over 4 CRS ports."""
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=11, n_ports=4, cfi=1)
+    prb_mask = (1,) * 15
+    n_re = grid_mod.nof_re(cell, 1, prb_mask)
+    n_re -= n_re % 4
+    qm = 2
+    # trim the allocation so G matches a multiple of 4 REs
+    cfg = sch.SchConfig(tbs=(n_re * qm // 3 - 24) // 8 * 8, G=n_re * qm,
+                        Qm=qm, Nl=1)
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, (2, cfg.tbs), dtype=np.int8)
+    import pytest
+
+    n_re_full = grid_mod.nof_re(cell, 1, prb_mask)
+    if n_re_full % 4 != 0:
+        pytest.skip("allocation not quad-aligned for FSTD at this n_prb")
+    grids = pdsch.encode_tm([tb], [cfg], cell, 1, 0x46, prb_mask, "tm2")
+    assert grids.shape[1] == 4
+    tx = ofdm.modulate(grids, cell.n_prb)  # (B, 4, T, 2)
+    # 4x2 channel
+    h = (rng.normal(size=(2, 2, 4)) + 1j * rng.normal(size=(2, 2, 4))).astype(np.complex64)
+    rx = channel.mimo_flat(jax.random.PRNGKey(1), tx, cplx.from_numpy(h), 25.0)
+    rg = ofdm.demodulate(rx, cell.n_prb)
+    outs, oks, _ = pdsch.decode_tm(rg, [cfg], cell, 1, 0x46, prb_mask, "tm2")
+    assert np.asarray(oks[0]).all()
+    assert (np.asarray(outs[0]) == tb).all()
+
+
+def test_tm6_rank1_closed_loop():
+    """TM6: single layer through a codebook vector, MRC at the UE."""
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=5, n_ports=2, cfi=1)
+    prb_mask = (1,) * 15
+    n_re = grid_mod.nof_re(cell, 2, prb_mask)
+    qm = 4
+    cfg = sch.SchConfig(tbs=(n_re * qm // 2 - 24) // 8 * 8, G=n_re * qm,
+                        Qm=qm, Nl=1)
+    rng = np.random.default_rng(3)
+    tb = rng.integers(0, 2, (2, cfg.tbs), dtype=np.int8)
+    for pmi in range(len(mimo.PMI_2TX_1L)):
+        grids = pdsch.encode_tm([tb], [cfg], cell, 2, 0x46, prb_mask, "tm6",
+                                pmi=pmi)
+        assert grids.shape[1] == 2
+        tx = ofdm.modulate(grids, cell.n_prb)
+        h = (rng.normal(size=(2, 2, 2)) + 1j * rng.normal(size=(2, 2, 2))).astype(np.complex64)
+        rx = channel.mimo_flat(jax.random.PRNGKey(pmi), tx,
+                               cplx.from_numpy(h), 25.0)
+        rg = ofdm.demodulate(rx, cell.n_prb)
+        outs, oks, _ = pdsch.decode_tm(rg, [cfg], cell, 2, 0x46, prb_mask,
+                                       "tm6", pmi=pmi)
+        assert np.asarray(oks[0]).all(), pmi
+        assert (np.asarray(outs[0]) == tb).all()
+
+
+def test_tm7_port5_beamforming():
+    """TM7: UE-specific RS beamforming — the UE never learns the beam, only
+    the effective channel from port-5 UE-RS."""
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=9, n_ports=2, cfi=1)
+    prb_mask = (1,) * 15
+    sf_idx, rnti = 3, 0x52
+    n_re = len(grid_mod.pdsch_re_indices_tm7(cell, sf_idx, prb_mask))
+    qm = 4
+    cfg = sch.SchConfig(tbs=(n_re * qm // 2 - 24) // 8 * 8, G=n_re * qm,
+                        Qm=qm, Nl=1)
+    rng = np.random.default_rng(7)
+    tb = rng.integers(0, 2, (2, cfg.tbs), dtype=np.int8)
+    # a non-trivial beam over 2 physical antennas
+    beam = cplx.from_numpy(
+        np.array([0.8 + 0.3j, -0.4 + 0.6j], dtype=np.complex64))
+    grids = pdsch.encode_tm7(tb, cfg, cell, sf_idx, rnti, prb_mask, beam)
+    tx = ofdm.modulate(grids, cell.n_prb)
+    h = (rng.normal(size=(2, 2, 2)) + 1j * rng.normal(size=(2, 2, 2))).astype(np.complex64)
+    rx = channel.mimo_flat(jax.random.PRNGKey(5), tx, cplx.from_numpy(h), 25.0)
+    rg = ofdm.demodulate(rx, cell.n_prb)
+    out, ok, _, _ = pdsch.decode_tm7(rg, cfg, cell, sf_idx, rnti, prb_mask)
+    assert np.asarray(ok).all()
+    assert (np.asarray(out) == tb).all()
