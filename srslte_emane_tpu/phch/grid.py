@@ -199,3 +199,49 @@ def pdsch_re_indices_tm7(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> np.n
     for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), cell.n_sym):
         idx.append(sym * cell.nre + np.flatnonzero(k_allowed & ~res[sym]))
     return np.concatenate(idx).astype(np.int32)
+
+
+# ---------------- UE-specific RS, ports 7/8 (TM8 dual-layer) ----------------
+
+UERS78_SYMS = (5, 6, 12, 13)  # normal CP DMRS symbols (36.211 §6.10.3.2)
+# length-2 OCC across each adjacent symbol pair (Table 6.10.3.2-1)
+UERS78_OCC = {7: (1.0, 1.0), 8: (1.0, -1.0)}
+
+
+@functools.lru_cache(maxsize=None)
+def uers78_k(cell_id: int, n_prb: int) -> np.ndarray:
+    """Ports-7/8 DMRS subcarriers (shared between the two ports, separated
+    by OCC): (3*n_prb,) — 3 pilots/PRB at spacing 4 with the cell shift."""
+    vshift = cell_id % 3
+    return (vshift % 4 + 4 * np.arange(3 * n_prb)).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def uers78_values(cell_id: int, sf_idx: int, n_scid: int, n_prb: int) -> np.ndarray:
+    """DMRS base sequence per symbol (4 syms, 3*n_prb): gold QPSK with
+    c_init = (sf+1)(2 cell_id+1) 2^16 + n_scid (36.211 §6.10.3.1 Rel-9)."""
+    c_init = ((sf_idx + 1) * (2 * cell_id + 1) << 16) + n_scid
+    c = sequence.gold_sequence_host(c_init, 2 * len(UERS78_SYMS) * 3 * MAX_PRB)
+    n = 3 * n_prb
+    out = np.zeros((len(UERS78_SYMS), n), dtype=np.complex64)
+    for i in range(len(UERS78_SYMS)):
+        m = np.arange(n) + i * 3 * MAX_PRB
+        out[i] = ((1 - 2 * c[2 * m]) + 1j * (1 - 2 * c[2 * m + 1])) / np.sqrt(2)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def pdsch_re_indices_tm8(cell: CellConfig, sf_idx: int, prb_mask: tuple) -> np.ndarray:
+    """PDSCH RE indices for TM8: standard holes plus the ports-7/8 DMRS."""
+    res = reserved_mask(cell, sf_idx).copy()
+    ks = uers78_k(cell.cell_id, cell.n_prb)
+    for sym in UERS78_SYMS:
+        res[sym, ks] = True
+    k_allowed = np.zeros(cell.nre, dtype=bool)
+    for prb, on in enumerate(prb_mask):
+        if on:
+            k_allowed[12 * prb : 12 * (prb + 1)] = True
+    idx = []
+    for sym in range(n_ctrl_symbols(cell.cfi, cell.n_prb), cell.n_sym):
+        idx.append(sym * cell.nre + np.flatnonzero(k_allowed & ~res[sym]))
+    return np.concatenate(idx).astype(np.int32)

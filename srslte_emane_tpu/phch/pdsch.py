@@ -314,3 +314,126 @@ def decode_tm7(rx_grids, cfg: sch.SchConfig, cell: grid_mod.CellConfig,
     c_init = scrambling.pdsch_cinit(rnti, 0, sf_idx, cell.cell_id)
     llr = scrambling.scramble_llrs(llr, c_init)
     return sch.decode_tb(llr, cfg, softbuf, max_iter)
+
+
+# ---------------- TM8: dual-layer beamforming on ports 7/8 ----------------
+
+def encode_tm8(tb_list, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
+               rnti: int, prb_mask: tuple, beams):
+    """TM8 (Rel-9): up to 2 layers, each beamformed over the physical
+    antennas, DMRS on ports 7/8 sharing REs separated by a length-2 OCC
+    over adjacent symbol pairs (36.211 §6.10.3; pdsch.c TM8).
+
+    beams: (n_layers, n_tx, 2) cf.  Returns (B, n_tx, n_sym, NRE, 2)."""
+    n_layers = beams.shape[0]
+    n_tx = beams.shape[1]
+    assert len(tb_list) == len(cfg_list) <= 2
+    re_idx = grid_mod.pdsch_re_indices_tm8(cell, sf_idx, prb_mask)
+    cw_syms = []
+    for q, (tb, cfg) in enumerate(zip(tb_list, cfg_list)):
+        cw = sch.encode_tb(tb, cfg)
+        c_init = scrambling.pdsch_cinit(rnti, q, sf_idx, cell.cell_id)
+        scr = scrambling.scramble_bits(cw, c_init)
+        cw_syms.append(modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm]))
+    layers = mimo.layer_map(cw_syms, n_layers)  # (B, L, n_re, 2)
+    B = layers.shape[0]
+    assert layers.shape[-2] == len(re_idx), (layers.shape, len(re_idx))
+
+    # DMRS (within allocated PRBs)
+    ks = grid_mod.uers78_k(cell.cell_id, cell.n_prb)
+    vals = grid_mod.uers78_values(cell.cell_id, sf_idx, 0, cell.n_prb)
+    alloc = np.zeros(cell.nre, dtype=bool)
+    for prb, on in enumerate(prb_mask):
+        if on:
+            alloc[12 * prb : 12 * (prb + 1)] = True
+    sel = alloc[ks]
+    grids = cplx.zeros((B, n_tx, cell.n_sym, cell.nre))
+    flat = grids.reshape(B, n_tx, cell.n_sym * cell.nre, 2)
+    for a in range(n_tx):
+        # PDSCH: sum of beamformed layers
+        acc = None
+        for l in range(n_layers):
+            b_al = beams[l, a]
+            term = cplx.mul(layers[:, l], jnp.broadcast_to(b_al, layers[:, l].shape))
+            acc = term if acc is None else acc + term
+        flat = flat.at[:, a, jnp.asarray(re_idx), :].set(acc / np.sqrt(n_layers))
+        # DMRS: per port OCC over each adjacent symbol pair
+        for l in range(n_layers):
+            port = 7 + l
+            occ = grid_mod.UERS78_OCC[port]
+            b_al = beams[l, a]
+            for i, sym in enumerate(grid_mod.UERS78_SYMS):
+                w = occ[i % 2]
+                r = cplx.from_numpy(vals[i][sel] * w)
+                br = cplx.mul(jnp.asarray(r), jnp.broadcast_to(b_al, r.shape))
+                idx = (sym * cell.nre + ks[sel]).astype(np.int32)
+                cur = flat[:, a, jnp.asarray(idx), :]
+                flat = flat.at[:, a, jnp.asarray(idx), :].set(
+                    cur + jnp.broadcast_to(br, cur.shape))
+    grids = flat.reshape(B, n_tx, cell.n_sym, cell.nre, 2)
+    for p in range(min(cell.n_ports, n_tx)):
+        grids = grids.at[:, p].set(put_crs(grids[:, p], cell, sf_idx, port=p))
+    return grids
+
+
+def decode_tm8(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
+               rnti: int, prb_mask: tuple, softbufs=None, max_iter: int = 8):
+    """TM8 decode: OCC despreading separates the per-layer effective
+    channels from the shared DMRS REs; 2x2 ZF across layers."""
+    B, n_rx = rx_grids.shape[:2]
+    n_layers = 2
+    re_idx = grid_mod.pdsch_re_indices_tm8(cell, sf_idx, prb_mask)
+    ks = grid_mod.uers78_k(cell.cell_id, cell.n_prb)
+    vals = grid_mod.uers78_values(cell.cell_id, sf_idx, 0, cell.n_prb)
+    alloc = np.zeros(cell.nre, dtype=bool)
+    for prb, on in enumerate(prb_mask):
+        if on:
+            alloc[12 * prb : 12 * (prb + 1)] = True
+    sel = alloc[ks]
+    flat = rx_grids.reshape(B, n_rx, cell.n_sym * cell.nre, 2)
+    kp = tuple(ks[sel].tolist())
+    fm = jnp.asarray(chest.interp_matrix(kp, cell.nre))
+    # LS per DMRS symbol
+    h_ls = []
+    for i, sym in enumerate(grid_mod.UERS78_SYMS):
+        idx = (sym * cell.nre + ks[sel]).astype(np.int32)
+        y = jnp.take(flat, jnp.asarray(idx), axis=-2)
+        r = cplx.from_numpy(vals[i][sel])
+        h_ls.append(cplx.mul_conj(y, jnp.asarray(r)))
+    ces = []
+    for l in range(n_layers):
+        occ = grid_mod.UERS78_OCC[7 + l]
+        # despread each symbol pair -> one estimate per pair
+        pair_h = [(h_ls[0] * occ[0] + h_ls[1] * occ[1]) / 2.0,
+                  (h_ls[2] * occ[0] + h_ls[3] * occ[1]) / 2.0]
+        pair_syms = (grid_mod.UERS78_SYMS[0], grid_mod.UERS78_SYMS[2])
+        h_f = jnp.stack([
+            jnp.einsum("kp,...pc->...kc", fm, ph) for ph in pair_h], axis=-3)
+        tmm = jnp.asarray(chest._time_interp_matrix(pair_syms, cell.n_sym))
+        ces.append(jnp.einsum("ls,...skc->...lkc", tmm, h_f))
+    ce = jnp.stack(ces, axis=2)  # (B, rx, L, n_sym, NRE, 2)
+    ce_flat = ce.reshape(B, n_rx, n_layers, cell.n_sym * cell.nre, 2)
+    y = jnp.take(flat, jnp.asarray(re_idx), axis=-2)
+    # data REs carry sum(b_l x_l)/sqrt(L) while DMRS carries b_l unscaled:
+    # scale the estimated channel down to match the data REs
+    h = jnp.take(ce_flat, jnp.asarray(re_idx), axis=-2) / np.sqrt(n_layers)
+    x, csi = mimo.decode_zf2(y, h)
+    n_cw = len(cfg_list)
+    streams = mimo.layer_demap(x, n_cw)
+    if n_cw == 2:
+        csi_streams = [csi[..., 0, :], csi[..., 1, :]]
+    else:
+        csi_streams = [csi.swapaxes(-1, -2).reshape(B, -1)]
+    outs, oks, sbs = [], [], []
+    if softbufs is None:
+        softbufs = [None] * n_cw
+    for q, cfg in enumerate(cfg_list):
+        llr = modem.demod_soft(streams[q], modem.MOD_FROM_QM[cfg.Qm])
+        llr = llr * jnp.repeat(csi_streams[q], cfg.Qm, axis=-1)
+        c_init = scrambling.pdsch_cinit(rnti, q, sf_idx, cell.cell_id)
+        llr = scrambling.scramble_llrs(llr, c_init)
+        payload, ok, sb, _ = sch.decode_tb(llr, cfg, softbufs[q], max_iter)
+        outs.append(payload)
+        oks.append(ok)
+        sbs.append(sb)
+    return outs, oks, sbs

@@ -133,3 +133,33 @@ def test_tm7_port5_beamforming():
     out, ok, _, _ = pdsch.decode_tm7(rg, cfg, cell, sf_idx, rnti, prb_mask)
     assert np.asarray(ok).all()
     assert (np.asarray(out) == tb).all()
+
+
+def test_tm8_dual_layer_beamforming():
+    """TM8: two beamformed layers, DMRS ports 7/8 OCC-separated."""
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=4, n_ports=2, cfi=1)
+    prb_mask = (1,) * 15
+    sf_idx, rnti = 2, 0x47
+    n_re = len(grid_mod.pdsch_re_indices_tm8(cell, sf_idx, prb_mask))
+    qm = 4
+    cfgs, tbs_list = [], []
+    rng = np.random.default_rng(8)
+    for q in range(2):
+        cfg = sch.SchConfig(tbs=(n_re * qm * 2 // 5 - 24) // 8 * 8,
+                            G=n_re * qm, Qm=qm, Nl=1)
+        cfgs.append(cfg)
+        tbs_list.append(rng.integers(0, 2, (2, cfg.tbs), dtype=np.int8))
+    # two orthogonal-ish beams over 2 antennas
+    beams = cplx.from_numpy(np.array(
+        [[1.0 + 0j, 0.5 + 0.5j], [0.5 - 0.5j, -1.0 + 0j]],
+        dtype=np.complex64) / np.sqrt(1.5))
+    grids = pdsch.encode_tm8(tbs_list, cfgs, cell, sf_idx, rnti, prb_mask, beams)
+    tx = ofdm.modulate(grids, cell.n_prb)
+    h = (rng.normal(size=(2, 2, 2)) + 1j * rng.normal(size=(2, 2, 2))).astype(np.complex64)
+    h = h + 2.5 * np.eye(2)[None]
+    rx = channel.mimo_flat(jax.random.PRNGKey(8), tx, cplx.from_numpy(h), 28.0)
+    rg = ofdm.demodulate(rx, cell.n_prb)
+    outs, oks, _ = pdsch.decode_tm8(rg, cfgs, cell, sf_idx, rnti, prb_mask)
+    for q in range(2):
+        assert np.asarray(oks[q]).all(), f"cw{q}"
+        assert (np.asarray(outs[q]) == tbs_list[q]).all()
