@@ -1,9 +1,10 @@
-"""Compact tagged serialization for control-plane messages.
+"""Control-plane wire codec: UPER bit-level encoding with a JSON fallback.
 
 The reference carries RRC/NAS/S1AP as ASN.1 UPER/APER (lib/src/asn1, 170k+
-generated LoC).  This framework uses explicit dataclass schemas with a
-deterministic byte codec; a 36.331-subset PER codec is a later-round item
-(the message *content* and procedure flows are the capability being matched).
+generated LoC).  Messages with a declared PER schema (stack/per.py — the
+asn1_utils.cc-equivalent bit runtime) go on the wire as unaligned-PER frames
+prefixed 0xA5; everything else uses the deterministic JSON tagging (which can
+never start with 0xA5, so the two coexist on one wire).
 """
 
 from __future__ import annotations
@@ -11,6 +12,9 @@ from __future__ import annotations
 import dataclasses
 import json
 
+from . import per
+
+PER_MAGIC = 0xA5
 
 _REGISTRY: dict = {}
 
@@ -50,8 +54,12 @@ def _from_jsonable(v):
 
 
 def encode(msg) -> bytes:
+    if per.has_schema(msg):
+        return bytes([PER_MAGIC]) + per.encode(msg)
     return json.dumps(_to_jsonable(msg), separators=(",", ":")).encode()
 
 
 def decode(data: bytes):
+    if data[:1] == bytes([PER_MAGIC]):
+        return per.decode(data[1:])
     return _from_jsonable(json.loads(data.decode()))

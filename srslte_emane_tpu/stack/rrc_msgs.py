@@ -9,10 +9,13 @@ from __future__ import annotations
 
 import dataclasses
 
-from . import codec
+from . import codec, per
 
 
 @codec.register
+@per.schema(("ue_identity", "int"),
+            ("cause", "enum", ("emergency", "highPriorityAccess",
+                               "mt-Access", "mo-Signalling", "mo-Data")))
 @dataclasses.dataclass
 class RrcConnectionRequest:
     ue_identity: int  # s-TMSI or random
@@ -20,12 +23,14 @@ class RrcConnectionRequest:
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class RrcConnectionSetup:
     srb1_config: dict = dataclasses.field(default_factory=dict)
 
 
 @codec.register
+@per.schema(("selected_plmn", "cint", 1, 6), ("nas_pdu", "bytes", "?"))
 @dataclasses.dataclass
 class RrcConnectionSetupComplete:
     selected_plmn: int = 1
@@ -33,18 +38,21 @@ class RrcConnectionSetupComplete:
 
 
 @codec.register
+@per.schema(("nas_pdu", "bytes"))
 @dataclasses.dataclass
 class DlInformationTransfer:
     nas_pdu: bytes = b""
 
 
 @codec.register
+@per.schema(("nas_pdu", "bytes"))
 @dataclasses.dataclass
 class UlInformationTransfer:
     nas_pdu: bytes = b""
 
 
 @codec.register
+@per.schema(("ciph_algo", "cint", 0, 7), ("int_algo", "cint", 0, 7))
 @dataclasses.dataclass
 class SecurityModeCommand:
     ciph_algo: int = 0
@@ -52,18 +60,21 @@ class SecurityModeCommand:
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class SecurityModeComplete:
     pass
 
 
 @codec.register
+@per.schema(("rat_types", "seqof", ("str",)))
 @dataclasses.dataclass
 class UECapabilityEnquiry:
     rat_types: tuple = ("eutra",)
 
 
 @codec.register
+@per.schema(("category", "cint", 1, 12), ("supports_64qam_ul", "bool"))
 @dataclasses.dataclass
 class UECapabilityInformation:
     category: int = 4
@@ -71,6 +82,9 @@ class UECapabilityInformation:
 
 
 @codec.register
+@per.schema(("drb_id", "cint", 1, 32), ("lcid", "cint", 3, 10),
+            ("eps_bearer_id", "cint", 0, 15),
+            ("rlc_mode", "enum", ("am", "um")))
 @dataclasses.dataclass
 class DrbToAdd:
     drb_id: int
@@ -80,6 +94,9 @@ class DrbToAdd:
 
 
 @codec.register
+@per.schema(("target_pci", "cint", 0, 503), ("new_rnti", "cint", 0, 65535),
+            ("dedicated_preamble", "cint", 0, 63),
+            ("key_change", "enum", ("s1", "x2")))
 @dataclasses.dataclass
 class MobilityControlInfo:
     """Handover command content (36.331 mobilityControlInfo).
@@ -93,6 +110,8 @@ class MobilityControlInfo:
 
 
 @codec.register
+@per.schema(("drbs_to_add", "seqof", ("msg",), "?"),
+            ("nas_pdu", "bytes", "?"), ("mobility", "msg", "?"))
 @dataclasses.dataclass
 class RrcConnectionReconfiguration:
     drbs_to_add: list = dataclasses.field(default_factory=list)
@@ -102,18 +121,22 @@ class RrcConnectionReconfiguration:
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class RrcConnectionReconfigurationComplete:
     pass
 
 
 @codec.register
+@per.schema(("cause", "enum", ("loadBalancingTAUrequired", "other",
+                               "cs-FallbackHighPriority", "user-inactivity")))
 @dataclasses.dataclass
 class RrcConnectionRelease:
     cause: str = "other"
 
 
 @codec.register
+@per.schema(("rsrp_dbm", "float"), ("rsrq_db", "float"), ("neigh", "pairs"))
 @dataclasses.dataclass
 class MeasurementReport:
     rsrp_dbm: float = -100.0
@@ -122,12 +145,16 @@ class MeasurementReport:
 
 
 @codec.register
+@per.schema(("ue_identity", "int"))
 @dataclasses.dataclass
 class Paging:
     ue_identity: int = 0
 
 
 @codec.register
+@per.schema(("c_rnti", "cint", 0, 65535),
+            ("cause", "enum", ("reconfigurationFailure", "handoverFailure",
+                               "otherFailure")))
 @dataclasses.dataclass
 class RrcConnectionReestablishmentRequest:
     c_rnti: int = 0
