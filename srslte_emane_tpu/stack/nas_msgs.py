@@ -8,10 +8,12 @@ from __future__ import annotations
 
 import dataclasses
 
-from . import codec
+from . import codec, per
 
 
 @codec.register
+@per.schema(("imsi", "str"), ("pdn_type", "enum", ("ipv4", "ipv6", "ipv4v6")),
+            ("esm_pdn_connectivity", "bool"))
 @dataclasses.dataclass
 class AttachRequest:
     imsi: str
@@ -20,6 +22,7 @@ class AttachRequest:
 
 
 @codec.register
+@per.schema(("rand", "bytes"), ("autn", "bytes"))
 @dataclasses.dataclass
 class AuthenticationRequest:
     rand: bytes
@@ -27,18 +30,21 @@ class AuthenticationRequest:
 
 
 @codec.register
+@per.schema(("res", "bytes"))
 @dataclasses.dataclass
 class AuthenticationResponse:
     res: bytes
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class AuthenticationReject:
     pass
 
 
 @codec.register
+@per.schema(("eea", "cint", 0, 7), ("eia", "cint", 0, 7))
 @dataclasses.dataclass
 class NasSecurityModeCommand:
     eea: int = 0
@@ -46,12 +52,15 @@ class NasSecurityModeCommand:
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class NasSecurityModeComplete:
     pass
 
 
 @codec.register
+@per.schema(("ip_addr", "str"), ("guti", "int"),
+            ("eps_bearer_id", "cint", 0, 15))
 @dataclasses.dataclass
 class AttachAccept:
     ip_addr: str = "172.16.0.2"
@@ -61,24 +70,28 @@ class AttachAccept:
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class AttachComplete:
     pass
 
 
 @codec.register
+@per.schema(("switch_off", "bool"))
 @dataclasses.dataclass
 class DetachRequest:
     switch_off: bool = True
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class ServiceRequest:
     pass
 
 
 @codec.register
+@per.schema()
 @dataclasses.dataclass
 class TrackingAreaUpdateRequest:
     pass

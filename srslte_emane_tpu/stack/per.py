@@ -132,15 +132,26 @@ def get_octets(r: BitReader) -> bytes:
 # empty => absent); all optionals contribute to the leading presence bitmap.
 
 _SCHEMAS: dict = {}  # cls -> field specs
-_MSG_IDS: dict = {}  # cls name -> choice index
-_BY_ID: list = []
+_MSG_IDS: dict = {}  # cls name -> 16-bit choice id
+_BY_ID: dict = {}  # id -> cls
+
+
+def _msg_id(name: str) -> int:
+    """Stable 16-bit message id from the class name — identical in every
+    process regardless of module import order (unlike a registration
+    counter, which would desynchronize the multi-process apps)."""
+    import zlib
+
+    return zlib.crc32(name.encode()) & 0xFFFF
 
 
 def schema(*specs):
     def deco(cls):
+        mid = _msg_id(cls.__name__)
+        assert mid not in _BY_ID, f"PER msg-id collision: {cls.__name__}"
         _SCHEMAS[cls] = specs
-        _MSG_IDS[cls.__name__] = len(_BY_ID)
-        _BY_ID.append(cls)
+        _MSG_IDS[cls.__name__] = mid
+        _BY_ID[mid] = cls
         return cls
     return deco
 
@@ -208,7 +219,7 @@ def _dec_field(r, spec):
 def encode_msg(w: BitWriter, msg):
     cls = type(msg)
     specs = _SCHEMAS[cls]
-    put_cint(w, _MSG_IDS[cls.__name__], 0, max(len(_BY_ID) - 1, 1))
+    w.put_bits(_MSG_IDS[cls.__name__], 16)
     opt = [s for s in specs if s[-1] == "?"]
     for s in opt:
         w.put_bits(0 if _is_absent(getattr(msg, s[0])) else 1, 1)
@@ -220,7 +231,7 @@ def encode_msg(w: BitWriter, msg):
 
 
 def decode_msg(r: BitReader):
-    cls = _BY_ID[get_cint(r, 0, max(len(_BY_ID) - 1, 1))]
+    cls = _BY_ID[r.get_bits(16)]
     specs = _SCHEMAS[cls]
     present = {}
     for s in specs:

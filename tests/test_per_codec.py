@@ -81,13 +81,24 @@ def test_per_is_much_smaller_than_json():
 
     jlen = len(json.dumps({"__t": "RrcConnectionRequest",
                            "f": {"ue_identity": 12345, "cause": "mo-Data"}}))
-    assert len(codec.encode(m)) <= 5 < jlen // 5
+    assert len(codec.encode(m)) <= 7 < jlen // 5
 
 
 def test_json_fallback_for_unschema_messages():
-    from srslte_emane_tpu.stack import nas_msgs
+    @codec.register
+    @dataclasses.dataclass
+    class _NoSchemaMsg:
+        x: int = 3
+        s: str = "abc"
 
-    m = nas_msgs.AttachRequest(imsi="001019876543210")
+    m = _NoSchemaMsg()
     data = codec.encode(m)
     assert data[0] != codec.PER_MAGIC
     assert codec.decode(data) == m
+    # NAS rides PER too now
+    from srslte_emane_tpu.stack import nas_msgs
+
+    m2 = nas_msgs.AttachRequest(imsi="001019876543210")
+    d2 = codec.encode(m2)
+    assert d2[0] == codec.PER_MAGIC
+    assert codec.decode(d2) == m2
