@@ -68,3 +68,42 @@ def test_pdcch_blind_search(l_aggr, rnti):
     # wrong RNTI must not produce false positives
     _, ok_bad, _ = pdcch.blind_search(rg, ch.ce, cell, sf_idx, rnti ^ 0x1234, len(bits[0]))
     assert not np.asarray(ok_bad).any()
+
+
+def test_dci_formats_1b_1c_1d_roundtrip():
+    from srslte_emane_tpu.phch import dci
+
+    for n_prb in (25, 50, 100):
+        # 1C
+        bits = dci.pack_dl_1c(8, 8, 17, n_prb)
+        assert len(bits) == dci.format1c_len(n_prb)
+        out = dci.unpack_dl_1c(bits, n_prb)
+        assert out["tbs_idx"] == 17 and out["rb_start"] == 8
+        # 1B / 1D
+        d = dci.DciDl("1B", mcs=12, harq_pid=5, ndi=1, rv=2, tpc=1,
+                      rb_start=4, l_crbs=10)
+        for fmt, extra in (("1B", 1), ("1D", 0)):
+            bits = dci.pack_dl_1bd(d, n_prb, fmt, tpmi=2, extra_bit=extra)
+            assert len(bits) == dci.format1bd_len(n_prb)
+            d2, tpmi, eb = dci.unpack_dl_1bd(bits, n_prb, fmt)
+            assert (d2.mcs, d2.rb_start, d2.l_crbs, tpmi, eb) == (12, 4, 10, 2, extra)
+
+
+def test_dci_formats_2_2a_2b_roundtrip():
+    from srslte_emane_tpu.phch import dci
+
+    for n_prb in (15, 50, 100):
+        d = dci.DciDl2("2", rbg_bitmap=0b1011, tpc=2, harq_pid=6, cw_swap=1,
+                       mcs1=10, ndi1=1, rv1=2, mcs2=20, ndi2=0, rv2=3,
+                       precoding_info=5)
+        for fmt in ("2", "2A", "2B"):
+            d.format = fmt
+            d.n_scid = 1 if fmt == "2B" else 0
+            bits = dci.pack_dl_2(d, n_prb)
+            assert len(bits) == dci.format2_len(n_prb, fmt)
+            out = dci.unpack_dl_2(bits, n_prb, fmt)
+            assert (out.mcs1, out.mcs2, out.rbg_bitmap, out.cw_swap) == (10, 20, 0b1011, 1)
+            if fmt == "2":
+                assert out.precoding_info == 5
+            if fmt == "2B":
+                assert out.n_scid == 1
