@@ -4,7 +4,8 @@ Reference behavior: `lib/src/phy/phch/prach.c` — 839-length ZC roots
 (logical order table 36.211 5.7.2-4, extracted to prach_tables.npz), N_cs
 zero-correlation-zone shifts (Table 5.7.2-2, unrestricted set), freq-domain
 root correlation detection with per-shift window peak search
-(prach.c:235-266).  Restricted sets (high-speed) follow in a later round.
+(prach.c:235-266), and restricted set type A (high-speed) cyclic-shift
+derivation per 36.211 §5.7.2 (d_u, n_shift_RA/d_start/n_group_RA groups).
 
 TPU design: sequence-level (frequency-domain, 839 bins) — the representation
 the eNB detector and the EMANE message mode actually consume.  Detection for
@@ -25,8 +26,36 @@ from ..ops import cplx
 _DATA = np.load(pathlib.Path(__file__).parent / "prach_tables.npz")
 ZC_ROOTS = _DATA["zc_roots"]  # logical order, formats 0-3
 N_ZC = 839
-# 36.211 Table 5.7.2-2 (unrestricted)
+# 36.211 Table 5.7.2-2 (unrestricted and restricted set type A)
 NCS_UNRESTRICTED = [0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279, 419]
+NCS_RESTRICTED = [15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 128, 158, 202, 237]
+
+
+def _d_u(u: int) -> int:
+    """Cyclic-shift distance due to Doppler: d_u = p or N_ZC - p where
+    (p u) mod N_ZC = 1 (36.211 §5.7.2)."""
+    p = pow(u, -1, N_ZC)
+    return p if p < N_ZC // 2 else N_ZC - p
+
+
+def _restricted_shifts(u: int, n_cs: int):
+    """Valid cyclic shifts Cv of root u in restricted set type A."""
+    du = _d_u(u)
+    if n_cs <= du < N_ZC // 3:
+        n_shift = du // n_cs
+        d_start = 2 * du + n_shift * n_cs
+        n_group = N_ZC // d_start
+        n_shift_bar = max(0, (N_ZC - 2 * du - n_group * d_start) // n_cs)
+    elif N_ZC // 3 <= du <= (N_ZC - n_cs) // 2:
+        n_shift = (N_ZC - 2 * du) // n_cs
+        d_start = N_ZC - 2 * du + n_shift * n_cs
+        n_group = du // d_start
+        n_shift_bar = min(max(0, (du - n_group * d_start) // n_cs), n_shift)
+    else:
+        return []
+    total = n_shift * n_group + n_shift_bar
+    return [d_start * (v // n_shift) + (v % n_shift) * n_cs
+            for v in range(total)]
 
 
 @functools.lru_cache(maxsize=None)
@@ -47,63 +76,83 @@ def preamble_params(root_seq_idx: int, zczc: int):
 
 
 @functools.lru_cache(maxsize=None)
-def preamble_freq_table(root_seq_idx: int, zczc: int) -> np.ndarray:
+def shift_list(root_seq_idx: int, zczc: int, hs: bool = False):
+    """The 64 (root u, cyclic shift Cv) preamble assignments + n_cs.
+    hs=True uses restricted set type A (variable shifts per root)."""
+    if not hs:
+        roots, n_cs, n_shifts = preamble_params(root_seq_idx, zczc)
+        out = [(roots[i // n_shifts], (i % n_shifts) * n_cs) for i in range(64)]
+        return out, n_cs
+    n_cs = NCS_RESTRICTED[zczc]
+    out = []
+    i = 0
+    while len(out) < 64:
+        u = int(ZC_ROOTS[(root_seq_idx + i) % 838])
+        for cv in _restricted_shifts(u, n_cs):
+            out.append((u, cv))
+            if len(out) == 64:
+                break
+        i += 1
+    return out, n_cs
+
+
+@functools.lru_cache(maxsize=None)
+def preamble_freq_table(root_seq_idx: int, zczc: int, hs: bool = False) -> np.ndarray:
     """(64, N_ZC) complex64 frequency-domain preambles."""
-    roots, n_cs, n_shifts = preamble_params(root_seq_idx, zczc)
+    pairs, n_cs = shift_list(root_seq_idx, zczc, hs)
     out = np.zeros((64, N_ZC), dtype=np.complex64)
     k = np.arange(N_ZC)
-    for i in range(64):
-        u = roots[i // n_shifts]
-        cv = (i % n_shifts) * n_cs
+    for i, (u, cv) in enumerate(pairs):
         # time shift x((n + Cv) mod Nzc) <-> freq X[k] * e^{+j 2 pi k Cv / Nzc}
         out[i] = _zc_freq(u) * np.exp(1j * 2 * np.pi * k * cv / N_ZC)
     return out
 
 
-def gen(preamble_idx, root_seq_idx: int = 0, zczc: int = 1) -> jnp.ndarray:
+def gen(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
+        hs: bool = False) -> jnp.ndarray:
     """(B,) preamble indices -> (B, N_ZC, 2) frequency-domain preambles."""
-    tbl = preamble_freq_table(root_seq_idx, zczc)
+    tbl = preamble_freq_table(root_seq_idx, zczc, hs)
     tbl_cf = np.stack([tbl.real, tbl.imag], -1).astype(np.float32)
     return jnp.take(jnp.asarray(tbl_cf), jnp.asarray(preamble_idx), axis=0)
 
 
-def detect(rx_freq, root_seq_idx: int = 0, zczc: int = 1, threshold: float = 8.0):
+def detect(rx_freq, root_seq_idx: int = 0, zczc: int = 1, threshold: float = 8.0,
+           hs: bool = False):
     """eNB detection: rx_freq (B, N_ZC, 2) -> per-preamble metrics.
 
     Returns (detected (B, 64) bool, metric (B, 64), t_offset (B, 64) int32
     in ZC samples)."""
-    roots, n_cs, n_shifts = preamble_params(root_seq_idx, zczc)
+    pairs, n_cs = shift_list(root_seq_idx, zczc, hs)
     B = rx_freq.shape[0]
     # correlate with each root: IDFT(X_rx * conj(X_u)) — one matmul per root
     idft_re = np.cos(2 * np.pi * np.outer(np.arange(N_ZC), np.arange(N_ZC)) / N_ZC).astype(np.float32) / N_ZC
     idft_im = np.sin(2 * np.pi * np.outer(np.arange(N_ZC), np.arange(N_ZC)) / N_ZC).astype(np.float32) / N_ZC
     det, metric, toff = [], [], []
-    power = jnp.mean(cplx.abs2(rx_freq), axis=-1, keepdims=True) + 1e-12  # (B,1)
-    for u in roots:
-        xu = _zc_freq(u)
-        xu_cf = jnp.asarray(np.stack([xu.real, xu.imag], -1).astype(np.float32))
-        prod = cplx.mul_conj(rx_freq, xu_cf)  # (B, N_ZC, 2)
-        pr, pi = prod[..., 0], prod[..., 1]
-        cr = pr @ idft_re - pi @ idft_im
-        ci = pr @ idft_im + pi @ idft_re
-        corr = cr * cr + ci * ci  # (B, N_ZC) |corr(t)|^2
-        mean_c = jnp.mean(corr, axis=-1, keepdims=True) + 1e-20
-        for v in range(n_shifts):
-            if len(det) >= 64:
-                break
-            # shift Cv appears at correlation lag (N_ZC - Cv + delay) mod N_ZC;
-            # its zero-correlation window is [N-Cv, N-Cv+Ncs)
-            if n_cs > 0:
-                widx = (N_ZC - v * n_cs + np.arange(n_cs)) % N_ZC
-                win = jnp.take(corr, jnp.asarray(widx.astype(np.int32)), axis=-1)
-            else:
-                win = corr
-            peak = jnp.max(win, axis=-1)
-            pos = jnp.argmax(win, axis=-1)
-            m = peak / mean_c[:, 0]
-            det.append(m > threshold)
-            metric.append(m)
-            toff.append(pos.astype(jnp.int32))
+    corr_by_root = {}
+    for u, cv in pairs:
+        if u not in corr_by_root:
+            xu = _zc_freq(u)
+            xu_cf = jnp.asarray(np.stack([xu.real, xu.imag], -1).astype(np.float32))
+            prod = cplx.mul_conj(rx_freq, xu_cf)  # (B, N_ZC, 2)
+            pr, pi = prod[..., 0], prod[..., 1]
+            cr = pr @ idft_re - pi @ idft_im
+            ci = pr @ idft_im + pi @ idft_re
+            corr = cr * cr + ci * ci  # (B, N_ZC) |corr(t)|^2
+            corr_by_root[u] = (corr, jnp.mean(corr, axis=-1) + 1e-20)
+        corr, mean_c = corr_by_root[u]
+        # shift Cv appears at correlation lag (N_ZC - Cv + delay) mod N_ZC;
+        # its zero-correlation window is [N-Cv, N-Cv+Ncs)
+        if n_cs > 0:
+            widx = (N_ZC - cv + np.arange(n_cs)) % N_ZC
+            win = jnp.take(corr, jnp.asarray(widx.astype(np.int32)), axis=-1)
+        else:
+            win = corr
+        peak = jnp.max(win, axis=-1)
+        pos = jnp.argmax(win, axis=-1)
+        m = peak / mean_c
+        det.append(m > threshold)
+        metric.append(m)
+        toff.append(pos.astype(jnp.int32))
     return (
         jnp.stack(det, axis=1),
         jnp.stack(metric, axis=1),

@@ -43,3 +43,37 @@ def test_detect_noisy_with_delay():
     assert (np.asarray(toff)[np.arange(2), idx] == d).all()
     det[np.arange(2), idx] = False
     assert not det.any()
+
+
+def test_prach_restricted_set_high_speed():
+    """Restricted set type A: shift derivation and detection round trip."""
+    from srslte_emane_tpu.phch import prach
+
+    pairs, n_cs = prach.shift_list(22, 3, hs=True)
+    assert len(pairs) == 64 and n_cs == prach.NCS_RESTRICTED[3]
+    # restricted shifts avoid the +-d_u Doppler images: for every (u, cv)
+    # the windows at cv, cv+du, cv-du (mod Nzc) never collide across
+    # preambles of the same root
+    from collections import defaultdict
+
+    by_root = defaultdict(list)
+    for u, cv in pairs:
+        by_root[u].append(cv)
+    for u, cvs in by_root.items():
+        du = prach._d_u(u)
+        occupied = set()
+        for cv in cvs:
+            for img in (cv, (cv + du) % prach.N_ZC, (cv - du) % prach.N_ZC):
+                window = {(img + k) % prach.N_ZC for k in range(n_cs)}
+                assert not (window & occupied), (u, cv, du)
+            occupied |= {(cv + k) % prach.N_ZC for k in range(n_cs)}
+    # detection round trip
+    idx = np.array([0, 17, 40, 63])
+    tx = prach.gen(idx, root_seq_idx=22, zczc=3, hs=True)
+    import jax
+
+    rx = channel.awgn(jax.random.PRNGKey(0), tx, 10.0)
+    det, metric, _ = prach.detect(rx, root_seq_idx=22, zczc=3, hs=True)
+    det = np.asarray(det)
+    for b, p in enumerate(idx):
+        assert det[b, p], (b, p, np.asarray(metric)[b, p])
