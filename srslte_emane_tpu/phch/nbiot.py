@@ -86,22 +86,26 @@ def put_nrs(grid, n_id_ncell: int, sf_idx: int):
 
 
 def _chest_nrs(rx, n_id_ncell: int, sf_idx: int):
-    """LS at NRS + 2D interpolation over the (14, 12) PRB."""
+    """LS at NRS, averaged over the subframe (the channel is static within
+    1 ms at NB-IoT speeds — chest_dl_nbiot averages likewise), then a single
+    frequency interpolation from all 4 distinct pilot subcarriers."""
     B = rx.shape[0]
     ks = nrs_k(n_id_ncell)
     vals = nrs_values(n_id_ncell, sf_idx)
     flat = rx.reshape(B, N_SYM * NRE, 2)
-    h_f = []
+    by_k = {}
     for i, sym in enumerate(NRS_SYMS):
         idx = (sym * NRE + ks[i]).astype(np.int32)
         y = jnp.take(flat, jnp.asarray(idx), axis=-2)
         r = cplx.from_numpy(vals[i])
-        h_ls = cplx.mul_conj(y, jnp.asarray(r))
-        fm = jnp.asarray(chest.interp_matrix(tuple(ks[i].tolist()), NRE))
-        h_f.append(jnp.einsum("kp,...pc->...kc", fm, h_ls))
-    h_f = jnp.stack(h_f, axis=-3)
-    tm = jnp.asarray(chest._time_interp_matrix(NRS_SYMS, N_SYM))
-    return jnp.einsum("ls,...skc->...lkc", tm, h_f)
+        h_ls = cplx.mul_conj(y, jnp.asarray(r))  # (B, 2, 2)
+        for j, k in enumerate(ks[i].tolist()):
+            by_k.setdefault(k, []).append(h_ls[:, j])
+    pk = sorted(by_k)
+    h_p = jnp.stack([sum(by_k[k]) / len(by_k[k]) for k in pk], axis=-2)
+    fm = jnp.asarray(chest.interp_matrix(tuple(pk), NRE))
+    h_k = jnp.einsum("kp,...pc->...kc", fm, h_p)  # (B, NRE, 2)
+    return jnp.broadcast_to(h_k[:, None], (B, N_SYM, NRE, 2))
 
 
 # ---------------- NPBCH (36.211 §10.2.4, 36.212 §5.3.1.1) ----------------
