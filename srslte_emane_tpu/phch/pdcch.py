@@ -117,7 +117,7 @@ def blind_search(rx_grid, ce, cell: grid_mod.CellConfig, sf_idx: int,
     flat_rx = rx_grid.reshape(B, -1, 2)
     flat_ce = ce.reshape(B, -1, 2)
     c_init = scrambling.pdcch_cinit(sf_idx, cell.cell_id)
-    c_all = np.asarray(sequence.gold_sequence(c_init, CCE_BITS * n_cce(cell)))
+    c_all = sequence.gold_sequence_host(c_init, CCE_BITS * n_cce(cell))
     mask = np.array([(rnti >> (15 - i)) & 1 for i in range(16)], dtype=np.int8)
 
     bits_out, ok_out = [], []

@@ -1,0 +1,118 @@
+"""Waveform-mode data plane: DL user data through the real PHY pipeline.
+
+Reference context: srsLTE-emane replaces the waveform PHY with a message
+bus + SINR model (SURVEY §2.3); stock srsLTE runs the full waveform over RF
+or ZMQ IQ transport (rf_zmq_imp.c).  This module is the ZMQ-mode equivalent
+for this framework: the control plane (RA, RRC, NAS) stays on the message
+bus, and once a UE is attached its downlink IP packets are carried by the
+actual device pipeline — PDCCH DCI + PDSCH encode -> OFDM -> per-link
+pathloss + AWGN -> OFDM demod -> chest -> blind DCI search -> PDSCH decode —
+batched over all packets of a TTI burst.
+
+TPU design: each attached UE gets a STATIC grant slot (rnti, prb_mask, Qm,
+tbs), so the whole eNB->channel->UE chain compiles once per (cell, sf_idx)
+and every subsequent burst reuses the compiled graph; packets batch along
+the leading axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import enb_dl, ue_dl
+from ..ops import bits as bits_mod, channel
+from ..phch import grid as grid_mod
+
+
+@dataclasses.dataclass
+class UeSlot:
+    rnti: int
+    prb_mask: tuple
+    qm: int = 4
+    l_aggr: int = 4
+    cce_start: int = 0
+
+    def tbs(self, cell, sf_idx) -> int:
+        n_re = grid_mod.nof_re(cell, sf_idx, self.prb_mask)
+        return max(16, (n_re * self.qm // 3) // 8 * 8)
+
+
+class WaveformDataPlane:
+    """Carries DL PDCP PDUs of attached UEs over the waveform pipeline."""
+
+    def __init__(self, cell: grid_mod.CellConfig, noise_floor_dbm: float = -104.0,
+                 tx_power_dbm: float = 30.0):
+        self.cell = cell
+        self.noise_floor_dbm = noise_floor_dbm
+        self.tx_power_dbm = tx_power_dbm
+        self.slots: dict = {}  # rnti -> UeSlot
+        self._key = jax.random.PRNGKey(0)
+        self.metrics = {"sf_tx": 0, "crc_ok": 0, "crc_fail": 0}
+
+    def add_ue(self, rnti: int, prb_mask: tuple, qm: int = 4,
+               cce_start: int = 0, l_aggr: int = 1):
+        self.slots[rnti] = UeSlot(rnti, prb_mask, qm, l_aggr=l_aggr,
+                                  cce_start=cce_start)
+
+    @functools.lru_cache(maxsize=None)
+    def _cfg(self, sf_idx: int, rnti: int):
+        s = self.slots[rnti]
+        return enb_dl.DlSubframeConfig(
+            cell=self.cell, sf_idx=sf_idx,
+            grants=((rnti, s.prb_mask, s.qm, s.tbs(self.cell, sf_idx),
+                     s.l_aggr, s.cce_start),))
+
+    @functools.lru_cache(maxsize=None)
+    def _link_fn(self, sf_idx: int, rnti: int):
+        cfg = self._cfg(sf_idx, rnti)
+
+        def run(payload_bits, key, gain, snr_db):
+            tx = enb_dl.build_subframe(cfg, [payload_bits])
+            rx = channel.awgn(key, tx * gain, snr_db)
+            res, _ = ue_dl.decode_subframe(rx, cfg)
+            return res.dci_found[:, 0], res.payloads[0], res.crc_ok[0], res.snr_db
+
+        return jax.jit(run)
+
+    def send(self, rnti: int, pdus: list, pathloss_db: float, sf_idx: int = 1):
+        """Transmit a burst of DL byte-PDUs to one UE through the PHY.
+
+        Returns list of (delivered_bytes | None, snr_db) per PDU — None when
+        the PDSCH CRC failed at this pathloss."""
+        s = self.slots[rnti]
+        cfg = self._cfg(sf_idx, rnti)
+        tbs = cfg.grants[0][3]
+        nbytes = tbs // 8
+        B = len(pdus)
+        buf = np.zeros((B, nbytes), dtype=np.uint8)
+        for i, p in enumerate(pdus):
+            assert len(p) + 2 <= nbytes, (len(p), nbytes)
+            buf[i, 0] = len(p) >> 8
+            buf[i, 1] = len(p) & 0xFF
+            buf[i, 2 : 2 + len(p)] = np.frombuffer(p, np.uint8)
+        payload_bits = bits_mod.unpack_bits(jnp.asarray(buf))[:, :tbs]
+        rx_dbm = self.tx_power_dbm - pathloss_db
+        snr_db = rx_dbm - self.noise_floor_dbm
+        self._key, sub = jax.random.split(self._key)
+        found, out_bits, ok, snr_est = self._link_fn(sf_idx, rnti)(
+            payload_bits, sub, 1.0, snr_db)
+        found = np.asarray(found)
+        ok = np.asarray(ok)
+        out_bytes = np.asarray(bits_mod.pack_bits(out_bits))
+        snrs = np.asarray(snr_est)
+        self.metrics["sf_tx"] += B
+        results = []
+        for i in range(B):
+            if found[i] and ok[i]:
+                n = (int(out_bytes[i, 0]) << 8) | int(out_bytes[i, 1])
+                results.append((bytes(out_bytes[i, 2 : 2 + n]), float(snrs[i])))
+                self.metrics["crc_ok"] += 1
+            else:
+                results.append((None, float(snrs[i])))
+                self.metrics["crc_fail"] += 1
+        return results

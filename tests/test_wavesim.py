@@ -1,0 +1,35 @@
+"""Waveform-mode data plane: attached-UE DL data through the real PHY
+(PDCCH DCI + PDSCH + OFDM + channel), hybrid with the message-level control
+plane."""
+
+import numpy as np
+
+from srslte_emane_tpu.phch import grid as grid_mod
+from srslte_emane_tpu.runtime import wavesim
+
+
+def test_waveform_dataplane_delivery_and_loss():
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=1, cfi=1)
+    dp = wavesim.WaveformDataPlane(cell)
+    dp.add_ue(0x46, prb_mask=(1,) * 8 + (0,) * 7, qm=4)
+    pdus = [bytes([i]) * (20 + 3 * i) for i in range(4)]
+    # strong link: everything delivered bit-exact through the full PHY
+    out = dp.send(0x46, pdus, pathloss_db=100.0)
+    for (got, snr), sent in zip(out, pdus):
+        assert got == sent
+        assert snr > 20.0
+    # hopeless link: CRC fails (SNR ~ -16 dB)
+    out = dp.send(0x46, pdus[:2], pathloss_db=150.0)
+    assert all(got is None for got, _ in out)
+    assert dp.metrics["crc_ok"] == 4 and dp.metrics["crc_fail"] == 2
+
+
+def test_waveform_dataplane_two_ues_separate_slots():
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=2, cfi=1)
+    dp = wavesim.WaveformDataPlane(cell)
+    dp.add_ue(0x46, prb_mask=(1,) * 7 + (0,) * 8, qm=4, cce_start=0)
+    dp.add_ue(0x47, prb_mask=(0,) * 8 + (1,) * 7, qm=2, cce_start=0)
+    a = dp.send(0x46, [b"ue-a-packet" * 3], pathloss_db=95.0)
+    b = dp.send(0x47, [b"ue-b-packet" * 3], pathloss_db=105.0)
+    assert a[0][0] == b"ue-a-packet" * 3
+    assert b[0][0] == b"ue-b-packet" * 3
