@@ -71,3 +71,39 @@ class NasPcap:
 
     def close(self):
         self.w.close()
+
+
+DLT_USER2 = 149  # RLC-LTE
+DLT_USER3 = 150  # S1AP
+
+
+class RlcPcap:
+    """RLC-LTE capture (rlc_pcap.cc equivalent): mode/bearer context header
+    ahead of each RLC PDU."""
+
+    MODE_TM, MODE_UM, MODE_AM = 1, 2, 4
+
+    def __init__(self, path: str):
+        self.w = PcapWriter(path, DLT_USER2)
+
+    def write_pdu(self, pdu: bytes, rnti: int, lcid: int, is_dl: bool,
+                  mode: int = MODE_AM, sn_bits: int = 10):
+        ctx = bytes([mode, sn_bits, DIR_DL if is_dl else DIR_UL, lcid & 0xFF])
+        ctx += struct.pack("!H", rnti)
+        self.w.write(ctx + pdu)
+
+    def close(self):
+        self.w.close()
+
+
+class S1apPcap:
+    """S1AP capture (s1ap_pcap.cc equivalent): raw control messages."""
+
+    def __init__(self, path: str):
+        self.w = PcapWriter(path, DLT_USER3)
+
+    def write_pdu(self, pdu: bytes):
+        self.w.write(pdu)
+
+    def close(self):
+        self.w.close()

@@ -56,3 +56,24 @@ def test_config_layering(tmp_path):
     assert cfg.cell_id == 7  # file wins over default
     assert cfg.log_level == "debug"
     assert cfg.mcs == 9  # default preserved
+
+
+def test_rlc_and_s1ap_pcap(tmp_path):
+    from srslte_emane_tpu.utils import pcap
+
+    p1 = tmp_path / "rlc.pcap"
+    w = pcap.RlcPcap(str(p1))
+    w.write_pdu(b"\x80\x01payload", rnti=0x46, lcid=3, is_dl=True,
+                mode=pcap.RlcPcap.MODE_AM)
+    w.write_pdu(b"\x00um", rnti=0x46, lcid=4, is_dl=False,
+                mode=pcap.RlcPcap.MODE_UM, sn_bits=5)
+    w.close()
+    data = p1.read_bytes()
+    assert data[:4] == b"\xa1\xb2\xc3\xd4"  # pcap magic (big endian)
+    assert len(data) > 24 + 2 * 16
+
+    p2 = tmp_path / "s1ap.pcap"
+    s = pcap.S1apPcap(str(p2))
+    s.write_pdu(b"s1ap-initial-context")
+    s.close()
+    assert p2.read_bytes()[:4] == b"\xa1\xb2\xc3\xd4"
