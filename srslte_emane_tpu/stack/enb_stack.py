@@ -206,10 +206,17 @@ class EnbStack:
                     u.harq_retx_q.popleft()
                     continue
                 payload, n_prb_tx, mcs_tx, n_tx = u.dl_harq[pid]
-                if cursor + n_prb_tx > self.n_prb:
+                # adaptive retransmission (scheduler_harq.cc adaptive path):
+                # widen the allocation and drop MCS so the effective code
+                # rate falls with every attempt
+                n_prb_tx = min(self.n_prb - cursor,
+                               n_prb_tx + (n_tx - 1) * max(1, n_prb_tx // 2))
+                mcs_tx = max(0, mcs_tx - 2 * (n_tx - 1))
+                if n_prb_tx <= 0 or cursor + n_prb_tx > self.n_prb:
                     break
                 u.harq_retx_q.popleft()
                 u.harq_fifo.append(pid)
+                u.dl_harq[pid] = (payload, n_prb_tx, mcs_tx, n_tx)
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb_tx),
                                       mcs=mcs_tx, payload=payload,
                                       harq_pid=pid, rv=RV_SEQ[(n_tx - 1) % 4]))
