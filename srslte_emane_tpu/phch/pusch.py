@@ -157,7 +157,7 @@ def estimate_ul(rx_grid, cell: grid_mod.CellConfig, sf_idx: int,
 
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, rb_start: int, l_prb: int, softbuf=None, max_iter: int = 8,
-           uci_dims_in=None):
+           uci_dims_in=None, use_pallas: bool = False):
     """eNB-side PUSCH decode.  Returns (payload, ok, softbuf, noise_est)
     or, with uci_dims_in=(q_ack, q_ri, q_cqi, n_ack, n_ri, n_cqi), a dict
     also carrying decoded ack/ri/cqi."""
@@ -187,12 +187,14 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
         if q_cqi:
             cqi_llr, data = data[..., :q_cqi], data[..., q_cqi:]
             cqi_bits, _ = uci_codes.decode_rm(cqi_llr, n_cqi, "rm32")
-        payload, ok, softbuf, _ = sch.decode_tb(data, cfg, softbuf, max_iter)
+        payload, ok, softbuf, _ = sch.decode_tb(data, cfg, softbuf, max_iter,
+                                                use_pallas=use_pallas)
         out = dict(payload=payload, ok=ok, softbuf=softbuf, noise=noise,
                    cqi=cqi_bits)
         out["ri"] = pusch_uci.decode_ack_ri(ri_llr, n_ri, cfg.Qm) if q_ri else None
         out["ack"] = pusch_uci.decode_ack_ri(ack_llr, n_ack, cfg.Qm) if q_ack else None
         return out
     llr = deinterleave(llr, cfg.Qm)
-    payload, ok, softbuf, _ = sch.decode_tb(llr, cfg, softbuf, max_iter)
+    payload, ok, softbuf, _ = sch.decode_tb(llr, cfg, softbuf, max_iter,
+                                            use_pallas=use_pallas)
     return payload, ok, softbuf, noise
