@@ -85,7 +85,9 @@ def main():
         pusch.encode(p, cfg, cell, 2, 0x5A, 0, l_prb), 100))(payload)
     rx = channel.awgn(jax.random.PRNGKey(0), t, 14.0)
     rg = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx)
-    dec = jax.jit(lambda r: pusch.decode(r, cfg, cell, 2, 0x5A, 0, l_prb)[:2])
+    use_pallas = jax.default_backend() == "tpu"
+    dec = jax.jit(lambda r: pusch.decode(r, cfg, cell, 2, 0x5A, 0, l_prb,
+                                         use_pallas=use_pallas)[:2])
     dt = timed("pusch_decode", dec, rg,
                check=lambda o: np.asarray(o[1]).all() or (_ for _ in ()).throw(AssertionError("UL crc")))
     print(f"# UL 20MHz 16QAM: {batch/dt:.0f} sf/s ({batch/dt*tbs/1e6:.0f} Mb/s)", file=sys.stderr)
