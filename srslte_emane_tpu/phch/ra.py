@@ -107,3 +107,22 @@ def riv_decode(riv: int, n_prb: int) -> tuple:
 
 def type2_to_prb_mask(rb_start: int, l_crbs: int, n_prb: int) -> tuple:
     return tuple(1 if rb_start <= i < rb_start + l_crbs else 0 for i in range(n_prb))
+
+
+def type1_to_prb_mask(subset: int, shift: int, bitmap: int, n_prb: int) -> tuple:
+    """RA type 1 (36.213 §7.1.6.2 / ra_dl.c type-1 path): the bitmap
+    addresses PRBs of RBG-subset `subset`, optionally shifted to cover the
+    subset's tail."""
+    import math
+
+    p = rbg_size(n_prb)
+    n_rbg = -(-n_prb // p)
+    subset_prbs = [n for n in range(n_prb) if (n // p) % p == subset]
+    # type-1 bitmap is shorter than type-0's by the subset+shift header
+    n_type1 = n_rbg - math.ceil(math.log2(p)) - 1
+    offset = max(0, len(subset_prbs) - n_type1) if shift else 0
+    mask = [0] * n_prb
+    for i in range(min(n_type1, len(subset_prbs) - offset)):
+        if (bitmap >> (n_type1 - 1 - i)) & 1:
+            mask[subset_prbs[offset + i]] = 1
+    return tuple(mask)

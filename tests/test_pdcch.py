@@ -107,3 +107,20 @@ def test_dci_formats_2_2a_2b_roundtrip():
                 assert out.precoding_info == 5
             if fmt == "2B":
                 assert out.n_scid == 1
+
+
+def test_ra_type1_subset_allocation():
+    from srslte_emane_tpu.phch import ra
+
+    p = ra.rbg_size(50)  # 3
+    # subset 1, no shift, first three addressable PRBs (MSB-first bitmap)
+    n_type1 = -(-50 // p) - 2 - 1  # 14 for 50 PRB
+    bitmap = 0b111 << (n_type1 - 3)
+    m = ra.type1_to_prb_mask(1, 0, bitmap, 50)
+    assert [i for i, v in enumerate(m) if v] == [3, 4, 5]
+    # all selected PRBs always belong to the subset
+    m = ra.type1_to_prb_mask(2, 0, (1 << n_type1) - 1, 50)
+    assert all((i // p) % p == 2 for i, v in enumerate(m) if v)
+    # shift addresses the subset tail
+    m = ra.type1_to_prb_mask(0, 1, 0b11, 50)
+    assert [i for i, v in enumerate(m) if v] == [46, 47]
