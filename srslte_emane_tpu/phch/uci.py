@@ -75,3 +75,37 @@ def unpack_cqi_wideband(bits, has_pmi: bool = False) -> dict:
     if has_pmi:
         out["pmi"] = int("".join(map(str, bits[4:6])), 2)
     return out
+
+
+def cqi_hl_subband_size(n_prb: int) -> int:
+    """Number of higher-layer-configured subbands (36.213 Table 7.2.1-3:
+    subband size k by bandwidth)."""
+    if n_prb <= 7:
+        return 0
+    k = 4 if n_prb <= 26 else 6 if n_prb <= 63 else 8
+    return -(-n_prb // k)
+
+
+def pack_cqi_hl_subband(wb_cqi: int, sb_diffs, n_prb: int) -> np.ndarray:
+    """Aperiodic higher-layer-configured subband report (cqi.c HL format):
+    4-bit wideband CQI + 2-bit differential CQI per subband."""
+    n_sb = cqi_hl_subband_size(n_prb)
+    assert len(sb_diffs) == n_sb, (len(sb_diffs), n_sb)
+    bits = [(wb_cqi >> (3 - i)) & 1 for i in range(4)]
+    for d in sb_diffs:
+        assert 0 <= d <= 3
+        bits += [(d >> 1) & 1, d & 1]
+    return np.array(bits, dtype=np.int8)
+
+
+def unpack_cqi_hl_subband(bits, n_prb: int) -> dict:
+    bits = np.asarray(bits).astype(int)
+    n_sb = cqi_hl_subband_size(n_prb)
+    wb = int("".join(map(str, bits[:4])), 2)
+    diffs = [int("".join(map(str, bits[4 + 2 * i : 6 + 2 * i])), 2)
+             for i in range(n_sb)]
+    return dict(wideband_cqi=wb, subband_diff_cqi=diffs)
+
+
+# offset applied to the wideband CQI per differential value (36.213 7.2.1-2)
+SUBBAND_DIFF_OFFSET = {0: 0, 1: 1, 2: 2, 3: -1}

@@ -130,3 +130,21 @@ def test_pucch_f3_occ_orthogonality():
     out1, _ = pucch.decode_f3(rg, CELL, 6, n_pucch3=1, n_bits=5)
     np.testing.assert_array_equal(np.asarray(out0), a0)
     np.testing.assert_array_equal(np.asarray(out1), a1)
+
+
+def test_cqi_hl_subband_pack_roundtrip():
+    n_prb = 50
+    n_sb = uci.cqi_hl_subband_size(n_prb)
+    assert n_sb == 9  # k=6 for 27..63 PRB
+    diffs = [(i * 7) % 4 for i in range(n_sb)]
+    bits = uci.pack_cqi_hl_subband(11, diffs, n_prb)
+    assert len(bits) == 4 + 2 * n_sb
+    out = uci.unpack_cqi_hl_subband(bits, n_prb)
+    assert out["wideband_cqi"] == 11 and out["subband_diff_cqi"] == diffs
+    # report rides PUCCH format 2 only if it fits 13 bits; else PUSCH path —
+    # here just verify RM32 carries it on PUSCH-style coding
+    import jax.numpy as jnp
+
+    coded = uci.encode_rm(bits[None, :11], 32)
+    dec, _ = uci.decode_rm((1.0 - 2.0 * np.asarray(coded)).astype(np.float32), 11, "rm32")
+    np.testing.assert_array_equal(np.asarray(dec)[0], bits[:11])
