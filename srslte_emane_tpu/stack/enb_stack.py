@@ -119,8 +119,23 @@ class EnbStack:
         if rnti in self.ues:
             self.ues[rnti].sr = True
 
+    LINK_FAILURE_NOF_ERR = 50  # expert.link_failure_nof_err (srsenb main.cc:146)
+
     def ul_crc_info(self, tti, rnti, ok):
         self.phich_queue.append(dict(rnti=rnti, ack=ok))
+        # eNB-side radio-link failure: N consecutive PUSCH CRC failures ->
+        # release the UE context (rl_failure, enb_interfaces.h:95)
+        ue = self.ues.get(rnti)
+        if ue is None:
+            return
+        if ok:
+            ue.ul_err_streak = 0
+        else:
+            ue.ul_err_streak = getattr(ue, "ul_err_streak", 0) + 1
+            if ue.ul_err_streak >= self.LINK_FAILURE_NOF_ERR:
+                ue.ul_err_streak = 0
+                self.metrics["rl_failure"] += 1
+                self.release_ue(rnti, cause="rl-failure")
 
     def ack_info(self, tti, rnti, ack):
         self.metrics["dl_ack" if ack else "dl_nack"] += 1

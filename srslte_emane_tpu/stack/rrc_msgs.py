@@ -129,7 +129,8 @@ class RrcConnectionReconfigurationComplete:
 
 @codec.register
 @per.schema(("cause", "enum", ("loadBalancingTAUrequired", "other",
-                               "cs-FallbackHighPriority", "user-inactivity")))
+                               "cs-FallbackHighPriority", "user-inactivity",
+                               "rl-failure")))
 @dataclasses.dataclass
 class RrcConnectionRelease:
     cause: str = "other"

@@ -40,3 +40,32 @@ def test_trace_ring_buffer(tmp_path):
     assert len(recs) == 8
     tags = [r[0] for r in recs]
     assert 11 in tags  # newest retained after wrap
+
+
+def test_crash_handler_writes_backtrace(tmp_path):
+    import subprocess, sys
+
+    p = tmp_path / "bt.txt"
+    code = (
+        "from srslte_emane_tpu.utils import crash_handler\n"
+        f"crash_handler.install({str(p)!r})\n"
+        "raise RuntimeError('boom')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True)
+    assert r.returncode != 0
+    assert b"boom" in p.read_bytes()
+
+
+def test_enb_rl_failure_releases_ue():
+    from srslte_emane_tpu.apps import netsim
+
+    sysd = netsim.build_network(1, 70.0)
+    net, enb, ue = sysd["net"], sysd["enb"], sysd["ues"][0]
+    net.run(100)
+    assert ue.emm_state == "REGISTERED"
+    rnti = list(enb.ues)[0]
+    enb.LINK_FAILURE_NOF_ERR = 5
+    for i in range(6):
+        enb.ul_crc_info(200 + i, rnti, False)
+    assert enb.metrics.get("rl_failure", 0) == 1
+    assert enb.metrics.get("rrc_release", 0) >= 1
