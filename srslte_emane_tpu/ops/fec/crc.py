@@ -57,13 +57,15 @@ def crc_bits(bits: jnp.ndarray, crc=LTE_CRC24A) -> jnp.ndarray:
     poly, order = crc
     length = bits.shape[-1]
     r = _remainder_matrix(poly, order, length)  # numpy constant
+    # f32 matmul rides the MXU (int matmuls don't on TPU); the popcount sum
+    # is <= L < 2^24 so the accumulation is exact and mod 2 recovers GF(2)
     acc = jax.lax.dot_general(
-        bits.astype(jnp.int32),
-        jnp.asarray(r.astype(np.int32)),
+        bits.astype(jnp.float32),
+        jnp.asarray(r.astype(np.float32)),
         dimension_numbers=(((bits.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
-    return (acc & 1).astype(jnp.int8)
+    return jnp.mod(acc, 2.0).astype(jnp.int8)
 
 
 def crc_attach(bits: jnp.ndarray, crc=LTE_CRC24A) -> jnp.ndarray:

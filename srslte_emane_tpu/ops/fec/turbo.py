@@ -132,18 +132,21 @@ def _rsc_encode(u: jnp.ndarray, chunk: int):
     B, K = u.shape
     c = _pick_chunk(K, chunk)
     nchunks = K // c
-    P, Q, T, R = (m.astype(np.int32) for m in _chunk_tables(c))
-    uc = u.astype(jnp.int32).reshape(B, nchunks, c).transpose(1, 0, 2)  # (n,B,c)
+    # f32 matmuls ride the MXU (int32 matmuls don't on TPU); chunk sums are
+    # <= c+3 << 2^24 so the products are exact and `mod 2` recovers GF(2)
+    P, Q, T, R = (m.astype(np.float32) for m in _chunk_tables(c))
+    uc = u.astype(jnp.float32).reshape(B, nchunks, c).transpose(1, 0, 2)  # (n,B,c)
 
     def step(state, u_blk):
         # parity (B, c) = u_blk @ P^T + state @ Q^T   (mod 2)
-        z = (u_blk @ P.T + state @ Q.T) & 1
-        state = (state @ T.T + u_blk @ R) & 1
+        z = jnp.mod(u_blk @ P.T + state @ Q.T, 2.0)
+        state = jnp.mod(state @ T.T + u_blk @ R, 2.0)
         return state, z
 
-    state0 = jnp.zeros((B, 3), dtype=jnp.int32)
+    state0 = jnp.zeros((B, 3), dtype=jnp.float32)
     statef, z = jax.lax.scan(step, state0, uc)
-    return z.transpose(1, 0, 2).reshape(B, K), statef
+    return (z.transpose(1, 0, 2).reshape(B, K).astype(jnp.int32),
+            statef.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

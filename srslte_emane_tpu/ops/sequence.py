@@ -64,14 +64,15 @@ def gold_sequence(c_init, n: int) -> jnp.ndarray:
     bits = cinit_bits(jnp.atleast_1d(c_init))  # (B, 31)
     n_pad = _round_up(max(n, 1), 128)
     x1_seq, x2_resp = _tables(n_pad)  # numpy constants; lifted by jit
-    # int32 matmul on MXU; & 1 for mod-2.
+    # f32 matmul rides the MXU (int matmuls don't on TPU); the 31-term sum
+    # is exact in f32 and mod 2 recovers GF(2)
     x2 = jax.lax.dot_general(
-        bits.astype(jnp.int32),
-        jnp.asarray(x2_resp.astype(np.int32)),
+        bits.astype(jnp.float32),
+        jnp.asarray(x2_resp.astype(np.float32)),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
-    c = (x2 & 1).astype(jnp.int8) ^ x1_seq[None, :]
+    c = jnp.mod(x2, 2.0).astype(jnp.int8) ^ x1_seq[None, :]
     c = c[:, :n]
     return c[0] if scalar else c
 
