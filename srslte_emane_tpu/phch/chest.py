@@ -135,7 +135,9 @@ def equalize_zf(rx, ce, eps: float = 1e-9):
 
 def equalize_mmse(rx, ce, noise, eps: float = 1e-9):
     csi = cplx.abs2(ce)
-    den = csi + noise[..., None, None] + eps
+    extra = csi.ndim - jnp.ndim(noise)
+    noise_b = jnp.reshape(noise, jnp.shape(noise) + (1,) * extra)
+    den = csi + noise_b + eps
     x = cplx.mul_conj(rx, ce) / den[..., None]
     return x, csi
 

@@ -211,7 +211,8 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, softbuf=None, max_iter: int = 8,
            codeword_q: int = 0, use_csi: bool = True,
-           max_sym: int = 0, use_pallas: bool = False):
+           max_sym: int = 0, use_pallas: bool = False,
+           equalizer: str = "zf"):
     """Decode one PDSCH grant from a received subframe grid (B, 14, NRE, 2).
 
     Returns (payload bits (B, tbs), crc ok (B,), softbuf', ChestResult)."""
@@ -221,7 +222,10 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     flat_ce = ch.ce.reshape(flat_rx.shape)
     y = jnp.take(flat_rx, jnp.asarray(re_idx), axis=-2)
     h = jnp.take(flat_ce, jnp.asarray(re_idx), axis=-2)
-    x_eq, csi = chest.equalize_zf(y, h)
+    if equalizer == "mmse":
+        x_eq, csi = chest.equalize_mmse(y, h, ch.noise_est)
+    else:
+        x_eq, csi = chest.equalize_zf(y, h)
     llr = modem.demod_soft(x_eq, modem.MOD_FROM_QM[cfg.Qm])  # (B, G)
     if use_csi:
         qm = cfg.Qm

@@ -41,3 +41,27 @@ def test_pdsch_mcs_prb_grid(n_prb, mcs):
     out, ok, _, _ = pdsch.decode(rg, cfg, cell, sf_idx, rnti, prb_mask)
     assert np.asarray(ok).all(), f"n_prb={n_prb} mcs={mcs} tbs={tbs}"
     np.testing.assert_array_equal(np.asarray(out), payload)
+
+
+def test_mmse_equalizer_option():
+    """MMSE equalization decodes at low SNR where it matters most."""
+    import jax
+
+    from srslte_emane_tpu.models import pdsch_link
+    from srslte_emane_tpu.ops import channel
+    from srslte_emane_tpu.phch import grid as grid_mod, pdsch
+
+    cfg = pdsch_link.LinkConfig(
+        cell=grid_mod.CellConfig(n_prb=15, cell_id=1, cfi=1), qm=2,
+        code_rate=0.4, sf_idx=1)
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, (2, cfg.tbs), dtype=np.int8)
+    tx = pdsch_link.tx_subframe(tb, cfg)
+    rx = channel.awgn(jax.random.PRNGKey(1), tx, 2.0)
+    from srslte_emane_tpu.ops import ofdm
+
+    g = ofdm.demodulate(rx, cfg.cell.n_prb)
+    out, ok, _, _ = pdsch.decode(g, cfg.sch_cfg, cfg.cell, 1, cfg.rnti,
+                                 cfg.prb_mask, equalizer="mmse")
+    assert np.asarray(ok).all()
+    assert (np.asarray(out) == tb).all()
