@@ -40,7 +40,11 @@ def main():
         sf_idx=1,
     )
     rng = np.random.default_rng(0)
-    payload = rng.integers(0, 2, size=(batch, cfg.tbs), dtype=np.int8)
+    # device-resident input: a host numpy arg would re-upload ~6 MB per
+    # iteration over the remote tunnel and measure transfer, not compute
+    payload = jax.device_put(
+        rng.integers(0, 2, size=(batch, cfg.tbs), dtype=np.int8))
+    jax.block_until_ready(payload)
 
     tx_fn = jax.jit(lambda p: pdsch_link.tx_subframe(p, cfg))
 
