@@ -70,6 +70,9 @@ class SysSim:
         for _ in range(n):
             self.tti += 1
             self.ue.tick()
+            if self.tti == 1:  # SS broadcasts system information first
+                self.dl_ccch(rrc_msgs.Sib1())
+                self.dl_ccch(rrc_msgs.Sib2())
             pre = self.ue.get_prach(self.tti)
             if pre is not None:
                 # immediate ideal RAR

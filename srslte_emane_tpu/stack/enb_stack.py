@@ -179,11 +179,21 @@ class EnbStack:
                 ue.rlc[lcid].write_pdu(sdu)
         self.metrics["ul_bytes"] += len(payload)
 
+    SI_RNTI = 0xFFFF
+
     def get_dl_sched(self, tti):
         """Per-TTI PRB grid packing (scheduler_grid.cc equivalent): grants in
         the same subframe never overlap in PRBs."""
         grants = []
         cursor = 0
+
+        # SI broadcast (rrc.cc SIB scheduling): SIB1 every 20 ms at sf 5,
+        # SIB2 in its SI window every 80 ms
+        def si(msg):
+            grants.append(DlGrant(
+                rnti=self.SI_RNTI, prb_mask=alloc(3), mcs=0,
+                payload=pdu.pack([(pdu.LCID_CCCH, codec.encode(msg))])))
+            self.metrics["si_tx"] += 1
 
         def alloc(n):
             nonlocal cursor
@@ -195,6 +205,11 @@ class EnbStack:
             cursor += n
             return mask
 
+        if tti % 20 == 5:
+            si(rrc_msgs.Sib1(tac=self.enb_id, cell_identity=self.enb_id << 8,
+                             plmn=1))
+        if tti % 80 == 16:
+            si(rrc_msgs.Sib2())
         while self.rar_pending and cursor < self.n_prb:
             _, preamble, rnti = self.rar_pending.pop(0)
             rar = pdu.pack_rar(rapid=preamble, ta=0, ul_grant=0, t_crnti=rnti)

@@ -160,3 +160,32 @@ class Paging:
 class RrcConnectionReestablishmentRequest:
     c_rnti: int = 0
     cause: str = "otherFailure"
+
+
+@codec.register
+@per.schema(("plmn", "int"), ("tac", "cint", 0, 65535),
+            ("cell_identity", "int"), ("q_rx_lev_min_dbm", "float"),
+            ("si_window_ms", "cint", 1, 40))
+@dataclasses.dataclass
+class Sib1:
+    """SystemInformationBlockType1 content (36.331 §6.3.1): cell access and
+    SI scheduling."""
+    plmn: int = 1
+    tac: int = 1
+    cell_identity: int = 0x19B01
+    q_rx_lev_min_dbm: float = -130.0
+    si_window_ms: int = 20
+
+
+@codec.register
+@per.schema(("n_preambles", "cint", 4, 64), ("ra_response_window", "cint", 2, 10),
+            ("mac_con_res_timer", "cint", 8, 64), ("prach_config_index", "cint", 0, 63),
+            ("prach_freq_offset", "cint", 0, 94))
+@dataclasses.dataclass
+class Sib2:
+    """SystemInformationBlockType2 content: RACH/PRACH common config."""
+    n_preambles: int = 52
+    ra_response_window: int = 10
+    mac_con_res_timer: int = 64
+    prach_config_index: int = 3
+    prach_freq_offset: int = 4

@@ -79,11 +79,16 @@ class UeStack:
 
     # ================= phy adapter interface =================
     P_RNTI = 0xFFFE
+    SI_RNTI = 0xFFFF
+    sib1 = None
+    sib2 = None
 
     def listen_rntis(self, tti):
         if self.mac_state == "PRACH_SENT":
             return set(range(1, 11))
         out = {self.crnti} if self.crnti else set()
+        if self.sib1 is None or self.sib2 is None or self.rrc_state == "IDLE":
+            out.add(self.SI_RNTI)  # system information acquisition
         if self.rrc_state == "IDLE" and self.emm_state == "REGISTERED":
             out.add(self.P_RNTI)  # paging occasions while registered-idle
         return out
@@ -125,8 +130,12 @@ class UeStack:
             self._ho_pending = True
             return self._ho_preamble
         if self.mac_state == "IDLE":
+            # RA requires system information (rrc.cc cell selection: SIB1 for
+            # access, SIB2 for the RACH configuration)
+            if self.sib1 is None or self.sib2 is None:
+                return None
             self.mac_state = "PRACH_SENT"
-            return self.preamble
+            return self.preamble % self.sib2.n_preambles
         return None
 
     _consec_err = 0
@@ -268,6 +277,14 @@ class UeStack:
 
     def _rx_ccch(self, sdu):
         msg = codec.decode(sdu)
+        if isinstance(msg, rrc_msgs.Sib1):
+            self.sib1 = msg
+            self.metrics["sib1_rx"] += 1
+            return
+        if isinstance(msg, rrc_msgs.Sib2):
+            self.sib2 = msg
+            self.metrics["sib2_rx"] += 1
+            return
         if isinstance(msg, rrc_msgs.RrcConnectionSetup):
             if self.rrc_state == "REESTABLISHING":
                 self.rrc_state = "CONNECTED"

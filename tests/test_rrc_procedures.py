@@ -64,3 +64,22 @@ def test_rlf_reestablishment_preserves_session():
     assert any(p == pkt for p in ue.gw_rx)
     # and the in-fade packets were NOT lost: AM delivered all of them in order
     assert sum(1 for p in ue.gw_rx if p.endswith(b"x" * 50)) == 30
+
+
+def test_sib_broadcast_and_acquisition():
+    """eNB broadcasts SIB1/SIB2 on SI-RNTI; the UE acquires them before RA
+    (rrc.cc SIB scheduling / cell selection)."""
+    from srslte_emane_tpu.apps import netsim
+
+    sysd = netsim.build_network(1, 70.0)
+    net, enb, ue = sysd["net"], sysd["enb"], sysd["ues"][0]
+    net.run(4)
+    # no RA before SIB acquisition
+    assert ue.mac_state == "IDLE" and ue.sib2 is None
+    net.run(20)
+    assert ue.metrics.get("sib1_rx", 0) >= 1
+    net.run(80)
+    assert ue.metrics.get("sib2_rx", 0) >= 1
+    assert ue.sib2.n_preambles == 52
+    assert ue.emm_state == "REGISTERED"
+    assert enb.metrics.get("si_tx", 0) >= 4
