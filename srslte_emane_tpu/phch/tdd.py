@@ -125,3 +125,47 @@ def ul_symbol_mask(sf_config: int, ss_config: int) -> np.ndarray:
         elif t == "S":
             m[i, N_SYM - nof_up(ss_config):] = True
     return m
+
+
+# 36.213 Table 10.1.3.1-1: DL association sets K — UL subframe n carries
+# HARQ-ACK for DL subframes n - k, k in K[sf_config][n]
+DL_ASSOC_K = (
+    {2: (6,), 4: (4,), 7: (6,), 9: (4,)},                      # 0
+    {2: (7, 6), 3: (4,), 7: (7, 6), 8: (4,)},                  # 1
+    {2: (8, 7, 4, 6), 7: (8, 7, 4, 6)},                        # 2
+    {2: (7, 6, 11), 3: (6, 5), 4: (5, 4)},                     # 3
+    {2: (12, 8, 7, 11), 3: (6, 5, 4, 7)},                      # 4
+    {2: (13, 12, 9, 8, 7, 5, 4, 11, 6)},                       # 5
+    {2: (7,), 3: (7,), 4: (5,), 7: (7,), 8: (7,)},             # 6
+)
+
+# 36.213 Table 8-2: UL grant timing — DCI0 in DL subframe n schedules PUSCH
+# at n + K_UL[sf_config][n]
+UL_GRANT_K = (
+    {0: 4, 1: 6, 5: 4, 6: 6},      # 0
+    {1: 6, 4: 4, 6: 6, 9: 4},      # 1
+    {3: 4, 8: 4},                  # 2
+    {0: 4, 8: 4, 9: 4},            # 3
+    {8: 4, 9: 4},                  # 4
+    {8: 4},                        # 5
+    {0: 7, 1: 7, 5: 7, 6: 7, 9: 5},  # 6
+)
+
+
+def ack_subframe_for_dl(sf_config: int, dl_sf: int) -> int:
+    """The UL subframe (as an offset-carrying absolute index) in which the
+    HARQ-ACK for a PDSCH at subframe dl_sf is reported."""
+    for n, ks in DL_ASSOC_K[sf_config].items():
+        for k in ks:
+            if (n - k) % 10 == dl_sf % 10:
+                delta = (n - dl_sf % 10) % 10
+                return dl_sf + (delta if delta else 10)
+    raise ValueError((sf_config, dl_sf))
+
+
+def pusch_subframe_for_grant(sf_config: int, dci_sf: int) -> int:
+    """PUSCH subframe scheduled by a DCI0 sent at dci_sf."""
+    k = UL_GRANT_K[sf_config].get(dci_sf % 10)
+    if k is None:
+        raise ValueError((sf_config, dci_sf))
+    return dci_sf + k

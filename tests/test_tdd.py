@@ -67,3 +67,25 @@ def jnp_arr(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+def test_tdd_harq_timing_tables_consistent():
+    """Association sets cover every DL/S subframe exactly once, land on UL
+    subframes, and UL grant targets are UL subframes."""
+    for cfg in range(7):
+        pattern = tdd.UL_DL[cfg]
+        covered = []
+        for n, ks in tdd.DL_ASSOC_K[cfg].items():
+            assert pattern[n] == "U", (cfg, n)
+            for k in ks:
+                covered.append((n - k) % 10)
+        dl_sfs = [i for i, t in enumerate(pattern) if t != "U"]
+        assert sorted(covered) == sorted(dl_sfs), (cfg, sorted(covered), dl_sfs)
+        for n, k in tdd.UL_GRANT_K[cfg].items():
+            assert pattern[n] != "U", (cfg, n)
+            assert pattern[(n + k) % 10] == "U", (cfg, n, k)
+    # spot values
+    assert tdd.ack_subframe_for_dl(1, 0) == 7
+    assert tdd.ack_subframe_for_dl(1, 9) == 13
+    assert tdd.pusch_subframe_for_grant(0, 0) == 4
+    assert tdd.pusch_subframe_for_grant(6, 9) == 14
