@@ -205,6 +205,7 @@ class EnbStack:
             cursor += n
             return mask
 
+        self._drain_paging(tti)
         if tti % 20 == 5:
             si(rrc_msgs.Sib1(tac=self.enb_id, cell_identity=self.enb_id << 8,
                              plmn=1))
@@ -412,10 +413,34 @@ class EnbStack:
                         self.metrics["ho_required"] += 1
 
     # ================= RRC procedures: paging / release / reestablishment ==
+    PAGING_T = 32  # DRX cycle in radio frames (36.304 T; defaultPagingCycle)
+
+    @staticmethod
+    def paging_frame(ue_identity: int, t: int = PAGING_T) -> int:
+        """Paging frame: SFN mod T == (T div N)(UE_ID mod N) with N = T
+        (nB = T, Ns = 1 -> single paging occasion per PF, 36.304 §7.1)."""
+        return ue_identity % t
+
     def page(self, ue_identity: int):
-        """Broadcast paging (rrc.cc paging): rides a P-RNTI CCCH grant."""
-        self.ccch_dl.append((0xFFFE, codec.encode(rrc_msgs.Paging(ue_identity))))
-        self.metrics["paging_tx"] += 1
+        """Queue a page; it transmits at the UE's paging occasion."""
+        self._paging_q = getattr(self, "_paging_q", [])
+        self._paging_q.append(ue_identity)
+        self.metrics["paging_queued"] += 1
+
+    def _drain_paging(self, tti):
+        """Emit queued pages whose paging frame matches this TTI's SFN."""
+        q = getattr(self, "_paging_q", [])
+        if not q:
+            return
+        sfn = (tti // 10) % 1024
+        rest = []
+        for ident in q:
+            if sfn % self.PAGING_T == self.paging_frame(ident):
+                self.ccch_dl.append((0xFFFE, codec.encode(rrc_msgs.Paging(ident))))
+                self.metrics["paging_tx"] += 1
+            else:
+                rest.append(ident)
+        self._paging_q = rest
 
     def release_ue(self, rnti: int, cause: str = "user-inactivity"):
         ue = self.ues.get(rnti)

@@ -32,9 +32,13 @@ def test_release_then_paging_reentry():
     enb.release_ue(rnti)
     net.run(10)
     assert ue.rrc_state == "IDLE"
-    # page the UE -> it performs RA again and re-attaches
+    # page the UE -> queued until the paging occasion (36.304 PF: SFN mod T
+    # == UE_ID mod T with T=32 radio frames), then RA + re-attach
     enb.page(0)  # broadcast identity 0 matches any
-    net.run(100)
+    net.run(20)
+    assert enb.metrics.get("paging_tx", 0) == 0  # waiting for the PF
+    net.run(330)
+    assert enb.metrics.get("paging_tx", 0) == 1
     assert ue.metrics["paged"] == 1
     assert ue.rrc_state == "CONNECTED"
 
