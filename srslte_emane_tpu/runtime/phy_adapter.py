@@ -159,6 +159,9 @@ class UePhyAdapter:
         self.tx_power_mw = tx_power_mw
         self._seq = 0
         self.last_snr_db = None  # injected into "chest results" (:1307)
+        # seed the serving cell so idle-mode reselection has a baseline
+        if getattr(stack, "serving_pci", None) is None:
+            stack.serving_pci = cell_id
 
     @property
     def crnti(self):

@@ -131,9 +131,19 @@ class UeStack:
             return self._ho_preamble
         if self.mac_state == "IDLE":
             # RA requires system information (rrc.cc cell selection: SIB1 for
-            # access, SIB2 for the RACH configuration)
+            # access, SIB2 for the RACH configuration)...
             if self.sib1 is None or self.sib2 is None:
                 return None
+            # ...and a connection REASON: initial attach, a page (mobile
+            # terminated), or pending UL data (service request) — a released
+            # UE otherwise camps in idle (nas.cc/rrc.cc connection triggers)
+            want = (self.emm_state != "REGISTERED"
+                    or self.rrc_state == "REESTABLISHING"
+                    or getattr(self, "_connect_pending", False)
+                    or self._pending_ul_bytes() > 0)
+            if not want or getattr(self, "_conn_barred", 0) > 0:
+                return None
+            self._connect_pending = False
             self.mac_state = "PRACH_SENT"
             return self.preamble % self.sib2.n_preambles
         return None
@@ -244,9 +254,32 @@ class UeStack:
 
     _ra_timer = 0
 
+    RESEL_HYST_DB = 2.0  # Qhyst (36.304 cell reselection)
+    _resel_count = 0
+
     def tick(self):
         for e in self.rlc.values():
             e.timer_tick()
+        if getattr(self, "_conn_barred", 0) > 0:
+            self._conn_barred -= 1
+        # idle-mode cell reselection (36.304 §5.2 R-criterion, simplified):
+        # a neighbor consistently above serving + Qhyst becomes serving
+        if (self.rrc_state == "IDLE" and self.mac_state == "IDLE"
+                and self._neigh_snr and self.serving_pci is not None):
+            serving = getattr(self, "last_rsrp_snr", None)
+            others = {p: v for p, v in self._neigh_snr.items()
+                      if p != self.serving_pci}
+            if serving is not None and others:
+                best = max(others.items(), key=lambda kv: kv[1])
+                if best[1] > serving + self.RESEL_HYST_DB:
+                    self._resel_count += 1
+                else:
+                    self._resel_count = 0
+                if self._resel_count >= 5:
+                    self._resel_count = 0
+                    self.serving_pci = best[0]
+                    self.sib1 = self.sib2 = None  # re-acquire SI on the new cell
+                    self.metrics["reselection"] += 1
         # RA supervision (proc_ra.cc backoff/retry): retry PRACH if no RAR
         if self.mac_state == "PRACH_SENT":
             self._ra_timer += 1
@@ -301,6 +334,7 @@ class UeStack:
                 if self.rrc_state == "IDLE":
                     self.mac_state = "IDLE"  # trigger service request via RA
                     self.crnti = None
+                    self._connect_pending = True
 
     def _send_srb1(self, msg):
         self.rlc[SRB1].write_sdu(self.pdcp[SRB1].write_sdu(codec.encode(msg)))
@@ -328,6 +362,14 @@ class UeStack:
                 self._rx_nas(codec.decode(msg.nas_pdu))
         elif isinstance(msg, rrc_msgs.RrcConnectionRelease):
             self.rrc_state = "IDLE"
+            self.mac_state = "IDLE"  # C-RNTI released with the connection
+            self.crnti = None
+            self._conn_barred = 60  # T302-style wait before re-access
+            # tear down bearers (rrc.cc leave_connected): stale RLC state
+            # must not retrigger a service request
+            for lcid in [l for l in self.rlc if l != SRB1]:
+                del self.rlc[lcid], self.pdcp[lcid]
+            self._setup_srb1()
 
     def _execute_handover(self, mob):
         """36.331 handover execution: switch serving cell, re-key from

@@ -112,3 +112,34 @@ def test_x2_handover_with_data_forwarding():
     # all the "move" datagrams arrived exactly once, in order
     moves = [p for p in ue.gw_rx if p.endswith(b"move" * 10)]
     assert len(moves) == 7, len(moves)
+
+
+def test_idle_mode_cell_reselection():
+    """A released (idle) UE reselects to a stronger neighbor cell and can
+    attach there (36.304 reselection with hysteresis)."""
+    pl = np.array([[0, 100, 70], [100, 0, 95], [70, 95, 0]], np.float32)
+    prop = sinr.Propagation(pathloss_db=pl)
+    bus = otabus.OtaBus(prop, node_ids=[0, 1, 2], n_prb=25)
+    net = ttiloop.Network(bus)
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb_a = enb_stack.EnbStack(mme, enb_id=1, n_prb=25, pci=1)
+    enb_b = enb_stack.EnbStack(mme, enb_id=2, n_prb=25, pci=2)
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25, mac=enb_a))
+    net.add(phy_adapter.EnbPhyAdapter(bus, 1, cell_id=2, n_prb=25, mac=enb_b))
+    imsi, key = "001010000000001", bytes(range(16))
+    hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+    ue = ue_stack.UeStack(ue_stack.Usim(imsi, key, security.milenage_opc(key, b"\x00" * 16)))
+    net.add(phy_adapter.UePhyAdapter(bus, 2, cell_id=1, n_prb=25, stack=ue))
+    net.run(80)
+    assert ue.emm_state == "REGISTERED" and ue.serving_pci in (None, 1)
+    enb_a.release_ue(ue.crnti)
+    net.run(10)
+    assert ue.rrc_state == "IDLE"
+    # UE "moves": B becomes much stronger than A
+    prop.pathloss_db[0, 2] = prop.pathloss_db[2, 0] = 95.0
+    prop.pathloss_db[1, 2] = prop.pathloss_db[2, 1] = 70.0
+    net.run(120)
+    assert ue.metrics.get("reselection", 0) >= 1
+    assert ue.serving_pci == 2
