@@ -14,10 +14,11 @@ from __future__ import annotations
 
 import dataclasses
 
-from ..stack import codec, nas_msgs, security  # noqa: F401 (security: HO keys)
+from ..stack import codec, per, nas_msgs, security  # noqa: F401 (security: HO keys)
 
 
 @codec.register
+@per.schema(("enb_ue_id", "int"), ("nas_pdu", "bytes"))
 @dataclasses.dataclass
 class InitialUEMessage:
     enb_ue_id: int
@@ -25,6 +26,7 @@ class InitialUEMessage:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"), ("nas_pdu", "bytes"))
 @dataclasses.dataclass
 class UplinkNASTransport:
     mme_ue_id: int
@@ -33,6 +35,7 @@ class UplinkNASTransport:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"), ("nas_pdu", "bytes"))
 @dataclasses.dataclass
 class DownlinkNASTransport:
     mme_ue_id: int
@@ -41,6 +44,9 @@ class DownlinkNASTransport:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"), ("kenb", "bytes"),
+            ("ue_ip", "str"), ("teid_spgw", "int"), ("teid_enb", "int"),
+            ("eps_bearer_id", "cint", 0, 15), ("nas_pdu", "bytes", "?"))
 @dataclasses.dataclass
 class InitialContextSetupRequest:
     mme_ue_id: int
@@ -54,6 +60,7 @@ class InitialContextSetupRequest:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"), ("cause", "str"))
 @dataclasses.dataclass
 class UEContextReleaseCommand:
     mme_ue_id: int
@@ -62,6 +69,8 @@ class UEContextReleaseCommand:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"),
+            ("target_pci", "cint", 0, 503))
 @dataclasses.dataclass
 class HandoverRequired:
     mme_ue_id: int
@@ -70,6 +79,8 @@ class HandoverRequired:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("kenb_star", "bytes"), ("ue_ip", "str"),
+            ("teid_spgw", "int"), ("teid_enb", "int"))
 @dataclasses.dataclass
 class HandoverRequest:
     mme_ue_id: int
@@ -80,6 +91,9 @@ class HandoverRequest:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"),
+            ("target_pci", "cint", 0, 503), ("new_rnti", "cint", 0, 65535),
+            ("dedicated_preamble", "cint", 0, 63), ("kenb_star", "bytes"))
 @dataclasses.dataclass
 class HandoverCommand:
     """Container back to the source eNB (-> RRC mobility control info)."""
@@ -92,6 +106,7 @@ class HandoverCommand:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("target_enb_ue_id", "int"))
 @dataclasses.dataclass
 class PathSwitchRequest:
     mme_ue_id: int
