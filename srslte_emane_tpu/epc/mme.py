@@ -166,7 +166,14 @@ class Mme:
             # create user-plane session, then InitialContextSetup with
             # piggybacked Attach Accept (mme_gtpc.cc + s1ap_ctx_mngmt_proc.cc)
             enb = self.enbs[ue["enb_id"]]
-            sess = self.spgw.create_session(ue["imsi"], enb.gtpu_dl)
+            # S11: byte-exact GTPv2-C exchange (mme_gtpc.cc / gtpc.cc)
+            from . import gtpc
+
+            resp = self.spgw.handle_gtpc(
+                gtpc.create_session_request(ue["imsi"], msg.mme_ue_id),
+                enb.gtpu_dl)
+            sess = gtpc.parse_create_session_response(resp)
+            assert sess["cause"] == gtpc.CAUSE_ACCEPTED
             kenb = security.kdf_kenb(ue["vec"]["kasme"], ue["ul_nas_count"])
             accept = nas_msgs.AttachAccept(ip_addr=sess["ue_ip"], guti=msg.mme_ue_id)
             ue["state"] = "CTX"

@@ -37,6 +37,17 @@ class Spgw:
         self.metrics = dict(dl_bytes=0, ul_bytes=0)
 
     # ---- GTP-C (create session, gtpc.cc) ----
+    def handle_gtpc(self, pkt: bytes, enb_tx) -> bytes:
+        """S11 endpoint: byte-exact GTPv2-C Create Session Request ->
+        Response (the in-process S1-U delivery hook rides alongside the
+        message, standing in for the F-TEID's transport address)."""
+        from . import gtpc
+
+        req = gtpc.parse_create_session_request(pkt)
+        sess = self.create_session(req["imsi"], enb_tx)
+        return gtpc.create_session_response(
+            sess["ue_ip"], sess["teid_in"], sess["teid_out"], seq=req["seq"])
+
     def create_session(self, imsi: str, enb_tx):
         """enb_tx(bytes): callable delivering S1-U packets to the eNB.
         Returns dict(ue_ip, teid_in (SPGW's), teid_out (eNB's))."""
