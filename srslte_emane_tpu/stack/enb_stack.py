@@ -13,7 +13,7 @@ import collections
 from ..epc import spgw as spgw_mod
 from ..phch import ra
 from ..runtime.phy_adapter import DlGrant, UlGrant
-from . import cb, codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
+from . import cb, codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security, x2_msgs
 from ..epc import mme as mme_mod
 
 SRB0, SRB1, SRB2 = 0, 1, 2
@@ -523,20 +523,26 @@ class EnbStack:
         # X2 key derivation: KeNB* from the CURRENT KeNB (33.401 §7.2.8.4
         # horizontal derivation), unlike S1 which uses a fresh NH from MME
         kenb_star = security.kdf(ue.kenb, 0x13, target_pci.to_bytes(2, "big"))
-        ack = target.x2_ho_request(dict(
+        # typed X2AP message on the wire (stack/x2_msgs.py)
+        req_bytes = codec.encode(x2_msgs.X2HandoverRequest(
             mme_ue_id=ue.mme_ue_id, kenb_star=kenb_star,
-            teid_spgw=ue.teid_spgw, teid_enb=ue.teid_enb))
-        ue.x2_fwd = (target, ack["teid_fwd"])
+            teid_spgw=ue.teid_spgw, teid_enb=ue.teid_enb,
+            source_pci=self.cell_pci, target_pci=target_pci))
+        ack = codec.decode(target.x2_ho_request(req_bytes))
+        ue.x2_fwd = (target, ack.teid_fwd)
         ue.state = "HO_OUT"
         ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
             mobility=rrc_msgs.MobilityControlInfo(
-                target_pci=target_pci, new_rnti=ack["new_rnti"],
-                dedicated_preamble=ack["preamble"], key_change="x2")))
+                target_pci=target_pci, new_rnti=ack.new_rnti,
+                dedicated_preamble=ack.preamble, key_change="x2")))
         self.metrics["ho_x2"] += 1
 
-    def x2_ho_request(self, req: dict) -> dict:
+    def x2_ho_request(self, req_bytes: bytes) -> bytes:
         """Target side admission over X2; also allocates a DL data-forwarding
         GTP tunnel endpoint whose packets buffer until the UE completes."""
+        m = codec.decode(req_bytes)
+        req = dict(mme_ue_id=m.mme_ue_id, kenb_star=m.kenb_star,
+                   teid_spgw=m.teid_spgw, teid_enb=m.teid_enb)
         rnti = self.next_rnti
         self.next_rnti += 1
         ue = UeContext(rnti, self)
@@ -561,7 +567,8 @@ class EnbStack:
         ue.fwd_buffer = []
         self.by_fwd_teid[teid_fwd] = ue
         self.metrics["ho_admitted_x2"] += 1
-        return dict(new_rnti=rnti, preamble=preamble, teid_fwd=teid_fwd)
+        return codec.encode(x2_msgs.X2HandoverRequestAck(
+            new_rnti=rnti, preamble=preamble, teid_fwd=teid_fwd))
 
     def x2_gtpu_fwd(self, pkt: bytes):
         """X2-U: forwarded DL data from the source eNB.  Buffered until the
