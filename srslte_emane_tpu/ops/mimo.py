@@ -235,3 +235,44 @@ def decode_mrc_eff(y: jnp.ndarray, h_eff: jnp.ndarray, eps: float = 1e-9):
     num = jnp.sum(cplx.mul_conj(y, h_eff), axis=-3)
     den = jnp.sum(cplx.abs2(h_eff), axis=-2) + eps
     return num / den[..., None], den
+
+
+def pmi_select_1l(h, noise=None, eps: float = 1e-12):
+    """Rank-1 PMI selection (precoding.c srslte_precoding_pmi_select_1l):
+    argmax over the 2-tx codebook of ||H w||^2.
+
+    h (..., n_rx, 2, M, 2) per-RE channel.  Returns (pmi (...,) int32,
+    metric (..., n_pmi) mean power per codebook entry)."""
+    metrics = []
+    for w in PMI_2TX_1L:
+        acc = None
+        for p in range(2):
+            wr, wi = float(w[p].real), float(w[p].imag)
+            hp = h[..., p, :, :]  # (..., n_rx, M, 2)
+            term = jnp.stack([hp[..., 0] * wr - hp[..., 1] * wi,
+                              hp[..., 0] * wi + hp[..., 1] * wr], axis=-1)
+            acc = term if acc is None else acc + term
+        # ||H w||^2 summed over rx, averaged over REs
+        pwr = jnp.sum(cplx.abs2(acc), axis=-2)  # (..., n_rx)
+        metrics.append(jnp.mean(jnp.sum(pwr, axis=-1), axis=-1)
+                       if pwr.ndim > 1 else pwr)
+    m = jnp.stack(metrics, axis=-1)
+    return jnp.argmax(m, axis=-1).astype(jnp.int32), m
+
+
+def cond_number_db(h, eps: float = 1e-12):
+    """2x2 per-RE condition number in dB (mat.c srslte_mat_2x2_cn):
+    10 log10(lmax/lmin) of H^H H.
+
+    h (..., 2, 2, M, 2) -> (..., M)."""
+    h00, h01 = h[..., 0, 0, :, :], h[..., 0, 1, :, :]
+    h10, h11 = h[..., 1, 0, :, :], h[..., 1, 1, :, :]
+    a = cplx.abs2(h00) + cplx.abs2(h10)
+    d = cplx.abs2(h01) + cplx.abs2(h11)
+    b = cplx.mul_conj(h01, h00) + cplx.mul_conj(h11, h10)
+    tr = a + d
+    det = a * d - cplx.abs2(b)
+    disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+    lmax = (tr + disc) / 2.0
+    lmin = jnp.maximum((tr - disc) / 2.0, eps)
+    return 10.0 * jnp.log10(lmax / lmin)

@@ -82,3 +82,38 @@ def test_cdd_roundtrip_zf():
     outs = mimo.layer_demap(np.asarray(x), 2)
     np.testing.assert_allclose(np.asarray(outs[0]), a, atol=1e-3)
     np.testing.assert_allclose(np.asarray(outs[1]), b, atol=1e-3)
+
+
+def test_pmi_selection_picks_matched_beam():
+    import jax.numpy as jnp
+
+    from srslte_emane_tpu.ops import cplx, mimo
+
+    rng = np.random.default_rng(0)
+    m = 64
+    for target_pmi, w in enumerate(mimo.PMI_2TX_1L):
+        # channel aligned with codebook vector w -> that PMI must win
+        h_row = np.conj(w)[None, None, :, None] * np.ones((1, 1, 2, m))
+        h = np.stack([h_row.real, h_row.imag], -1).astype(np.float32)
+        pmi, metric = mimo.pmi_select_1l(jnp.asarray(h))
+        assert int(np.asarray(pmi)) == target_pmi, (target_pmi, np.asarray(metric))
+
+
+def test_condition_number():
+    import jax.numpy as jnp
+
+    from srslte_emane_tpu.ops import mimo
+
+    m = 8
+    # identity channel: cn = 0 dB
+    h_id = np.zeros((1, 2, 2, m, 2), np.float32)
+    h_id[:, 0, 0, :, 0] = 1
+    h_id[:, 1, 1, :, 0] = 1
+    cn = np.asarray(mimo.cond_number_db(jnp.asarray(h_id)))
+    assert np.allclose(cn, 0.0, atol=1e-3)
+    # rank-deficient channel: huge cn
+    h_bad = np.zeros((1, 2, 2, m, 2), np.float32)
+    h_bad[:, 0, 0, :, 0] = 1
+    h_bad[:, 1, 0, :, 0] = 1
+    cn = np.asarray(mimo.cond_number_db(jnp.asarray(h_bad)))
+    assert (cn > 60).all()
