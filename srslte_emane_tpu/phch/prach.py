@@ -10,7 +10,7 @@ derivation per 36.211 §5.7.2 (d_u, n_shift_RA/d_start/n_group_RA groups).
 TPU design: sequence-level (frequency-domain, 839 bins) — the representation
 the eNB detector and the EMANE message mode actually consume.  Detection for
 all roots of a cell is one batched complex-matmul IDFT; peak search is a
-windowed max.  The 1.25 kHz waveform embedding rides a two-stage DFT (later).
+windowed max.  The 1.25 kHz waveform embedding rides a two-stage CT DFT (below).
 """
 
 from __future__ import annotations
@@ -158,3 +158,71 @@ def detect(rx_freq, root_seq_idx: int = 0, zczc: int = 1, threshold: float = 8.0
         jnp.stack(metric, axis=1),
         jnp.stack(toff, axis=1),
     )
+
+
+# ---------------- waveform embedding (1.25 kHz numerology) ----------------
+# PRACH format 0: T_SEQ = 800 us -> N_SEQ = 24576 samples at 30.72 Msps with
+# bin spacing exactly 1/800us = 1.25 kHz; CP = 3168 samples (103.13 us).
+# The synthesis IDFT over 839 sparse bins factors as a two-stage
+# Cooley-Tukey split n = 24 a + b (a < 1024, b < 24): a small per-k twiddle
+# stage then one (839 -> 1024) matmul — avoiding a 24576x839 constant.
+
+N_SEQ = 24576
+N_CP_F0 = 3168
+_CT_B = 24
+_CT_A = N_SEQ // _CT_B  # 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _ct_tables(k0: int):
+    """Constants for the two-stage synthesis at bin offset k0."""
+    k = np.arange(N_ZC) + k0
+    b = np.arange(_CT_B)
+    a = np.arange(_CT_A)
+    tw = np.exp(2j * np.pi * np.outer(k, b) / N_SEQ)  # (839, 24)
+    e = np.exp(2j * np.pi * np.outer(k, a * _CT_B) / N_SEQ)  # (839, 1024)
+    return (tw.astype(np.complex64), e.astype(np.complex64))
+
+
+def gen_waveform(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
+                 hs: bool = False, k0: int = 12 * 12 + 7) -> jnp.ndarray:
+    """(B,) preamble indices -> (B, N_CP + N_SEQ, 2) time samples at
+    30.72 Msps (prach.c srslte_prach_gen waveform path).
+
+    k0: first occupied 1.25 kHz bin (frequency offset of the 6-PRB PRACH
+    region; default centers it near prach_freq_offset=12 PRB)."""
+    x = gen(preamble_idx, root_seq_idx, zczc, hs)  # (B, 839, 2) freq domain
+    tw, e = _ct_tables(k0)
+    twc = cplx.from_numpy(tw)  # (839, 24, 2)
+    ec = cplx.from_numpy(e)  # (839, 1024, 2)
+    # stage 1: Y[k, b] = X[k] * tw[k, b]
+    y = cplx.mul(x[:, :, None, :], jnp.asarray(twc)[None])  # (B, 839, 24, 2)
+    # stage 2: x[a, b] = sum_k Y[k, b] E[k, a]
+    yr, yi = y[..., 0], y[..., 1]
+    er, ei = jnp.asarray(ec)[..., 0], jnp.asarray(ec)[..., 1]
+    xr = jnp.einsum("bkc,ka->bac", yr, er) - jnp.einsum("bkc,ka->bac", yi, ei)
+    xi = jnp.einsum("bkc,ka->bac", yr, ei) + jnp.einsum("bkc,ka->bac", yi, er)
+    t = jnp.stack([xr, xi], axis=-1).reshape(x.shape[0], N_SEQ, 2) / np.sqrt(N_ZC)
+    cp = t[:, N_SEQ - N_CP_F0 :, :]
+    return jnp.concatenate([cp, t], axis=-2)
+
+
+def rx_waveform_to_freq(samples, k0: int = 12 * 12 + 7) -> jnp.ndarray:
+    """eNB side: (B, >= N_CP+N_SEQ, 2) -> (B, 839, 2) PRACH bins.
+
+    The analysis DFT over the same sparse bins, two-stage transposed."""
+    t = samples[:, N_CP_F0 : N_CP_F0 + N_SEQ, :]
+    B = t.shape[0]
+    y = t.reshape(B, _CT_A, _CT_B, 2)
+    tw, e = _ct_tables(k0)
+    ec = cplx.from_numpy(np.conj(e))
+    twc = cplx.from_numpy(np.conj(tw))
+    yr, yi = y[..., 0], y[..., 1]
+    er, ei = jnp.asarray(ec)[..., 0], jnp.asarray(ec)[..., 1]
+    # stage 1 (transpose of synthesis stage 2): Z[k, b] = sum_a y[a, b] E*[k, a]
+    zr = jnp.einsum("bac,ka->bkc", yr, er) - jnp.einsum("bac,ka->bkc", yi, ei)
+    zi = jnp.einsum("bac,ka->bkc", yr, ei) + jnp.einsum("bac,ka->bkc", yi, er)
+    z = jnp.stack([zr, zi], axis=-1)  # (B, 839, 24, 2)
+    # stage 2: X[k] = sum_b Z[k, b] tw*[k, b]
+    out = jnp.sum(cplx.mul(z, jnp.asarray(twc)[None]), axis=-2)
+    return out / np.sqrt(N_ZC) / _CT_B

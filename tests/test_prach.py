@@ -77,3 +77,34 @@ def test_prach_restricted_set_high_speed():
     det = np.asarray(det)
     for b, p in enumerate(idx):
         assert det[b, p], (b, p, np.asarray(metric)[b, p])
+
+
+def test_prach_waveform_two_stage_dft_roundtrip():
+    """Time-domain PRACH at the 1.25 kHz numerology: synthesis and analysis
+    via the two-stage CT DFT are mutually inverse, and detection works on
+    the waveform path."""
+    import jax
+
+    from srslte_emane_tpu.phch import prach
+
+    idx = np.array([3, 21, 40])
+    t = prach.gen_waveform(idx, root_seq_idx=0, zczc=1)
+    assert t.shape == (3, prach.N_CP_F0 + prach.N_SEQ, 2)
+    # CP is a true cyclic prefix
+    tt = np.asarray(t)
+    np.testing.assert_allclose(tt[:, :prach.N_CP_F0],
+                               tt[:, prach.N_SEQ:], atol=1e-4)
+    rx = tt + np.random.default_rng(0).normal(0, 0.002, tt.shape).astype(np.float32)
+    freq = prach.rx_waveform_to_freq(jnp.asarray(rx))
+    # analysis inverts synthesis (scale-normalized)
+    ref = np.asarray(prach.gen(idx, 0, 1))
+    got = np.asarray(freq)
+    scale = np.abs(got).mean() / np.abs(ref).mean()
+    np.testing.assert_allclose(got / scale, ref, atol=0.05)
+    det, metric, _ = prach.detect(freq, root_seq_idx=0, zczc=1)
+    det = np.asarray(det)
+    for b, p in enumerate(idx):
+        assert det[b, p], (b, p)
+
+
+import jax.numpy as jnp
