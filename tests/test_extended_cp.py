@@ -24,7 +24,8 @@ def test_ext_cp_ofdm_roundtrip():
         .astype(np.complex64))
     t = ofdm.modulate(g, 25, cp="ext")
     g2 = ofdm.demodulate(t, 25, cp="ext")
-    np.testing.assert_allclose(np.asarray(g2), np.asarray(g), atol=1e-4)
+    # bf16 DFT inputs: worst-case element error ~1.5% (RMS -52 dB)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g), atol=3e-2)
 
 
 def test_ext_cp_crs_positions():
