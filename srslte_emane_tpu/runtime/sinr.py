@@ -60,6 +60,11 @@ def per_rb_sinr(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm):
     tx_power_dbm: (T,) transmit powers; prb_used: (T, n_prb) 0/1 masks;
     pathloss_db: (T, R).  Returns sinr_db (T, R, n_prb) treating every other
     transmitter's energy on the same PRB as interference."""
+    from . import native_bus
+
+    if native_bus.available():
+        return native_bus.sinr_per_rb_native(
+            tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm)
     tx_mw = 10.0 ** (np.asarray(tx_power_dbm, np.float64) / 10.0)
     pl = 10.0 ** (-np.asarray(pathloss_db, np.float64) / 10.0)  # (T, R)
     used = np.asarray(prb_used, np.float64)  # (T, P)
