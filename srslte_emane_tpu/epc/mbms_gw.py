@@ -39,3 +39,67 @@ def enb_pmch_sink(queue):
             queue.append((area_id, payload))
 
     return sink
+
+
+# ---------------- M2AP session control (liblte_m2ap.cc role) ----------------
+
+import dataclasses
+
+from ..stack import codec, per
+
+
+@codec.register
+@per.schema(("mbms_service_id", "int"), ("area_id", "cint", 0, 255),
+            ("tmgi", "bytes"), ("gbr_bps", "int"))
+@dataclasses.dataclass
+class M2SessionStartRequest:
+    """M2AP MBMS Session Start Request content (36.443 §8.2)."""
+    mbms_service_id: int
+    area_id: int = 1
+    tmgi: bytes = b"\x00\xf1\x10\x00\x00\x01"
+    gbr_bps: int = 1_000_000
+
+
+@codec.register
+@per.schema(("mbms_service_id", "int"), ("ok", "bool"))
+@dataclasses.dataclass
+class M2SessionStartResponse:
+    mbms_service_id: int
+    ok: bool = True
+
+
+def _session_start(self, service_id: int, tmgi: bytes = b"\x00\xf1\x10\x00\x00\x01"):
+    """Announce an MBMS session over M2 to every attached eNB; data flows
+    only after all eNBs acknowledge (mbms-gw/m2ap session setup)."""
+    req = codec.encode(M2SessionStartRequest(
+        mbms_service_id=service_id, area_id=self.area_id, tmgi=tmgi))
+    acks = []
+    for ctl in getattr(self, "m2_endpoints", []):
+        resp = codec.decode(ctl(req))
+        acks.append(resp.ok)
+    self.sessions = getattr(self, "sessions", set())
+    if all(acks):
+        self.sessions.add(service_id)
+    return all(acks)
+
+
+def _add_enb_m2(self, control_endpoint):
+    """control_endpoint(req_bytes) -> resp_bytes (the M2 control channel)."""
+    self.m2_endpoints = getattr(self, "m2_endpoints", [])
+    self.m2_endpoints.append(control_endpoint)
+
+
+MbmsGw.session_start = _session_start
+MbmsGw.add_enb_m2 = _add_enb_m2
+
+
+def enb_m2_endpoint(state: dict):
+    """eNB-side M2 control endpoint: records announced sessions."""
+
+    def endpoint(req_bytes: bytes) -> bytes:
+        req = codec.decode(req_bytes)
+        state.setdefault("sessions", {})[req.mbms_service_id] = req
+        return codec.encode(M2SessionStartResponse(
+            mbms_service_id=req.mbms_service_id, ok=True))
+
+    return endpoint
