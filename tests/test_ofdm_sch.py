@@ -27,7 +27,8 @@ def test_ofdm_roundtrip(n_prb):
     t = ofdm.modulate(grid, n_prb)
     assert t.shape[-2] == ofdm.params(n_prb)["sf_len"]
     back = np.asarray(ofdm.demodulate(t, n_prb))
-    np.testing.assert_allclose(back, grid, atol=1e-2)
+    # bf16 DFT inputs: worst-case element error ~1.5% (RMS -52 dB)
+    np.testing.assert_allclose(back, grid, atol=3e-2)
 
 
 def test_ofdm_subframe_lengths():
