@@ -66,7 +66,18 @@ def main(argv=None):
     ap.add_argument("--pcap", default="")
     ap.add_argument("--ostat-port", type=int, default=0)
     ap.add_argument("--traffic-bytes", type=int, default=10000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX CPU backend (this image's"
+                         " sitecustomize otherwise pins the remote TPU)")
+    ap.add_argument("--waveform", action="store_true",
+                    help="after attach, carry each UE's DL burst through the"
+                         " real device PHY (runtime/wavesim) and report"
+                         " delivery + measured SNR")
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     sysd = build_network(args.ues, args.pathloss, args.prb, args.paced)
     net, mme, spgw, enb, ues = (sysd[k] for k in ("net", "mme", "spgw", "enb", "ues"))
@@ -99,6 +110,26 @@ def main(argv=None):
     wall = time.time() - t0
     hub.poll()
 
+    wf_summary = None
+    if args.waveform and attached:
+        from ..phch import grid as grid_mod
+        from ..runtime import wavesim
+
+        cell = grid_mod.CellConfig(n_prb=args.prb, cell_id=1, cfi=1)
+        dp = wavesim.WaveformDataPlane(cell)
+        per_ue = max(1, args.prb // max(1, len(attached)) - 1)
+        results = []
+        for i, u in enumerate(attached):
+            mask = tuple(1 if i * per_ue <= p < (i + 1) * per_ue else 0
+                         for p in range(args.prb))
+            dp.add_ue(u.crnti, mask, qm=4)
+            pl = float(sysd["bus"].prop.pathloss_db[0, 1 + ues.index(u)])
+            out = dp.send(u.crnti, [b"wf" * 50] * 4, pathloss_db=pl)
+            ok = sum(1 for got, _ in out if got == b"wf" * 50)
+            results.append(dict(rnti=u.crnti, delivered=ok, of=4,
+                                snr_db=round(out[0][1], 1)))
+        wf_summary = results
+
     summary = dict(
         ttis=net.bus.curr_tti if net.bus.curr_tti else args.ttis,
         wall_s=round(wall, 3),
@@ -109,6 +140,8 @@ def main(argv=None):
         dl_ip_bytes=sum(u.metrics.get("dl_ip_bytes", 0) for u in ues),
         ul_ip_bytes=spgw.metrics["ul_bytes"],
     )
+    if wf_summary is not None:
+        summary["waveform"] = wf_summary
     print(json.dumps(summary))
     if mac_pcap:
         mac_pcap.close()

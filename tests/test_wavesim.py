@@ -33,3 +33,17 @@ def test_waveform_dataplane_two_ues_separate_slots():
     b = dp.send(0x47, [b"ue-b-packet" * 3], pathloss_db=105.0)
     assert a[0][0] == b"ue-a-packet" * 3
     assert b[0][0] == b"ue-b-packet" * 3
+
+
+def test_netsim_waveform_mode():
+    """netsim --waveform: attached UEs' DL bursts ride the device PHY and
+    the summary reports per-UE delivery + measured SNR."""
+    from srslte_emane_tpu.apps import netsim
+
+    summary = netsim.main(["--ues", "1", "--ttis", "150", "--prb", "15",
+                           "--pathloss", "75", "--waveform"])
+    assert summary["attached"] == 1
+    wf = summary["waveform"]
+    assert len(wf) == 1
+    assert wf[0]["delivered"] == 4
+    assert wf[0]["snr_db"] > 20
