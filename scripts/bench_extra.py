@@ -68,7 +68,9 @@ def main():
     h = h + 3.5 * np.eye(2)[None]
     rx2 = channel.mimo_flat(jax.random.PRNGKey(2), tx2, cplx.from_numpy(h), 30.0)
     rg2 = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx2)
-    dec2 = jax.jit(lambda r: pdsch.decode_tm(r, cfgs, cell2, 1, 0x46, prb_mask, "tm3")[:2])
+    use_pallas2 = jax.default_backend() == "tpu"
+    dec2 = jax.jit(lambda r: pdsch.decode_tm(r, cfgs, cell2, 1, 0x46, prb_mask,
+                                             "tm3", use_pallas=use_pallas2)[:2])
     dt = timed("mimo_tm3_decode", dec2, rg2,
                check=lambda o: all(np.asarray(x).all() for x in o[1]) or (_ for _ in ()).throw(AssertionError("mimo crc")))
     total_bits = sum(c.tbs for c in cfgs)

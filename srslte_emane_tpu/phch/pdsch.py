@@ -120,7 +120,7 @@ def estimate_mimo(rx_grids, cell: grid_mod.CellConfig, sf_idx: int, n_tx: int = 
 
 def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
               rnti: int, prb_mask: tuple, tm: str, pmi: int = 0,
-              softbufs=None, max_iter: int = 8):
+              softbufs=None, max_iter: int = 8, use_pallas: bool = False):
     """Multi-antenna PDSCH decode.  rx_grids: (B, n_rx, 14, NRE, 2).
 
     Returns (payload list, ok list, softbuf list)."""
@@ -201,7 +201,8 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
         llr = llr * w
         c_init = scrambling.pdsch_cinit(rnti, q, sf_idx, cell.cell_id)
         llr = scrambling.scramble_llrs(llr, c_init)
-        payload, ok, sb, _ = sch.decode_tb(llr, cfg, softbufs[q], max_iter)
+        payload, ok, sb, _ = sch.decode_tb(llr, cfg, softbufs[q], max_iter,
+                                           use_pallas=use_pallas)
         outs.append(payload)
         oks.append(ok)
         sbs.append(sb)
