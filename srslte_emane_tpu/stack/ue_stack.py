@@ -200,13 +200,30 @@ class UeStack:
     def ul_grant(self, tti, grant):
         self._ul_grants.append(grant)
 
+    _ul_retx = None
+    _ul_harq_buf = None
+
     def harq_ack(self, tti, ack):
         self.metrics["phich_ack" if ack else "phich_nack"] += 1
+        if not ack and self._ul_harq_buf is not None:
+            self._ul_retx = self._ul_harq_buf  # synchronous UL HARQ retx
+        if ack:
+            self._ul_harq_buf = None
 
     def get_pusch(self, tti):
         out = []
         while self._ul_grants:
             g = self._ul_grants.popleft()
+            # UL HARQ (ul_harq.cc): a PHICH NACK requeues the stored TB —
+            # the retransmission takes this grant before new data
+            if getattr(self, "_ul_retx", None) is not None:
+                payload = self._ul_retx
+                self._ul_retx = None
+                self._ul_harq_buf = payload
+                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi, 2)
+                out.append((g2, payload))
+                self.metrics["ul_harq_retx"] += 1
+                continue
             subs = []
             room = 1000
             if self.ul_ccch:
@@ -221,8 +238,10 @@ class UeStack:
             if self._pending_ul_bytes():
                 subs.append((pdu.LCID_SBSR, bytes([min(255, self._pending_ul_bytes())])))
             if subs:
+                payload = pdu.pack(subs)
+                self._ul_harq_buf = payload  # kept until the PHICH verdict
                 g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi, g.rv)
-                out.append((g2, pdu.pack(subs)))
+                out.append((g2, payload))
         return out
 
     _cqi_timer = 0

@@ -41,3 +41,32 @@ def test_cqi_link_adaptation():
     net.run(150)
     low_mcs = getattr(ctx, "dl_mcs", None)
     assert low_mcs < high_mcs, (low_mcs, high_mcs)
+
+
+def test_ul_harq_retx_on_phich_nack():
+    """PHICH NACK -> the UE retransmits the stored UL TB at rv2 before any
+    new data (ul_harq.cc synchronous UL HARQ)."""
+    from srslte_emane_tpu.runtime.phy_adapter import UlGrant
+    from srslte_emane_tpu.stack import security, ue_stack
+
+    key = bytes(range(16))
+    ue = ue_stack.UeStack(ue_stack.Usim(
+        "001010000000001", key, security.milenage_opc(key, b"\x00" * 16)))
+    ue.crnti = 0x46
+    ue.mac_state = "CONNECTED"
+    ue._setup_srb1()
+    ue.rlc[1].write_sdu(b"first-tb-data" * 4)
+    ue.ul_grant(1, UlGrant(0x46, 0, 8, 9))
+    [(g1, tb1)] = ue.get_pusch(1)
+    assert g1.rv == 0
+    ue.harq_ack(5, False)  # PHICH NACK
+    ue.rlc[1].write_sdu(b"second" * 8)  # new data now pending too
+    ue.ul_grant(9, UlGrant(0x46, 0, 8, 9))
+    [(g2, tb2)] = ue.get_pusch(9)
+    assert tb2 == tb1  # retransmission takes precedence over new data
+    assert g2.rv == 2
+    assert ue.metrics["ul_harq_retx"] == 1
+    ue.harq_ack(13, True)  # ACK clears the buffer
+    ue.ul_grant(17, UlGrant(0x46, 0, 8, 9))
+    [(g3, tb3)] = ue.get_pusch(17)
+    assert tb3 != tb1
