@@ -89,3 +89,33 @@ def test_tdd_harq_timing_tables_consistent():
     assert tdd.ack_subframe_for_dl(1, 9) == 13
     assert tdd.pusch_subframe_for_grant(0, 0) == 4
     assert tdd.pusch_subframe_for_grant(6, 9) == 14
+
+
+def test_tdd_frame_end_to_end():
+    """One full TDD frame (config 1: DSUUDDSUUD) through the waveform:
+    PDSCH on D, DwPTS-PDSCH on S, PUSCH on U, ACKs at the k-set subframes."""
+    import jax
+
+    from srslte_emane_tpu.models import tdd_frame
+
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=4, cfi=1)
+    cfg = tdd_frame.TddFrameConfig(cell=cell, sf_config=1, ss_config=7)
+    rng = np.random.default_rng(0)
+    B = 2
+    dl_tbs = {sf: rng.integers(0, 2, (B, cfg.dl_cfg(sf).tbs), dtype=np.int8)
+              for sf in (0, 1, 4)}
+    ul_tbs = {sf: rng.integers(0, 2, (B, cfg.ul_cfg().tbs), dtype=np.int8)
+              for sf in (2, 7)}
+    out = tdd_frame.run_frame(cfg, dl_tbs, ul_tbs, jax.random.PRNGKey(1))
+    for sf, tb in dl_tbs.items():
+        bits, ok = out["dl"][sf]
+        assert np.asarray(ok).all(), sf
+        assert (np.asarray(bits) == tb).all(), sf
+    for sf, tb in ul_tbs.items():
+        bits, ok = out["ul"][sf]
+        assert np.asarray(ok).all(), sf
+        assert (np.asarray(bits) == tb).all(), sf
+    # config 1 k-sets: sf0 acks at 7, sf1 at 7 (wait: 7-6=1), sf4 at 8
+    acked_dl = sorted(dl for sfs in out["acks"].values() for dl, _ in sfs)
+    assert acked_dl == [0, 1, 4]
+    assert all(tdd.sf_type(1, s) == "U" for s in out["acks"])
