@@ -224,7 +224,11 @@ class UePhyAdapter:
                 passed, snr = tester.check(pm) if pm else (False, -99.0)
                 self.last_snr_db = snr
                 # message-level decode: payload copy, CRC == sinr pass (:1283)
-                self.stack.tb_decoded(msg.tti, data.data if passed else None, snr)
+                try:
+                    self.stack.tb_decoded(msg.tti, data.data if passed else None,
+                                          snr, rnti=dci.rnti)
+                except TypeError:  # legacy MACs without the rnti kwarg
+                    self.stack.tb_decoded(msg.tti, data.data if passed else None, snr)
             for dci in msg.pdcch_ul:
                 if dci.rnti != self.crnti:
                     continue
@@ -269,7 +273,11 @@ class UePhyAdapter:
         pucch = self.stack.get_pucch(tti)
         if pucch:
             msg.pucch.append(pucch)
-            edge = (0, self.n_prb - 1)
+            # PUCCH region: resource index -> edge PRB pair (code-multiplexed
+            # UEs in the same pair are orthogonal; model them in distinct
+            # pairs so same-cell PUCCHs don't self-interfere)
+            m = pucch["rnti"] % 4
+            edge = (m % self.n_prb, self.n_prb - 1 - (m % self.n_prb))
             txc.channels.append(otamsg.ChannelMessage(
                 otamsg.Chan.PUCCH, otamsg.Mod.BPSK, 2, rnti=pucch["rnti"],
                 prb_slot0=edge, prb_slot1=edge))

@@ -143,6 +143,14 @@ class UeStack:
                     or self._pending_ul_bytes() > 0)
             if not want or getattr(self, "_conn_barred", 0) > 0:
                 return None
+            # randomized access stagger (proc_ra.cc backoff): avoids the
+            # synchronized-collision livelock when many UEs power on together
+            if getattr(self, "_ra_backoff", None) is None:
+                self._ra_backoff = self.preamble % 8
+            if self._ra_backoff > 0:
+                self._ra_backoff -= 1
+                return None
+            self._ra_backoff = None
             self._connect_pending = False
             self.mac_state = "PRACH_SENT"
             return self.preamble % self.sib2.n_preambles
@@ -167,10 +175,13 @@ class UeStack:
             self.mac_state = "IDLE"
             self.crnti = None
 
-    def tb_decoded(self, tti, payload, snr_db):
+    def tb_decoded(self, tti, payload, snr_db, rnti=None):
+        # HARQ feedback only for C-RNTI-addressed TBs: broadcast (SI-RNTI /
+        # P-RNTI) carries no HARQ (and acking it floods the PUCCH)
+        own = rnti is None or rnti == self.crnti
         if payload is None:
             self.metrics["dl_crc_err"] += 1
-            if self.crnti:  # HARQ NACK -> eNB retransmits
+            if self.crnti and own:  # HARQ NACK -> eNB retransmits
                 self._acks.append(dict(rnti=self.crnti, ack=[0]))
             return
         if self.mac_state == "PRACH_SENT" and pdu.is_rar(payload):
@@ -194,7 +205,7 @@ class UeStack:
                 self._rx_ccch(sdu)
             elif lcid in self.rlc:
                 self.rlc[lcid].write_pdu(sdu)
-        if self.crnti:
+        if self.crnti and own:
             self._acks.append(dict(rnti=self.crnti, ack=[1]))
 
     def ul_grant(self, tti, grant):
@@ -244,7 +255,7 @@ class UeStack:
                 out.append((g2, payload))
         return out
 
-    _cqi_timer = 0
+    _cqi_timer = None
 
     def get_pucch(self, tti):
         out = None
@@ -254,6 +265,8 @@ class UeStack:
         elif self._pending_ul_bytes() and self.mac_state == "CONNECTED":
             out = dict(rnti=self.crnti, sr=True, ack=[])
         # periodic wideband CQI from the serving-cell SNR (cqi.c reporting)
+        if self._cqi_timer is None:
+            self._cqi_timer = self.preamble % 20  # desynchronize CQI reports
         self._cqi_timer += 1
         if (self.mac_state == "CONNECTED" and self._cqi_timer >= 20
                 and getattr(self, "last_rsrp_snr", None) is not None):
@@ -307,6 +320,10 @@ class UeStack:
                 # handover RA retries stay contention-free at the target
                 self.mac_state = "HO_PRACH" if getattr(self, "_ho_pending", False) else "IDLE"
                 self.metrics["ra_retries"] += 1
+                # randomized backoff before the next attempt (proc_ra.cc
+                # backoff indicator): desynchronizes colliding UEs
+                n = self.metrics["ra_retries"]
+                self._ra_backoff = (self.preamble * 7 + n * 13) % min(40, 8 * n)
         else:
             self._ra_timer = 0
         # drain app uplink queue into the DRB
