@@ -42,6 +42,7 @@ class UeContext:
         self.dl_harq = {}
         self.harq_fifo = collections.deque()
         self.harq_retx_q = collections.deque()
+        self.harq_tx_tti = {}  # pid -> last tx tti (DTX detection)
         self.avg_thr = 1.0  # bits/TTI EWMA for proportional-fair
         self._setup_srb(SRB1)
 
@@ -230,6 +231,25 @@ class EnbStack:
         # retransmission keeps its original PRB count and MCS, rv follows
         # the LTE redundancy-version sequence 0,2,3,1 (dl_harq.cc).
         RV_SEQ = (0, 2, 3, 1)
+        # DTX detection (scheduler_harq.cc): a process whose HARQ feedback
+        # never arrived (UE missed the PDCCH grant entirely, or the PUCCH
+        # was lost) is treated as NACKed after a timeout — otherwise all 8
+        # processes wedge and the UE starves forever.
+        DTX_TIMEOUT = 12
+        for rnti, u in list(self.ues.items()):
+            while (u.harq_fifo and
+                   tti - u.harq_tx_tti.get(u.harq_fifo[0], tti) > DTX_TIMEOUT):
+                pid = u.harq_fifo.popleft()
+                if pid not in u.dl_harq:
+                    continue
+                payload, n_prb, mcs, n_tx = u.dl_harq[pid]
+                if n_tx >= 4:
+                    u.dl_harq.pop(pid, None)
+                    self.metrics["harq_drop"] += 1
+                else:
+                    u.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
+                    u.harq_retx_q.append(pid)
+                    self.metrics["harq_dtx_retx"] += 1
         for rnti, u in list(self.ues.items()):
             while u.harq_retx_q and cursor < self.n_prb:
                 pid = u.harq_retx_q[0]
@@ -247,6 +267,7 @@ class EnbStack:
                     break
                 u.harq_retx_q.popleft()
                 u.harq_fifo.append(pid)
+                u.harq_tx_tti[pid] = tti
                 u.dl_harq[pid] = (payload, n_prb_tx, mcs_tx, n_tx)
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb_tx),
                                       mcs=mcs_tx, payload=payload,
@@ -295,6 +316,7 @@ class EnbStack:
                 pid = self._free_pid(u)
                 u.dl_harq[pid] = (payload, n_prb, mcs, 1)
                 u.harq_fifo.append(pid)
+                u.harq_tx_tti[pid] = tti
                 u.avg_thr += PF_ALPHA * 8 * n_bytes
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
                                       mcs=mcs, payload=payload, harq_pid=pid))
@@ -352,8 +374,15 @@ class EnbStack:
     def _rx_ccch(self, ue: UeContext, sdu: bytes):
         msg = codec.decode(sdu)
         if isinstance(msg, rrc_msgs.RrcConnectionRequest):
+            if ue.state == "RRC_CONNECTED":
+                # contention: a second Msg3 on an already-resolved C-RNTI
+                # (two UEs answered the same RAR) — first request won; the
+                # loser sees the foreign con_res_id and re-runs RA
+                self.metrics["contention_lost"] += 1
+                return
             ue.state = "RRC_CONNECTED"
-            ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())
+            ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup(
+                con_res_id=msg.ue_identity))
             self.metrics["rrc_setup"] += 1
         elif isinstance(msg, rrc_msgs.RrcConnectionReestablishmentRequest):
             self.handle_reestablishment(ue, msg)

@@ -23,9 +23,13 @@ class RrcConnectionRequest:
 
 
 @codec.register
-@per.schema()
+@per.schema(("con_res_id", "int"))
 @dataclasses.dataclass
 class RrcConnectionSetup:
+    # echo of the Msg3 ue_identity = the 36.321 UE Contention Resolution
+    # Identity MAC CE (proc_ra.cc contention resolution); 0 = wildcard
+    # (ideal-PHY/syssim drivers that never contend)
+    con_res_id: int = 0
     srb1_config: dict = dataclasses.field(default_factory=dict)
 
 

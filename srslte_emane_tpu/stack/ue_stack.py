@@ -9,6 +9,7 @@ reconfiguration), upper/nas.cc (EMM attach/auth/SMC), upper/usim.cc
 from __future__ import annotations
 
 import collections
+import zlib
 
 import numpy as np
 
@@ -41,6 +42,9 @@ class UeStack:
     def __init__(self, usim: Usim, preamble: int = 7):
         self.usim = usim
         self.preamble = preamble
+        # deterministic per-UE salt for backoff randomization (python hash()
+        # is per-process seeded, which would make runs irreproducible)
+        self._salt = zlib.crc32(usim.imsi.encode())
         self.crnti = None
         self.mac_state = "IDLE"
         self.rrc_state = "IDLE"
@@ -146,14 +150,19 @@ class UeStack:
             # randomized access stagger (proc_ra.cc backoff): avoids the
             # synchronized-collision livelock when many UEs power on together
             if getattr(self, "_ra_backoff", None) is None:
-                self._ra_backoff = self.preamble % 8
+                # imsi-salted so UEs sharing a (wrapped) preamble index
+                # still transmit PRACH in different TTIs
+                self._ra_backoff = self._salt % 8
             if self._ra_backoff > 0:
                 self._ra_backoff -= 1
                 return None
             self._ra_backoff = None
             self._connect_pending = False
             self.mac_state = "PRACH_SENT"
-            return self.preamble % self.sib2.n_preambles
+            # the index actually transmitted (preambles above the cell's
+            # contention pool wrap); RAR matching must use this value
+            self._sent_preamble = self.preamble % self.sib2.n_preambles
+            return self._sent_preamble
         return None
 
     _consec_err = 0
@@ -184,7 +193,11 @@ class UeStack:
             if self.crnti and own:  # HARQ NACK -> eNB retransmits
                 self._acks.append(dict(rnti=self.crnti, ack=[0]))
             return
-        if self.mac_state == "PRACH_SENT" and pdu.is_rar(payload):
+        if pdu.is_rar(payload):
+            # RARs never parse as ordinary MAC PDUs; a RAR for someone
+            # else's preamble (shared RA-RNTI) is simply ignored
+            if self.mac_state != "PRACH_SENT":
+                return
             rar = pdu.unpack_rar(payload)
             if getattr(self, "_ho_pending", False) and rar["rapid"] == self._ho_preamble:
                 # contention-free RA at the handover target completed
@@ -195,7 +208,7 @@ class UeStack:
                 self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
                 self.metrics["ho_complete"] += 1
                 return
-            if rar["rapid"] == self.preamble:
+            if rar["rapid"] == getattr(self, "_sent_preamble", self.preamble):
                 self.crnti = rar["t_crnti"]
                 self.mac_state = "CONNECTED"
                 self._start_rrc_connection()
@@ -285,6 +298,7 @@ class UeStack:
         return n
 
     _ra_timer = 0
+    _t300 = 0
 
     RESEL_HYST_DB = 2.0  # Qhyst (36.304 cell reselection)
     _resel_count = 0
@@ -312,6 +326,21 @@ class UeStack:
                     self.serving_pci = best[0]
                     self.sib1 = self.sib2 = None  # re-acquire SI on the new cell
                     self.metrics["reselection"] += 1
+        # T300 supervision (rrc.cc connection establishment): an
+        # RrcConnectionRequest whose Setup never arrives (msg3 contention
+        # loss, CCCH drop) must fall back to idle and redo random access
+        if self.rrc_state == "CONNECTING":
+            self._t300 += 1
+            if self._t300 > 100:
+                self._t300 = 0
+                self.metrics["t300_expiry"] += 1
+                self.rrc_state = "IDLE"
+                self.mac_state = "IDLE"
+                self.crnti = None
+                n = self.metrics["t300_expiry"]
+                self._ra_backoff = (self._salt * 5 + n * 17) % 40
+        else:
+            self._t300 = 0
         # RA supervision (proc_ra.cc backoff/retry): retry PRACH if no RAR
         if self.mac_state == "PRACH_SENT":
             self._ra_timer += 1
@@ -323,7 +352,7 @@ class UeStack:
                 # randomized backoff before the next attempt (proc_ra.cc
                 # backoff indicator): desynchronizes colliding UEs
                 n = self.metrics["ra_retries"]
-                self._ra_backoff = (self.preamble * 7 + n * 13) % min(40, 8 * n)
+                self._ra_backoff = (self._salt * 7 + n * 13) % min(40, 8 * n)
         else:
             self._ra_timer = 0
         # drain app uplink queue into the DRB
@@ -342,7 +371,7 @@ class UeStack:
         self._setup_srb1()
         self.rrc_state = "CONNECTING"
         self.ul_ccch.append(codec.encode(
-            rrc_msgs.RrcConnectionRequest(ue_identity=hash(self.usim.imsi) & 0xFFFF)))
+            rrc_msgs.RrcConnectionRequest(ue_identity=self._salt & 0xFFFF)))
 
     def _rx_ccch(self, sdu):
         msg = codec.decode(sdu)
@@ -359,13 +388,23 @@ class UeStack:
                 self.rrc_state = "CONNECTED"
                 self.metrics["reest_ok"] += 1
                 return
+            my_id = self._salt & 0xFFFF
+            if msg.con_res_id not in (0, my_id):
+                # contention resolution lost (36.321 §5.1.5): another UE's
+                # Msg3 won this C-RNTI — back to idle, new random access
+                self.metrics["contention_lost"] += 1
+                self.rrc_state = "IDLE"
+                self.mac_state = "IDLE"
+                self.crnti = None
+                self._ra_backoff = (self._salt // 7 + 11) % 40
+                return
             self.rrc_state = "CONNECTED"
             attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                 nas_pdu=codec.encode(attach)))
             self.emm_state = "ATTACHING"
         elif isinstance(msg, rrc_msgs.Paging):
-            if msg.ue_identity in (0, hash(self.usim.imsi) & 0xFFFF):
+            if msg.ue_identity in (0, self._salt & 0xFFFF):
                 self.metrics["paged"] += 1
                 if self.rrc_state == "IDLE":
                     self.mac_state = "IDLE"  # trigger service request via RA

@@ -17,3 +17,22 @@ def test_twenty_ue_mass_attach_and_traffic():
     net.run(300)
     got = sum(1 for u in attached if any(len(p) == 320 for p in u.gw_rx))
     assert got == 20, got
+
+
+def test_preamble_contention_resolution():
+    """UEs sharing one PRACH preamble must all eventually attach: both may
+    answer the same RAR, the Msg4 con_res_id echo (36.321 contention
+    resolution) kicks the loser back to a salted-backoff retry, and the
+    eNB's DTX timeout keeps HARQ processes from wedging (proc_ra.cc /
+    scheduler_harq.cc behavior)."""
+    sysd = netsim.build_network(10, 75.0, n_prb=50)
+    net, enb, ues = sysd["net"], sysd["enb"], sysd["ues"]
+    for u in ues:
+        u.preamble = 7  # force every UE onto the same preamble index
+    net.run(2500)
+    attached = [u for u in ues if u.emm_state == "REGISTERED"]
+    assert len(attached) == 10, (len(attached), [
+        (u.emm_state, u.rrc_state, u.mac_state) for u in ues])
+    # every UE ended on a distinct C-RNTI (no shared-RNTI aliasing survived)
+    rntis = [u.crnti for u in attached]
+    assert len(set(rntis)) == 10, rntis
