@@ -24,9 +24,10 @@ PF_ALPHA = 0.01  # proportional-fair throughput EWMA coefficient
 
 
 class UeContext:
-    def __init__(self, rnti, stack):
+    def __init__(self, rnti, stack, birth_tti=0):
         self.rnti = rnti
         self.stack = stack
+        self.birth_tti = birth_tti
         self.enb_ue_id = rnti
         self.mme_ue_id = None
         self.state = "RRC_IDLE"
@@ -112,7 +113,7 @@ class EnbStack:
             return
         rnti = self.next_rnti
         self.next_rnti += 1
-        self.ues[rnti] = UeContext(rnti, self)
+        self.ues[rnti] = UeContext(rnti, self, tti)
         self.rar_pending.append((tti, preamble, rnti))
         self.metrics["rach"] += 1
 
@@ -187,6 +188,16 @@ class EnbStack:
         the same subframe never overlap in PRBs."""
         grants = []
         cursor = 0
+
+        # expire zombie contexts: a RACH that never completed Msg3 (its UE
+        # lost contention resolution or gave up) leaves an RRC_IDLE context
+        # that would otherwise linger in every scheduler loop forever
+        if tti % 100 == 3:
+            for r in [r for r, u in self.ues.items()
+                      if u.state == "RRC_IDLE" and u.kenb is None
+                      and u.mme_ue_id is None and tti - u.birth_tti > 200]:
+                del self.ues[r]
+                self.metrics["ctx_expired"] += 1
 
         # SI broadcast (rrc.cc SIB scheduling): SIB1 every 20 ms at sf 5,
         # SIB2 in its SI window every 80 ms
