@@ -84,3 +84,44 @@ def test_pdcp_drb_ciphered_data():
     for p in payloads[:5000:97]:
         enb.write_pdu(ue.write_sdu(p))
     assert out == payloads[:5000:97]
+
+
+def test_pdcp_nr_srb_roundtrip_with_integrity():
+    k_enc, k_int = bytes(range(16)), bytes(range(16, 32))
+    out = []
+    ue = pdcp.PdcpEntityNr(lambda s: None, is_srb=True,
+                           ciph_algo=security.EEA2, int_algo=security.EIA2,
+                           k_enc=k_enc, k_int=k_int, is_ue=True)
+    gnb = pdcp.PdcpEntityNr(out.append, is_srb=True,
+                            ciph_algo=security.EEA2, int_algo=security.EIA2,
+                            k_enc=k_enc, k_int=k_int, is_ue=False)
+    msgs = [bytes([i]) * (10 + i) for i in range(5)]
+    for m in msgs:
+        gnb.write_pdu(ue.write_sdu(m))
+    assert out == msgs
+    # tampered PDU must fail integrity, not deliver
+    bad = bytearray(ue.write_sdu(b"tamperme"))
+    bad[-1] ^= 0xFF
+    gnb.write_pdu(bytes(bad))
+    assert out == msgs and gnb.integrity_failures == 1
+    # replayed (duplicate COUNT) PDU is discarded, not re-delivered
+    p = ue.write_sdu(b"once")
+    gnb.write_pdu(p)
+    gnb.write_pdu(p)
+    assert out == msgs + [b"once"]
+
+
+def test_pdcp_nr_drb_18bit_sn_wrap():
+    out = []
+    ue = pdcp.PdcpEntityNr(lambda s: None, is_srb=False, sn_bits=18,
+                           ciph_algo=security.EEA2, k_enc=b"\x11" * 16)
+    gnb = pdcp.PdcpEntityNr(out.append, is_srb=False, sn_bits=18,
+                            ciph_algo=security.EEA2, k_enc=b"\x11" * 16,
+                            is_ue=False)
+    # drive COUNT across the 18-bit SN wrap: HFN inference must follow
+    ue.tx_next = gnb.rx_next = (1 << 18) - 3
+    msgs = [b"pkt%d" % i for i in range(6)]
+    for m in msgs:
+        gnb.write_pdu(ue.write_sdu(m))
+    assert out == msgs
+    assert gnb.rx_next == (1 << 18) + 3
