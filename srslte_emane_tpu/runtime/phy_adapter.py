@@ -92,7 +92,8 @@ class EnbPhyAdapter:
                     for ack in p.get("ack", []):
                         self.mac.ack_info(tti, p["rnti"], bool(ack))
                     if p.get("cqi") is not None and hasattr(self.mac, "cqi_info"):
-                        self.mac.cqi_info(tti, p["rnti"], p["cqi"])
+                        self.mac.cqi_info(tti, p["rnti"], p["cqi"],
+                                          ri=p.get("ri"), pmi=p.get("pmi"))
 
     # --- downlink transmit (enb_dl_put_* + send, phy_adapter.cc:795-975) ---
     def _tx(self, tti: int):

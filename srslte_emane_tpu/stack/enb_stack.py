@@ -159,13 +159,19 @@ class EnbStack:
                 ue.harq_retx_q.append(pid)
                 self.metrics["harq_retx"] += 1
 
-    def cqi_info(self, tti, rnti, cqi: int):
-        """CQI report -> link adaptation (scheduler_ue.cc MCS selection)."""
+    def cqi_info(self, tti, rnti, cqi: int, ri: int = None, pmi: int = None):
+        """CQI(/RI/PMI) report -> link adaptation (scheduler_ue.cc MCS
+        selection; RI picks the transmission rank, PMI the TM4/TM6
+        closed-loop precoder for waveform-mode transmissions)."""
         ue = self.ues.get(rnti)
         if ue is None:
             return
         # simple CQI->MCS map (monotone subset of 36.213 tables)
         ue.dl_mcs = max(0, min(28, 2 * cqi - 2))
+        if ri is not None:
+            ue.ri = ri
+        if pmi is not None:
+            ue.pmi = pmi
         self.metrics["cqi_reports"] += 1
 
     def ul_pdu(self, tti, rnti, payload, sinr):

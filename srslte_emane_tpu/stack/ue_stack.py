@@ -128,6 +128,28 @@ class UeStack:
                 rsrp_dbm=serving, neigh=[[best[0], best[1]]]))
             self.metrics["meas_reports"] += 1
 
+    # ---- MIMO channel feedback (precoding.h:45-129 PMI selection /
+    # condition number; cqi.c RI/PMI reporting) ----
+    _ri = None
+    _pmi = None
+
+    # 36.211 Table 6.3.4.2.3-1 two-port rank-1 codebook (second element)
+    _CODEBOOK_2TX = (1.0, -1.0, 1j, -1j)
+
+    def mimo_meas(self, tti, h):
+        """Feed a (..., 2, 2) DL channel estimate; derives RI from the mean
+        2x2 condition number (mat.c srslte_mat_2x2_cn) and the rank-1 PMI
+        by codebook power maximization; both ride the next CQI report."""
+        h = np.asarray(h, dtype=np.complex64).reshape(-1, 2, 2)
+        s = np.linalg.svd(h, compute_uv=False)
+        cond_db = float(np.mean(20.0 * np.log10(
+            np.maximum(s[:, 0], 1e-9) / np.maximum(s[:, 1], 1e-9))))
+        self._ri = 2 if cond_db < 12.0 else 1
+        powers = [float(np.mean(np.abs(h[:, :, 0] + w * h[:, :, 1]) ** 2))
+                  for w in self._CODEBOOK_2TX]
+        self._pmi = int(np.argmax(powers))
+        self.metrics["mimo_meas"] += 1
+
     def get_prach(self, tti):
         if self.mac_state == "HO_PRACH":
             self.mac_state = "PRACH_SENT"
@@ -288,6 +310,9 @@ class UeStack:
             if out is None:
                 out = dict(rnti=self.crnti, sr=False, ack=[])
             out["cqi"] = cqi
+            if self._ri is not None:  # RI/PMI accompany periodic CQI
+                out["ri"] = self._ri
+                out["pmi"] = self._pmi
         return out
 
     def _pending_ul_bytes(self):
