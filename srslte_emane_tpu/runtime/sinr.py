@@ -17,6 +17,7 @@ threshold curve (the BLER-knee table EMANE's model uses).
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax.numpy as jnp
 import numpy as np
@@ -95,27 +96,45 @@ class SinrTester:
 
     def __init__(self, sinr_db_rb: np.ndarray, noise_floor_dbm: float):
         self._rb = np.asarray(sinr_db_rb)  # (n_prb,) for this (tx, rx) pair
+        # scalar fast path: checks run per (channel, rx) per TTI in the
+        # host loop; python-float math over the tiny per-RB list is ~10x
+        # cheaper than numpy fancy-index + mean at this size.  Converted
+        # lazily: testers exist for every (tx, rx) pair but only the pairs
+        # a receiver actually listens to ever call check().
+        self._rb_list = None
         self.noise_floor_dbm = noise_floor_dbm
+
+    def _rb_scalars(self):
+        if self._rb_list is None:
+            self._rb_list = self._rb.tolist()
+            self._full_mean = sum(self._rb_list) / max(1, len(self._rb_list))
+        return self._rb_list
 
     def check(self, chmsg: otamsg.ChannelMessage):
         """Returns (passed, sinr_db).  The threshold is the modulation's
         BLER-knee adjusted by the effective code rate (EMANE's BLER curves
         are per-MCS; the rate term reproduces the low-MCS robustness that
         lets e.g. a handover command survive cell-edge SINR)."""
-        prbs = sorted(set(chmsg.prb_slot0) | set(chmsg.prb_slot1))
-        if not prbs:
-            prbs = list(range(len(self._rb)))
-        sinr = float(np.mean(self._rb[list(prbs)]))
+        s0, s1 = chmsg.prb_slot0, chmsg.prb_slot1
+        rb = self._rb_scalars()
+        if not s0 and not s1:
+            n_prbs = len(rb)
+            sinr = self._full_mean
+        else:
+            prbs = set(s0)
+            prbs.update(s1)
+            n_prbs = len(prbs)
+            sinr = sum(map(rb.__getitem__, prbs)) / n_prbs
         thr = THRESHOLD_DB[chmsg.modulation] + CONTROL_MARGIN_DB.get(
             chmsg.channel_type, 0.0
         )
         if chmsg.number_of_bits and chmsg.channel_type in (
                 otamsg.Chan.PDSCH, otamsg.Chan.PUSCH):
             qm = int(chmsg.modulation)
-            n_re = max(1, len(prbs)) * 12 * 12
+            n_re = max(1, n_prbs) * 12 * 12
             rate = chmsg.number_of_bits / (n_re * max(qm, 1))
             # ~6 dB per doubling of rate around the 0.5 operating point
-            thr += float(np.clip(6.0 * np.log2(max(rate, 1e-3) / 0.5), -8.0, 6.0))
+            thr += min(6.0, max(-8.0, 6.0 * math.log2(max(rate, 1e-3) / 0.5)))
         return sinr >= thr, sinr
 
 
