@@ -128,6 +128,19 @@ def main(argv=None):
             ok = sum(1 for got, _ in out if got == b"wf" * 50)
             results.append(dict(rnti=u.crnti, delivered=ok, of=4,
                                 snr_db=round(out[0][1], 1)))
+        # UL control: every attached UE ACKs its burst on its own PUCCH
+        # format-1a resource in ONE subframe — superposed waveforms,
+        # matched-filter detection at the eNB
+        cp = wavesim.UlControlPlane(cell)
+        pls = {}
+        for i, u in enumerate(attached):
+            cp.add_ue(u.crnti, i)
+            pls[u.crnti] = float(sysd["bus"].prop.pathloss_db[0, 1 + ues.index(u)])
+        det = cp.step({u.crnti: 1 for u in attached}, pls)
+        for r in results:
+            d, ack, metric = det[r["rnti"]]
+            r["pucch_ack"] = bool(d and ack == 1)
+            r["pucch_db"] = round(metric, 1)
         wf_summary = results
 
     summary = dict(
