@@ -60,6 +60,22 @@ class InitialContextSetupRequest:
 
 
 @codec.register
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"),
+            ("eps_bearer_id", "cint", 0, 15), ("qci", "cint", 0, 255),
+            ("nas_pdu", "bytes"))
+@dataclasses.dataclass
+class ERabSetupRequest:
+    """S1AP E-RAB Setup (s1ap_ctx_mngmt_proc.cc): dedicated bearer toward
+    the eNB with the piggybacked NAS activate-dedicated-bearer PDU."""
+
+    mme_ue_id: int
+    enb_ue_id: int
+    eps_bearer_id: int
+    qci: int
+    nas_pdu: bytes = b""
+
+
+@codec.register
 @per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"), ("cause", "str"))
 @dataclasses.dataclass
 class UEContextReleaseCommand:
@@ -186,6 +202,9 @@ class Mme:
         elif isinstance(nas, nas_msgs.AttachComplete) and ue["state"] == "CTX":
             ue["state"] = "ATTACHED"
             self.metrics["attach_ok"] += 1
+        elif isinstance(nas, nas_msgs.ActivateDedicatedEpsBearerAccept):
+            ue.setdefault("dedicated_bearers", []).append(nas.eps_bearer_id)
+            self.metrics["ded_bearer_ok"] = self.metrics.get("ded_bearer_ok", 0) + 1
         elif isinstance(nas, nas_msgs.DetachRequest):
             ue["state"] = "DETACHED"
             self.enbs[ue["enb_id"]].release(UEContextReleaseCommand(
@@ -224,6 +243,24 @@ class Mme:
         ue["enb_id"] = enb_id
         ue["enb_ue_id"] = msg.target_enb_ue_id
         self.metrics["handover_ok"] = self.metrics.get("handover_ok", 0) + 1
+
+    def activate_dedicated_bearer(self, mme_ue_id: int, tft_bytes: bytes,
+                                  qci: int = 1, eps_bearer_id: int = 6):
+        """ESM dedicated-bearer activation (nas.cc + s1ap E-RAB Setup):
+        sends the NAS request with the packed TFT through the eNB, which
+        adds the DRB via RRC reconfiguration."""
+        ue = self.ues.get(mme_ue_id)
+        if ue is None or ue["state"] != "ATTACHED":
+            return False
+        nas = nas_msgs.ActivateDedicatedEpsBearerRequest(
+            eps_bearer_id=eps_bearer_id, linked_bearer_id=5, qci=qci,
+            tft=tft_bytes)
+        self.enbs[ue["enb_id"]].erab_setup(ERabSetupRequest(
+            mme_ue_id=mme_ue_id, enb_ue_id=ue["enb_ue_id"],
+            eps_bearer_id=eps_bearer_id, qci=qci,
+            nas_pdu=codec.encode(nas)))
+        self.metrics["ded_bearer_req"] = self.metrics.get("ded_bearer_req", 0) + 1
+        return True
 
     def page_ue(self, mme_ue_id: int):
         """S1AP Paging: broadcast to every attached eNB (s1ap paging proc);

@@ -9,6 +9,7 @@ Message-level PHY coupling via runtime/phy_adapter (the -emane build's path).
 from __future__ import annotations
 
 import collections
+import struct
 
 from ..epc import spgw as spgw_mod
 from ..phch import ra
@@ -524,6 +525,37 @@ class EnbStack:
         ue.send_rrc(SRB1, rrc_msgs.SecurityModeCommand(
             ciph_algo=security.EEA2, int_algo=security.EIA2))
 
+    def erab_setup(self, msg):
+        """S1AP E-RAB Setup (dedicated bearer): add the DRB, install the
+        TFT for downlink classification, push the RRC reconfiguration with
+        the piggybacked NAS activate-dedicated-bearer request."""
+        from . import tft as tft_mod
+
+        ue = self._by_enb_ue_id(msg.enb_ue_id)
+        lcid = DRB1_LCID + (msg.eps_bearer_id - 5)
+        nas = codec.decode(msg.nas_pdu)
+        try:
+            filters = []
+            data = nas.tft
+            while data:
+                f, data = tft_mod.PacketFilter.unpack(data)
+                filters.append(f)
+        except (ValueError, IndexError, struct.error):
+            # malformed TFT: reject the E-RAB, don't touch bearer state
+            self.metrics["erab_fail"] += 1
+            return
+        ue.setup_drb(lcid)
+        if getattr(ue, "tft", None) is None:
+            ue.tft = tft_mod.TftMatcher(DRB1_LCID)
+        for f in filters:
+            ue.tft.add_filter(f, lcid)
+        ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
+            drbs_to_add=[rrc_msgs.DrbToAdd(
+                drb_id=msg.eps_bearer_id - 4, lcid=lcid,
+                eps_bearer_id=msg.eps_bearer_id)],
+            nas_pdu=msg.nas_pdu))
+        self.metrics["erab_setup"] += 1
+
     def release(self, msg):
         ue = self._by_enb_ue_id(msg.enb_ue_id)
         ue.send_rrc(SRB1, rrc_msgs.RrcConnectionRelease())
@@ -659,7 +691,14 @@ class EnbStack:
             target, teid_fwd = fwd
             target.x2_gtpu_fwd(spgw_mod.gtpu_encap(teid_fwd, ip_pkt))
             return
-        ue.rlc[DRB1_LCID].write_sdu(ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+        # downlink TFT classification (tft_packet_filter.cc): dedicated
+        # bearers take matching flows, the default bearer the rest
+        lcid = DRB1_LCID
+        if getattr(ue, "tft", None) is not None:
+            lcid = ue.tft.route(ip_pkt, uplink=False)
+            if lcid not in ue.rlc:
+                lcid = DRB1_LCID
+        ue.rlc[lcid].write_sdu(ue.pdcp[lcid].write_sdu(ip_pkt))
 
     def _ul_user_data(self, ue: UeContext, ip_pkt: bytes):
         """PDCP DRB uplink -> GTP-U to SPGW."""

@@ -95,3 +95,24 @@ class ServiceRequest:
 @dataclasses.dataclass
 class TrackingAreaUpdateRequest:
     pass
+
+
+@codec.register
+@per.schema(("eps_bearer_id", "cint", 0, 15), ("linked_bearer_id", "cint", 0, 15),
+            ("qci", "cint", 0, 255), ("tft", "bytes"))
+@dataclasses.dataclass
+class ActivateDedicatedEpsBearerRequest:
+    """24.301 §8.3.3 (nas.cc ESM dedicated bearer): carries the linked
+    default bearer, QCI, and the packed 24.008 TFT (stack/tft.py)."""
+
+    eps_bearer_id: int = 6
+    linked_bearer_id: int = 5
+    qci: int = 1
+    tft: bytes = b""
+
+
+@codec.register
+@per.schema(("eps_bearer_id", "cint", 0, 15))
+@dataclasses.dataclass
+class ActivateDedicatedEpsBearerAccept:
+    eps_bearer_id: int = 6

@@ -61,6 +61,7 @@ class UeStack:
         self.gw_tx = collections.deque()  # uplink IP packets queued by apps
         self.metrics = collections.Counter()
         self.mib = None
+        self.tft = None  # TftMatcher once a dedicated bearer is active
 
     # ================= bearers =================
     def _rlc_to_pdcp(self, lcid, sdu):
@@ -380,10 +381,17 @@ class UeStack:
                 self._ra_backoff = (self._salt * 7 + n * 13) % min(40, 8 * n)
         else:
             self._ra_timer = 0
-        # drain app uplink queue into the DRB
+        # drain app uplink queue into the DRBs, TFT-classified
+        # (gw.cc + tft_packet_filter.cc: dedicated bearers take matching
+        # flows in precedence order, everything else rides the default)
         while self.gw_tx and DRB1_LCID in self.pdcp:
             ip_pkt = self.gw_tx.popleft()
-            self.rlc[DRB1_LCID].write_sdu(self.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+            lcid = DRB1_LCID
+            if self.tft is not None:
+                lcid = self.tft.route(ip_pkt, uplink=True)
+                if lcid not in self.rlc:
+                    lcid = DRB1_LCID
+            self.rlc[lcid].write_sdu(self.pdcp[lcid].write_sdu(ip_pkt))
 
     # ================= RRC (rrc.cc procedures) =================
     def _start_rrc_connection(self):
@@ -507,6 +515,28 @@ class UeStack:
             self.emm_state = "REGISTERED"
             self._send_nas(nas_msgs.AttachComplete())
             self.metrics["attach_ok"] += 1
+        elif isinstance(msg, nas_msgs.ActivateDedicatedEpsBearerRequest):
+            # ESM dedicated bearer (nas.cc): DRB added by the accompanying
+            # RRC reconfiguration; install the TFT for uplink routing
+            from . import tft as tft_mod
+
+            lcid = DRB1_LCID + (msg.eps_bearer_id - 5)
+            try:
+                filters = []
+                data = msg.tft
+                while data:
+                    f, data = tft_mod.PacketFilter.unpack(data)
+                    filters.append(f)
+            except (ValueError, IndexError):
+                self.metrics["ded_bearer_reject"] += 1
+                return
+            if self.tft is None:
+                self.tft = tft_mod.TftMatcher(DRB1_LCID)
+            for f in filters:
+                self.tft.add_filter(f, lcid)
+            self._send_nas(nas_msgs.ActivateDedicatedEpsBearerAccept(
+                eps_bearer_id=msg.eps_bearer_id))
+            self.metrics["ded_bearer"] += 1
 
     def _send_nas(self, msg):
         self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))
