@@ -30,6 +30,17 @@ class UeSyncState:
     sfn: int = -1
     n_ports: int = 1
     quality: float = 0.0
+    sfo_ppm: float = 0.0  # sample-clock error estimate (sfo.c)
+
+
+def sfo_estimate(peak_drifts, period_samples: int) -> float:
+    """Sample-frequency-offset from successive PSS timing drifts
+    (`lib/src/phy/sync/sfo.c` srslte_sfo_estimate): the mean drift per
+    tracking period, as a fraction of the sample clock (x1e6 = ppm)."""
+    d = np.asarray(peak_drifts, dtype=np.float64)
+    if d.size == 0:
+        return 0.0
+    return float(np.mean(d)) / period_samples
 
 
 def cfo_est_cp(samples, n_prb: int) -> float:
@@ -125,5 +136,13 @@ class UeSync:
         drift = (lo + pos) - exp
         if abs(drift) <= 16:
             self.s.sample_offset += drift
+            # SFO: mean timing drift per 5 ms tracking period (sfo.c)
+            if not hasattr(self, "_drifts"):
+                import collections as _c
+
+                self._drifts = _c.deque(maxlen=16)
+            self._drifts.append(drift)
+            period = 5 * ofdm.params(self.s.n_prb)["sf_len"]
+            self.s.sfo_ppm = 1e6 * sfo_estimate(self._drifts, period)
         cfo_new = cfo_est_cp(self._corrected(samples), self.s.n_prb)
         self.s.cfo_hz += 0.3 * cfo_new  # blended tracking loop (sync.c:343)

@@ -48,3 +48,37 @@ def test_ue_sync_acquires_and_camps():
     assert state.cell_id == 93
     assert state.sfn % 1024 >= 0
     assert abs(state.cfo_hz - 150.0) < 80.0, state.cfo_hz
+
+
+def test_sfo_estimate():
+    """sfo.c srslte_sfo_estimate: mean PSS timing drift per period."""
+    period = 5 * 1920
+    est = ue_sync.sfo_estimate([2, 2, 2, 2], period)
+    assert abs(est - 2 / period) < 1e-12
+    assert ue_sync.sfo_estimate([], period) == 0.0
+    # systematic 1-sample drift with +-1 jitter still averages out
+    est = ue_sync.sfo_estimate([1, 2, 0, 1, 1, 2, 0, 1], period)
+    assert abs(est - 1 / period) < 0.3 / period
+
+
+def test_sfo_tracked_from_skewed_stream():
+    """A receiver clock 104 ppm FAST consumes one extra stream sample per
+    5 ms tracking period, so the PSS lands ~1 sample early each period;
+    sfo_ppm must report the signed clock error."""
+    cell = grid_mod.CellConfig(n_prb=6, cell_id=93)
+    x = _make_stream(cell, 32, 40, snr_db=20.0, cfo_hz=0.0, delay=0,
+                     key=jax.random.PRNGKey(1))
+    s = ue_sync.UeSync(n_prb=6)
+    sf_len = 1920
+    skew = 0
+    state = None
+    for i in range(36):
+        if s.s.state == "CAMPING" and i % 5 == 0:
+            skew += 1  # one extra sample of delay per 5 subframes
+        chunk = x[i * sf_len + skew : (i + 2) * sf_len + skew]
+        if len(chunk) < sf_len:
+            break
+        state = s.step(chunk)
+    assert state is not None and state.state == "CAMPING", vars(s.s)
+    want_ppm = -1e6 / (5 * sf_len)  # ~ -104 ppm (fast clock)
+    assert 2.0 * want_ppm < state.sfo_ppm < 0.3 * want_ppm, state.sfo_ppm
