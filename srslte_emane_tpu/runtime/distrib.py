@@ -141,3 +141,135 @@ class RemoteBus:
         except OSError:
             pass
         self.sock.close()
+
+
+# ---------------------------------------------------------------------------
+# Native hub path: the C++ `ota_hub` daemon (native/ota_hub.cpp) owns the
+# TTI barrier and per-RB SINR; payloads cross the wire as opaque pickled
+# bytes with a compact binary tx-control header — the libemanelte split
+# (OTA payload + TxControl metadata) in native code.
+# ---------------------------------------------------------------------------
+
+_HUB_BIN = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "..", "native", "ota_hub")
+
+
+def native_hub_available() -> bool:
+    import os
+
+    return os.path.isfile(_HUB_BIN) and os.access(_HUB_BIN, os.X_OK)
+
+
+class NativeHub:
+    """Launches the C++ hub daemon; node ids must be 0..N-1 (rows of the
+    pathloss matrix)."""
+
+    def __init__(self, prop: sinr_mod.Propagation, n_nodes: int, n_prb: int):
+        import os
+        import subprocess
+        import tempfile
+
+        self.prop = prop
+        fd, self._plfile = tempfile.mkstemp(suffix=".txt")
+        with os.fdopen(fd, "w") as f:
+            for row in np.asarray(prop.pathloss_db, dtype=np.float64):
+                f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+        self.proc = subprocess.Popen(
+            [_HUB_BIN, "0", str(n_nodes), str(n_prb),
+             str(prop.noise_floor_dbm), self._plfile],
+            stdout=subprocess.PIPE, text=True)
+        line = self.proc.stdout.readline().strip()
+        assert line.startswith("PORT "), line
+        self.port = int(line.split()[1])
+
+    def stop(self):
+        import os
+
+        self.proc.terminate()
+        self.proc.wait(timeout=5)
+        os.unlink(self._plfile)
+
+
+class NativeRemoteBus:
+    """OtaBus-compatible client for the native hub (one per node process)."""
+
+    def __init__(self, host: str, port: int, node_id: int, n_prb: int):
+        self.node_id = node_id
+        self.n_prb = n_prb
+        self.sock = socket.create_connection((host, port))
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        body = struct.pack("<BH", 1, node_id)
+        self.sock.sendall(struct.pack("<I", len(body)) + body)
+        self.curr_tti = 0
+        self._pending = []
+        self._delivered = []
+
+    def send_msg(self, frame):
+        self._pending.append(frame)
+
+    def _frame_header(self, fr):
+        mask = bytearray(self.n_prb)
+        for ch in fr.txc.channels:
+            for p in list(ch.prb_slot0) + list(ch.prb_slot1):
+                mask[p] = 1
+        if not fr.txc.channels:
+            mask = bytearray(b"\x01" * self.n_prb)
+        tx_dbm = 10.0 * np.log10(fr.txc.reference_signal_power_mw + 1e-12)
+        return struct.pack("<HBfH", fr.src, int(fr.txc.is_downlink),
+                           tx_dbm, self.n_prb) + bytes(mask)
+
+    def step_tti(self):
+        parts = [struct.pack("<BH", 2, len(self._pending))]
+        for fr in self._pending:
+            payload = pickle.dumps(fr, protocol=pickle.HIGHEST_PROTOCOL)
+            parts.append(self._frame_header(fr))
+            parts.append(struct.pack("<I", len(payload)) + payload)
+        self._pending = []
+        body = b"".join(parts)
+        self.sock.sendall(struct.pack("<I", len(body)) + body)
+        resp = self._recv_msg()
+        assert resp[0] == 4
+        tti, noise = struct.unpack_from("<If", resp, 1)
+        n, off = struct.unpack_from("<H", resp, 9)[0], 11
+        self.curr_tti = tti
+        for _ in range(n):
+            src, is_dl = struct.unpack_from("<HB", resp, off)
+            off += 3
+            rb = np.frombuffer(resp, dtype="<f4", count=self.n_prb, offset=off).copy()
+            off += 4 * self.n_prb
+            plen = struct.unpack_from("<I", resp, off)[0]
+            off += 4
+            fr = pickle.loads(resp[off : off + plen])
+            off += plen
+            self._delivered.append((fr, sinr_mod.SinrTester(rb, noise)))
+        return tti
+
+    def _recv_msg(self):
+        hdr = b""
+        while len(hdr) < 4:
+            c = self.sock.recv(4 - len(hdr))
+            if not c:
+                raise ConnectionError("hub closed")
+            hdr += c
+        n = struct.unpack("<I", hdr)[0]
+        buf = bytearray()
+        while len(buf) < n:
+            c = self.sock.recv(min(1 << 16, n - len(buf)))
+            if not c:
+                raise ConnectionError("hub closed")
+            buf += c
+        return bytes(buf)
+
+    def get_messages(self, node_id: int):
+        assert node_id == self.node_id
+        out = self._delivered
+        self._delivered = []
+        return out
+
+    def close(self):
+        try:
+            body = struct.pack("<B", 3)
+            self.sock.sendall(struct.pack("<I", len(body)) + body)
+        except OSError:
+            pass
+        self.sock.close()
