@@ -62,6 +62,14 @@ class UeStack:
         self.metrics = collections.Counter()
         self.mib = None
         self.tft = None  # TftMatcher once a dedicated bearer is active
+        # TTI timer wheel (utils/timers.py; nas.cc EMM timers): T3410
+        # supervises attach — a UE stuck ATTACHING (connection died before
+        # the Accept) falls back to deregistered and re-runs the attach
+        from ..utils import timers as timers_mod
+
+        self.timers = timers_mod.TimerHandler()
+        self.t3410 = self.timers.get_unique_timer().set(
+            1000, self._t3410_expired)
 
     # ================= bearers =================
     def _rlc_to_pdcp(self, lcid, sdu):
@@ -330,6 +338,7 @@ class UeStack:
     _resel_count = 0
 
     def tick(self):
+        self.timers.step()
         for e in self.rlc.values():
             e.timer_tick()
         if getattr(self, "_conn_barred", 0) > 0:
@@ -436,6 +445,7 @@ class UeStack:
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                 nas_pdu=codec.encode(attach)))
             self.emm_state = "ATTACHING"
+            self.t3410.run()
         elif isinstance(msg, rrc_msgs.Paging):
             if msg.ue_identity in (0, self._salt & 0xFFFF):
                 self.metrics["paged"] += 1
@@ -513,6 +523,7 @@ class UeStack:
         elif isinstance(msg, nas_msgs.AttachAccept):
             self.ip_addr = msg.ip_addr
             self.emm_state = "REGISTERED"
+            self.t3410.stop()
             self._send_nas(nas_msgs.AttachComplete())
             self.metrics["attach_ok"] += 1
         elif isinstance(msg, nas_msgs.ActivateDedicatedEpsBearerRequest):
@@ -537,6 +548,18 @@ class UeStack:
             self._send_nas(nas_msgs.ActivateDedicatedEpsBearerAccept(
                 eps_bearer_id=msg.eps_bearer_id))
             self.metrics["ded_bearer"] += 1
+
+    def _t3410_expired(self, _tid):
+        """nas.cc T3410 expiry: the attach never completed — drop to idle
+        deregistered and let the connection trigger re-run the attach."""
+        if self.emm_state != "ATTACHING":
+            return
+        self.metrics["t3410_expiry"] += 1
+        self.emm_state = "DEREGISTERED"
+        self.rrc_state = "IDLE"
+        self.mac_state = "IDLE"
+        self.crnti = None
+        self._ra_backoff = (self._salt // 3 + 23) % 40
 
     def _send_nas(self, msg):
         self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))

@@ -4,6 +4,7 @@ UE (MAC/RLC/PDCP/RRC/NAS/USIM/GW) <-OTA bus-> eNB (MAC/RLC/PDCP/RRC/S1AP/GTPU)
 
 import numpy as np
 
+from srslte_emane_tpu.apps import netsim
 from srslte_emane_tpu.epc import hss as hss_mod, mme as mme_mod, spgw as spgw_mod
 from srslte_emane_tpu.runtime import otabus, phy_adapter, sinr, ttiloop
 from srslte_emane_tpu.stack import enb_stack, security, ue_stack
@@ -84,3 +85,24 @@ def test_unknown_imsi_rejected():
     net.run(60)
     assert ue.emm_state != "REGISTERED"
     assert mme.metrics["auth_fail"] == 1
+
+
+def test_t3410_attach_supervision():
+    """nas.cc T3410: a UE whose link dies right after the RRC setup (attach
+    request sent, no accept possible) must fall back to DEREGISTERED and
+    complete the attach once the channel recovers."""
+    sysd = netsim.build_network(1, 75.0, n_prb=25)
+    net, prop, ue = sysd["net"], sysd["bus"].prop, sysd["ues"][0]
+    # let it get as far as ATTACHING, then fade the channel hard
+    for _ in range(400):
+        net.run(1)
+        if ue.emm_state == "ATTACHING":
+            break
+    if ue.emm_state == "ATTACHING":  # caught the window (timing-dependent)
+        prop.pathloss_db[0, 1] = prop.pathloss_db[1, 0] = 150.0
+        net.run(1100)  # > T3410 (1000 ttis)
+        assert ue.metrics.get("t3410_expiry", 0) >= 1, dict(ue.metrics)
+        assert ue.emm_state in ("DEREGISTERED", "ATTACHING")
+        prop.pathloss_db[0, 1] = prop.pathloss_db[1, 0] = 75.0
+    net.run(1500)
+    assert ue.emm_state == "REGISTERED", (ue.emm_state, dict(ue.metrics))
