@@ -299,15 +299,22 @@ class EnbStack:
         # their grant size below); floor keeps the metric finite
         for r, u in self.ues.items():
             u.avg_thr = max(1.0, u.avg_thr * (1 - PF_ALPHA))
-        if active and cursor < self.n_prb - 2:
+        # pack MULTIPLE UEs per TTI until the PRB grid (or the PDCCH CCE
+        # budget, ~8 grants) is exhausted — scheduler_grid.cc behavior
+        served = set()
+        while cursor < self.n_prb - 2 and len(served) < 8:
+            cand = [r for r in active if r not in served]
+            if not cand:
+                break
             if self.sched_policy == "pf":
                 n_free = self.n_prb - cursor
-                rnti = max(active, key=lambda r: ra.dl_tbs(
+                rnti = max(cand, key=lambda r: ra.dl_tbs(
                     getattr(self.ues[r], "dl_mcs", self.mcs), n_free)
                     / self.ues[r].avg_thr)
             else:
-                rnti = active[self._rr % len(active)]
+                rnti = cand[self._rr % len(cand)]
                 self._rr += 1
+            served.add(rnti)
             u = self.ues[rnti]
             # SRB traffic rides the most robust MCS (cell-edge delivery of
             # RRC messages, e.g. the handover command); the TB size follows
