@@ -47,3 +47,16 @@ def test_netsim_waveform_mode():
     assert len(wf) == 1
     assert wf[0]["delivered"] == 4
     assert wf[0]["snr_db"] > 20
+
+
+def test_mimo_tm3_data_plane():
+    """TM3 2x2 waveform DL: both codewords of each subframe deliver their
+    PDU through the full pipeline; deep fade fails CRC."""
+    cell = grid_mod.CellConfig(n_prb=25, cell_id=5, n_ports=2, cfi=1)
+    dp = wavesim.MimoDataPlane(cell)
+    dp.add_ue(0x50, (1,) * 25, qm=4)
+    pdus = [bytes([i]) * 150 for i in range(6)]
+    out = dp.send(0x50, pdus, pathloss_db=95.0)
+    assert all(o == p for o, p in zip(out, pdus)), dp.metrics
+    out2 = dp.send(0x50, pdus[:2], pathloss_db=135.0)
+    assert all(o is None for o in out2)
