@@ -18,6 +18,16 @@ MATRIX = [
     for mcs in (0, 5, 9, 12, 16, 20, 26)
 ]
 
+# TEST_EXTENSION=Paranoid: every bandwidth (the reference's explosion mode)
+import os
+
+if os.environ.get("TEST_EXTENSION") == "Paranoid":
+    MATRIX = [
+        (n_prb, mcs)
+        for n_prb in (6, 15, 25, 50, 75, 100)
+        for mcs in range(0, 27, 2)
+    ]
+
 
 @pytest.mark.parametrize("n_prb,mcs", MATRIX)
 def test_pdsch_mcs_prb_grid(n_prb, mcs):

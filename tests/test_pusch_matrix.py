@@ -17,6 +17,21 @@ MATRIX = [
     for mcs in (0, 8, 12, 20)
 ]
 
+# TEST_EXTENSION=Paranoid explodes to every valid PRB count, mirroring
+# phch/test/CMakeLists.txt:240-315's Paranoid mode
+import os
+
+if os.environ.get("TEST_EXTENSION") == "Paranoid":
+    from srslte_emane_tpu.phch import pusch as _p
+
+    MATRIX = [
+        (cell_prb, l_prb, mcs)
+        for cell_prb in (6, 15, 25, 50, 75, 100)
+        for l_prb in range(1, cell_prb + 1)
+        if _p.valid_n_prb(l_prb)
+        for mcs in (0, 8, 12, 20)
+    ]
+
 
 @pytest.mark.parametrize("cell_prb,l_prb,mcs", MATRIX)
 def test_pusch_mcs_prb_grid(cell_prb, l_prb, mcs):
