@@ -124,6 +124,11 @@ class EnbStack:
 
     LINK_FAILURE_NOF_ERR = 50  # expert.link_failure_nof_err (srsenb main.cc:146)
 
+    # UL outer-loop link adaptation (scheduler_ue.cc OLLA): converge on a
+    # ~10% PUSCH BLER target — each CRC failure steps the offset down hard,
+    # each success nudges it up
+    OLLA_UP, OLLA_DOWN = 0.1, 1.0
+
     def ul_crc_info(self, tti, rnti, ok):
         self.phich_queue.append(dict(rnti=rnti, ack=ok))
         # eNB-side radio-link failure: N consecutive PUSCH CRC failures ->
@@ -131,6 +136,9 @@ class EnbStack:
         ue = self.ues.get(rnti)
         if ue is None:
             return
+        ue.ul_olla = max(-float(self.mcs), min(
+            8.0, getattr(ue, "ul_olla", 0.0)
+            + (self.OLLA_UP if ok else -self.OLLA_DOWN)))
         if ok:
             ue.ul_err_streak = 0
         else:
@@ -366,8 +374,10 @@ class EnbStack:
             if getattr(u, "sr", False) or getattr(u, "bsr", 0) > 0:
                 u.sr = False
                 u.bsr = 0
+                ul_mcs = max(0, min(20, self.mcs
+                                    + int(getattr(u, "ul_olla", 0.0))))
                 grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=8,
-                                      mcs=self.mcs))
+                                      mcs=ul_mcs))
                 cursor += 8
         return grants
 
