@@ -105,8 +105,16 @@ class OStatServer:
             except socket.timeout:
                 continue
             try:
-                req = conn.recv(4096).decode() or "{}"
-                q = json.loads(req) if req.strip() else {}
+                req = conn.recv(4096).decode("utf-8", "replace") or "{}"
+                try:
+                    q = json.loads(req) if req.strip() else {}
+                    if not isinstance(q, dict):
+                        q = {}
+                except json.JSONDecodeError:
+                    # malformed query: answer with an error, keep serving
+                    q = {"q": None}
+                    conn.sendall(b'{"error": "bad query"}')
+                    continue
                 if q.get("q") == "tables":
                     resp = {"tables": [k for k in self.hub.last if not k.startswith("_")]}
                 elif q.get("q"):
@@ -114,6 +122,8 @@ class OStatServer:
                 else:
                     resp = self.hub.last
                 conn.sendall(json.dumps(resp, default=str).encode())
+            except OSError:
+                pass  # client went away mid-reply; server keeps running
             finally:
                 conn.close()
 
