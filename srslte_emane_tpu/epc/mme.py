@@ -147,6 +147,9 @@ class Mme:
     # ---- NAS transport (s1ap_nas_transport.cc) ----
     def initial_ue_message(self, enb_id: int, msg: InitialUEMessage):
         nas = codec.decode(msg.nas_pdu)
+        if isinstance(nas, nas_msgs.ServiceRequest):
+            self._service_request(enb_id, msg, nas)
+            return
         if not isinstance(nas, nas_msgs.AttachRequest):
             return
         mme_ue_id = self.next_mme_ue_id
@@ -194,6 +197,8 @@ class Mme:
             accept = nas_msgs.AttachAccept(ip_addr=sess["ue_ip"], guti=msg.mme_ue_id)
             ue["state"] = "CTX"
             ue["ue_ip"] = sess["ue_ip"]
+            ue["teid_spgw"] = sess["teid_in"]
+            ue["teid_enb"] = sess["teid_out"]
             enb.ctx_setup(InitialContextSetupRequest(
                 mme_ue_id=msg.mme_ue_id, enb_ue_id=msg.enb_ue_id, kenb=kenb,
                 ue_ip=sess["ue_ip"], teid_spgw=sess["teid_in"],
@@ -243,6 +248,31 @@ class Mme:
         ue["enb_id"] = enb_id
         ue["enb_ue_id"] = msg.target_enb_ue_id
         self.metrics["handover_ok"] = self.metrics.get("handover_ok", 0) + 1
+
+    def _service_request(self, enb_id: int, msg: InitialUEMessage, nas):
+        """Registered-idle UE resuming bearers (s1ap service request proc):
+        restore the EXISTING session — same IP, same S1-U tunnel — with a
+        fresh KeNB; reject if the context is gone (UE then re-attaches)."""
+        ue = self.ues.get(nas.guti)
+        if ue is None or ue["state"] != "ATTACHED":
+            self._dl_nas(enb_id, nas.guti, msg.enb_ue_id,
+                         nas_msgs.ServiceReject())
+            self.metrics["service_reject"] = self.metrics.get("service_reject", 0) + 1
+            return
+        ue["ul_nas_count"] += 1
+        kenb = security.kdf_kenb(ue["vec"]["kasme"], ue["ul_nas_count"])
+        prev_enb = ue["enb_id"]
+        ue["enb_id"] = enb_id
+        ue["enb_ue_id"] = msg.enb_ue_id
+        enb = self.enbs[enb_id]
+        if prev_enb != enb_id:
+            self.spgw.path_switch(ue["ue_ip"], enb.gtpu_dl)
+        enb.ctx_setup(InitialContextSetupRequest(
+            mme_ue_id=nas.guti, enb_ue_id=msg.enb_ue_id, kenb=kenb,
+            ue_ip=ue["ue_ip"], teid_spgw=ue["teid_spgw"],
+            teid_enb=ue["teid_enb"], eps_bearer_id=5,
+            nas_pdu=codec.encode(nas_msgs.ServiceAccept())))
+        self.metrics["service_ok"] = self.metrics.get("service_ok", 0) + 1
 
     def activate_dedicated_bearer(self, mme_ue_id: int, tft_bytes: bytes,
                                   qci: int = 1, eps_bearer_id: int = 6):

@@ -101,6 +101,7 @@ class EnbStack:
         self.dedicated_preambles = {}  # preamble -> rnti (contention-free HO)
         self._next_ded_preamble = 60
         self._rr = 0
+        self._page_buf = {}  # teid -> DL packets buffered while UE idle
         self.metrics = collections.Counter()
         mme.s1_setup(enb_id, self)
 
@@ -444,6 +445,11 @@ class EnbStack:
         elif isinstance(msg, rrc_msgs.UECapabilityInformation):
             ue.setup_drb(DRB1_LCID)
             self.by_teid[ue.teid_enb] = ue
+            # deliver DL data buffered while the UE was idle (RLC AM takes
+            # care of ordering vs anything arriving after)
+            for ip_pkt in self._page_buf.pop(ue.teid_enb, []):
+                ue.rlc[DRB1_LCID].write_sdu(
+                    ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
             ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
                 drbs_to_add=[rrc_msgs.DrbToAdd(drb_id=1, lcid=DRB1_LCID,
                                                eps_bearer_id=ue.eps_bearer or 5)],
@@ -701,7 +707,13 @@ class EnbStack:
         the UE is mid-handover)."""
         teid, ip_pkt = spgw_mod.gtpu_decap(pkt)
         ue = self.by_teid.get(teid)
-        if ue is None or DRB1_LCID not in ue.pdcp:
+        if ue is None or DRB1_LCID not in ue.pdcp or ue.state == "RRC_IDLE":
+            # DL data for a UE without active bearers (idle after release,
+            # or mid service-request): buffer until the context resumes —
+            # the SGW downlink-data buffering role (spgw.cc)
+            buf = self._page_buf.setdefault(teid, [])
+            if len(buf) < 64:
+                buf.append(ip_pkt)
             return
         fwd = getattr(ue, "x2_fwd", None)
         if ue.state == "HO_OUT" and fwd is not None:

@@ -84,10 +84,27 @@ class DetachRequest:
 
 
 @codec.register
-@per.schema()
+@per.schema(("guti", "int"))
 @dataclasses.dataclass
 class ServiceRequest:
+    """24.301 Service Request: a registered-idle UE resuming user-plane
+    bearers (paging response / pending UL data) without re-attaching."""
+
+    guti: int = 0
+
+
+@codec.register
+@per.schema()
+@dataclasses.dataclass
+class ServiceAccept:
     pass
+
+
+@codec.register
+@per.schema(("cause", "cint", 0, 255))
+@dataclasses.dataclass
+class ServiceReject:
+    cause: int = 9  # UE identity cannot be derived by the network
 
 
 @codec.register

@@ -441,6 +441,16 @@ class UeStack:
                 self._ra_backoff = (self._salt // 7 + 11) % 40
                 return
             self.rrc_state = "CONNECTED"
+            if self.emm_state == "REGISTERED" and getattr(self, "guti", None) is not None:
+                # registered-idle reconnect (page / pending UL data): Service
+                # Request resumes the existing session (nas.cc), never a
+                # fresh attach — keys advance with the NAS uplink count
+                self._nas_count = getattr(self, "_nas_count", 0) + 1
+                self.kenb = security.kdf_kenb(self.kasme, self._nas_count)
+                self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
+                    nas_pdu=codec.encode(nas_msgs.ServiceRequest(guti=self.guti))))
+                self.metrics["service_req"] += 1
+                return
             attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                 nas_pdu=codec.encode(attach)))
@@ -522,10 +532,22 @@ class UeStack:
             self._send_nas(nas_msgs.NasSecurityModeComplete())
         elif isinstance(msg, nas_msgs.AttachAccept):
             self.ip_addr = msg.ip_addr
+            self.guti = msg.guti
+            self._nas_count = 0
             self.emm_state = "REGISTERED"
             self.t3410.stop()
             self._send_nas(nas_msgs.AttachComplete())
             self.metrics["attach_ok"] += 1
+        elif isinstance(msg, nas_msgs.ServiceAccept):
+            self.metrics["service_ok"] += 1
+        elif isinstance(msg, nas_msgs.ServiceReject):
+            # network lost our context: full re-attach (nas.cc T3417/reject)
+            self.metrics["service_reject"] += 1
+            self.guti = None
+            self.emm_state = "DEREGISTERED"
+            self.rrc_state = "IDLE"
+            self.mac_state = "IDLE"
+            self.crnti = None
         elif isinstance(msg, nas_msgs.ActivateDedicatedEpsBearerRequest):
             # ESM dedicated bearer (nas.cc): DRB added by the accompanying
             # RRC reconfiguration; install the TFT for uplink routing

@@ -87,3 +87,37 @@ def test_sib_broadcast_and_acquisition():
     assert ue.sib2.n_preambles == 52
     assert ue.emm_state == "REGISTERED"
     assert enb.metrics.get("si_tx", 0) >= 4
+
+
+def test_service_request_resumes_session_with_buffered_data():
+    """24.301 Service Request: a paged registered-idle UE resumes its
+    existing session (same IP, no re-attach); DL data that arrived while
+    idle is buffered at the eNB and delivered after resume; a lost network
+    context yields ServiceReject -> clean full re-attach."""
+    from srslte_emane_tpu.apps import netsim
+
+    sysd = netsim.build_network(1, 75.0, n_prb=25)
+    net, mme, spgw, enb, ue = (sysd[k] for k in
+                               ("net", "mme", "spgw", "enb", "ues"))
+    ue = ue[0]
+    net.run(150)
+    ip0 = ue.ip_addr
+    enb.release_ue(ue.crnti)
+    net.run(100)
+    assert (ue.rrc_state, ue.emm_state) == ("IDLE", "REGISTERED")
+    spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ip0, b"wake" * 50))
+    mme.page_ue(1)
+    net.run(400)
+    assert ue.metrics.get("service_req") == 1
+    assert ue.metrics.get("service_ok") == 1
+    assert mme.metrics["attach_ok"] == 1  # no re-attach
+    assert ue.ip_addr == ip0
+    assert any(p.endswith(b"wake" * 50) for p in ue.gw_rx)
+    # lost context -> reject -> full re-attach with a fresh session
+    mme.ues.pop(1)
+    enb.release_ue(ue.crnti)
+    net.run(100)
+    ue._connect_pending = True
+    net.run(600)
+    assert ue.metrics.get("service_reject") == 1
+    assert ue.emm_state == "REGISTERED" and ue.ip_addr != ip0
