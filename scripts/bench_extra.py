@@ -48,6 +48,10 @@ def main():
     gg = sync.put_pss_sss(gg, c6, 0)
     gg = pdsch.put_crs(gg, c6, 0)
     tt = channel.awgn(jax.random.PRNGKey(1), ofdm.modulate(gg, 6), 5.0)
+    # warm the pss_find subgraph first (remote-compile stall mitigation;
+    # see docs/BENCHMARKS.md cell-search note) and keep the input resident
+    tt = jax.device_put(jax.block_until_ready(tt))
+    jax.block_until_ready(jax.jit(lambda s: sync.pss_find(s))(tt))
     cs = jax.jit(lambda s: sync.cell_search(s))
     dt = timed("cell_search", cs, tt,
                check=lambda o: (np.asarray(o["cell_id"]) == 301).all() or (_ for _ in ()).throw(AssertionError("cs")))
