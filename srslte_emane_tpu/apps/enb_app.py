@@ -28,11 +28,18 @@ def main(argv=None):
     ap.add_argument("--node-id", type=int, default=0)
     ap.add_argument("--epc", required=True)
     ap.add_argument("--ttis", type=int, default=1000)
+    ap.add_argument("--native-hub", action="store_true",
+                    help="the hub is the C++ ota_hub daemon (binary OTA"
+                         " protocol) instead of the python OtaHub")
     args, rest = ap.parse_known_args(argv)
     cfg = config_mod.load(config_mod.EnbConfig, args.conf, rest)
 
     host, port = args.hub.rsplit(":", 1)
-    bus = distrib.RemoteBus(host, int(port), args.node_id)
+    if args.native_hub:
+        bus = distrib.NativeRemoteBus(host, int(port), args.node_id,
+                                      n_prb=cfg.n_prb)
+    else:
+        bus = distrib.RemoteBus(host, int(port), args.node_id)
     ehost, eport = args.epc.rsplit(":", 1)
     mme = rpc.RemoteMme(ehost, int(eport))  # S1AP over TCP to the MME process
     enb = enb_stack.EnbStack(mme, enb_id=cfg.enb_id, n_prb=cfg.n_prb,

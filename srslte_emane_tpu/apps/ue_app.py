@@ -27,11 +27,18 @@ def main(argv=None):
     ap.add_argument("--cell", type=int, default=1)
     ap.add_argument("--prb", type=int, default=25)
     ap.add_argument("--ttis", type=int, default=1000)
+    ap.add_argument("--native-hub", action="store_true",
+                    help="the hub is the C++ ota_hub daemon (binary OTA"
+                         " protocol) instead of the python OtaHub")
     args, rest = ap.parse_known_args(argv)
     cfg = config_mod.load(config_mod.UeConfig, args.conf, rest)
 
     host, port = args.hub.rsplit(":", 1)
-    bus = distrib.RemoteBus(host, int(port), args.node_id)
+    if args.native_hub:
+        bus = distrib.NativeRemoteBus(host, int(port), args.node_id,
+                                      n_prb=args.prb)
+    else:
+        bus = distrib.RemoteBus(host, int(port), args.node_id)
     key = bytes.fromhex(cfg.key_hex)
     op = bytes.fromhex(cfg.op_hex)
     usim = ue_stack.Usim(cfg.imsi, key, security.milenage_opc(key, op))
