@@ -87,3 +87,27 @@ def test_native_hub_attach():
         enb_bus.close()
         ue_bus.close()
         hub.stop()
+
+
+def test_native_hub_node_crash_fails_fast():
+    """A node dying without BYE must not hang the deployment: the hub tears
+    down and the surviving node's step_tti raises ConnectionError."""
+    if not distrib.native_hub_available():
+        import pytest
+
+        pytest.skip("native ota_hub not built")
+    prop = sinr.Propagation(pathloss_db=np.array([[0, 80], [80, 0]], np.float32))
+    hub = distrib.NativeHub(prop, n_nodes=2, n_prb=25)
+    a = distrib.NativeRemoteBus("127.0.0.1", hub.port, 0, n_prb=25)
+    b = distrib.NativeRemoteBus("127.0.0.1", hub.port, 1, n_prb=25)
+    t = threading.Thread(target=b.step_tti)
+    t.start()
+    a.step_tti()
+    t.join()
+    b.sock.close()  # crash, no BYE
+    import pytest
+
+    with pytest.raises(ConnectionError):
+        for _ in range(3):
+            a.step_tti()
+    hub.stop()
