@@ -9,14 +9,15 @@ server dispatching dotted method paths onto a served object.
 
 from __future__ import annotations
 
-import pickle
 import socket
 import struct
 import threading
 
+from ..utils import wire
+
 
 def _send(sock, obj):
-    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    data = wire.dumps(obj)
     sock.sendall(struct.pack("!I", len(data)) + data)
 
 
@@ -34,7 +35,7 @@ def _recv(sock):
         if not c:
             raise ConnectionError
         buf += c
-    return pickle.loads(buf)
+    return wire.safe_loads(buf)
 
 
 class RpcServer:

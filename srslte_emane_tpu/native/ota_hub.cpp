@@ -163,38 +163,64 @@ int main(int argc, char** argv) {
     conn[idx] = fd;
   }
 
+  constexpr uint32_t kMaxBody = 256u << 20;  // 256 MB sanity cap
   uint32_t tti = 0;
   std::vector<Frame> frames;
+  std::vector<uint8_t> body_buf;
   bool running = true;
   while (running) {
     frames.clear();
     for (int nid = 0; nid < n_nodes && running; ++nid) {
       uint32_t len;
-      uint8_t type;
-      if (!recv_all(conn[nid], &len, 4) || !recv_all(conn[nid], &type, 1)) {
+      if (!recv_all(conn[nid], &len, 4) || len < 1 || len > kMaxBody) {
         running = false;
         break;
       }
+      // read the whole declared body, then parse it with bounds checks —
+      // a truncated stream or malformed frame drops the run cleanly
+      // instead of desynchronizing the parse or reading out of bounds
+      body_buf.resize(len);
+      if (!recv_all(conn[nid], body_buf.data(), len)) {
+        running = false;
+        break;
+      }
+      const uint8_t type = body_buf[0];
       if (type == 3) {  // BYE: any node leaving ends the emulation
         running = false;
         break;
       }
-      uint16_t n_frames;
-      recv_all(conn[nid], &n_frames, 2);
-      for (int k = 0; k < n_frames; ++k) {
+      size_t off = 1;
+      auto take = [&](void* dst, size_t n) -> bool {
+        if (off + n > body_buf.size()) return false;
+        std::memcpy(dst, body_buf.data() + off, n);
+        off += n;
+        return true;
+      };
+      uint16_t n_frames = 0;
+      bool ok = type == 2 && take(&n_frames, 2);
+      for (int k = 0; ok && k < n_frames; ++k) {
         Frame fr;
         uint16_t np;
-        recv_all(conn[nid], &fr.src, 2);
-        recv_all(conn[nid], &fr.is_dl, 1);
-        recv_all(conn[nid], &fr.tx_power_dbm, 4);
-        recv_all(conn[nid], &np, 2);
-        fr.mask.resize(np);
-        recv_all(conn[nid], fr.mask.data(), np);
         uint32_t plen;
-        recv_all(conn[nid], &plen, 4);
-        fr.payload.resize(plen);
-        recv_all(conn[nid], fr.payload.data(), plen);
-        frames.push_back(std::move(fr));
+        ok = take(&fr.src, 2) && take(&fr.is_dl, 1) &&
+             take(&fr.tx_power_dbm, 4) && take(&np, 2);
+        // frames must match the hub's PRB grid: group_sinr indexes
+        // mask[p] for p < n_prb, so a mismatched client is an error
+        ok = ok && np == n_prb && fr.src < n_nodes;
+        if (ok) {
+          fr.mask.resize(np);
+          ok = take(fr.mask.data(), np) && take(&plen, 4) &&
+               plen <= body_buf.size() - off;
+        }
+        if (ok) {
+          fr.payload.resize(plen);
+          ok = take(fr.payload.data(), plen);
+        }
+        if (ok) frames.push_back(std::move(fr));
+      }
+      if (!ok) {
+        std::fprintf(stderr, "ota_hub: malformed SUBMIT from node %d\n", nid);
+        running = false;
       }
     }
     if (!running) break;

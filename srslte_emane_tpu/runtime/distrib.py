@@ -11,7 +11,6 @@ state stays local to each node's chips (parallel/mesh).
 
 from __future__ import annotations
 
-import pickle
 import socket
 import struct
 import threading
@@ -19,10 +18,11 @@ import threading
 import numpy as np
 
 from . import sinr as sinr_mod
+from ..utils import wire
 
 
 def _send(sock, obj):
-    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    data = wire.dumps(obj)
     sock.sendall(struct.pack("!I", len(data)) + data)
 
 
@@ -40,7 +40,7 @@ def _recv(sock):
         if not chunk:
             raise ConnectionError("peer closed")
         buf += chunk
-    return pickle.loads(buf)
+    return wire.safe_loads(buf)
 
 
 class OtaHub:
@@ -95,6 +95,11 @@ class OtaHub:
                                      noise=self.prop.noise_floor_dbm))
         except (ConnectionError, OSError):
             pass
+        finally:
+            # close every node connection on exit so surviving nodes get
+            # ConnectionError from their blocking _recv instead of hanging
+            # when one peer dies without BYE
+            self.stop()
 
     def stop(self):
         self._stop = True
@@ -152,12 +157,32 @@ class RemoteBus:
 
 _HUB_BIN = __import__("os").path.join(
     __import__("os").path.dirname(__file__), "..", "native", "ota_hub")
+_HUB_SRC = _HUB_BIN + ".cpp"
+
+
+def _ensure_hub_built() -> bool:
+    """(Re)build the hub daemon when missing or older than its source, the
+    same on-demand strategy as native_bus._load — the binary is not
+    committed to git."""
+    import os
+    import subprocess
+
+    try:
+        fresh = (os.path.isfile(_HUB_BIN)
+                 and os.path.getmtime(_HUB_BIN) >= os.path.getmtime(_HUB_SRC))
+    except OSError:
+        fresh = False
+    if not fresh:
+        try:
+            subprocess.run(["g++", "-O3", "-std=c++17", "-o", _HUB_BIN,
+                            _HUB_SRC], check=True, capture_output=True)
+        except Exception:
+            return False
+    return os.access(_HUB_BIN, os.X_OK)
 
 
 def native_hub_available() -> bool:
-    import os
-
-    return os.path.isfile(_HUB_BIN) and os.access(_HUB_BIN, os.X_OK)
+    return _ensure_hub_built()
 
 
 class NativeHub:
@@ -169,6 +194,7 @@ class NativeHub:
         import subprocess
         import tempfile
 
+        assert _ensure_hub_built(), "ota_hub build failed (g++ missing?)"
         self.prop = prop
         fd, self._plfile = tempfile.mkstemp(suffix=".txt")
         with os.fdopen(fd, "w") as f:
@@ -221,7 +247,7 @@ class NativeRemoteBus:
     def step_tti(self):
         parts = [struct.pack("<BH", 2, len(self._pending))]
         for fr in self._pending:
-            payload = pickle.dumps(fr, protocol=pickle.HIGHEST_PROTOCOL)
+            payload = wire.dumps(fr)
             parts.append(self._frame_header(fr))
             parts.append(struct.pack("<I", len(payload)) + payload)
         self._pending = []
@@ -239,7 +265,7 @@ class NativeRemoteBus:
             off += 4 * self.n_prb
             plen = struct.unpack_from("<I", resp, off)[0]
             off += 4
-            fr = pickle.loads(resp[off : off + plen])
+            fr = wire.safe_loads(resp[off : off + plen])
             off += plen
             self._delivered.append((fr, sinr_mod.SinrTester(rb, noise)))
         return tti

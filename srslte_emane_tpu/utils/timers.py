@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import collections
 import heapq
-import itertools
 
 
 class Timer:
@@ -46,7 +45,7 @@ class Timer:
         self._expired = False
         self._deadline = self._hdl.now + self.duration
         heapq.heappush(self._hdl._pq,
-                       (self._deadline, next(self._hdl._tie), self))
+                       (self._deadline, self._hdl._next_tie(), self))
         return self
 
     def stop(self):
@@ -80,11 +79,18 @@ class TimerHandler:
     def __init__(self):
         self.now = 0
         self._pq = []
-        self._tie = itertools.count()
-        self._next_id = itertools.count()
+        # plain int counters (not itertools.count): checkpoint snapshots
+        # pickle the wheel, and iterator pickling is going away (3.14)
+        self._tie = 0
+        self._next_id = 0
+
+    def _next_tie(self) -> int:
+        self._tie += 1
+        return self._tie
 
     def get_unique_timer(self) -> Timer:
-        return Timer(self, next(self._next_id))
+        self._next_id += 1
+        return Timer(self, self._next_id)
 
     def step(self, n: int = 1):
         for _ in range(n):
