@@ -1,9 +1,11 @@
-"""DCI pack/unpack (formats 0, 1, 1A) — host-side control plane.
+"""DCI pack/unpack, all formats 0/1/1A/1B/1C/1D/2/2A/2B — host-side
+control plane.
 
-Reference behavior: `lib/src/phy/phch/dci.c` (all formats, 1,586 LoC).  Round
-1 covers the formats the eNB scheduler and UE blind search actually exercise
-end-to-end: 1A (compact DL, type-2 RA), 1 (DL, type-0 RA), 0 (UL grant).
-Bit packing is MSB-first, matching srsLTE/36.212 §5.3.3.1.
+Reference behavior: `lib/src/phy/phch/dci.c` (1,586 LoC).  The eNB
+scheduler and UE blind search exercise 1A (compact DL, type-2 RA), 1 (DL,
+type-0 RA), and 0 (UL grant) end-to-end; 1B/1C/1D/2/2A/2B are packed and
+unpacked below for the MIMO TMs and paging/RAR paths.  Bit packing is
+MSB-first, matching srsLTE/36.212 §5.3.3.1.
 """
 
 from __future__ import annotations
