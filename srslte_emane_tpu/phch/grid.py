@@ -152,6 +152,26 @@ def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple,
     return len(pdsch_re_indices(cell, sf_idx, prb_mask, max_sym))
 
 
+@functools.lru_cache(maxsize=None)
+def tx_gather_table(cell: CellConfig, sf_idx: int, prb_mask: tuple,
+                    port: int = 0, max_sym: int = 0) -> np.ndarray:
+    """(n_sym*NRE,) int32 inverse placement map for one TX port: each grid
+    position reads from [pdsch syms (n_re) | own-port CRS (n_crs) | zero].
+
+    Turns subframe assembly into ONE device gather — the reference fills the
+    grid RE-by-RE in pdsch.c:81-233 + refsignal_dl.c; a scatter (`.at[].set`)
+    serializes on TPU, a gather vectorizes."""
+    re_idx = pdsch_re_indices(cell, sf_idx, prb_mask, max_sym)
+    ks = crs_k(cell.cell_id, cell.n_prb, port, cell.cp)
+    syms = pilot_syms(port, cell.cp)
+    pidx = (np.asarray(syms)[:, None] * cell.nre + ks).reshape(-1)
+    n_re, n_crs = len(re_idx), len(pidx)
+    table = np.full(cell.n_sym * cell.nre, n_re + n_crs, dtype=np.int32)
+    table[re_idx] = np.arange(n_re, dtype=np.int32)
+    table[pidx] = n_re + np.arange(n_crs, dtype=np.int32)
+    return table
+
+
 # ---------------- UE-specific RS, port 5 (TM7 beamforming) ----------------
 
 UERS5_SYMS = (3, 6, 9, 12)  # normal CP (36.211 §6.10.3.2)

@@ -32,6 +32,21 @@ def put_crs(grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0):
     return flat.reshape(grid.shape)
 
 
+def assemble_grid(syms, cell: grid_mod.CellConfig, sf_idx: int,
+                  prb_mask: tuple, port: int = 0, max_sym: int = 0):
+    """(B, n_re, 2) PDSCH symbols -> (B, 14, NRE, 2) grid with CRS, as ONE
+    gather (see grid.tx_gather_table).  Unused REs are zero."""
+    tbl = grid_mod.tx_gather_table(cell, sf_idx, prb_mask, port, max_sym)
+    crs = grid_mod.crs_values(cell.cell_id, sf_idx, cell.n_prb, port, cell.cp)
+    crs_v = cplx.from_numpy(crs.reshape(-1))  # (n_crs, 2)
+    B = syms.shape[0]
+    src = jnp.concatenate(
+        [syms, jnp.broadcast_to(crs_v, (B,) + crs_v.shape),
+         jnp.zeros((B, 1, 2), syms.dtype)], axis=-2)
+    flat = jnp.take(src, jnp.asarray(tbl), axis=-2)
+    return flat.reshape(B, cell.n_sym, cell.nre, 2)
+
+
 def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, grid=None, codeword_q: int = 0,
            max_sym: int = 0):
@@ -47,7 +62,8 @@ def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     syms = modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm])  # (B, n_re, 2)
     B = syms.shape[0]
     if grid is None:
-        grid = cplx.zeros((B, cell.n_sym, cell.nre))
+        # fresh grid: one-gather assembly (fast path; scatters serialize)
+        return assemble_grid(syms, cell, sf_idx, prb_mask, 0, max_sym)
     flat = grid.reshape(B, cell.n_sym * cell.nre, 2)
     flat = flat.at[:, jnp.asarray(re_idx), :].set(syms)
     grid = flat.reshape(B, cell.n_sym, cell.nre, 2)
@@ -93,7 +109,10 @@ def encode_tm(tb_list, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     n_ports = ports.shape[-3]
     assert ports.shape[-2] == n_re, (ports.shape, n_re)
     if grids is None:
-        grids = cplx.zeros((B, n_ports, cell.n_sym, cell.nre))
+        # fresh grids: one gather per port (fast path; scatters serialize)
+        return jnp.stack(
+            [assemble_grid(ports[:, p], cell, sf_idx, prb_mask, port=p)
+             for p in range(n_ports)], axis=1)
     flat = grids.reshape(B, n_ports, cell.n_sym * cell.nre, 2)
     flat = flat.at[:, :, jnp.asarray(re_idx), :].set(ports)
     grids = flat.reshape(B, n_ports, cell.n_sym, cell.nre, 2)

@@ -143,19 +143,32 @@ def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8,
     new_soft = [None] * s.C
     total_iters = 0
     check = crc.LTE_CRC24B if s.C > 1 else crc.LTE_CRC24A
+    # de-rate-match per (K, F, E) group (host tables are E-specific), but
+    # run ONE turbo decode per K: the MAP recursions are latency-bound
+    # (sequential trellis scans), so fewer, wider decoder calls win — F/E
+    # only shape the w-buffer tables and filler clamps, never the trellis.
+    by_k = {}
     for (kr, f, e), rs in _groups(cfg).items():
         e_llr = jnp.concatenate([llrs[:, offs[r] : offs[r + 1]] for r in rs], axis=0)
         wbuf = jnp.concatenate([softbuf[r] for r in rs], axis=0)
         wbuf = rm_turbo.rate_unmatch_rx(e_llr, wbuf, kr, f, e, cfg.rv, cfg.ncb)
-        l0, l1, l2 = rm_turbo.wbuf_to_d_llrs(wbuf, kr, f)
-        nB = len(rs) * B
+        d3 = rm_turbo.wbuf_to_d_llrs(wbuf, kr, f)
+        for i, r in enumerate(rs):
+            new_soft[r] = wbuf[i * B : (i + 1) * B]
+        by_k.setdefault(kr, []).append((rs, d3))
+    for kr, parts in by_k.items():
+        rs_all = [r for rs, _ in parts for r in rs]
+        l0, l1, l2 = (
+            jnp.concatenate([d3[j] for _, d3 in parts], axis=0)
+            if len(parts) > 1 else parts[0][1][j]
+            for j in range(3))
+        nB = len(rs_all) * B
         bits, ok, it = turbodecoder.turbo_decode(
             l0, l1, l2, jnp.ones((nB,), bool), kr, max_iter, check,
             use_pallas=use_pallas,
         )
         total_iters += it
-        for i, r in enumerate(rs):
-            new_soft[r] = wbuf[i * B : (i + 1) * B]
+        for i, r in enumerate(rs_all):
             cb_bits[r] = bits[i * B : (i + 1) * B]
             cb_ok[r] = ok[i * B : (i + 1) * B]
     # reassemble payload: strip fillers + CB CRCs, then strip/verify TB CRC
