@@ -20,7 +20,9 @@ def _force(out):
     import jax
 
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).reshape(-1)[:1]
+    # slice on DEVICE first: np.asarray(full_leaf) would pull the whole
+    # array through the tunnel and poison the per-iter numbers
+    np.asarray(leaf.reshape(-1)[:1])
 
 
 def timeit(name, fn, *args, iters=20):

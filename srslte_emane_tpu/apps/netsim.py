@@ -27,7 +27,7 @@ from ..utils import metrics as metrics_mod, pcap as pcap_mod
 
 def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
                   paced: bool = False, ue_pathloss: list = None,
-                  sched_policy: str = "rr"):
+                  sched_policy: str = "rr", n_carriers: int = 1):
     n = 1 + n_ues
     pl = np.full((n, n), pathloss_db, np.float32)
     np.fill_diagonal(pl, 0)
@@ -41,7 +41,8 @@ def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
     spgw = spgw_mod.Spgw()
     mme = mme_mod.Mme(hss, spgw)
     enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=n_prb,
-                             sched_policy=sched_policy)
+                             sched_policy=sched_policy,
+                             n_carriers=n_carriers)
     net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=n_prb, mac=enb))
     ues = []
     for i in range(n_ues):
@@ -66,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--pcap", default="")
     ap.add_argument("--ostat-port", type=int, default=0)
     ap.add_argument("--traffic-bytes", type=int, default=10000)
+    ap.add_argument("--carriers", type=int, default=1,
+                    help="component carriers (1 = no CA; N-1 SCells are"
+                         " configured by RRC and activated by MAC CE)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the JAX CPU backend (this image's"
                          " sitecustomize otherwise pins the remote TPU)")
@@ -79,7 +83,8 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    sysd = build_network(args.ues, args.pathloss, args.prb, args.paced)
+    sysd = build_network(args.ues, args.pathloss, args.prb, args.paced,
+                         n_carriers=args.carriers)
     net, mme, spgw, enb, ues = (sysd[k] for k in ("net", "mme", "spgw", "enb", "ues"))
 
     hub = metrics_mod.MetricsHub()

@@ -88,7 +88,7 @@ class OtaHub:
                 self.tti = (self.tti + 1) % 10240
                 for nid, conn in self.conns.items():
                     deliveries = [
-                        (fr, testers[(fr.src, nid)]._rb)
+                        (fr, testers[(id(fr), nid)]._rb)
                         for fr in frames if fr.src != nid
                     ]
                     _send(conn, dict(tti=self.tti, deliveries=deliveries,

@@ -47,7 +47,7 @@ class OtaBus:
             for rid in self.node_ids:
                 if rid == fr.src:
                     continue
-                self._delivered[rid].append((fr, testers[(fr.src, rid)]))
+                self._delivered[rid].append((fr, testers[(id(fr), rid)]))
         self._pending = []
         self.curr_tti = (self.curr_tti + 1) % 10240
         if self.paced:

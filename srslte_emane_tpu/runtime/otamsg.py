@@ -63,6 +63,10 @@ class TxControl:
     num_resource_blocks: int = 6
     cfi: int = 1
     channels: typing.List[ChannelMessage] = dataclasses.field(default_factory=list)
+    # carrier index (EARFCN stand-in): emissions on different carriers are
+    # independent interference domains (the reference keys its SINR model on
+    # center frequency; carrier aggregation SCells live here)
+    freq_idx: int = 0
 
 
 @dataclasses.dataclass
@@ -89,6 +93,7 @@ class EnbDlMessage:
     tti: int
     cfi: int
     phy_cell_id: int
+    carrier_idx: int = 0  # 0 = PCell, >=1 = SCell component carriers
     pss_sss: bool = False
     cp_mode: int = 0
     pbch: typing.Optional[dict] = None  # {phich_resources, phich_length, num_prb, num_antennas, mib_data}

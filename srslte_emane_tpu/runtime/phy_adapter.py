@@ -89,8 +89,13 @@ class EnbPhyAdapter:
                 if passed:
                     if p.get("sr"):
                         self.mac.sr_detected(tti, p["rnti"])
-                    for ack in p.get("ack", []):
-                        self.mac.ack_info(tti, p["rnti"], bool(ack))
+                    ccs = p.get("ack_cc") or [0] * len(p.get("ack", []))
+                    for ack, cc in zip(p.get("ack", []), ccs):
+                        try:
+                            self.mac.ack_info(tti, p["rnti"], bool(ack),
+                                              cc=cc)
+                        except TypeError:  # MACs without CA support
+                            self.mac.ack_info(tti, p["rnti"], bool(ack))
                     if p.get("cqi") is not None and hasattr(self.mac, "cqi_info"):
                         self.mac.cqi_info(tti, p["rnti"], p["cqi"],
                                           ri=p.get("ri"), pmi=p.get("pmi"))
@@ -145,6 +150,38 @@ class EnbPhyAdapter:
                 otamsg.Chan.PHICH, otamsg.Mod.BPSK, 1, rnti=ph["rnti"],
                 prb_slot0=all_prbs, prb_slot1=all_prbs))
         self.bus.send_msg(otamsg.OtaFrame(self.node_id, msg, txc))
+        # carrier aggregation: one ENB_DL_Message per SCell component
+        # carrier (srsenb runs one cc_worker per carrier); SCells carry
+        # dedicated data only
+        for cc in range(1, getattr(self.mac, "n_carriers", 1)):
+            cc_grants = self.mac.get_dl_sched_cc(tti, cc)
+            if not cc_grants:
+                continue
+            pci = self.mac.scell_pcis[cc - 1]
+            cmsg = otamsg.EnbDlMessage(tti=tti, cfi=1, phy_cell_id=pci,
+                                       carrier_idx=cc)
+            ctxc = otamsg.TxControl(
+                tti_tx=tti, phy_cell_id=pci, is_downlink=True,
+                tx_seqnum=self._seq, num_resource_blocks=self.n_prb, cfi=1,
+                reference_signal_power_mw=self.tx_power_mw, freq_idx=cc)
+            self._seq += 1
+            for g in cc_grants:
+                prbs = _prbs_of_mask(g.prb_mask)
+                cmsg.pdcch_dl.append(otamsg.DciMsg(
+                    rnti=g.rnti, format="1A", l_level=4, l_ncce=0,
+                    num_bits=0, data=b""))
+                ctxc.channels.append(otamsg.ChannelMessage(
+                    otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
+                    prb_slot0=all_prbs, prb_slot1=all_prbs))
+                cmsg.pdsch.append(otamsg.PdschData(
+                    refid=g.rnti, tb=0, tbs=len(g.payload) * 8,
+                    data=g.payload))
+                qm = {2: otamsg.Mod.QPSK, 4: otamsg.Mod.QAM16,
+                      6: otamsg.Mod.QAM64}[ra.dl_mcs_to_qm(g.mcs)]
+                ctxc.channels.append(otamsg.ChannelMessage(
+                    otamsg.Chan.PDSCH, qm, len(g.payload) * 8, rnti=g.rnti,
+                    prb_slot0=prbs, prb_slot1=prbs))
+            self.bus.send_msg(otamsg.OtaFrame(self.node_id, cmsg, ctxc))
 
 
 class UePhyAdapter:
@@ -183,6 +220,13 @@ class UePhyAdapter:
             if not isinstance(msg, otamsg.EnbDlMessage):
                 continue
             if msg.phy_cell_id != self.serving_cell:
+                # activated SCell carrier? (scell_recv / cc_worker role)
+                scells = getattr(self.stack, "active_scell_pcis",
+                                 lambda: {})()
+                if msg.phy_cell_id in scells and msg.carrier_idx:
+                    self._rx_scell(tti, msg, frame, tester,
+                                   scells[msg.phy_cell_id])
+                    continue
                 # neighbor-cell measurement (intra_measure role)
                 probe = otamsg.ChannelMessage(
                     otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 0,
@@ -241,6 +285,27 @@ class UePhyAdapter:
             for ph in msg.phich:
                 if ph["rnti"] == self.crnti:
                     self.stack.harq_ack(msg.tti, bool(ph["ack"]))
+
+    def _rx_scell(self, tti, msg, frame, tester, cc):
+        """DCI search + PDSCH decode on an activated SCell carrier; HARQ
+        feedback rides the PCell PUCCH tagged with the cc index."""
+        chans = {}
+        for c in frame.txc.channels:
+            chans.setdefault((c.channel_type, c.rnti), c)
+        crnti = self.crnti
+        for dci in msg.pdcch_dl:
+            if dci.rnti != crnti:
+                continue
+            cm = chans.get((otamsg.Chan.PDCCH, dci.rnti))
+            if not cm or not tester.check(cm)[0]:
+                continue
+            data = next((d for d in msg.pdsch if d.refid == dci.rnti), None)
+            if data is None:
+                continue
+            pm = chans.get((otamsg.Chan.PDSCH, dci.rnti))
+            passed, snr = tester.check(pm) if pm else (False, -99.0)
+            self.stack.tb_decoded(msg.tti, data.data if passed else None,
+                                  snr, rnti=dci.rnti, cc=cc)
 
     def _tx(self, tti: int):
         serving = self.serving_cell

@@ -143,10 +143,15 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids):
 
     FDD: downlink and uplink frames live on separate carriers, so they are
     adjudicated as independent interference domains (which also removes
-    eNB/UE self-interference).  Returns {(src, rx_id): SinrTester}."""
+    eNB/UE self-interference); carrier-aggregation component carriers
+    (txc.freq_idx) are further independent domains.  Returns
+    {(id(frame), rx_id): SinrTester} — keyed by frame identity because one
+    node may emit on several carriers in the same TTI."""
     out = {}
-    for is_dl in (True, False):
-        group = [f for f in frames if f.txc.is_downlink == is_dl]
+    domains = sorted({(f.txc.is_downlink, f.txc.freq_idx) for f in frames})
+    for dom in domains:
+        group = [f for f in frames
+                 if (f.txc.is_downlink, f.txc.freq_idx) == dom]
         out.update(_adjudicate_group(group, prop, n_prb, node_ids))
     return out
 
@@ -173,5 +178,5 @@ def _adjudicate_group(frames, prop: Propagation, n_prb: int, node_ids):
         for r, rid in enumerate(node_ids):
             if rid == fr.src:
                 continue
-            out[(fr.src, rid)] = SinrTester(sinr[t, r], prop.noise_floor_dbm)
+            out[(id(fr), rid)] = SinrTester(sinr[t, r], prop.noise_floor_dbm)
     return out

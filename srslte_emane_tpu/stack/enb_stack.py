@@ -24,6 +24,16 @@ N_HARQ_PROC = 8  # DL HARQ processes per UE (36.213 FDD)
 PF_ALPHA = 0.01  # proportional-fair throughput EWMA coefficient
 
 
+class _CcHarq:
+    """Per-component-carrier DL HARQ entity (dl_harq.cc has one per cc)."""
+
+    def __init__(self):
+        self.dl_harq = {}
+        self.harq_fifo = collections.deque()
+        self.harq_retx_q = collections.deque()
+        self.harq_tx_tti = {}
+
+
 class UeContext:
     def __init__(self, rnti, stack, birth_tti=0):
         self.rnti = rnti
@@ -46,6 +56,13 @@ class UeContext:
         self.harq_retx_q = collections.deque()
         self.harq_tx_tti = {}  # pid -> last tx tti (DTX detection)
         self.avg_thr = 1.0  # bits/TTI EWMA for proportional-fair
+        # carrier aggregation (srsenb rrc.cc SCell config + mac.cc CE):
+        # scell_idx -> cc; activation state; per-SCell HARQ entities
+        self.scells_cfg = {}
+        self.scells_ready = False  # UE confirmed the SCell reconfiguration
+        self.scells_act = set()
+        self.scell_act_pending = set()
+        self.scell_harq = {}  # cc -> _CcHarq
         self._setup_srb(SRB1)
 
     def _setup_srb(self, lcid):
@@ -80,12 +97,18 @@ class EnbStack:
     toward runtime.phy_adapter.EnbPhyAdapter."""
 
     def __init__(self, mme: mme_mod.Mme, enb_id: int = 1, n_prb: int = 25,
-                 mcs: int = 9, pci: int = 1, sched_policy: str = "rr"):
+                 mcs: int = 9, pci: int = 1, sched_policy: str = "rr",
+                 n_carriers: int = 1, scell_pcis: tuple = ()):
         assert sched_policy in ("rr", "pf")
         self.sched_policy = sched_policy
         self.enb_id = enb_id
         self.cell_pci = pci
         self.n_prb = n_prb
+        # carrier aggregation: cc index 1..n-1 are SCells, each its own
+        # (PCI, carrier) — srsue/src/phy/scell/scell_recv.cc's view
+        self.n_carriers = n_carriers
+        self.scell_pcis = tuple(scell_pcis) or tuple(
+            (pci + 100 * cc) % 504 for cc in range(1, n_carriers))
         self.mcs = mcs
         self.mme = mme
         self.ues = {}
@@ -149,24 +172,27 @@ class EnbStack:
                 self.metrics["rl_failure"] += 1
                 self.release_ue(rnti, cause="rl-failure")
 
-    def ack_info(self, tti, rnti, ack):
+    def ack_info(self, tti, rnti, ack, cc: int = 0):
         self.metrics["dl_ack" if ack else "dl_nack"] += 1
         ue = self.ues.get(rnti)
-        if ue is None or not ue.harq_fifo:
+        if ue is None:
+            return
+        h = ue if cc == 0 else ue.scell_harq.get(cc)
+        if h is None or not h.harq_fifo:
             return
         # MAC HARQ (scheduler_harq.cc / dl_harq.cc): ACKs pop the oldest
         # in-flight process; NACK queues that process for retransmission.
-        pid = ue.harq_fifo.popleft()
+        pid = h.harq_fifo.popleft()
         if ack:
-            ue.dl_harq.pop(pid, None)
-        elif pid in ue.dl_harq:
-            payload, n_prb, mcs, n_tx = ue.dl_harq[pid]
+            h.dl_harq.pop(pid, None)
+        elif pid in h.dl_harq:
+            payload, n_prb, mcs, n_tx = h.dl_harq[pid]
             if n_tx >= 4:  # max 4 transmissions, then drop
-                ue.dl_harq.pop(pid, None)
+                h.dl_harq.pop(pid, None)
                 self.metrics["harq_drop"] += 1
             else:
-                ue.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
-                ue.harq_retx_q.append(pid)
+                h.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
+                h.harq_retx_q.append(pid)
                 self.metrics["harq_retx"] += 1
 
     def cqi_info(self, tti, rnti, cqi: int, ri: int = None, pmi: int = None):
@@ -299,10 +325,20 @@ class EnbStack:
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb_tx),
                                       mcs=mcs_tx, payload=payload,
                                       harq_pid=pid, rv=RV_SEQ[(n_tx - 1) % 4]))
+        # SCell activation (36.321 §5.13): a configured-but-inactive SCell
+        # activates when DL backlog appears; the Activation/Deactivation CE
+        # rides the UE's next PCell MAC PDU
+        for r, u in self.ues.items():
+            if (u.scells_cfg and u.scells_ready
+                    and any(e.has_data() for e in u.rlc.values())):
+                todo = set(u.scells_cfg) - u.scells_act
+                if todo:
+                    u.scell_act_pending |= todo
         # new transmissions: RR or proportional-fair over UEs with RLC data
         # and a free HARQ process
         active = [r for r, u in self.ues.items()
-                  if any(e.has_data() for e in u.rlc.values())
+                  if (any(e.has_data() for e in u.rlc.values())
+                      or u.scell_act_pending)
                   and self._free_pid(u) is not None]
         # PF bookkeeping: everyone's average decays each TTI (served UEs add
         # their grant size below); floor keeps the metric finite
@@ -335,6 +371,13 @@ class EnbStack:
             tb_bytes = min(TB_BYTES, max(8, ra.dl_tbs(mcs, n_prb_free) // 8))
             subs = []
             room = tb_bytes
+            if u.scell_act_pending:
+                u.scells_act |= u.scell_act_pending
+                u.scell_act_pending = set()
+                subs.append((pdu.LCID_SCELL_ACT,
+                             pdu.scell_act_ce(u.scells_act)))
+                room -= 3
+                self.metrics["scell_act_ce"] += 1
             for lcid in sorted(u.rlc):
                 while room > 8 and u.rlc[lcid].has_data():
                     p = u.rlc[lcid].read_pdu(room - 4)
@@ -355,6 +398,100 @@ class EnbStack:
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
                                       mcs=mcs, payload=payload, harq_pid=pid))
                 self.metrics["dl_bytes"] += n_bytes
+        return grants
+
+    def get_dl_sched_cc(self, tti, cc):
+        """DL grants for SCell component carrier `cc` (>=1): dedicated data
+        only — no SI/RAR/paging/CCCH, which live on the PCell (36.331 SCells
+        carry no common channels in this deployment, srsenb cc_worker role).
+        HARQ entities are per-carrier (dl_harq.cc one per cc)."""
+        assert cc >= 1
+        grants = []
+        cursor = 0
+        RV_SEQ = (0, 2, 3, 1)
+        DTX_TIMEOUT = 12
+
+        def alloc(n):
+            nonlocal cursor
+            n = min(n, self.n_prb - cursor)
+            if n <= 0:
+                return None
+            mask = tuple(1 if cursor <= i < cursor + n else 0
+                         for i in range(self.n_prb))
+            cursor += n
+            return mask
+
+        users = [(r, u) for r, u in self.ues.items()
+                 if cc in u.scells_act and cc in u.scell_harq]
+        # DTX + retransmissions first, same policy as the PCell
+        for rnti, u in users:
+            h = u.scell_harq[cc]
+            while (h.harq_fifo and
+                   tti - h.harq_tx_tti.get(h.harq_fifo[0], tti) > DTX_TIMEOUT):
+                pid = h.harq_fifo.popleft()
+                if pid not in h.dl_harq:
+                    continue
+                payload, n_prb, mcs, n_tx = h.dl_harq[pid]
+                if n_tx >= 4:
+                    h.dl_harq.pop(pid, None)
+                    self.metrics["harq_drop"] += 1
+                else:
+                    h.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
+                    h.harq_retx_q.append(pid)
+                    self.metrics["harq_dtx_retx"] += 1
+            while h.harq_retx_q and cursor < self.n_prb:
+                pid = h.harq_retx_q[0]
+                if pid not in h.dl_harq:
+                    h.harq_retx_q.popleft()
+                    continue
+                payload, n_prb_tx, mcs_tx, n_tx = h.dl_harq[pid]
+                if cursor + n_prb_tx > self.n_prb:
+                    break
+                h.harq_retx_q.popleft()
+                h.harq_fifo.append(pid)
+                h.harq_tx_tti[pid] = tti
+                grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb_tx),
+                                      mcs=mcs_tx, payload=payload,
+                                      harq_pid=pid, rv=RV_SEQ[(n_tx - 1) % 4]))
+        # new transmissions: serve RLC backlog on the secondary carrier
+        served = set()
+        while cursor < self.n_prb - 2 and len(served) < 8:
+            cand = [(r, u) for r, u in users
+                    if r not in served and self._free_pid(u.scell_harq[cc])
+                    is not None and any(e.has_data() for e in u.rlc.values())]
+            if not cand:
+                break
+            rnti, u = cand[0]
+            served.add(rnti)
+            h = u.scell_harq[cc]
+            mcs = getattr(u, "dl_mcs", self.mcs)
+            n_prb_free = self.n_prb - cursor
+            tb_bytes = min(TB_BYTES, max(8, ra.dl_tbs(mcs, n_prb_free) // 8))
+            subs = []
+            room = tb_bytes
+            for lcid in sorted(u.rlc):
+                if lcid <= SRB2:
+                    continue  # SRBs are PCell-only (36.331)
+                while room > 8 and u.rlc[lcid].has_data():
+                    p = u.rlc[lcid].read_pdu(room - 4)
+                    if p is None:
+                        break
+                    subs.append((lcid, p))
+                    room -= len(p) + 3
+            if subs:
+                n_bytes = tb_bytes - room
+                bytes_per_prb = max(2, ra.dl_tbs(mcs, 1) // 8)
+                n_prb = min(n_prb_free, max(2, -(-n_bytes // bytes_per_prb)))
+                payload = pdu.pack(subs)
+                pid = self._free_pid(h)
+                h.dl_harq[pid] = (payload, n_prb, mcs, 1)
+                h.harq_fifo.append(pid)
+                h.harq_tx_tti[pid] = tti
+                u.avg_thr += PF_ALPHA * 8 * n_bytes
+                grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
+                                      mcs=mcs, payload=payload, harq_pid=pid))
+                self.metrics["dl_bytes"] += n_bytes
+                self.metrics["scell_dl_bytes"] += n_bytes
         return grants
 
     def get_ul_sched(self, tti):
@@ -406,6 +543,21 @@ class EnbStack:
                 return pid
         return None
 
+    def _scells_for(self, ue: UeContext) -> list:
+        """SCellToAddMod-r10 list for a UE's first data-bearer
+        reconfiguration (rrc.cc sends sCellToAddModList-r10 with it);
+        installs the per-cc HARQ entities."""
+        if self.n_carriers <= 1 or ue.scells_cfg:
+            return []
+        scells = []
+        for cc in range(1, self.n_carriers):
+            scells.append(rrc_msgs.ScellToAdd(
+                scell_idx=cc, pci=self.scell_pcis[cc - 1], earfcn=cc))
+            ue.scells_cfg[cc] = cc
+            ue.scell_harq[cc] = _CcHarq()
+        self.metrics["scell_cfg"] += len(scells)
+        return scells
+
     # ================= RRC (rrc.cc) =================
     def _rx_ccch(self, ue: UeContext, sdu: bytes):
         msg = codec.decode(sdu)
@@ -453,9 +605,13 @@ class EnbStack:
             ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
                 drbs_to_add=[rrc_msgs.DrbToAdd(drb_id=1, lcid=DRB1_LCID,
                                                eps_bearer_id=ue.eps_bearer or 5)],
-                nas_pdu=ue.pending_nas))
+                nas_pdu=ue.pending_nas, scells_to_add=self._scells_for(ue)))
         elif isinstance(msg, rrc_msgs.RrcConnectionReconfigurationComplete):
             self.metrics["reconfig_ok"] += 1
+            # SCells may be activated only once the UE confirmed the
+            # reconfiguration that configured them (36.331 §5.3.5.3)
+            if ue.scells_cfg:
+                ue.scells_ready = True
             if getattr(ue, "is_ho", False):
                 ue.is_ho = False
                 # X2: deliver forwarded DL data first, then switch the S1-U
@@ -576,7 +732,7 @@ class EnbStack:
             drbs_to_add=[rrc_msgs.DrbToAdd(
                 drb_id=msg.eps_bearer_id - 4, lcid=lcid,
                 eps_bearer_id=msg.eps_bearer_id)],
-            nas_pdu=msg.nas_pdu))
+            nas_pdu=msg.nas_pdu, scells_to_add=self._scells_for(ue)))
         self.metrics["erab_setup"] += 1
 
     def release(self, msg):

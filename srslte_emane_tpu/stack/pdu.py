@@ -15,8 +15,20 @@ LCID_CON_RES = 28  # DL CE (UE contention resolution identity)
 LCID_SBSR = 29  # short BSR
 LCID_TA = 29  # DL: timing advance (context-dependent)
 
+LCID_SCELL_ACT = 27  # DL CE: SCell Activation/Deactivation (36.321 §6.1.3.8)
+
 CE_SIZES_UL = {LCID_CRNTI: 2, LCID_SBSR: 1}
-CE_SIZES_DL = {LCID_CON_RES: 6, LCID_TA: 1}
+CE_SIZES_DL = {LCID_CON_RES: 6, LCID_TA: 1, LCID_SCELL_ACT: 1}
+
+
+def scell_act_ce(active: set) -> bytes:
+    """Activation/Deactivation CE: one octet, bit i (1..7) = SCellIndex i
+    activated, bit 0 reserved (36.321 §6.1.3.8 / pdu.cc)."""
+    b = 0
+    for i in active:
+        assert 1 <= i <= 7
+        b |= 1 << i
+    return bytes([b])
 
 
 def pack(subpdus, tb_size: int = None) -> bytes:

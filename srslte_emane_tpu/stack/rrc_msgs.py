@@ -114,14 +114,28 @@ class MobilityControlInfo:
 
 
 @codec.register
+@per.schema(("scell_idx", "cint", 1, 7), ("pci", "cint", 0, 503),
+            ("earfcn", "cint", 0, 65535))
+@dataclasses.dataclass
+class ScellToAdd:
+    """sCellToAddModList-r10 entry (36.331 SCellToAddMod-r10): secondary
+    component carrier identified by (PCI, EARFCN)."""
+    scell_idx: int
+    pci: int
+    earfcn: int = 0
+
+
+@codec.register
 @per.schema(("drbs_to_add", "seqof", ("msg",), "?"),
-            ("nas_pdu", "bytes", "?"), ("mobility", "msg", "?"))
+            ("nas_pdu", "bytes", "?"), ("mobility", "msg", "?"),
+            ("scells_to_add", "seqof", ("msg",), "?"))
 @dataclasses.dataclass
 class RrcConnectionReconfiguration:
     drbs_to_add: list = dataclasses.field(default_factory=list)
     nas_pdu: bytes = b""
     meas_config: dict = dataclasses.field(default_factory=dict)
     mobility: object = None  # MobilityControlInfo for handover
+    scells_to_add: list = dataclasses.field(default_factory=list)
 
 
 @codec.register

@@ -62,6 +62,10 @@ class UeStack:
         self.metrics = collections.Counter()
         self.mib = None
         self.tft = None  # TftMatcher once a dedicated bearer is active
+        # carrier aggregation (36.331 SCellToAddMod-r10 / 36.321 §5.13):
+        # scell_idx -> {pci, earfcn, active}; configured by reconfiguration,
+        # activated by the MAC Activation/Deactivation CE
+        self.scells = {}
         # TTI timer wheel (utils/timers.py; nas.cc EMM timers): T3410
         # supervises attach — a UE stuck ATTACHING (connection died before
         # the Accept) falls back to deregistered and re-runs the attach
@@ -215,14 +219,21 @@ class UeStack:
             self.mac_state = "IDLE"
             self.crnti = None
 
-    def tb_decoded(self, tti, payload, snr_db, rnti=None):
+    def active_scell_pcis(self):
+        """{pci: scell_idx} of activated SCells — what the PHY monitors
+        (srsue scell_recv / set_activation_deactivation_scell)."""
+        return {s["pci"]: idx for idx, s in self.scells.items()
+                if s["active"]}
+
+    def tb_decoded(self, tti, payload, snr_db, rnti=None, cc=0):
         # HARQ feedback only for C-RNTI-addressed TBs: broadcast (SI-RNTI /
         # P-RNTI) carries no HARQ (and acking it floods the PUCCH)
         own = rnti is None or rnti == self.crnti
         if payload is None:
             self.metrics["dl_crc_err"] += 1
             if self.crnti and own:  # HARQ NACK -> eNB retransmits
-                self._acks.append(dict(rnti=self.crnti, ack=[0]))
+                self._acks.append(dict(rnti=self.crnti, ack=[0],
+                                       ack_cc=[cc]))
             return
         if pdu.is_rar(payload):
             # RARs never parse as ordinary MAC PDUs; a RAR for someone
@@ -247,10 +258,18 @@ class UeStack:
         for lcid, sdu in pdu.unpack(payload):
             if lcid == pdu.LCID_CCCH:
                 self._rx_ccch(sdu)
+            elif lcid == pdu.LCID_SCELL_ACT and len(sdu) == 1:
+                # Activation/Deactivation CE (36.321 §6.1.3.8)
+                bitmap = sdu[0]
+                for idx, s in self.scells.items():
+                    was = s["active"]
+                    s["active"] = bool(bitmap & (1 << idx))
+                    if s["active"] and not was:
+                        self.metrics["scell_activated"] += 1
             elif lcid in self.rlc:
                 self.rlc[lcid].write_pdu(sdu)
         if self.crnti and own:
-            self._acks.append(dict(rnti=self.crnti, ack=[1]))
+            self._acks.append(dict(rnti=self.crnti, ack=[1], ack_cc=[cc]))
 
     def ul_grant(self, tti, grant):
         self._ul_grants.append(grant)
@@ -304,7 +323,16 @@ class UeStack:
     def get_pucch(self, tti):
         out = None
         if self._acks:
+            # multiplex every pending HARQ bit into one PUCCH (format 3 /
+            # 1b-CS role): with carrier aggregation there is one bit per
+            # component carrier per TTI
             out = self._acks.popleft()
+            out.setdefault("ack_cc", [0] * len(out["ack"]))
+            while self._acks:
+                nxt = self._acks.popleft()
+                out["ack"].extend(nxt["ack"])
+                out["ack_cc"].extend(
+                    nxt.get("ack_cc", [0] * len(nxt["ack"])))
             out["sr"] = self._pending_ul_bytes() > 0
         elif self._pending_ul_bytes() and self.mac_state == "CONNECTED":
             out = dict(rnti=self.crnti, sr=True, ack=[])
@@ -485,6 +513,10 @@ class UeStack:
                 return
             for drb in msg.drbs_to_add:
                 self._setup_drb(drb.lcid, drb.rlc_mode)
+            for sc in getattr(msg, "scells_to_add", []) or []:
+                self.scells[sc.scell_idx] = dict(
+                    pci=sc.pci, earfcn=sc.earfcn, active=False)
+                self.metrics["scell_configured"] += 1
             self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
             if msg.nas_pdu:
                 self._rx_nas(codec.decode(msg.nas_pdu))
