@@ -51,7 +51,10 @@ def main():
     valid = jnp.ones((n_cb,), bool)
     np.asarray(d[2][0, 0])
 
-    rb = lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0]).reshape(-1)[0]
+    # slice on DEVICE before the host copy: np.asarray(full_leaf) would pull
+    # the whole array through the tunnel and poison the numbers
+    rb = lambda o: np.asarray(
+        jax.tree_util.tree_leaves(o)[0].reshape(-1)[:1])
 
     use_pallas = jax.default_backend() == "tpu"
     print(f"# n_cb={n_cb} k={k} W={turbodecoder._pick_windows(k)} "
@@ -60,6 +63,14 @@ def main():
     map_p = jax.jit(turbodecoder_pallas.map_decode_pallas)
     t_map = timeit("map_decode_pallas (half-iter)", map_p,
                    (ls, lp, tails[0], tails[1]), iters, rb)
+
+    try:
+        from srslte_emane_tpu.ops.fec import turbodecoder_pallas2
+        map_p2 = jax.jit(turbodecoder_pallas2.map_decode_pallas2)
+        timeit("map_decode_pallas2 (half-iter)", map_p2,
+               (ls, lp, tails[0], tails[1]), iters, rb)
+    except Exception as e:
+        print(f"# pallas2 failed: {type(e).__name__}: {e}", flush=True)
 
     map_x = jax.jit(turbodecoder._map_decode)
     timeit("xla _map_decode (half-iter)", map_x,

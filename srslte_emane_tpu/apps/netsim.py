@@ -35,7 +35,9 @@ def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
         for i, v in enumerate(ue_pathloss[:n_ues]):
             pl[0, 1 + i] = pl[1 + i, 0] = v
     prop = sinr.Propagation(pathloss_db=pl)
-    bus = otabus.OtaBus(prop, node_ids=list(range(n)), n_prb=n_prb, paced=paced)
+    roles = {0: "enb", **{1 + i: "ue" for i in range(n_ues)}}
+    bus = otabus.OtaBus(prop, node_ids=list(range(n)), n_prb=n_prb,
+                        paced=paced, roles=roles)
     net = ttiloop.Network(bus)
     hss = hss_mod.Hss()
     spgw = spgw_mod.Spgw()

@@ -54,6 +54,48 @@ void sinr_per_rb(const float* tx_mw, const float* gain, const float* used,
   }
 }
 
+// Cell-aware variant: same-cell emissions are code/resource-multiplexed
+// (PRACH preambles, PUCCH cyclic shifts, scheduler-disjoint PUSCH) and do
+// NOT interfere with each other; only other-cell energy plus noise does.
+// cells: dense cell index per transmitter in [0, C).
+void sinr_per_rb_cells(const float* tx_mw, const float* gain,
+                       const float* used, const int* cells, int C,
+                       float noise_mw, int T, int R, int P,
+                       float* out_sinr_db) {
+  std::vector<float> total(R * P, 0.0f);
+  std::vector<float> by_cell((size_t)C * R * P, 0.0f);
+  for (int t = 0; t < T; ++t) {
+    float* celltot = &by_cell[(size_t)cells[t] * R * P];
+    for (int r = 0; r < R; ++r) {
+      const float g = tx_mw[t] * gain[t * R + r];
+      float* tot = &total[r * P];
+      float* ct = &celltot[r * P];
+      const float* u = &used[t * P];
+      for (int p = 0; p < P; ++p) {
+        const float e = g * u[p];
+        tot[p] += e;
+        ct[p] += e;
+      }
+    }
+  }
+  for (int t = 0; t < T; ++t) {
+    const float* celltot = &by_cell[(size_t)cells[t] * R * P];
+    for (int r = 0; r < R; ++r) {
+      const float g = tx_mw[t] * gain[t * R + r];
+      const float* u = &used[t * P];
+      const float* tot = &total[r * P];
+      const float* ct = &celltot[r * P];
+      float* o = &out_sinr_db[(t * R + r) * P];
+      for (int p = 0; p < P; ++p) {
+        const float rx = g * u[p];
+        const float interf = tot[p] - ct[p] + noise_mw;
+        const float s = rx / interf;
+        o[p] = 10.0f * log10f(s > 1e-12f ? s : 1e-12f);
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------- frame bus
 //
 // Multi-producer queues of opaque serialized frames per receiver node.

@@ -263,9 +263,12 @@ def turbo_decode(
     tail_z2 = jnp.stack([d1[:, k + 2], d0[:, k + 3], d2[:, k + 3]], axis=-1)
 
     if use_pallas:
-        from . import turbodecoder_pallas
+        # v2 kernel: whole half-iteration in-kernel, states in registers,
+        # radix-2 (2.5x v1 at the 20 MHz bench shape); falls back to v1
+        # internally for odd window lengths
+        from . import turbodecoder_pallas2
 
-        map_fn = turbodecoder_pallas.map_decode_pallas
+        map_fn = turbodecoder_pallas2.map_decode_pallas2
     else:
         map_fn = _map_decode
 

@@ -35,6 +35,11 @@ def _load():
         ctypes.POINTER(ctypes.c_float)] * 3 + [
         ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float)]
+    lib.sinr_per_rb_cells.argtypes = [
+        ctypes.POINTER(ctypes.c_float)] * 3 + [
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float)]
     lib.bus_create.restype = ctypes.c_void_p
     lib.bus_send.argtypes = [ctypes.c_void_p, ctypes.c_int,
                              ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -56,7 +61,8 @@ def available() -> bool:
     return _load() is not None
 
 
-def sinr_per_rb_native(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm):
+def sinr_per_rb_native(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm,
+                       cells=None):
     """Same contract as runtime.sinr.per_rb_sinr, computed in C++."""
     lib = _load()
     tx_mw = (10.0 ** (np.asarray(tx_power_dbm, np.float64) / 10.0)).astype(np.float32)
@@ -66,12 +72,23 @@ def sinr_per_rb_native(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm):
     P = used.shape[1]
     out = np.zeros((T, R, P), np.float32)
     fp = ctypes.POINTER(ctypes.c_float)
-    lib.sinr_per_rb(
+    noise = ctypes.c_float(10.0 ** (noise_floor_dbm / 10.0))
+    if cells is None:
+        lib.sinr_per_rb(
+            np.ascontiguousarray(tx_mw).ctypes.data_as(fp),
+            np.ascontiguousarray(gain).ctypes.data_as(fp),
+            used.ctypes.data_as(fp), noise,
+            T, R, P, out.ctypes.data_as(fp))
+        return out
+    # dense cell indices for the per-cell energy accumulators
+    uniq, dense = np.unique(np.asarray(cells), return_inverse=True)
+    dense = np.ascontiguousarray(dense, np.int32)
+    lib.sinr_per_rb_cells(
         np.ascontiguousarray(tx_mw).ctypes.data_as(fp),
         np.ascontiguousarray(gain).ctypes.data_as(fp),
         used.ctypes.data_as(fp),
-        ctypes.c_float(10.0 ** (noise_floor_dbm / 10.0)),
-        T, R, P, out.ctypes.data_as(fp))
+        dense.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(uniq),
+        noise, T, R, P, out.ctypes.data_as(fp))
     return out
 
 

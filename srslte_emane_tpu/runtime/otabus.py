@@ -23,11 +23,18 @@ from . import otamsg, sinr as sinr_mod
 
 class OtaBus:
     def __init__(self, prop: sinr_mod.Propagation, node_ids, n_prb: int,
-                 paced: bool = False):
+                 paced: bool = False, roles: dict = None):
         self.prop = prop
         self.node_ids = list(node_ids)
         self.n_prb = n_prb
         self.paced = paced
+        # optional node_id -> "enb"|"ue" map: with roles known, DL frames
+        # are delivered (and adjudicated) only to UEs and UL frames only to
+        # eNBs — the EMANE hub's O(tx x rx) fan-out pruned to O(relevant)
+        self.roles = roles
+        self._rx_of = None if roles is None else {
+            "ue": [n for n in self.node_ids if roles.get(n) == "ue"],
+            "enb": [n for n in self.node_ids if roles.get(n) == "enb"]}
         self.curr_tti = 0
         self._pending: typing.List[otamsg.OtaFrame] = []
         self._delivered: typing.Dict[int, list] = collections.defaultdict(list)
@@ -41,10 +48,15 @@ class OtaBus:
         """Close the current TTI: adjudicate SINR for all emissions and
         enqueue (frame, tester) at each receiver; advance the clock."""
         testers = sinr_mod.adjudicate(
-            self._pending, self.prop, self.n_prb, self.node_ids
+            self._pending, self.prop, self.n_prb, self.node_ids,
+            roles=self.roles
         )
         for fr in self._pending:
-            for rid in self.node_ids:
+            if self._rx_of is None:
+                rx = self.node_ids
+            else:
+                rx = self._rx_of["ue" if fr.txc.is_downlink else "enb"]
+            for rid in rx:
                 if rid == fr.src:
                     continue
                 self._delivered[rid].append((fr, testers[(id(fr), rid)]))

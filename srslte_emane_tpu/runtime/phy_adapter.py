@@ -25,6 +25,12 @@ def _prbs_of_mask(prb_mask) -> tuple:
     return tuple(int(i) for i, on in enumerate(prb_mask) if on)
 
 
+# wideband QPSK reference probe: empty PRB list = full-band mean (the
+# SinrTester fast path); shared — building per-call tuples dominated the
+# 100-UE receive loop
+_WB_PROBE = otamsg.ChannelMessage(otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 0)
+
+
 @dataclasses.dataclass
 class DlGrant:
     rnti: int
@@ -228,23 +234,22 @@ class UePhyAdapter:
                                    scells[msg.phy_cell_id])
                     continue
                 # neighbor-cell measurement (intra_measure role)
-                probe = otamsg.ChannelMessage(
-                    otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 0,
-                    prb_slot0=tuple(range(self.n_prb)))
-                _, snr = tester.check(probe)
+                _, snr = tester.check(_WB_PROBE)
                 notify = getattr(self.stack, "neighbor_meas", None)
                 if notify:
                     notify(tti, msg.phy_cell_id, snr)
                 continue
-            chans = {}
-            for c in frame.txc.channels:
-                chans.setdefault((c.channel_type, c.rnti), c)
+            # per-frame channel map is receiver-independent: build once and
+            # share across the (possibly hundreds of) receiving UEs
+            chans = getattr(frame, "_chans", None)
+            if chans is None:
+                chans = {}
+                for c in frame.txc.channels:
+                    chans.setdefault((c.channel_type, c.rnti), c)
+                frame._chans = chans
             # sync monitoring (36.331 in-sync/out-of-sync -> T310): evaluate
             # a wideband QPSK reference against the serving cell's SINR
-            probe = otamsg.ChannelMessage(
-                otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 0,
-                prb_slot0=tuple(range(self.n_prb)))
-            in_sync, snr = tester.check(probe)
+            in_sync, snr = tester.check(_WB_PROBE)
             notify = getattr(self.stack, "sync_indication", None)
             if notify:
                 notify(tti, in_sync, snr)
@@ -289,9 +294,12 @@ class UePhyAdapter:
     def _rx_scell(self, tti, msg, frame, tester, cc):
         """DCI search + PDSCH decode on an activated SCell carrier; HARQ
         feedback rides the PCell PUCCH tagged with the cc index."""
-        chans = {}
-        for c in frame.txc.channels:
-            chans.setdefault((c.channel_type, c.rnti), c)
+        chans = getattr(frame, "_chans", None)
+        if chans is None:
+            chans = {}
+            for c in frame.txc.channels:
+                chans.setdefault((c.channel_type, c.rnti), c)
+            frame._chans = chans
         crnti = self.crnti
         for dci in msg.pdcch_dl:
             if dci.rnti != crnti:
@@ -309,6 +317,11 @@ class UePhyAdapter:
 
     def _tx(self, tti: int):
         serving = self.serving_cell
+        prach_idx = self.stack.get_prach(tti)
+        pusch = self.stack.get_pusch(tti)
+        pucch = self.stack.get_pucch(tti)
+        if prach_idx is None and not pusch and not pucch:
+            return  # idle UE: skip message/txc construction entirely
         msg = otamsg.UeUlMessage(tti=tti, crnti=self.crnti or 0,
                                  phy_cell_id=serving)
         txc = otamsg.TxControl(
@@ -318,7 +331,6 @@ class UePhyAdapter:
         )
         self._seq += 1
         any_tx = False
-        prach_idx = self.stack.get_prach(tti)
         if prach_idx is not None:
             msg.prach = dict(preamble_index=prach_idx)
             prach_prbs = tuple(range(6))
@@ -326,7 +338,7 @@ class UePhyAdapter:
                 otamsg.Chan.PRACH, otamsg.Mod.BPSK, 839,
                 prb_slot0=prach_prbs, prb_slot1=prach_prbs))
             any_tx = True
-        for g, payload in self.stack.get_pusch(tti):
+        for g, payload in pusch:
             prbs = tuple(range(g.rb_start, g.rb_start + g.l_prb))
             msg.pusch.append(dict(rnti=g.rnti, rb_start=g.rb_start,
                                   l_prb=g.l_prb, mcs=g.mcs, payload=payload))
@@ -336,7 +348,6 @@ class UePhyAdapter:
                 otamsg.Chan.PUSCH, qm, len(payload) * 8, rnti=g.rnti,
                 prb_slot0=prbs, prb_slot1=prbs))
             any_tx = True
-        pucch = self.stack.get_pucch(tti)
         if pucch:
             msg.pucch.append(pucch)
             # PUCCH region: resource index -> edge PRB pair (code-multiplexed

@@ -54,25 +54,37 @@ class Propagation:
     noise_floor_dbm: float = -110.0
 
 
-def per_rb_sinr(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm):
+def per_rb_sinr(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm,
+                cells=None):
     """Per-RB SINR for all links of one TTI (host NumPy — the per-TTI control
     path; use per_rb_sinr_device for bulk many-TTI sweeps on chip).
 
     tx_power_dbm: (T,) transmit powers; prb_used: (T, n_prb) 0/1 masks;
-    pathloss_db: (T, R).  Returns sinr_db (T, R, n_prb) treating every other
-    transmitter's energy on the same PRB as interference."""
+    pathloss_db: (T, R).  Returns sinr_db (T, R, n_prb).
+
+    With `cells` (per-transmitter cell id) given, same-cell emissions do NOT
+    interfere with each other — they are code/resource-multiplexed in LTE
+    (PRACH Zadoff-Chu preambles, PUCCH cyclic shifts/OCC, scheduler-disjoint
+    PUSCH); only other-cell energy plus noise degrades them."""
     from . import native_bus
 
     if native_bus.available():
         return native_bus.sinr_per_rb_native(
-            tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm)
+            tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm, cells)
     tx_mw = 10.0 ** (np.asarray(tx_power_dbm, np.float64) / 10.0)
     pl = 10.0 ** (-np.asarray(pathloss_db, np.float64) / 10.0)  # (T, R)
     used = np.asarray(prb_used, np.float64)  # (T, P)
     rx_mw = tx_mw[:, None, None] * pl[:, :, None] * used[:, None, :]  # (T,R,P)
     total = np.sum(rx_mw, axis=0, keepdims=True)  # (1,R,P)
     noise_mw = 10.0 ** (noise_floor_dbm / 10.0)
-    interf = total - rx_mw + noise_mw
+    if cells is None:
+        own = rx_mw
+    else:
+        c = np.asarray(cells)
+        onehot = (c[:, None] == np.unique(c)[None, :]).astype(np.float64)
+        by_cell = np.einsum("tc,trp->crp", onehot, rx_mw)
+        own = np.einsum("tc,crp->trp", onehot, by_cell)
+    interf = total - own + noise_mw
     sinr = rx_mw / interf
     return 10.0 * np.log10(np.maximum(sinr, 1e-12))
 
@@ -94,7 +106,8 @@ class SinrTester:
     """Per-(tx, rx) SINR check results for one TTI — the SINRTester_ handle
     attached to each received message (phy_adapter.cc sinrCheck/sinrCheck2)."""
 
-    def __init__(self, sinr_db_rb: np.ndarray, noise_floor_dbm: float):
+    def __init__(self, sinr_db_rb: np.ndarray, noise_floor_dbm: float,
+                 full_mean: float = None):
         self._rb = np.asarray(sinr_db_rb)  # (n_prb,) for this (tx, rx) pair
         # scalar fast path: checks run per (channel, rx) per TTI in the
         # host loop; python-float math over the tiny per-RB list is ~10x
@@ -102,12 +115,12 @@ class SinrTester:
         # lazily: testers exist for every (tx, rx) pair but only the pairs
         # a receiver actually listens to ever call check().
         self._rb_list = None
+        self._full_mean = full_mean
         self.noise_floor_dbm = noise_floor_dbm
 
     def _rb_scalars(self):
         if self._rb_list is None:
             self._rb_list = self._rb.tolist()
-            self._full_mean = sum(self._rb_list) / max(1, len(self._rb_list))
         return self._rb_list
 
     def check(self, chmsg: otamsg.ChannelMessage):
@@ -116,11 +129,15 @@ class SinrTester:
         are per-MCS; the rate term reproduces the low-MCS robustness that
         lets e.g. a handover command survive cell-edge SINR)."""
         s0, s1 = chmsg.prb_slot0, chmsg.prb_slot1
-        rb = self._rb_scalars()
         if not s0 and not s1:
-            n_prbs = len(rb)
+            # wideband probe fast path (sync/neighbor measurement): one
+            # numpy mean, no per-RB python list
+            if self._full_mean is None:
+                self._full_mean = float(self._rb.mean())
+            n_prbs = len(self._rb)
             sinr = self._full_mean
         else:
+            rb = self._rb_scalars()
             prbs = set(s0)
             prbs.update(s1)
             n_prbs = len(prbs)
@@ -138,7 +155,7 @@ class SinrTester:
         return sinr >= thr, sinr
 
 
-def adjudicate(frames, prop: Propagation, n_prb: int, node_ids):
+def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None):
     """Compute SinrTesters for every (tx frame, rx node) pair of a TTI.
 
     FDD: downlink and uplink frames live on separate carriers, so they are
@@ -152,18 +169,29 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids):
     for dom in domains:
         group = [f for f in frames
                  if (f.txc.is_downlink, f.txc.freq_idx) == dom]
-        out.update(_adjudicate_group(group, prop, n_prb, node_ids))
+        rx_ids = node_ids
+        if roles is not None:
+            # the EMANE hub's role filter: downlink frames are only ever
+            # decoded by UEs, uplink frames only by eNBs — skip the
+            # (T x R) SINR work and tester objects for the rest
+            want = "ue" if dom[0] else "enb"
+            rx_ids = [n for n in node_ids if roles.get(n) == want]
+        out.update(_adjudicate_group(group, prop, n_prb, rx_ids,
+                                     node_ids))
     return out
 
 
-def _adjudicate_group(frames, prop: Propagation, n_prb: int, node_ids):
-    if not frames:
+def _adjudicate_group(frames, prop: Propagation, n_prb: int, rx_ids,
+                      node_ids=None):
+    if not frames or not rx_ids:
         return {}
+    node_ids = rx_ids if node_ids is None else node_ids
     T = len(frames)
-    idx = {n: i for i, n in enumerate(node_ids)}
+    gidx = {n: i for i, n in enumerate(node_ids)}
+    cols = np.asarray([gidx[r] for r in rx_ids])
     tx_power = np.zeros(T, np.float32)
     used = np.zeros((T, n_prb), np.float32)
-    pl = np.zeros((T, len(node_ids)), np.float32)
+    pl = np.zeros((T, len(rx_ids)), np.float32)
     for t, fr in enumerate(frames):
         tx_power[t] = 10.0 * np.log10(fr.txc.reference_signal_power_mw + 1e-12)
         for ch in fr.txc.channels:
@@ -171,12 +199,21 @@ def _adjudicate_group(frames, prop: Propagation, n_prb: int, node_ids):
                 used[t, p] = 1.0
         if not fr.txc.channels:
             used[t, :] = 1.0
-        pl[t, :] = prop.pathloss_db[idx[fr.src], :]
-    sinr = per_rb_sinr(tx_power, used, pl, prop.noise_floor_dbm)
+        pl[t, :] = prop.pathloss_db[gidx[fr.src], cols]
+    cells = np.asarray([fr.txc.phy_cell_id for fr in frames], np.int32)
+    sinr = per_rb_sinr(tx_power, used, pl, prop.noise_floor_dbm, cells)
+    # wideband means for ALL (tx, rx) pairs in one vector op: the per-UE
+    # sync/neighbor probes hit this every TTI, and per-check numpy mean
+    # dispatch dominated the 200-UE receive loop
+    wb = sinr.mean(axis=2).tolist()
     out = {}
     for t, fr in enumerate(frames):
-        for r, rid in enumerate(node_ids):
+        wb_t = wb[t]
+        sinr_t = sinr[t]
+        fid = id(fr)
+        for r, rid in enumerate(rx_ids):
             if rid == fr.src:
                 continue
-            out[(id(fr), rid)] = SinrTester(sinr[t, r], prop.noise_floor_dbm)
+            out[(fid, rid)] = SinrTester(sinr_t[r], prop.noise_floor_dbm,
+                                         full_mean=wb_t[r])
     return out

@@ -1,15 +1,14 @@
-"""Pallas MAP kernel vs the XLA-scan reference path (interpret mode on CPU)."""
+"""Pallas MAP kernels vs the XLA-scan reference path (interpret mode on CPU)."""
 
 import numpy as np
 import pytest
 
-from srslte_emane_tpu.ops.fec import turbo, turbodecoder, turbodecoder_pallas
+from srslte_emane_tpu.ops.fec import (turbo, turbodecoder, turbodecoder_pallas,
+                                      turbodecoder_pallas2)
 
 
-@pytest.mark.parametrize("k", [512, 2048])
-def test_pallas_map_matches_xla(k):
+def _map_inputs(k, B=4):
     rng = np.random.default_rng(k)
-    B = 4
     bits = rng.integers(0, 2, (B, k), dtype=np.int8)
     d0, d1, d2 = (np.asarray(x).astype(np.float32) for x in turbo.turbo_encode(bits))
     scale = 4.0
@@ -17,11 +16,26 @@ def test_pallas_map_matches_xla(k):
     lp = ((1 - 2.0 * d1[:, :k]) * scale + rng.normal(0, 1, (B, k))).astype(np.float32)
     tail_x = ((1 - 2.0 * np.stack([d0[:, k], d2[:, k], d1[:, k + 1]], -1)) * scale).astype(np.float32)
     tail_z = ((1 - 2.0 * np.stack([d1[:, k], d0[:, k + 1], d2[:, k + 1]], -1)) * scale).astype(np.float32)
+    return ls, lp, tail_x, tail_z
 
+
+@pytest.mark.parametrize("k", [512, 2048])
+def test_pallas_map_matches_xla(k):
+    ls, lp, tail_x, tail_z = _map_inputs(k)
     ref = np.asarray(turbodecoder._map_decode(ls, lp, tail_x, tail_z))
     got = np.asarray(turbodecoder_pallas.map_decode_pallas(
         ls, lp, tail_x, tail_z, interpret=True))
     # normalization points differ; LLRs are normalization-invariant
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k", [512, 2048, 5504])
+def test_pallas2_map_matches_xla(k):
+    # 5504 is a bench-of-record CB size (W=32, L=172)
+    ls, lp, tail_x, tail_z = _map_inputs(k, B=2 if k > 4096 else 4)
+    ref = np.asarray(turbodecoder._map_decode(ls, lp, tail_x, tail_z))
+    got = np.asarray(turbodecoder_pallas2.map_decode_pallas2(
+        ls, lp, tail_x, tail_z, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
 
 
