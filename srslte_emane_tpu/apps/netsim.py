@@ -122,17 +122,34 @@ def main(argv=None):
         from ..phch import grid as grid_mod
         from ..runtime import wavesim
 
-        cell = grid_mod.CellConfig(n_prb=args.prb, cell_id=1, cfi=1)
+        from ..phch import pdcch as pdcch_mod
+
+        # widen the control region with load, as the reference's scheduler
+        # does when the CCE tree fills (scheduler_grid.cc cfi escalation)
+        cfi = 1 if len(attached) <= 2 else (2 if len(attached) <= 4 else 3)
+        cell = grid_mod.CellConfig(n_prb=args.prb, cell_id=1, cfi=cfi)
         dp = wavesim.WaveformDataPlane(cell)
         per_ue = max(1, args.prb // max(1, len(attached)) - 1)
-        results = []
-        for i, u in enumerate(attached):
+        # whole-TTI data plane: every attached UE rides SHARED multi-grant
+        # subframes through ONE compiled graph (send_tti); CCEs from each
+        # UE's true 36.213 search space, collision-free
+        alloc = pdcch_mod.allocate_cces(cell, [u.crnti for u in attached],
+                                        sf_idx=1)
+        placed = [u for u in attached if u.crnti in alloc]
+        pls = {}
+        for i, u in enumerate(placed):
             mask = tuple(1 if i * per_ue <= p < (i + 1) * per_ue else 0
                          for p in range(args.prb))
-            dp.add_ue(u.crnti, mask, qm=4)
-            pl = float(sysd["bus"].prop.pathloss_db[0, 1 + ues.index(u)])
-            out = dp.send(u.crnti, [b"wf" * 50] * 4, pathloss_db=pl)
-            ok = sum(1 for got, _ in out if got == b"wf" * 50)
+            l, start = alloc[u.crnti]
+            dp.add_ue(u.crnti, mask, qm=4, l_aggr=l, cce_start=start)
+            pls[u.crnti] = float(sysd["bus"].prop.pathloss_db[0, 1 + ues.index(u)])
+        nb = min(dp.slots[u.crnti].tbs(cell, 1) // 8 - 2 for u in placed)
+        pkt = (b"wf" * 50)[:nb]
+        outs = dp.send_tti({u.crnti: [pkt] * 4 for u in placed}, pls)
+        results = []
+        for u in placed:
+            out = outs[u.crnti]
+            ok = sum(1 for got, _ in out if got == pkt)
             results.append(dict(rnti=u.crnti, delivered=ok, of=4,
                                 snr_db=round(out[0][1], 1)))
         # UL control: every attached UE ACKs its burst on its own PUCCH

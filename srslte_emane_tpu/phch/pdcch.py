@@ -105,6 +105,30 @@ def candidates(cell: grid_mod.CellConfig, rnti: int, sf_idx: int) -> list:
     return uniq
 
 
+def allocate_cces(cell: grid_mod.CellConfig, rntis, sf_idx: int,
+                  l_pref: int = 1) -> dict:
+    """Greedy per-TTI CCE allocation over each UE's true 36.213 search
+    space: every grant gets a candidate from candidates(cell, rnti, sf_idx)
+    whose CCEs overlap no earlier grant (scheduler_grid.cc alloc_dci role).
+
+    Returns {rnti: (l_aggr, cce_start)}; UEs that cannot be placed without
+    a collision are OMITTED (the scheduler must defer them a TTI)."""
+    used = set()
+    out = {}
+    for rnti in rntis:
+        cands = candidates(cell, rnti, sf_idx)
+        # prefer the requested aggregation level, then smaller ones (more
+        # candidates -> fewer collisions), then larger
+        cands = sorted(cands, key=lambda c: (c[0] != l_pref, c[0]))
+        for l, start in cands:
+            cces = set(range(start, start + l))
+            if not (cces & used):
+                used |= cces
+                out[rnti] = (l, start)
+                break
+    return out
+
+
 def blind_search(rx_grid, ce, cell: grid_mod.CellConfig, sf_idx: int,
                  rnti: int, dci_len: int):
     """Decode every candidate for (rnti, dci_len) as one batch.

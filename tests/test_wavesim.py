@@ -35,6 +35,36 @@ def test_waveform_dataplane_two_ues_separate_slots():
     assert b[0][0] == b"ue-b-packet" * 3
 
 
+def test_waveform_whole_tti_multi_ue():
+    """send_tti: ONE compiled graph carries every attached UE's burst in
+    shared multi-grant subframes (sf_worker.cc serving N grants per TTI);
+    per-UE pathloss is data, CCEs come from each UE's real search space."""
+    from srslte_emane_tpu.phch import pdcch
+
+    cell = grid_mod.CellConfig(n_prb=15, cell_id=3, cfi=2)
+    dp = wavesim.WaveformDataPlane(cell)
+    rntis = [0x46, 0x47, 0x48, 0x49]
+    alloc = pdcch.allocate_cces(cell, rntis, sf_idx=1)
+    assert set(alloc) == set(rntis)  # all four placed without collision
+    for u, r in enumerate(rntis):
+        l, start = alloc[r]
+        dp.add_ue(r, prb_mask=tuple(int(i // 3 == u) for i in range(15)),
+                  qm=4, l_aggr=l, cce_start=start)
+    pdus = {r: [bytes([r & 0xFF]) * 12, bytes([u]) * 8]
+            for u, r in enumerate(rntis)}
+    pl = {r: 95.0 + 5.0 * u for u, r in enumerate(rntis)}
+    out = dp.send_tti(pdus, pl)
+    for r in rntis:
+        assert [g for g, _ in out[r]] == pdus[r]
+    # one graph in the TTI cache regardless of UE count
+    assert dp._tti_fn.cache_info().currsize == 1
+    # deep fade on one UE only: its PDUs fail, others still deliver
+    pl[0x49] = 150.0
+    out = dp.send_tti(pdus, pl)
+    assert all(g is None for g, _ in out[0x49])
+    assert [g for g, _ in out[0x46]] == pdus[0x46]
+
+
 def test_netsim_waveform_mode():
     """netsim --waveform: attached UEs' DL bursts ride the device PHY and
     the summary reports per-UE delivery + measured SNR."""
