@@ -31,6 +31,7 @@ class UeSyncState:
     n_ports: int = 1
     quality: float = 0.0
     sfo_ppm: float = 0.0  # sample-clock error estimate (sfo.c)
+    cp: str = "normal"  # auto-detected during cell search (sync.c:68-78)
 
 
 def sfo_estimate(peak_drifts, period_samples: int) -> float:
@@ -77,15 +78,17 @@ class UeSync:
         return self.s
 
     def _cell_search(self, samples):
-        res = sync.cell_search(cplx.from_numpy(samples[None]))
+        res = sync.cell_search(cplx.from_numpy(samples[None]), detect_cp=True)
         q = float(np.asarray(res["quality"])[0])
         if q < 10.0:
             return
         self.s.cell_id = int(np.asarray(res["cell_id"])[0])
+        self.s.cp = "ext" if bool(np.asarray(res["cp_ext"])[0]) else "normal"
         pss_pos = int(np.asarray(res["pss_pos"])[0])
         sf_idx = int(np.asarray(res["sf_idx"])[0])
         # align so the NEXT chunk starts at a subframe boundary of sf 0/5
-        self.s.sample_offset = pss_pos - sync.pss_symbol_start(self.s.n_prb)
+        self.s.sample_offset = pss_pos - sync.pss_symbol_start(
+            self.s.n_prb, self.s.cp)
         self.s.quality = q
         self.s.cfo_hz = cfo_est_cp(
             samples[self.s.sample_offset : self.s.sample_offset + 1920], self.s.n_prb)

@@ -141,11 +141,13 @@ def pss_find(samples, fft_size: int = 128):
 
 
 def put_pss_sss(grid, cell, sf_idx: int):
-    """eNB-side: place PSS (symbol 6) and SSS (symbol 5) on sf 0/5
-    (enb_dl.c put_base equivalent)."""
+    """eNB-side: place PSS (last symbol of slot 0) and SSS (one earlier) on
+    sf 0/5 (enb_dl.c put_base equivalent).  Normal CP: symbols 6/5;
+    extended CP: symbols 5/4 (6-symbol slots, 36.211 6.11)."""
     if sf_idx not in (0, 5):
         return grid
     nre = cell.nre
+    l_pss = 6 if cell.cp == "normal" else 5
     n_id_2 = cell.cell_id % 3
     n_id_1 = cell.cell_id // 3
     ks = np.arange(nre // 2 - 31, nre // 2 + 31, dtype=np.int32)
@@ -153,33 +155,31 @@ def put_pss_sss(grid, cell, sf_idx: int):
     sss = cplx.from_numpy(sss_sequence(n_id_1, n_id_2, sf_idx).astype(np.complex64))
     flat = grid.reshape(grid.shape[0], -1, 2)
     bshape = (grid.shape[0],) + pss.shape
-    flat = flat.at[:, jnp.asarray(6 * nre + ks), :].set(jnp.broadcast_to(pss, bshape))
-    flat = flat.at[:, jnp.asarray(5 * nre + ks), :].set(jnp.broadcast_to(sss, bshape))
+    flat = flat.at[:, jnp.asarray(l_pss * nre + ks), :].set(
+        jnp.broadcast_to(pss, bshape))
+    flat = flat.at[:, jnp.asarray((l_pss - 1) * nre + ks), :].set(
+        jnp.broadcast_to(sss, bshape))
     return flat.reshape(grid.shape)
 
 
-def pss_symbol_start(n_prb: int) -> int:
+def pss_symbol_start(n_prb: int, cp: str = "normal") -> int:
     """Sample index of PSS symbol (no CP) within the subframe."""
-    p = ofdm.params(n_prb)
-    return p["cp0"] + p["n"] + 6 * (p["cp"] + p["n"]) - p["n"]
+    p = ofdm.params(n_prb, cp=cp)
+    n_before = 6 if cp == "normal" else 5  # symbols preceding the PSS
+    return (p["cp0"] + p["n"]) + (n_before - 1) * (p["cp"] + p["n"]) + p["cp"]
 
 
-def cell_search(samples, fft_size: int = 128):
-    """Composite search on (B, T, 2) 1.92 Msps-equivalent samples (6-PRB wide).
-
-    Returns dict(n_id_2, pss_pos, quality, n_id_1, sf_idx, cell_id) — the
-    ue_cell_search.c equivalent, fully batched.  Assumes T covers at least one
-    PSS occurrence; SSS is read one symbol (+CP) before the PSS peak."""
-    n_id_2, pos, quality = pss_find(samples, fft_size)
-    B, T, _ = samples.shape
-    cp = 9 * fft_size // 128
-    # extract SSS symbol: starts (fft_size + cp) samples before PSS
+def _sss_hypothesis(samples, pos, n_id_2, fft_size: int, cp: int):
+    """SSS decode under one CP-length hypothesis: the SSS symbol starts
+    (fft_size + cp) samples before the PSS peak.  Returns per-batch
+    (n_id_1, sf_idx, metric) for the detected n_id_2."""
     start = jnp.maximum(pos - fft_size - cp, 0)
     idx = start[:, None] + jnp.arange(fft_size)[None, :]
     sss_td = jnp.take_along_axis(samples, idx[..., None], axis=1)  # (B, fft, 2)
     f = dft.dft(sss_td, ortho=True)
     # center 62 bins: negative freqs at [-31..-1] -> bins N-31..N-1, +1..+31
-    bins = np.concatenate([np.arange(fft_size - 31, fft_size), np.arange(1, 32)]).astype(np.int32)
+    bins = np.concatenate(
+        [np.arange(fft_size - 31, fft_size), np.arange(1, 32)]).astype(np.int32)
     sss62 = jnp.take(f, jnp.asarray(bins), axis=-2)
     # try each n_id_2 bank, pick by metric (n_id_2 is per-batch; compute all 3)
     n1s, sfs, ms = [], [], []
@@ -188,15 +188,41 @@ def cell_search(samples, fft_size: int = 128):
         n1s.append(n1)
         sfs.append(sf)
         ms.append(m)
-    n1s = jnp.stack(n1s, 1)
-    sfs = jnp.stack(sfs, 1)
     sel = n_id_2[:, None].astype(jnp.int32)
-    n_id_1 = jnp.take_along_axis(n1s, sel, axis=1)[:, 0]
-    sf_idx = jnp.take_along_axis(sfs, sel, axis=1)[:, 0]
-    return dict(
-        n_id_2=n_id_2, pss_pos=pos, quality=quality,
-        n_id_1=n_id_1, sf_idx=sf_idx, cell_id=3 * n_id_1 + n_id_2,
-    )
+    n_id_1 = jnp.take_along_axis(jnp.stack(n1s, 1), sel, axis=1)[:, 0]
+    sf_idx = jnp.take_along_axis(jnp.stack(sfs, 1), sel, axis=1)[:, 0]
+    metric = jnp.take_along_axis(jnp.stack(ms, 1), sel, axis=1)[:, 0]
+    return n_id_1, sf_idx, metric
+
+
+def cell_search(samples, fft_size: int = 128, detect_cp: bool = False):
+    """Composite search on (B, T, 2) 1.92 Msps-equivalent samples (6-PRB wide).
+
+    Returns dict(n_id_2, pss_pos, quality, n_id_1, sf_idx, cell_id[, cp_ext])
+    — the ue_cell_search.c equivalent, fully batched.  Assumes T covers at
+    least one PSS occurrence; SSS is read one symbol (+CP) before the PSS
+    peak.
+
+    detect_cp=True runs the SSS decode under BOTH cyclic-prefix hypotheses
+    (normal: 144/2048·N, extended: 512/2048·N — only the SSS offset before
+    the PSS differs) and picks per-batch by correlation metric, the
+    sync.c:68-78 CP auto-detection role recast as two extra batched matmuls
+    in the same graph instead of a second serial probe."""
+    n_id_2, pos, quality = pss_find(samples, fft_size)
+    cp_norm = 9 * fft_size // 128
+    n_id_1, sf_idx, metric = _sss_hypothesis(
+        samples, pos, n_id_2, fft_size, cp_norm)
+    out = dict(n_id_2=n_id_2, pss_pos=pos, quality=quality)
+    if detect_cp:
+        cp_ext = 32 * fft_size // 128
+        n1_e, sf_e, m_e = _sss_hypothesis(
+            samples, pos, n_id_2, fft_size, cp_ext)
+        is_ext = m_e > metric
+        n_id_1 = jnp.where(is_ext, n1_e, n_id_1)
+        sf_idx = jnp.where(is_ext, sf_e, sf_idx)
+        out["cp_ext"] = is_ext
+    out.update(n_id_1=n_id_1, sf_idx=sf_idx, cell_id=3 * n_id_1 + n_id_2)
+    return out
 
 
 def sss_find(sss_freq_62, n_id_2: int):
