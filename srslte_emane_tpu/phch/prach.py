@@ -25,17 +25,30 @@ from ..ops import cplx
 
 _DATA = np.load(pathlib.Path(__file__).parent / "prach_tables.npz")
 ZC_ROOTS = _DATA["zc_roots"]  # logical order, formats 0-3
+ZC_ROOTS_F4 = _DATA["zc_roots_f4"]  # logical order, format 4 (N_ZC=139)
 N_ZC = 839
+N_ZC_F4 = 139
 # 36.211 Table 5.7.2-2 (unrestricted and restricted set type A)
 NCS_UNRESTRICTED = [0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279, 419]
 NCS_RESTRICTED = [15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 128, 158, 202, 237]
+NCS_F4 = [2, 4, 6, 8, 10, 12, 15]  # 36.211 Table 5.7.2-3 (preamble format 4)
+
+# 36.211 Table 5.7.1-1, in 30.72 Msps samples: format -> (T_CP, n_repeats)
+# of the base sequence (24576 samples at 1.25 kHz for 0-3; 4096 at 7.5 kHz
+# for format 4).  prach.c:235-266 prach_Tcp / prach_Tseq.
+FORMAT_CP = {0: 3168, 1: 21024, 2: 6240, 3: 21024, 4: 448}
+FORMAT_REPS = {0: 1, 1: 1, 2: 2, 3: 2, 4: 1}
 
 
-def _d_u(u: int) -> int:
+def nzc_for(fmt: int) -> int:
+    return N_ZC_F4 if fmt == 4 else N_ZC
+
+
+def _d_u(u: int, nzc: int = N_ZC) -> int:
     """Cyclic-shift distance due to Doppler: d_u = p or N_ZC - p where
     (p u) mod N_ZC = 1 (36.211 §5.7.2)."""
-    p = pow(u, -1, N_ZC)
-    return p if p < N_ZC // 2 else N_ZC - p
+    p = pow(u, -1, nzc)
+    return p if p < nzc // 2 else nzc - p
 
 
 def _restricted_shifts(u: int, n_cs: int):
@@ -59,28 +72,31 @@ def _restricted_shifts(u: int, n_cs: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _zc_freq(u: int) -> np.ndarray:
-    n = np.arange(N_ZC)
-    x = np.exp(-1j * np.pi * u * n * (n + 1) / N_ZC)
+def _zc_freq(u: int, nzc: int = N_ZC) -> np.ndarray:
+    n = np.arange(nzc)
+    x = np.exp(-1j * np.pi * u * n * (n + 1) / nzc)
     return np.fft.fft(x).astype(np.complex64)
 
 
 @functools.lru_cache(maxsize=None)
-def preamble_params(root_seq_idx: int, zczc: int):
+def preamble_params(root_seq_idx: int, zczc: int, fmt: int = 0):
     """(roots list, n_cs, shifts per root) for 64 preambles."""
-    n_cs = NCS_UNRESTRICTED[zczc]
-    n_shifts = N_ZC // n_cs if n_cs > 0 else 1
+    nzc = nzc_for(fmt)
+    n_cs = (NCS_F4 if fmt == 4 else NCS_UNRESTRICTED)[zczc]
+    n_shifts = nzc // n_cs if n_cs > 0 else 1
     n_roots = -(-64 // n_shifts)
-    roots = [int(ZC_ROOTS[(root_seq_idx + i) % 838]) for i in range(n_roots)]
+    tbl = ZC_ROOTS_F4 if fmt == 4 else ZC_ROOTS
+    roots = [int(tbl[(root_seq_idx + i) % len(tbl)]) for i in range(n_roots)]
     return roots, n_cs, n_shifts
 
 
 @functools.lru_cache(maxsize=None)
-def shift_list(root_seq_idx: int, zczc: int, hs: bool = False):
+def shift_list(root_seq_idx: int, zczc: int, hs: bool = False, fmt: int = 0):
     """The 64 (root u, cyclic shift Cv) preamble assignments + n_cs.
-    hs=True uses restricted set type A (variable shifts per root)."""
-    if not hs:
-        roots, n_cs, n_shifts = preamble_params(root_seq_idx, zczc)
+    hs=True uses restricted set type A (variable shifts per root; formats
+    0-3 only — 36.211 defines no restricted set for format 4)."""
+    if not hs or fmt == 4:
+        roots, n_cs, n_shifts = preamble_params(root_seq_idx, zczc, fmt)
         out = [(roots[i // n_shifts], (i % n_shifts) * n_cs) for i in range(64)]
         return out, n_cs
     n_cs = NCS_RESTRICTED[zczc]
@@ -97,41 +113,44 @@ def shift_list(root_seq_idx: int, zczc: int, hs: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def preamble_freq_table(root_seq_idx: int, zczc: int, hs: bool = False) -> np.ndarray:
+def preamble_freq_table(root_seq_idx: int, zczc: int, hs: bool = False,
+                        fmt: int = 0) -> np.ndarray:
     """(64, N_ZC) complex64 frequency-domain preambles."""
-    pairs, n_cs = shift_list(root_seq_idx, zczc, hs)
-    out = np.zeros((64, N_ZC), dtype=np.complex64)
-    k = np.arange(N_ZC)
+    pairs, n_cs = shift_list(root_seq_idx, zczc, hs, fmt)
+    nzc = nzc_for(fmt)
+    out = np.zeros((64, nzc), dtype=np.complex64)
+    k = np.arange(nzc)
     for i, (u, cv) in enumerate(pairs):
         # time shift x((n + Cv) mod Nzc) <-> freq X[k] * e^{+j 2 pi k Cv / Nzc}
-        out[i] = _zc_freq(u) * np.exp(1j * 2 * np.pi * k * cv / N_ZC)
+        out[i] = _zc_freq(u, nzc) * np.exp(1j * 2 * np.pi * k * cv / nzc)
     return out
 
 
 def gen(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
-        hs: bool = False) -> jnp.ndarray:
+        hs: bool = False, fmt: int = 0) -> jnp.ndarray:
     """(B,) preamble indices -> (B, N_ZC, 2) frequency-domain preambles."""
-    tbl = preamble_freq_table(root_seq_idx, zczc, hs)
+    tbl = preamble_freq_table(root_seq_idx, zczc, hs, fmt)
     tbl_cf = np.stack([tbl.real, tbl.imag], -1).astype(np.float32)
     return jnp.take(jnp.asarray(tbl_cf), jnp.asarray(preamble_idx), axis=0)
 
 
 def detect(rx_freq, root_seq_idx: int = 0, zczc: int = 1, threshold: float = 8.0,
-           hs: bool = False):
+           hs: bool = False, fmt: int = 0):
     """eNB detection: rx_freq (B, N_ZC, 2) -> per-preamble metrics.
 
     Returns (detected (B, 64) bool, metric (B, 64), t_offset (B, 64) int32
     in ZC samples)."""
-    pairs, n_cs = shift_list(root_seq_idx, zczc, hs)
+    pairs, n_cs = shift_list(root_seq_idx, zczc, hs, fmt)
+    nzc = nzc_for(fmt)
     B = rx_freq.shape[0]
     # correlate with each root: IDFT(X_rx * conj(X_u)) — one matmul per root
-    idft_re = np.cos(2 * np.pi * np.outer(np.arange(N_ZC), np.arange(N_ZC)) / N_ZC).astype(np.float32) / N_ZC
-    idft_im = np.sin(2 * np.pi * np.outer(np.arange(N_ZC), np.arange(N_ZC)) / N_ZC).astype(np.float32) / N_ZC
+    idft_re = np.cos(2 * np.pi * np.outer(np.arange(nzc), np.arange(nzc)) / nzc).astype(np.float32) / nzc
+    idft_im = np.sin(2 * np.pi * np.outer(np.arange(nzc), np.arange(nzc)) / nzc).astype(np.float32) / nzc
     det, metric, toff = [], [], []
     corr_by_root = {}
     for u, cv in pairs:
         if u not in corr_by_root:
-            xu = _zc_freq(u)
+            xu = _zc_freq(u, nzc)
             xu_cf = jnp.asarray(np.stack([xu.real, xu.imag], -1).astype(np.float32))
             prod = cplx.mul_conj(rx_freq, xu_cf)  # (B, N_ZC, 2)
             pr, pi = prod[..., 0], prod[..., 1]
@@ -143,7 +162,7 @@ def detect(rx_freq, root_seq_idx: int = 0, zczc: int = 1, threshold: float = 8.0
         # shift Cv appears at correlation lag (N_ZC - Cv + delay) mod N_ZC;
         # its zero-correlation window is [N-Cv, N-Cv+Ncs)
         if n_cs > 0:
-            widx = (N_ZC - cv + np.arange(n_cs)) % N_ZC
+            widx = (nzc - cv + np.arange(n_cs)) % nzc
             win = jnp.take(corr, jnp.asarray(widx.astype(np.int32)), axis=-1)
         else:
             win = corr
@@ -160,61 +179,91 @@ def detect(rx_freq, root_seq_idx: int = 0, zczc: int = 1, threshold: float = 8.0
     )
 
 
-# ---------------- waveform embedding (1.25 kHz numerology) ----------------
-# PRACH format 0: T_SEQ = 800 us -> N_SEQ = 24576 samples at 30.72 Msps with
-# bin spacing exactly 1/800us = 1.25 kHz; CP = 3168 samples (103.13 us).
-# The synthesis IDFT over 839 sparse bins factors as a two-stage
-# Cooley-Tukey split n = 24 a + b (a < 1024, b < 24): a small per-k twiddle
-# stage then one (839 -> 1024) matmul — avoiding a 24576x839 constant.
+# ---------------- waveform embedding (formats 0-4) ----------------
+# Formats 0-3 (1.25 kHz numerology): base sequence T_SEQ = 800 us -> 24576
+# samples at 30.72 Msps, repeated once (formats 0/1) or twice (2/3), with
+# per-format CP lengths (36.211 Table 5.7.1-1; prach.c:235-266).  Format 4
+# (7.5 kHz, TDD UpPTS): 139-length ZC over 4096 samples, 448-sample CP.
+# The synthesis IDFT over the sparse bins factors as a two-stage
+# Cooley-Tukey split n = B a + b: a small per-k twiddle stage then one
+# (nzc -> A) matmul — avoiding a 24576x839 constant.
 
 N_SEQ = 24576
+N_SEQ_F4 = 4096
 N_CP_F0 = 3168
 _CT_B = 24
 _CT_A = N_SEQ // _CT_B  # 1024
 
 
+def _ct_split(fmt: int):
+    """(n_seq, ct_b, ct_a) of one base-sequence repetition."""
+    if fmt == 4:
+        return N_SEQ_F4, 16, N_SEQ_F4 // 16
+    return N_SEQ, _CT_B, _CT_A
+
+
 @functools.lru_cache(maxsize=None)
-def _ct_tables(k0: int):
+def _ct_tables(k0: int, fmt: int = 0):
     """Constants for the two-stage synthesis at bin offset k0."""
-    k = np.arange(N_ZC) + k0
-    b = np.arange(_CT_B)
-    a = np.arange(_CT_A)
-    tw = np.exp(2j * np.pi * np.outer(k, b) / N_SEQ)  # (839, 24)
-    e = np.exp(2j * np.pi * np.outer(k, a * _CT_B) / N_SEQ)  # (839, 1024)
+    n_seq, ct_b, ct_a = _ct_split(fmt)
+    k = np.arange(nzc_for(fmt)) + k0
+    b = np.arange(ct_b)
+    a = np.arange(ct_a)
+    tw = np.exp(2j * np.pi * np.outer(k, b) / n_seq)  # (nzc, ct_b)
+    e = np.exp(2j * np.pi * np.outer(k, a * ct_b) / n_seq)  # (nzc, ct_a)
     return (tw.astype(np.complex64), e.astype(np.complex64))
 
 
-def gen_waveform(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
-                 hs: bool = False, k0: int = 12 * 12 + 7) -> jnp.ndarray:
-    """(B,) preamble indices -> (B, N_CP + N_SEQ, 2) time samples at
-    30.72 Msps (prach.c srslte_prach_gen waveform path).
+def waveform_len(fmt: int = 0) -> int:
+    """CP + repeated sequence, in 30.72 Msps samples."""
+    n_seq, _, _ = _ct_split(fmt)
+    return FORMAT_CP[fmt] + FORMAT_REPS[fmt] * n_seq
 
-    k0: first occupied 1.25 kHz bin (frequency offset of the 6-PRB PRACH
-    region; default centers it near prach_freq_offset=12 PRB)."""
-    x = gen(preamble_idx, root_seq_idx, zczc, hs)  # (B, 839, 2) freq domain
-    tw, e = _ct_tables(k0)
-    twc = cplx.from_numpy(tw)  # (839, 24, 2)
-    ec = cplx.from_numpy(e)  # (839, 1024, 2)
+
+def gen_waveform(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
+                 hs: bool = False, k0: int = 12 * 12 + 7,
+                 fmt: int = 0) -> jnp.ndarray:
+    """(B,) preamble indices -> (B, waveform_len(fmt), 2) time samples at
+    30.72 Msps (prach.c srslte_prach_gen waveform path, formats 0-4).
+
+    k0: first occupied PRACH bin (1.25 kHz spacing for formats 0-3, 7.5 kHz
+    for format 4; default centers the 6-PRB region near
+    prach_freq_offset=12 PRB)."""
+    x = gen(preamble_idx, root_seq_idx, zczc, hs, fmt)  # (B, nzc, 2) freq
+    n_seq, ct_b, ct_a = _ct_split(fmt)
+    tw, e = _ct_tables(k0, fmt)
+    twc = cplx.from_numpy(tw)  # (nzc, ct_b, 2)
+    ec = cplx.from_numpy(e)  # (nzc, ct_a, 2)
     # stage 1: Y[k, b] = X[k] * tw[k, b]
-    y = cplx.mul(x[:, :, None, :], jnp.asarray(twc)[None])  # (B, 839, 24, 2)
+    y = cplx.mul(x[:, :, None, :], jnp.asarray(twc)[None])  # (B, nzc, ct_b, 2)
     # stage 2: x[a, b] = sum_k Y[k, b] E[k, a]
     yr, yi = y[..., 0], y[..., 1]
     er, ei = jnp.asarray(ec)[..., 0], jnp.asarray(ec)[..., 1]
     xr = jnp.einsum("bkc,ka->bac", yr, er) - jnp.einsum("bkc,ka->bac", yi, ei)
     xi = jnp.einsum("bkc,ka->bac", yr, ei) + jnp.einsum("bkc,ka->bac", yi, er)
-    t = jnp.stack([xr, xi], axis=-1).reshape(x.shape[0], N_SEQ, 2) / np.sqrt(N_ZC)
-    cp = t[:, N_SEQ - N_CP_F0 :, :]
+    t = jnp.stack([xr, xi], axis=-1).reshape(
+        x.shape[0], n_seq, 2) / np.sqrt(nzc_for(fmt))
+    reps = FORMAT_REPS[fmt]
+    if reps > 1:
+        t = jnp.concatenate([t] * reps, axis=-2)
+    n_cp = FORMAT_CP[fmt]
+    cp = t[:, t.shape[-2] - n_cp :, :]
     return jnp.concatenate([cp, t], axis=-2)
 
 
-def rx_waveform_to_freq(samples, k0: int = 12 * 12 + 7) -> jnp.ndarray:
-    """eNB side: (B, >= N_CP+N_SEQ, 2) -> (B, 839, 2) PRACH bins.
+def rx_waveform_to_freq(samples, k0: int = 12 * 12 + 7,
+                        fmt: int = 0) -> jnp.ndarray:
+    """eNB side: (B, >= waveform_len(fmt), 2) -> (B, nzc, 2) PRACH bins.
 
-    The analysis DFT over the same sparse bins, two-stage transposed."""
-    t = samples[:, N_CP_F0 : N_CP_F0 + N_SEQ, :]
+    The analysis DFT over the same sparse bins, two-stage transposed;
+    formats 2/3 average their two sequence repetitions coherently (the
+    reference accumulates repetitions the same way, prach.c detection)."""
+    n_seq, ct_b, ct_a = _ct_split(fmt)
+    n_cp, reps = FORMAT_CP[fmt], FORMAT_REPS[fmt]
+    t = samples[:, n_cp : n_cp + reps * n_seq, :]
     B = t.shape[0]
-    y = t.reshape(B, _CT_A, _CT_B, 2)
-    tw, e = _ct_tables(k0)
+    y = t.reshape(B, reps, ct_a, ct_b, 2).mean(axis=1)
+    tw, e = _ct_tables(k0, fmt)
     ec = cplx.from_numpy(np.conj(e))
     twc = cplx.from_numpy(np.conj(tw))
     yr, yi = y[..., 0], y[..., 1]
@@ -222,7 +271,7 @@ def rx_waveform_to_freq(samples, k0: int = 12 * 12 + 7) -> jnp.ndarray:
     # stage 1 (transpose of synthesis stage 2): Z[k, b] = sum_a y[a, b] E*[k, a]
     zr = jnp.einsum("bac,ka->bkc", yr, er) - jnp.einsum("bac,ka->bkc", yi, ei)
     zi = jnp.einsum("bac,ka->bkc", yr, ei) + jnp.einsum("bac,ka->bkc", yi, er)
-    z = jnp.stack([zr, zi], axis=-1)  # (B, 839, 24, 2)
+    z = jnp.stack([zr, zi], axis=-1)  # (B, nzc, ct_b, 2)
     # stage 2: X[k] = sum_b Z[k, b] tw*[k, b]
     out = jnp.sum(cplx.mul(z, jnp.asarray(twc)[None]), axis=-2)
-    return out / np.sqrt(N_ZC) / _CT_B
+    return out / np.sqrt(nzc_for(fmt)) / ct_b
