@@ -77,6 +77,7 @@ def ue_yk(rnti: int, sf_idx: int) -> int:
     return y
 
 
+@functools.lru_cache(maxsize=65536)
 def candidates(cell: grid_mod.CellConfig, rnti: int, sf_idx: int) -> list:
     """(l_aggr, cce_start) candidate list: common (L=4,8) + UE-specific."""
     ncce = n_cce(cell)

@@ -40,6 +40,10 @@ class DlGrant:
     harq_pid: int = 0
     ndi: int = 0
     rv: int = 0
+    # PDCCH CCE placement from the scheduler's allocation over the UE's
+    # true 36.213 search space (scheduler_grid.cc alloc_dci)
+    l_aggr: int = 4
+    cce_start: int = 0
 
 
 @dataclasses.dataclass
@@ -130,8 +134,8 @@ class EnbPhyAdapter:
                             phich_resources="1", phich_length=0)
         for g in dl_grants:
             prbs = _prbs_of_mask(g.prb_mask)
-            dci = otamsg.DciMsg(rnti=g.rnti, format="1A", l_level=4, l_ncce=0,
-                                num_bits=0, data=b"")
+            dci = otamsg.DciMsg(rnti=g.rnti, format="1A", l_level=g.l_aggr,
+                                l_ncce=g.cce_start, num_bits=0, data=b"")
             msg.pdcch_dl.append(dci)
             txc.channels.append(otamsg.ChannelMessage(
                 otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,

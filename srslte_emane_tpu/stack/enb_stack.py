@@ -12,7 +12,7 @@ import collections
 import struct
 
 from ..epc import spgw as spgw_mod
-from ..phch import ra
+from ..phch import grid as grid_mod, pdcch as pdcch_mod, ra
 from ..runtime.phy_adapter import DlGrant, UlGrant
 from . import cb, codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security, x2_msgs
 from ..epc import mme as mme_mod
@@ -22,6 +22,51 @@ DRB1_LCID = 3
 TB_BYTES = 1500  # per-TTI transport block budget at message level
 N_HARQ_PROC = 8  # DL HARQ processes per UE (36.213 FDD)
 PF_ALPHA = 0.01  # proportional-fair throughput EWMA coefficient
+
+
+class _CceAlloc:
+    """One TTI's PDCCH CCE allocation over the true 36.213 search spaces
+    (scheduler_grid.cc alloc_dci role): every DCI gets a candidate from its
+    RNTI's own search space whose CCEs collide with no earlier DCI; grants
+    that cannot be placed are deferred to a later TTI."""
+
+    def __init__(self, cell, sf_idx: int):
+        self.cell = cell
+        self.sf = sf_idx
+        self.n_cce = pdcch_mod.n_cce(cell)
+        self.used = set()
+
+    def _try(self, cands, l_pref):
+        cands = sorted(cands, key=lambda c: (c[0] != l_pref,
+                                             abs(c[0] - l_pref)))
+        for l, start in cands:
+            cces = set(range(start, start + l))
+            if not (cces & self.used):
+                self.used |= cces
+                return (l, start)
+        return None
+
+    def alloc(self, rnti: int, l_pref: int = 1):
+        return self._try(pdcch_mod.candidates(self.cell, rnti, self.sf),
+                         l_pref)
+
+    def alloc_common(self, l_pref: int = 4):
+        """Common search space only (SI/RAR/paging: L=4/8, first 16 CCEs)."""
+        cands = [(l, m * l) for l, n in ((4, 4), (8, 2))
+                 for m in range(n) if (m + 1) * l <= self.n_cce]
+        return self._try(cands, l_pref)
+
+
+def _l_aggr_pref(mcs: int) -> int:
+    """Aggregation level from link quality (the reference maps CQI -> L in
+    sched_ue.cc): robust MCS -> wide DCI."""
+    if mcs == 0:
+        return 8
+    if mcs < 7:
+        return 4
+    if mcs < 15:
+        return 2
+    return 1
 
 
 class _CcHarq:
@@ -163,6 +208,17 @@ class EnbStack:
         ue.ul_olla = max(-float(self.mcs), min(
             8.0, getattr(ue, "ul_olla", 0.0)
             + (self.OLLA_UP if ok else -self.OLLA_DOWN)))
+        # eNB-side UL HARQ entity (scheduler_harq.cc): CRC failure schedules
+        # an adaptive retransmission grant; 4 attempts then drop
+        ent = getattr(ue, "ul_harq_ent", None)
+        if ent is not None:
+            if ok:
+                ue.ul_harq_ent = None
+            elif ent["n_tx"] >= 4:
+                ue.ul_harq_ent = None
+                self.metrics["ul_harq_drop"] += 1
+            else:
+                ent["retx_due"] = True
         if ok:
             ue.ul_err_streak = 0
         else:
@@ -227,9 +283,25 @@ class EnbStack:
 
     def get_dl_sched(self, tti):
         """Per-TTI PRB grid packing (scheduler_grid.cc equivalent): grants in
-        the same subframe never overlap in PRBs."""
+        the same subframe never overlap in PRBs, and every DCI is placed on
+        collision-free CCEs from its RNTI's true search space — when the
+        control region fills, remaining UEs defer to a later TTI."""
         grants = []
         cursor = 0
+
+        # CFI escalation with demand (the reference widens the control
+        # region under load): smallest CFI whose CCE count covers the
+        # common search space plus the expected DCI load; the allocator
+        # then enforces per-candidate CCE collisions
+        demand = (len(self.rar_pending) + len(self.ccch_dl)
+                  + sum(1 for u in self.ues.values()
+                        if any(e.has_data() for e in u.rlc.values())))
+        for cfi in (1, 2, 3):
+            cell = grid_mod.CellConfig(n_prb=self.n_prb,
+                                       cell_id=self.cell_pci, cfi=cfi)
+            if pdcch_mod.n_cce(cell) >= 4 + 2 * demand:
+                break
+        cce = _CceAlloc(cell, tti % 10)
 
         # expire zombie contexts: a RACH that never completed Msg3 (its UE
         # lost contention resolution or gave up) leaves an RRC_IDLE context
@@ -244,9 +316,11 @@ class EnbStack:
         # SI broadcast (rrc.cc SIB scheduling): SIB1 every 20 ms at sf 5,
         # SIB2 in its SI window every 80 ms
         def si(msg):
+            la = cce.alloc_common(l_pref=8) or (4, 0)  # SI pre-reserved
             grants.append(DlGrant(
                 rnti=self.SI_RNTI, prb_mask=alloc(3), mcs=0,
-                payload=pdu.pack([(pdu.LCID_CCCH, codec.encode(msg))])))
+                payload=pdu.pack([(pdu.LCID_CCCH, codec.encode(msg))]),
+                l_aggr=la[0], cce_start=la[1]))
             self.metrics["si_tx"] += 1
 
         def alloc(n):
@@ -266,20 +340,30 @@ class EnbStack:
         if tti % 80 == 16:
             si(rrc_msgs.Sib2())
         while self.rar_pending and cursor < self.n_prb:
+            la = cce.alloc_common(l_pref=4)
+            if la is None:
+                self.metrics["cce_defer"] += 1
+                break  # control region full: RARs wait a TTI
             _, preamble, rnti = self.rar_pending.pop(0)
             rar = pdu.pack_rar(rapid=preamble, ta=0, ul_grant=0, t_crnti=rnti)
             m = alloc(2)
             if m is None:
                 break
-            grants.append(DlGrant(rnti=1 + tti % 10, prb_mask=m, mcs=0, payload=rar))
+            grants.append(DlGrant(rnti=1 + tti % 10, prb_mask=m, mcs=0,
+                                  payload=rar, l_aggr=la[0], cce_start=la[1]))
             # RAR includes an UL grant for Msg3 (proc_ra contention)
             self.ues[rnti].msg3_grant = True
         # CCCH (SRB0) messages ride dedicated grants
         while self.ccch_dl and cursor < self.n_prb - 4:
+            la = cce.alloc(self.ccch_dl[0][0], l_pref=4)
+            if la is None:
+                self.metrics["cce_defer"] += 1
+                break
             rnti, data = self.ccch_dl.popleft()
             mac_pdu = pdu.pack([(pdu.LCID_CCCH, data)])
             grants.append(DlGrant(rnti=rnti, prb_mask=alloc(4),
-                                  mcs=self.mcs, payload=mac_pdu))
+                                  mcs=self.mcs, payload=mac_pdu,
+                                  l_aggr=la[0], cce_start=la[1]))
         # HARQ retransmissions take precedence (scheduler_harq.cc); the
         # retransmission keeps its original PRB count and MCS, rv follows
         # the LTE redundancy-version sequence 0,2,3,1 (dl_harq.cc).
@@ -318,13 +402,18 @@ class EnbStack:
                 mcs_tx = max(0, mcs_tx - 2 * (n_tx - 1))
                 if n_prb_tx <= 0 or cursor + n_prb_tx > self.n_prb:
                     break
+                la = cce.alloc(rnti, l_pref=_l_aggr_pref(mcs_tx))
+                if la is None:
+                    self.metrics["cce_defer"] += 1
+                    break  # retx stays queued for the next TTI
                 u.harq_retx_q.popleft()
                 u.harq_fifo.append(pid)
                 u.harq_tx_tti[pid] = tti
                 u.dl_harq[pid] = (payload, n_prb_tx, mcs_tx, n_tx)
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb_tx),
                                       mcs=mcs_tx, payload=payload,
-                                      harq_pid=pid, rv=RV_SEQ[(n_tx - 1) % 4]))
+                                      harq_pid=pid, rv=RV_SEQ[(n_tx - 1) % 4],
+                                      l_aggr=la[0], cce_start=la[1]))
         # SCell activation (36.321 §5.13): a configured-but-inactive SCell
         # activates when DL backlog appears; the Activation/Deactivation CE
         # rides the UE's next PCell MAC PDU
@@ -344,10 +433,11 @@ class EnbStack:
         # their grant size below); floor keeps the metric finite
         for r, u in self.ues.items():
             u.avg_thr = max(1.0, u.avg_thr * (1 - PF_ALPHA))
-        # pack MULTIPLE UEs per TTI until the PRB grid (or the PDCCH CCE
-        # budget, ~8 grants) is exhausted — scheduler_grid.cc behavior
+        # pack MULTIPLE UEs per TTI until the PRB grid or the PDCCH control
+        # region is exhausted — scheduler_grid.cc behavior with real CCE
+        # candidate collisions (UEs that can't be placed defer a TTI)
         served = set()
-        while cursor < self.n_prb - 2 and len(served) < 8:
+        while cursor < self.n_prb - 2:
             cand = [r for r in active if r not in served]
             if not cand:
                 break
@@ -367,6 +457,12 @@ class EnbStack:
             # larger messages across TTIs.
             has_srb = any(l <= SRB2 and u.rlc[l].has_data() for l in u.rlc)
             mcs = 0 if has_srb else getattr(u, "dl_mcs", self.mcs)
+            # CCE placement BEFORE touching RLC: a UE whose DCI cannot be
+            # placed keeps its data for a later TTI
+            la = cce.alloc(rnti, l_pref=_l_aggr_pref(mcs))
+            if la is None:
+                self.metrics["cce_defer"] += 1
+                continue
             n_prb_free = self.n_prb - cursor
             tb_bytes = min(TB_BYTES, max(8, ra.dl_tbs(mcs, n_prb_free) // 8))
             subs = []
@@ -396,7 +492,8 @@ class EnbStack:
                 u.harq_tx_tti[pid] = tti
                 u.avg_thr += PF_ALPHA * 8 * n_bytes
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
-                                      mcs=mcs, payload=payload, harq_pid=pid))
+                                      mcs=mcs, payload=payload, harq_pid=pid,
+                                      l_aggr=la[0], cce_start=la[1]))
                 self.metrics["dl_bytes"] += n_bytes
         return grants
 
@@ -494,10 +591,32 @@ class EnbStack:
                 self.metrics["scell_dl_bytes"] += n_bytes
         return grants
 
+    RV_SEQ_UL = (0, 2, 3, 1)
+
     def get_ul_sched(self, tti):
-        """UL PRB packing: msg3 grants first, then SR/BSR grants."""
+        """UL PRB packing: HARQ retransmission grants first (eNB-side UL
+        HARQ entities, scheduler_harq.cc ul_harq_proc: adaptive retx widens
+        the allocation and drops MCS, rv follows 0,2,3,1), then msg3, then
+        SR/BSR grants."""
         grants = []
         cursor = 0
+        for rnti, u in self.ues.items():
+            ent = getattr(u, "ul_harq_ent", None)
+            if ent is None or not ent.get("retx_due"):
+                continue
+            n_tx = ent["n_tx"] + 1
+            l_prb = min(self.n_prb - cursor,
+                        ent["l_prb"] + (n_tx - 1) * max(1, ent["l_prb"] // 2))
+            if l_prb <= 0:
+                break
+            mcs = max(0, ent["mcs"] - 2 * (n_tx - 1))
+            u.ul_harq_ent = dict(l_prb=ent["l_prb"], mcs=ent["mcs"],
+                                 n_tx=n_tx, retx_due=False)
+            grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=l_prb,
+                                  mcs=mcs, ndi=0,
+                                  rv=self.RV_SEQ_UL[(n_tx - 1) % 4]))
+            cursor += l_prb
+            self.metrics["ul_harq_retx"] += 1
         for rnti, u in self.ues.items():
             if cursor + 4 > self.n_prb:
                 break
@@ -515,7 +634,9 @@ class EnbStack:
                 ul_mcs = max(0, min(20, self.mcs
                                     + int(getattr(u, "ul_olla", 0.0))))
                 grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=8,
-                                      mcs=ul_mcs))
+                                      mcs=ul_mcs, ndi=1))
+                u.ul_harq_ent = dict(l_prb=8, mcs=ul_mcs, n_tx=1,
+                                     retx_due=False)
                 cursor += 8
         return grants
 
