@@ -78,6 +78,17 @@ class ERabSetupRequest:
 @codec.register
 @per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"), ("cause", "str"))
 @dataclasses.dataclass
+class UEContextModificationRequest:
+    """S1AP UE Context Modification (36.413 §8.3.4): the CS Fallback
+    Indicator tells the eNB to move the UE to a CS RAT
+    (srsenb/src/stack/upper/s1ap.cc CSFB path)."""
+
+    mme_ue_id: int
+    enb_ue_id: int
+    csfb_indicator: bool = False
+
+
+@dataclasses.dataclass
 class UEContextReleaseCommand:
     mme_ue_id: int
     enb_ue_id: int
@@ -147,6 +158,14 @@ class Mme:
     # ---- NAS transport (s1ap_nas_transport.cc) ----
     def initial_ue_message(self, enb_id: int, msg: InitialUEMessage):
         nas = codec.decode(msg.nas_pdu)
+        if isinstance(nas, nas_msgs.ExtendedServiceRequest):
+            # idle UE starting/answering a CS call: restore the session,
+            # then order the eNB to release with redirection (CSFB)
+            self._service_request(enb_id, msg, nas)
+            ue = self.ues.get(nas.guti)
+            if ue is not None and ue["state"] == "ATTACHED":
+                self._csfb(nas.guti)
+            return
         if isinstance(nas, nas_msgs.ServiceRequest):
             self._service_request(enb_id, msg, nas)
             return
@@ -214,6 +233,42 @@ class Mme:
             ue["state"] = "DETACHED"
             self.enbs[ue["enb_id"]].release(UEContextReleaseCommand(
                 msg.mme_ue_id, msg.enb_ue_id, "detach"))
+        elif isinstance(nas, nas_msgs.ExtendedServiceRequest):
+            # connected UE starting (MO) or answering (MT) a CS voice call
+            self._csfb(msg.mme_ue_id)
+
+    def _csfb(self, mme_ue_id: int):
+        """Order the serving eNB to release the UE toward the CS RAT
+        (s1ap.cc sends UE Context Modification with the CSFB indicator;
+        srsepc nas.cc CSFB path)."""
+        ue = self.ues.get(mme_ue_id)
+        if ue is None:
+            return
+        self.enbs[ue["enb_id"]].ctx_modification(UEContextModificationRequest(
+            mme_ue_id=mme_ue_id, enb_ue_id=ue["enb_ue_id"],
+            csfb_indicator=True))
+        ue["csfb_active"] = True
+        self.metrics["csfb"] = self.metrics.get("csfb", 0) + 1
+
+    def cs_call(self, mme_ue_id: int, caller_id: str = ""):
+        """Mobile-terminated CS call arrives from the CS core (SGs
+        interface role): notify a connected UE via NAS CS Service
+        Notification; page an idle UE in the CS domain."""
+        ue = self.ues.get(mme_ue_id)
+        if ue is None or ue["state"] != "ATTACHED":
+            return
+        enb = self.enbs.get(ue["enb_id"])
+        connected = any(
+            u.mme_ue_id == mme_ue_id and u.state == "RRC_CONNECTED"
+            for u in getattr(enb, "ues", {}).values())
+        if connected:
+            self._dl_nas(ue["enb_id"], mme_ue_id, ue["enb_ue_id"],
+                         nas_msgs.CsServiceNotification(caller_id=caller_id))
+        else:
+            for e in self.enbs.values():
+                if hasattr(e, "page"):
+                    e.page(0, cn_domain="cs")
+            self.metrics["cs_paging"] = self.metrics.get("cs_paging", 0) + 1
 
     # ---- S1 handover (s1ap_ctx_mngmt_proc.cc / intra-MME HO) ----
     def handover_required(self, enb_id: int, msg: HandoverRequired):

@@ -78,3 +78,31 @@ def link_step(payload, key, cfg: LinkConfig):
 
 def make_link_step(cfg: LinkConfig):
     return jax.jit(functools.partial(link_step, cfg=cfg))
+
+
+def make_link_step_sharded(cfg: LinkConfig, mesh):
+    """link_step over an n-device mesh via shard_map: each device runs the
+    whole pipeline on its local slice of the batch, so the compiled module
+    is collective-free BY CONSTRUCTION (subframes are independent).
+
+    Plain in_shardings=jit is not enough here: the turbo decoder's
+    (batch x codeblock x window) reshapes merge the sharded batch axis with
+    unsharded axes and XLA's SPMD partitioner then inserts >100 resharding
+    collectives per step (measured, scripts/scaling_curve.py) — the
+    shard_map contract removes them all, which is what makes per-chip
+    weak scaling communication-free on real hardware."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def local_step(payload, key):
+        # decorrelate noise across devices: fold the device coordinates in
+        key = jax.random.fold_in(key, jax.lax.axis_index("node"))
+        key = jax.random.fold_in(key, jax.lax.axis_index("sf"))
+        return link_step(payload, key, cfg)
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(("node", "sf")), P()),
+        out_specs=(P(("node", "sf")), P(("node", "sf")), P(("node", "sf"))),
+        check_rep=False)
+    return jax.jit(step)

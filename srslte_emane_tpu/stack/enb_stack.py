@@ -714,6 +714,7 @@ class EnbStack:
             k_rrc_int = security.kdf_rrc_up_key(ue.kenb, security.EIA2, 0x04)
             ue.pdcp[SRB1].config_security(security.EEA2, security.EIA2,
                                           k_rrc_enc, k_rrc_int)
+            ue.as_secured = True
             ue.send_rrc(SRB1, rrc_msgs.UECapabilityEnquiry())
         elif isinstance(msg, rrc_msgs.UECapabilityInformation):
             ue.setup_drb(DRB1_LCID)
@@ -729,6 +730,9 @@ class EnbStack:
                 nas_pdu=ue.pending_nas, scells_to_add=self._scells_for(ue)))
         elif isinstance(msg, rrc_msgs.RrcConnectionReconfigurationComplete):
             self.metrics["reconfig_ok"] += 1
+            if getattr(ue, "csfb_pending", False):
+                ue.csfb_pending = False
+                self._csfb_release(ue)
             # SCells may be activated only once the UE confirmed the
             # reconfiguration that configured them (36.331 §5.3.5.3)
             if ue.scells_cfg:
@@ -768,10 +772,10 @@ class EnbStack:
         (nB = T, Ns = 1 -> single paging occasion per PF, 36.304 §7.1)."""
         return ue_identity % t
 
-    def page(self, ue_identity: int):
+    def page(self, ue_identity: int, cn_domain: str = "ps"):
         """Queue a page; it transmits at the UE's paging occasion."""
         self._paging_q = getattr(self, "_paging_q", [])
-        self._paging_q.append(ue_identity)
+        self._paging_q.append((ue_identity, cn_domain))
         self.metrics["paging_queued"] += 1
 
     def _drain_paging(self, tti):
@@ -781,12 +785,13 @@ class EnbStack:
             return
         sfn = (tti // 10) % 1024
         rest = []
-        for ident in q:
+        for ident, dom in q:
             if sfn % self.PAGING_T == self.paging_frame(ident):
-                self.ccch_dl.append((0xFFFE, codec.encode(rrc_msgs.Paging(ident))))
+                self.ccch_dl.append((0xFFFE, codec.encode(
+                    rrc_msgs.Paging(ident, cn_domain=dom))))
                 self.metrics["paging_tx"] += 1
             else:
-                rest.append(ident)
+                rest.append((ident, dom))
         self._paging_q = rest
 
     def release_ue(self, rnti: int, cause: str = "user-inactivity"):
@@ -817,6 +822,9 @@ class EnbStack:
 
     def ctx_setup(self, msg: mme_mod.InitialContextSetupRequest):
         ue = self._by_enb_ue_id(msg.enb_ue_id)
+        # service-request contexts reach here without a prior DL NAS, so
+        # the MME UE id must be recorded now (s1ap.cc ctx setup)
+        ue.mme_ue_id = msg.mme_ue_id
         ue.kenb = msg.kenb
         ue.teid_spgw = msg.teid_spgw
         ue.teid_enb = msg.teid_enb
@@ -824,6 +832,34 @@ class EnbStack:
         ue.pending_nas = msg.nas_pdu
         ue.send_rrc(SRB1, rrc_msgs.SecurityModeCommand(
             ciph_algo=security.EEA2, int_algo=security.EIA2))
+
+    def ctx_modification(self, msg):
+        """S1AP UE Context Modification (s1ap.cc): the CS Fallback
+        Indicator makes the eNB release the UE toward a CS-capable RAT
+        with redirectedCarrierInfo (rrc.cc CSFB release path — srsenb
+        rrc.cc `release` with redirection on csfb)."""
+        cands = [u for u in self.ues.values() if u.mme_ue_id == msg.mme_ue_id]
+        # a stale RRC_IDLE context (pre-service-request release) may share
+        # the mme_ue_id: the live connection is the one to act on
+        live = [u for u in cands if u.state == "RRC_CONNECTED"] or cands
+        if live and msg.csfb_indicator:
+            u = live[-1]
+            if getattr(u, "as_secured", False):
+                self._csfb_release(u)
+            else:
+                # mid-service-request: messages queued before the UE's
+                # security-mode completion would be written under stale
+                # PDCP keys and dropped — defer the release until the
+                # connection setup finishes (rrc.cc orders CSFB release
+                # after the ongoing procedure too)
+                u.csfb_pending = True
+
+    def _csfb_release(self, u):
+        u.send_rrc(SRB1, rrc_msgs.RrcConnectionRelease(
+            cause="cs-FallbackHighPriority",
+            redirect_rat="geran", redirect_arfcn=514))
+        u.state = "RRC_IDLE"
+        self.metrics["csfb_release"] += 1
 
     def erab_setup(self, msg):
         """S1AP E-RAB Setup (dedicated bearer): add the DRB, install the
@@ -987,8 +1023,11 @@ class EnbStack:
         if ue is None or DRB1_LCID not in ue.pdcp or ue.state == "RRC_IDLE":
             # DL data for a UE without active bearers (idle after release,
             # or mid service-request): buffer until the context resumes —
-            # the SGW downlink-data buffering role (spgw.cc)
+            # the SGW downlink-data buffering role (spgw.cc) — and page the
+            # UE back into connected (Downlink Data Notification -> paging)
             buf = self._page_buf.setdefault(teid, [])
+            if not buf and ue is not None and ue.state == "RRC_IDLE":
+                self.page(0)
             if len(buf) < 64:
                 buf.append(ip_pkt)
             return

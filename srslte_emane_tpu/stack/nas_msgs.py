@@ -94,6 +94,32 @@ class ServiceRequest:
 
 
 @codec.register
+@per.schema(("guti", "int"),
+            ("service_type", "enum", ("mo-csfb", "mt-csfb",
+                                      "mo-csfb-emergency")))
+@dataclasses.dataclass
+class ExtendedServiceRequest:
+    """24.301 §8.2.15 Extended Service Request: circuit-switched fallback.
+    The UE asks to be moved to a CS-capable RAT for a voice call
+    (liblte_mme.cc LIBLTE_MME_MSG_TYPE_EXTENDED_SERVICE_REQUEST;
+    srsepc nas.cc CSFB handling)."""
+
+    guti: int = 0
+    service_type: str = "mo-csfb"
+
+
+@codec.register
+@per.schema(("caller_id", "str"))
+@dataclasses.dataclass
+class CsServiceNotification:
+    """24.301 §8.2.9 CS Service Notification: the MME tells a CONNECTED UE
+    a mobile-terminated CS call is waiting (the idle-UE equivalent is a
+    CS-domain page)."""
+
+    caller_id: str = ""
+
+
+@codec.register
 @per.schema()
 @dataclasses.dataclass
 class ServiceAccept:

@@ -148,10 +148,17 @@ class RrcConnectionReconfigurationComplete:
 @codec.register
 @per.schema(("cause", "enum", ("loadBalancingTAUrequired", "other",
                                "cs-FallbackHighPriority", "user-inactivity",
-                               "rl-failure")))
+                               "rl-failure")),
+            ("redirect_rat", "enum", ("none", "geran", "utran")),
+            ("redirect_arfcn", "cint", 0, 65535))
 @dataclasses.dataclass
 class RrcConnectionRelease:
+    """36.331 RRCConnectionRelease; redirectedCarrierInfo carries the CSFB
+    target RAT/ARFCN (rrc.cc release with redirection)."""
+
     cause: str = "other"
+    redirect_rat: str = "none"
+    redirect_arfcn: int = 0
 
 
 @codec.register
@@ -164,10 +171,11 @@ class MeasurementReport:
 
 
 @codec.register
-@per.schema(("ue_identity", "int"))
+@per.schema(("ue_identity", "int"), ("cn_domain", "enum", ("ps", "cs")))
 @dataclasses.dataclass
 class Paging:
     ue_identity: int = 0
+    cn_domain: str = "ps"  # "cs" pages announce a CSFB voice call (36.331)
 
 
 @codec.register

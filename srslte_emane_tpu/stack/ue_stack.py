@@ -182,6 +182,8 @@ class UeStack:
                     or self._pending_ul_bytes() > 0)
             if not want or getattr(self, "_conn_barred", 0) > 0:
                 return None
+            if getattr(self, "rat", "eutra") != "eutra":
+                return None  # camped on the CSFB target RAT, off LTE
             # randomized access stagger (proc_ra.cc backoff): avoids the
             # synchronized-collision livelock when many UEs power on together
             if getattr(self, "_ra_backoff", None) is None:
@@ -475,9 +477,18 @@ class UeStack:
                 # fresh attach — keys advance with the NAS uplink count
                 self._nas_count = getattr(self, "_nas_count", 0) + 1
                 self.kenb = security.kdf_kenb(self.kasme, self._nas_count)
+                if getattr(self, "_csfb_pending", None):
+                    # CS call from idle (MO or answering a CS page):
+                    # Extended Service Request instead (24.301 §5.6.1.2)
+                    req = nas_msgs.ExtendedServiceRequest(
+                        guti=self.guti, service_type=self._csfb_pending)
+                    self._csfb_pending = None
+                    self.metrics["ext_service_req"] += 1
+                else:
+                    req = nas_msgs.ServiceRequest(guti=self.guti)
+                    self.metrics["service_req"] += 1
                 self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
-                    nas_pdu=codec.encode(nas_msgs.ServiceRequest(guti=self.guti))))
-                self.metrics["service_req"] += 1
+                    nas_pdu=codec.encode(req)))
                 return
             attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
@@ -487,6 +498,11 @@ class UeStack:
         elif isinstance(msg, rrc_msgs.Paging):
             if msg.ue_identity in (0, self._salt & 0xFFFF):
                 self.metrics["paged"] += 1
+                if msg.cn_domain == "cs":
+                    # CS-domain page = incoming voice call: answer with an
+                    # Extended Service Request once connected (23.272 MT
+                    # CSFB)
+                    self._csfb_pending = "mt-csfb"
                 if self.rrc_state == "IDLE":
                     self.mac_state = "IDLE"  # trigger service request via RA
                     self.crnti = None
@@ -525,6 +541,12 @@ class UeStack:
             self.mac_state = "IDLE"  # C-RNTI released with the connection
             self.crnti = None
             self._conn_barred = 60  # T302-style wait before re-access
+            if msg.redirect_rat != "none":
+                # CSFB: leave E-UTRA for the redirected CS RAT; the voice
+                # call proceeds there (36.331 redirectedCarrierInfo)
+                self.rat = msg.redirect_rat
+                self.cs_call_active = True
+                self.metrics["csfb_fallback"] += 1
             # tear down bearers (rrc.cc leave_connected): stale RLC state
             # must not retrigger a service request
             for lcid in [l for l in self.rlc if l != SRB1]:
@@ -572,6 +594,13 @@ class UeStack:
             self.metrics["attach_ok"] += 1
         elif isinstance(msg, nas_msgs.ServiceAccept):
             self.metrics["service_ok"] += 1
+        elif isinstance(msg, nas_msgs.CsServiceNotification):
+            # mobile-terminated CS call while connected (24.301 §5.6.2.2):
+            # accept by requesting CSFB
+            self.metrics["cs_notification"] += 1
+            self.metrics["ext_service_req"] += 1
+            self._send_nas(nas_msgs.ExtendedServiceRequest(
+                guti=self.guti, service_type="mt-csfb"))
         elif isinstance(msg, nas_msgs.ServiceReject):
             # network lost our context: full re-attach (nas.cc T3417/reject)
             self.metrics["service_reject"] += 1
@@ -617,6 +646,32 @@ class UeStack:
 
     def _send_nas(self, msg):
         self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))
+
+    # ---- CSFB (23.272): voice calls fall back to a CS RAT ----
+    rat = "eutra"
+    cs_call_active = False
+    _csfb_pending = None
+
+    def start_cs_call(self):
+        """Mobile-originated voice call: request CSFB.  Connected UEs send
+        the Extended Service Request directly; idle UEs connect first
+        (nas.cc start_service_request with CSFB type)."""
+        if self.rrc_state == "CONNECTED":
+            self._send_nas(nas_msgs.ExtendedServiceRequest(
+                guti=self.guti, service_type="mo-csfb"))
+            self.metrics["ext_service_req"] += 1
+        else:
+            self._csfb_pending = "mo-csfb"
+            self._connect_pending = True
+
+    def end_cs_call(self):
+        """CS call ended: return to E-UTRA.  The next connection trigger
+        (pending data / page) resumes the PS session via Service Request;
+        a TAU would run first if the tracking area changed (23.272 §6.5)."""
+        self.rat = "eutra"
+        self.cs_call_active = False
+        self._conn_barred = 0
+        self.metrics["csfb_return"] += 1
 
     def switch_off(self):
         """NAS detach (ue_stack_lte.cc switch_off -> nas detach request)."""
