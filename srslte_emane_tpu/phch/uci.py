@@ -59,22 +59,96 @@ def decode_rm(llrs, n_bits: int, which: str = "rm32"):
     return bits, jnp.max(corr, axis=-1)
 
 
-# ---- CQI report packing (cqi.c subset: wideband report) ----
+# ---- CQI report packing (cqi.c, all four report formats) ----
 
-def pack_cqi_wideband(cqi: int, pmi: int = None, ri_bits: int = 0) -> np.ndarray:
-    bits = [(cqi >> (3 - i)) & 1 for i in range(4)]
+def _ubits(v: int, n: int) -> list:
+    return [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+
+def _take(bits, pos: int, n: int):
+    return int("".join(str(int(b)) for b in bits[pos : pos + n]), 2), pos + n
+
+
+def pack_cqi_wideband(cqi: int, pmi: int = None, ri_bits: int = 0,
+                      rank2: bool = False, four_ports: bool = False,
+                      spatial_diff: int = 0) -> np.ndarray:
+    """Periodic wideband report, 36.212 Tables 5.2.3.3.1-1/-2
+    (cqi.c cqi_format2_wideband_pack): 4-bit CQI; with PMI the layout
+    depends on rank and antenna-port count (3-bit spatial-differential CQI
+    for rank>1; PMI width 4 for 4 ports, else 1/2 bits by rank)."""
+    bits = _ubits(cqi, 4)
     if pmi is not None:
-        bits += [(pmi >> 1) & 1, pmi & 1]
+        if four_ports:
+            if rank2:
+                bits += _ubits(spatial_diff, 3)
+            bits += _ubits(pmi, 4)
+        elif rank2:
+            bits += _ubits(spatial_diff, 3) + _ubits(pmi, 1)
+        else:
+            bits += _ubits(pmi, 2)
     return np.array(bits, dtype=np.int8)
 
 
-def unpack_cqi_wideband(bits, has_pmi: bool = False) -> dict:
+def unpack_cqi_wideband(bits, has_pmi: bool = False, rank2: bool = False,
+                        four_ports: bool = False) -> dict:
     bits = np.asarray(bits)
-    cqi = int("".join(map(str, bits[:4])), 2)
+    cqi, p = _take(bits, 0, 4)
     out = dict(cqi=cqi)
     if has_pmi:
-        out["pmi"] = int("".join(map(str, bits[4:6])), 2)
+        if four_ports:
+            if rank2:
+                out["spatial_diff_cqi"], p = _take(bits, p, 3)
+            out["pmi"], p = _take(bits, p, 4)
+        elif rank2:
+            out["spatial_diff_cqi"], p = _take(bits, p, 3)
+            out["pmi"], p = _take(bits, p, 1)
+        else:
+            out["pmi"], p = _take(bits, p, 2)
     return out
+
+
+def pack_cqi_format2_subband(sb_cqi: int, label: int,
+                             label_2_bits: bool) -> np.ndarray:
+    """Periodic UE-selected subband report (cqi_format2_subband_pack):
+    4-bit subband CQI + 1/2-bit subband label."""
+    return np.array(_ubits(sb_cqi, 4) + _ubits(label, 2 if label_2_bits else 1),
+                    dtype=np.int8)
+
+
+def unpack_cqi_format2_subband(bits, label_2_bits: bool) -> dict:
+    bits = np.asarray(bits)
+    cqi, p = _take(bits, 0, 4)
+    label, _ = _take(bits, p, 2 if label_2_bits else 1)
+    return dict(subband_cqi=cqi, subband_label=label)
+
+
+def cqi_ue_subband_label_bits(n_prb: int) -> int:
+    """L = ceil(log2(ceil(N_prb/k) choose M))-ish position field; the
+    reference uses L = ceil(log2(nof_prb/subband k)) (cqi.c srslte_cqi_
+    hl_get_L role simplified to bandwidth-part position bits)."""
+    n_sb = cqi_hl_subband_size(n_prb)
+    return max(1, int(np.ceil(np.log2(max(2, n_sb)))))
+
+
+def pack_cqi_ue_subband(wb_cqi: int, sb_diff: int, position: int,
+                        n_prb: int) -> np.ndarray:
+    """Aperiodic UE-selected subband report, 36.212 Table 5.2.2.6.3-1
+    (cqi.c cqi_ue_subband_pack): 4-bit wideband CQI + 2-bit differential
+    CQI for the preferred subbands + L-bit subband position.  (The
+    reference packs the diff field twice in place of the position —
+    cqi.c:81-83 — this implements the spec layout.)"""
+    L = cqi_ue_subband_label_bits(n_prb)
+    return np.array(_ubits(wb_cqi, 4) + _ubits(sb_diff, 2)
+                    + _ubits(position, L), dtype=np.int8)
+
+
+def unpack_cqi_ue_subband(bits, n_prb: int) -> dict:
+    bits = np.asarray(bits)
+    L = cqi_ue_subband_label_bits(n_prb)
+    wb, p = _take(bits, 0, 4)
+    diff, p = _take(bits, p, 2)
+    pos, _ = _take(bits, p, L)
+    return dict(wideband_cqi=wb, subband_diff_cqi=diff, position=pos)
 
 
 def cqi_hl_subband_size(n_prb: int) -> int:
@@ -86,25 +160,53 @@ def cqi_hl_subband_size(n_prb: int) -> int:
     return -(-n_prb // k)
 
 
-def pack_cqi_hl_subband(wb_cqi: int, sb_diffs, n_prb: int) -> np.ndarray:
-    """Aperiodic higher-layer-configured subband report (cqi.c HL format):
-    4-bit wideband CQI + 2-bit differential CQI per subband."""
+def pack_cqi_hl_subband(wb_cqi: int, sb_diffs, n_prb: int, cw1: tuple = None,
+                        pmi: int = None, four_ports: bool = False) -> np.ndarray:
+    """Aperiodic higher-layer-configured subband report, 36.212 Tables
+    5.2.2.6.2-1/-2 (cqi.c cqi_hl_subband_pack): per codeword 4-bit
+    wideband CQI + 2-bit differential CQI per subband; optional second
+    codeword (rank>1) and trailing PMI (4 bits for 4 ports, else 1 bit
+    rank>1 / 2 bits rank 1)."""
     n_sb = cqi_hl_subband_size(n_prb)
     assert len(sb_diffs) == n_sb, (len(sb_diffs), n_sb)
-    bits = [(wb_cqi >> (3 - i)) & 1 for i in range(4)]
+    bits = _ubits(wb_cqi, 4)
     for d in sb_diffs:
         assert 0 <= d <= 3
-        bits += [(d >> 1) & 1, d & 1]
+        bits += _ubits(d, 2)
+    if cw1 is not None:
+        wb1, diffs1 = cw1
+        assert len(diffs1) == n_sb
+        bits += _ubits(wb1, 4)
+        for d in diffs1:
+            bits += _ubits(d, 2)
+    if pmi is not None:
+        bits += _ubits(pmi, 4 if four_ports else (1 if cw1 is not None else 2))
     return np.array(bits, dtype=np.int8)
 
 
-def unpack_cqi_hl_subband(bits, n_prb: int) -> dict:
+def unpack_cqi_hl_subband(bits, n_prb: int, rank2: bool = False,
+                          has_pmi: bool = False,
+                          four_ports: bool = False) -> dict:
     bits = np.asarray(bits).astype(int)
     n_sb = cqi_hl_subband_size(n_prb)
-    wb = int("".join(map(str, bits[:4])), 2)
-    diffs = [int("".join(map(str, bits[4 + 2 * i : 6 + 2 * i])), 2)
-             for i in range(n_sb)]
-    return dict(wideband_cqi=wb, subband_diff_cqi=diffs)
+
+    def cw(p):
+        wb, p = _take(bits, p, 4)
+        diffs = []
+        for _ in range(n_sb):
+            d, p = _take(bits, p, 2)
+            diffs.append(d)
+        return wb, diffs, p
+
+    wb, diffs, p = cw(0)
+    out = dict(wideband_cqi=wb, subband_diff_cqi=diffs)
+    if rank2:
+        wb1, diffs1, p = cw(p)
+        out["wideband_cqi_cw1"] = wb1
+        out["subband_diff_cqi_cw1"] = diffs1
+    if has_pmi:
+        out["pmi"], p = _take(bits, p, 4 if four_ports else (1 if rank2 else 2))
+    return out
 
 
 # offset applied to the wideband CQI per differential value (36.213 7.2.1-2)

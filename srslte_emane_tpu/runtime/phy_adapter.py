@@ -54,6 +54,7 @@ class UlGrant:
     mcs: int
     ndi: int = 0
     rv: int = 0
+    cqi_request: int = 0  # DCI-0 CSI request: aperiodic CQI on this PUSCH
 
 
 class EnbPhyAdapter:
@@ -92,6 +93,15 @@ class EnbPhyAdapter:
                 self.mac.ul_crc_info(tti, g["rnti"], passed)
                 if passed:
                     self.mac.ul_pdu(tti, g["rnti"], g["payload"], sinr)
+                    cqi = g.get("cqi")
+                    if cqi is not None and hasattr(self.mac, "cqi_info"):
+                        try:
+                            self.mac.cqi_info(
+                                tti, g["rnti"], cqi["wideband_cqi"],
+                                sb=cqi.get("subband_diff_cqi"))
+                        except TypeError:  # MACs without subband support
+                            self.mac.cqi_info(tti, g["rnti"],
+                                              cqi["wideband_cqi"])
             for p in msg.pucch:
                 if otamsg.Chan.PUCCH not in chans:
                     continue
@@ -150,7 +160,8 @@ class EnbPhyAdapter:
         for g in ul_grants:
             msg.pdcch_ul.append(otamsg.DciMsg(
                 rnti=g.rnti, format="0", l_level=4, l_ncce=0, num_bits=0,
-                data=bytes([g.rb_start, g.l_prb, g.mcs, g.ndi, g.rv])))
+                data=bytes([g.rb_start, g.l_prb, g.mcs, g.ndi, g.rv,
+                            g.cqi_request])))
             txc.channels.append(otamsg.ChannelMessage(
                 otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
                 prb_slot0=all_prbs, prb_slot1=all_prbs))
@@ -289,8 +300,11 @@ class UePhyAdapter:
                 cm = chans.get((otamsg.Chan.PDCCH, dci.rnti))
                 if not cm or not tester.check(cm)[0]:
                     continue
-                rb_start, l_prb, mcs, ndi, rv = dci.data
-                self.stack.ul_grant(msg.tti, UlGrant(dci.rnti, rb_start, l_prb, mcs, ndi, rv))
+                rb_start, l_prb, mcs, ndi, rv = dci.data[:5]
+                cqi_req = dci.data[5] if len(dci.data) > 5 else 0
+                self.stack.ul_grant(msg.tti, UlGrant(
+                    dci.rnti, rb_start, l_prb, mcs, ndi, rv,
+                    cqi_request=cqi_req))
             for ph in msg.phich:
                 if ph["rnti"] == self.crnti:
                     self.stack.harq_ack(msg.tti, bool(ph["ack"]))
@@ -344,8 +358,13 @@ class UePhyAdapter:
             any_tx = True
         for g, payload in pusch:
             prbs = tuple(range(g.rb_start, g.rb_start + g.l_prb))
-            msg.pusch.append(dict(rnti=g.rnti, rb_start=g.rb_start,
-                                  l_prb=g.l_prb, mcs=g.mcs, payload=payload))
+            entry = dict(rnti=g.rnti, rb_start=g.rb_start,
+                         l_prb=g.l_prb, mcs=g.mcs, payload=payload)
+            if g.cqi_request and hasattr(self.stack, "aperiodic_cqi"):
+                # DCI-0 CSI request: the aperiodic HL-subband report rides
+                # this PUSCH (cqi.c aperiodic on UL-SCH, sch.c UCI mux)
+                entry["cqi"] = self.stack.aperiodic_cqi(self.n_prb)
+            msg.pusch.append(entry)
             qm = {2: otamsg.Mod.QPSK, 4: otamsg.Mod.QAM16, 6: otamsg.Mod.QAM64}[
                 ra.ul_mcs_to_qm(g.mcs)]
             txc.channels.append(otamsg.ChannelMessage(

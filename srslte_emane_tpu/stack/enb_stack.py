@@ -251,13 +251,19 @@ class EnbStack:
                 h.harq_retx_q.append(pid)
                 self.metrics["harq_retx"] += 1
 
-    def cqi_info(self, tti, rnti, cqi: int, ri: int = None, pmi: int = None):
+    def cqi_info(self, tti, rnti, cqi: int, ri: int = None, pmi: int = None,
+                 sb: list = None):
         """CQI(/RI/PMI) report -> link adaptation (scheduler_ue.cc MCS
         selection; RI picks the transmission rank, PMI the TM4/TM6
-        closed-loop precoder for waveform-mode transmissions)."""
+        closed-loop precoder for waveform-mode transmissions).  `sb` is an
+        aperiodic HL-subband report's per-subband differential CQI list
+        (cqi.c) kept for frequency-selective scheduling."""
         ue = self.ues.get(rnti)
         if ue is None:
             return
+        if sb is not None:
+            ue.sb_cqi = list(sb)
+            self.metrics["aperiodic_cqi"] += 1
         # simple CQI->MCS map (monotone subset of 36.213 tables)
         ue.dl_mcs = max(0, min(28, 2 * cqi - 2))
         if ri is not None:
@@ -633,8 +639,15 @@ class EnbStack:
                 u.bsr = 0
                 ul_mcs = max(0, min(20, self.mcs
                                     + int(getattr(u, "ul_olla", 0.0))))
+                # periodic aperiodic-CQI solicitation (scheduler_ue.cc
+                # sets the DCI-0 CSI request every few PUSCH grants)
+                cqi_req = 0
+                if tti - getattr(u, "last_cqi_req", -100) >= 40:
+                    u.last_cqi_req = tti
+                    cqi_req = 1
                 grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=8,
-                                      mcs=ul_mcs, ndi=1))
+                                      mcs=ul_mcs, ndi=1,
+                                      cqi_request=cqi_req))
                 u.ul_harq_ent = dict(l_prb=8, mcs=ul_mcs, n_tx=1,
                                      retx_due=False)
                 cursor += 8

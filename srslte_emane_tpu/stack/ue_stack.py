@@ -296,7 +296,8 @@ class UeStack:
                 payload = self._ul_retx
                 self._ul_retx = None
                 self._ul_harq_buf = payload
-                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi, 2)
+                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi, 2,
+                             cqi_request=g.cqi_request)
                 out.append((g2, payload))
                 self.metrics["ul_harq_retx"] += 1
                 continue
@@ -316,8 +317,15 @@ class UeStack:
             if subs:
                 payload = pdu.pack(subs)
                 self._ul_harq_buf = payload  # kept until the PHICH verdict
-                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi, g.rv)
+                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi,
+                             g.rv, cqi_request=g.cqi_request)
                 out.append((g2, payload))
+            elif g.cqi_request:
+                # CSI request with no pending data: CQI-only PUSCH
+                # (36.213 §7.2.1 aperiodic reporting without UL-SCH data)
+                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi,
+                             g.rv, cqi_request=1)
+                out.append((g2, pdu.pack([])))
         return out
 
     _cqi_timer = None
@@ -646,6 +654,22 @@ class UeStack:
 
     def _send_nas(self, msg):
         self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))
+
+    def aperiodic_cqi(self, n_prb: int) -> dict:
+        """Aperiodic HL-subband CQI for a DCI-0 CSI request (cqi.c
+        aperiodic on PUSCH).  Wideband CQI from the serving SNR; per-
+        subband differentials from the per-subband SNR spread when the PHY
+        provides one (flat channel at message level -> diffs of 0).  The
+        report round-trips through the REAL 36.212 bit packing."""
+        from ..phch import uci
+
+        wb = int(np.clip(round(getattr(self, "last_rsrp_snr", 0.0) / 2.0 + 2),
+                         1, 15))
+        n_sb = uci.cqi_hl_subband_size(n_prb)
+        diffs = [0] * n_sb
+        bits = uci.pack_cqi_hl_subband(wb, diffs, n_prb)
+        self.metrics["aperiodic_cqi_tx"] += 1
+        return uci.unpack_cqi_hl_subband(bits, n_prb)
 
     # ---- CSFB (23.272): voice calls fall back to a CS RAT ----
     rat = "eutra"
