@@ -218,6 +218,12 @@ class UePhyAdapter:
         self.tx_power_mw = tx_power_mw
         self._seq = 0
         self.last_snr_db = None  # injected into "chest results" (:1307)
+        # bind optional callbacks once: getattr per TTI per UE is real cost
+        # at 200-UE deployment scale
+        self._stack_tick = getattr(stack, "tick", None)
+        self._sync_cb = getattr(stack, "sync_indication", None)
+        self._neigh_cb = getattr(stack, "neighbor_meas", None)
+        self._scells_cb = getattr(stack, "active_scell_pcis", None)
         # seed the serving cell so idle-mode reselection has a baseline
         if getattr(stack, "serving_pci", None) is None:
             stack.serving_pci = cell_id
@@ -228,7 +234,8 @@ class UePhyAdapter:
 
     def run_tti(self, tti: int):
         self._rx(tti)
-        getattr(self.stack, "tick", lambda: None)()
+        if self._stack_tick is not None:
+            self._stack_tick()
         self._tx(tti)
 
     @property
@@ -242,17 +249,15 @@ class UePhyAdapter:
                 continue
             if msg.phy_cell_id != self.serving_cell:
                 # activated SCell carrier? (scell_recv / cc_worker role)
-                scells = getattr(self.stack, "active_scell_pcis",
-                                 lambda: {})()
+                scells = self._scells_cb() if self._scells_cb else {}
                 if msg.phy_cell_id in scells and msg.carrier_idx:
                     self._rx_scell(tti, msg, frame, tester,
                                    scells[msg.phy_cell_id])
                     continue
                 # neighbor-cell measurement (intra_measure role)
                 _, snr = tester.check(_WB_PROBE)
-                notify = getattr(self.stack, "neighbor_meas", None)
-                if notify:
-                    notify(tti, msg.phy_cell_id, snr)
+                if self._neigh_cb:
+                    self._neigh_cb(tti, msg.phy_cell_id, snr)
                 continue
             # per-frame channel map is receiver-independent: build once and
             # share across the (possibly hundreds of) receiving UEs
@@ -265,9 +270,8 @@ class UePhyAdapter:
             # sync monitoring (36.331 in-sync/out-of-sync -> T310): evaluate
             # a wideband QPSK reference against the serving cell's SINR
             in_sync, snr = tester.check(_WB_PROBE)
-            notify = getattr(self.stack, "sync_indication", None)
-            if notify:
-                notify(tti, in_sync, snr)
+            if self._sync_cb:
+                self._sync_cb(tti, in_sync, snr)
             if msg.pbch is not None:
                 cm = chans.get((otamsg.Chan.PBCH, 0))
                 if cm:

@@ -295,13 +295,16 @@ class EnbStack:
         grants = []
         cursor = 0
 
+        # one pass over the UE set: who has DL data pending (reused by the
+        # CFI choice AND the new-transmission loop below)
+        data_pending = [r for r, u in self.ues.items()
+                        if any(e.has_data() for e in u.rlc.values())]
         # CFI escalation with demand (the reference widens the control
         # region under load): smallest CFI whose CCE count covers the
         # common search space plus the expected DCI load; the allocator
         # then enforces per-candidate CCE collisions
         demand = (len(self.rar_pending) + len(self.ccch_dl)
-                  + sum(1 for u in self.ues.values()
-                        if any(e.has_data() for e in u.rlc.values())))
+                  + len(data_pending))
         for cfi in (1, 2, 3):
             cell = grid_mod.CellConfig(n_prb=self.n_prb,
                                        cell_id=self.cell_pci, cfi=cfi)
@@ -379,7 +382,7 @@ class EnbStack:
         # was lost) is treated as NACKed after a timeout — otherwise all 8
         # processes wedge and the UE starves forever.
         DTX_TIMEOUT = 12
-        for rnti, u in list(self.ues.items()):
+        for rnti, u in self.ues.items():
             while (u.harq_fifo and
                    tti - u.harq_tx_tti.get(u.harq_fifo[0], tti) > DTX_TIMEOUT):
                 pid = u.harq_fifo.popleft()
@@ -393,7 +396,7 @@ class EnbStack:
                     u.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
                     u.harq_retx_q.append(pid)
                     self.metrics["harq_dtx_retx"] += 1
-        for rnti, u in list(self.ues.items()):
+        for rnti, u in self.ues.items():
             while u.harq_retx_q and cursor < self.n_prb:
                 pid = u.harq_retx_q[0]
                 if pid not in u.dl_harq:
@@ -423,22 +426,23 @@ class EnbStack:
         # SCell activation (36.321 §5.13): a configured-but-inactive SCell
         # activates when DL backlog appears; the Activation/Deactivation CE
         # rides the UE's next PCell MAC PDU
-        for r, u in self.ues.items():
-            if (u.scells_cfg and u.scells_ready
-                    and any(e.has_data() for e in u.rlc.values())):
-                todo = set(u.scells_cfg) - u.scells_act
-                if todo:
-                    u.scell_act_pending |= todo
+        if self.n_carriers > 1:
+            for r in data_pending:
+                u = self.ues.get(r)
+                if u is not None and u.scells_cfg and u.scells_ready:
+                    todo = set(u.scells_cfg) - u.scells_act
+                    if todo:
+                        u.scell_act_pending |= todo
         # new transmissions: RR or proportional-fair over UEs with RLC data
-        # and a free HARQ process
-        active = [r for r, u in self.ues.items()
-                  if (any(e.has_data() for e in u.rlc.values())
-                      or u.scell_act_pending)
-                  and self._free_pid(u) is not None]
-        # PF bookkeeping: everyone's average decays each TTI (served UEs add
-        # their grant size below); floor keeps the metric finite
-        for r, u in self.ues.items():
-            u.avg_thr = max(1.0, u.avg_thr * (1 - PF_ALPHA))
+        # and a free HARQ process (data_pending computed once above)
+        active = [r for r in data_pending
+                  if r in self.ues and self._free_pid(self.ues[r]) is not None]
+        if self.n_carriers > 1:
+            active += [r for r, u in self.ues.items()
+                       if u.scell_act_pending and r not in active
+                       and self._free_pid(u) is not None]
+        # PF bookkeeping: averages decay lazily via (1-a)^(dt) on access
+        # (a per-TTI decay loop over every UE is O(UEs) at 200-UE scale)
         # pack MULTIPLE UEs per TTI until the PRB grid or the PDCCH control
         # region is exhausted — scheduler_grid.cc behavior with real CCE
         # candidate collisions (UEs that can't be placed defer a TTI)
@@ -451,7 +455,7 @@ class EnbStack:
                 n_free = self.n_prb - cursor
                 rnti = max(cand, key=lambda r: ra.dl_tbs(
                     getattr(self.ues[r], "dl_mcs", self.mcs), n_free)
-                    / self.ues[r].avg_thr)
+                    / self._pf_avg(self.ues[r], tti))
             else:
                 rnti = cand[self._rr % len(cand)]
                 self._rr += 1
@@ -496,7 +500,8 @@ class EnbStack:
                 u.dl_harq[pid] = (payload, n_prb, mcs, 1)
                 u.harq_fifo.append(pid)
                 u.harq_tx_tti[pid] = tti
-                u.avg_thr += PF_ALPHA * 8 * n_bytes
+                u.avg_thr = self._pf_avg(u, tti) + PF_ALPHA * 8 * n_bytes
+                u.pf_tti = tti
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
                                       mcs=mcs, payload=payload, harq_pid=pid,
                                       l_aggr=la[0], cce_start=la[1]))
@@ -668,6 +673,16 @@ class EnbStack:
 
     def _alloc(self, n):
         return tuple(1 if i < n else 0 for i in range(self.n_prb))
+
+    @staticmethod
+    def _pf_avg(u, tti: int) -> float:
+        """Proportional-fair average with lazy exponential decay: the
+        per-TTI decay loop over every UE context becomes a pow() on
+        access (served UEs re-anchor u.pf_tti)."""
+        dt = tti - getattr(u, "pf_tti", tti)
+        if dt <= 0:
+            return max(1.0, u.avg_thr)
+        return max(1.0, u.avg_thr * (1.0 - PF_ALPHA) ** dt)
 
     @staticmethod
     def _free_pid(u):

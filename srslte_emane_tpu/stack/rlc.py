@@ -436,6 +436,12 @@ class RlcAm:
             self.vt_a = self.tx_sn
 
     def timer_tick(self):
+        # fast path: a fully idle entity (no rx state, nothing unacked) has
+        # no timer work — this is every idle UE's bearer every TTI at
+        # deployment scale
+        if not self.rx and not self.tx_window:
+            self._poll_timer = 0
+            return
         # reordering: if gaps persist, request nothing here (receiver-driven
         # status comes from polls); a t_reordering-based status trigger:
         if self._missing_sns():

@@ -331,6 +331,11 @@ class UeStack:
     _cqi_timer = None
 
     def get_pucch(self, tti):
+        # fast path: a UE that is not connected and has nothing pending
+        # transmits no PUCCH — at deployment scale this is most UEs most
+        # TTIs, so skip the SR/CQI bookkeeping entirely
+        if not self._acks and self.mac_state != "CONNECTED":
+            return None
         out = None
         if self._acks:
             # multiplex every pending HARQ bit into one PUCCH (format 3 /
@@ -344,7 +349,7 @@ class UeStack:
                 out["ack_cc"].extend(
                     nxt.get("ack_cc", [0] * len(nxt["ack"])))
             out["sr"] = self._pending_ul_bytes() > 0
-        elif self._pending_ul_bytes() and self.mac_state == "CONNECTED":
+        elif self.mac_state == "CONNECTED" and self._pending_ul_bytes():
             out = dict(rnti=self.crnti, sr=True, ack=[])
         # periodic wideband CQI from the serving-cell SNR (cqi.c reporting)
         if self._cqi_timer is None:
