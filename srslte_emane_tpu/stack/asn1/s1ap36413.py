@@ -2,13 +2,10 @@
 
 The reference's S1AP codec is `lib/src/asn1/liblte_s1ap.cc` (~50k LoC of
 generated pack/unpack); its test (`lib/test/asn1/s1ap_test.cc`) pins a
-captured S1SetupResponse carrying ServedGUMMEIs with six PLMNs.  This
-module implements the ALIGNED PER rules that message exercises (X.691:
-constrained whole numbers as bit-fields vs aligned octets by range,
-octet-aligned open types with length determinants, size-constrained
-SEQUENCE OF, enumerated criticality) plus the S1SetupRequest/Response
-message schemas over them — decoding that capture byte-exact and
-generating valid wire messages of its own.
+captured S1SetupResponse carrying ServedGUMMEIs with six PLMNs.  The
+ALIGNED-PER rules live in `aper.py`; this module adds the
+S1SetupRequest/Response message schemas over them — decoding that capture
+byte-exact and generating valid wire messages of its own.
 
 The in-simulator S1AP transport stays `apps/rpc.py` typed messages; this
 codec is the interop surface."""
@@ -17,130 +14,9 @@ from __future__ import annotations
 
 import dataclasses
 
-
-class AperError(ValueError):
-    pass
-
-
-class BitReader:
-    def __init__(self, data: bytes):
-        self.d = data
-        self.bit = 0
-
-    def read_bits(self, n: int) -> int:
-        out = 0
-        for _ in range(n):
-            byte, off = divmod(self.bit, 8)
-            if byte >= len(self.d):
-                raise AperError("truncated")
-            out = (out << 1) | ((self.d[byte] >> (7 - off)) & 1)
-            self.bit += 1
-        return out
-
-    def align(self):
-        self.bit = (self.bit + 7) & ~7
-
-    def read_octets(self, n: int) -> bytes:
-        self.align()
-        byte = self.bit // 8
-        if byte + n > len(self.d):
-            raise AperError("truncated octets")
-        self.bit += 8 * n
-        return self.d[byte : byte + n]
-
-    @property
-    def exhausted(self):
-        return self.bit >= 8 * len(self.d)
-
-
-class BitWriter:
-    def __init__(self):
-        self.bits = []
-
-    def write_bits(self, v: int, n: int):
-        for i in range(n - 1, -1, -1):
-            self.bits.append((v >> i) & 1)
-
-    def align(self):
-        while len(self.bits) % 8:
-            self.bits.append(0)
-
-    def write_octets(self, b: bytes):
-        self.align()
-        for x in b:
-            self.write_bits(x, 8)
-
-    def to_bytes(self) -> bytes:
-        self.align()
-        out = bytearray()
-        for i in range(0, len(self.bits), 8):
-            v = 0
-            for bit in self.bits[i : i + 8]:
-                v = (v << 1) | bit
-            out.append(v)
-        return bytes(out)
-
-
-# ---- X.691 aligned-PER primitives ----------------------------------------
-
-def read_constrained(r: BitReader, lo: int, hi: int) -> int:
-    """Constrained whole number (X.691 §10.5, ALIGNED): range <= 255 is an
-    unaligned bit-field; range == 256 one aligned octet; <= 65536 two."""
-    rng = hi - lo + 1
-    if rng == 1:
-        return lo
-    if rng <= 255:
-        return lo + r.read_bits((rng - 1).bit_length())
-    if rng == 256:
-        return lo + r.read_octets(1)[0]
-    if rng <= 65536:
-        return lo + int.from_bytes(r.read_octets(2), "big")
-    raise AperError(f"range {rng} not supported")
-
-
-def write_constrained(w: BitWriter, v: int, lo: int, hi: int):
-    rng = hi - lo + 1
-    if rng == 1:
-        return
-    if rng <= 255:
-        w.write_bits(v - lo, (rng - 1).bit_length())
-    elif rng == 256:
-        w.write_octets(bytes([v - lo]))
-    elif rng <= 65536:
-        w.write_octets((v - lo).to_bytes(2, "big"))
-    else:
-        raise AperError(f"range {rng} not supported")
-
-
-def read_length(r: BitReader) -> int:
-    """Unconstrained length determinant (X.691 §10.9, aligned)."""
-    r.align()
-    b0 = r.read_octets(1)[0]
-    if b0 < 0x80:
-        return b0
-    if b0 < 0xC0:
-        return ((b0 & 0x3F) << 8) | r.read_octets(1)[0]
-    raise AperError("fragmented lengths not supported")
-
-
-def write_length(w: BitWriter, n: int):
-    w.align()
-    if n < 0x80:
-        w.write_octets(bytes([n]))
-    elif n < 0x4000:
-        w.write_octets(bytes([0x80 | (n >> 8), n & 0xFF]))
-    else:
-        raise AperError("fragmented lengths not supported")
-
-
-def read_open_type(r: BitReader) -> bytes:
-    return r.read_octets(read_length(r))
-
-
-def write_open_type(w: BitWriter, b: bytes):
-    write_length(w, len(b))
-    w.write_octets(b)
-
+from .aper import (AperError, BitReader, BitWriter, read_constrained,
+                   write_constrained, read_length, write_length,
+                   read_open_type, write_open_type)
 
 # ---- S1AP structures -------------------------------------------------------
 
