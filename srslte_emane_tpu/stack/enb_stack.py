@@ -168,6 +168,9 @@ class EnbStack:
         self._next_fwd_teid = 0x8000_0000 + enb_id * 0x1000
         self.dedicated_preambles = {}  # preamble -> rnti (contention-free HO)
         self._next_ded_preamble = 60
+        # A3 event parameters pushed to UEs in their first reconfiguration
+        # (36.331 measConfig reportConfigEUTRA: offset/hysteresis/TTT)
+        self.meas_config = rrc_msgs.MeasConfig()
         self._rr = 0
         self._page_buf = {}  # teid -> DL packets buffered while UE idle
         self.metrics = collections.Counter()
@@ -755,7 +758,11 @@ class EnbStack:
             ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
                 drbs_to_add=[rrc_msgs.DrbToAdd(drb_id=1, lcid=DRB1_LCID,
                                                eps_bearer_id=ue.eps_bearer or 5)],
-                nas_pdu=ue.pending_nas, scells_to_add=self._scells_for(ue)))
+                nas_pdu=ue.pending_nas, scells_to_add=self._scells_for(ue),
+                # network-pushed measurement configuration (rrc.cc
+                # measConfig in the first reconfiguration): the UE's A3
+                # event parameters come from HERE, not UE hardcoding
+                meas_config=self.meas_config))
         elif isinstance(msg, rrc_msgs.RrcConnectionReconfigurationComplete):
             self.metrics["reconfig_ok"] += 1
             if getattr(ue, "csfb_pending", False):

@@ -126,16 +126,33 @@ class ScellToAdd:
 
 
 @codec.register
+@per.schema(("a3_offset_db", "float"), ("hysteresis_db", "float"),
+            ("time_to_trigger", "cint", 0, 255),
+            ("report_interval", "cint", 0, 65535))
+@dataclasses.dataclass
+class MeasConfig:
+    """36.331 measConfig subset (reportConfigEUTRA A3 event parameters):
+    the network configures the UE's measurement reporting — offsets and
+    hysteresis in dB, timeToTrigger and reportInterval in measurement
+    periods/TTIs (rrc.cc meas_cfg handling)."""
+    a3_offset_db: float = 1.0
+    hysteresis_db: float = 0.0
+    time_to_trigger: int = 3
+    report_interval: int = 50
+
+
+@codec.register
 @per.schema(("drbs_to_add", "seqof", ("msg",), "?"),
             ("nas_pdu", "bytes", "?"), ("mobility", "msg", "?"),
-            ("scells_to_add", "seqof", ("msg",), "?"))
+            ("scells_to_add", "seqof", ("msg",), "?"),
+            ("meas_config", "msg", "?"))
 @dataclasses.dataclass
 class RrcConnectionReconfiguration:
     drbs_to_add: list = dataclasses.field(default_factory=list)
     nas_pdu: bytes = b""
-    meas_config: dict = dataclasses.field(default_factory=dict)
     mobility: object = None  # MobilityControlInfo for handover
     scells_to_add: list = dataclasses.field(default_factory=list)
+    meas_config: object = None  # MeasConfig pushed by the network
 
 
 @codec.register

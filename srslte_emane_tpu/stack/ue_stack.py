@@ -128,6 +128,9 @@ class UeStack:
     _neigh_snr = None
     _a3_count = 0
     _last_report_tti = -100
+    # defaults until the network pushes measConfig in a reconfiguration
+    # (36.331 reportConfigEUTRA; rrc.cc applies it the same way)
+    meas_cfg = rrc_msgs.MeasConfig()
 
     def neighbor_meas(self, tti, pci, snr_db):
         if self._neigh_snr is None:
@@ -139,12 +142,16 @@ class UeStack:
         serving = getattr(self, "last_rsrp_snr", None)
         if serving is None:
             return
+        cfg = self.meas_cfg
         best = max(self._neigh_snr.items(), key=lambda kv: kv[1])
-        if best[1] > serving + 1.0:  # A3 offset 1 dB
+        # A3 entering condition: Mn > Ms + offset + hysteresis (36.331
+        # §5.5.4.4), sustained for timeToTrigger measurement periods
+        if best[1] > serving + cfg.a3_offset_db + cfg.hysteresis_db:
             self._a3_count += 1
         else:
             self._a3_count = 0
-        if self._a3_count >= 3 and tti - self._last_report_tti > 50:
+        if (self._a3_count >= cfg.time_to_trigger
+                and tti - self._last_report_tti > cfg.report_interval):
             self._last_report_tti = tti
             self._a3_count = 0
             self._send_srb1(rrc_msgs.MeasurementReport(
@@ -552,6 +559,11 @@ class UeStack:
                 self.scells[sc.scell_idx] = dict(
                     pci=sc.pci, earfcn=sc.earfcn, active=False)
                 self.metrics["scell_configured"] += 1
+            if getattr(msg, "meas_config", None) is not None:
+                # apply the network's measurement configuration (36.331
+                # §5.5.2); replaces the defaults wholesale
+                self.meas_cfg = msg.meas_config
+                self.metrics["meas_config_applied"] += 1
             self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
             if msg.nas_pdu:
                 self._rx_nas(codec.decode(msg.nas_pdu))

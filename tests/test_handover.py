@@ -143,3 +143,44 @@ def test_idle_mode_cell_reselection():
     net.run(120)
     assert ue.metrics.get("reselection", 0) >= 1
     assert ue.serving_pci == 2
+
+
+def test_network_pushed_meas_config_controls_a3():
+    """The A3 parameters come from the network's measConfig (36.331
+    §5.5.2), not UE hardcoding: with a 20 dB a3-offset pushed in the
+    reconfiguration, a neighbor 6 dB above serving must NOT trigger a
+    measurement report; with the default 1 dB offset it must."""
+    from srslte_emane_tpu.stack import rrc_msgs
+
+    for offset, expect_reports in ((20.0, False), (1.0, True)):
+        # UE camps on A (stronger at attach); B gets 6 dB better afterward
+        pl = np.array([[0, 100, 74], [100, 0, 95], [74, 95, 0]], np.float32)
+        prop = sinr.Propagation(pathloss_db=pl)
+        bus = otabus.OtaBus(prop, node_ids=[0, 1, 2], n_prb=25)
+        net = ttiloop.Network(bus)
+        hss = hss_mod.Hss()
+        spgw = spgw_mod.Spgw()
+        mme = mme_mod.Mme(hss, spgw)
+        enb_a = enb_stack.EnbStack(mme, enb_id=1, n_prb=25, pci=1)
+        enb_a.meas_config = rrc_msgs.MeasConfig(a3_offset_db=offset)
+        enb_b = enb_stack.EnbStack(mme, enb_id=2, n_prb=25, pci=2)
+        net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25, mac=enb_a))
+        net.add(phy_adapter.EnbPhyAdapter(bus, 1, cell_id=2, n_prb=25, mac=enb_b))
+        imsi, key = "001010000000001", bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        ue = ue_stack.UeStack(ue_stack.Usim(
+            imsi, key, security.milenage_opc(key, b"\x00" * 16)))
+        net.add(phy_adapter.UePhyAdapter(bus, 2, cell_id=1, n_prb=25, stack=ue))
+        net.run(100)
+        assert ue.emm_state == "REGISTERED"
+        assert ue.metrics.get("meas_config_applied", 0) >= 1
+        assert ue.meas_cfg.a3_offset_db == offset
+        # B becomes 6 dB better than serving A
+        pl[1, 2] = pl[2, 1] = 68.0
+        # DL traffic keeps serving SNR sampled
+        for _ in range(10):
+            spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ue.ip_addr,
+                                                   b"m" * 60))
+            net.run(30)
+        got = ue.metrics.get("meas_reports", 0) >= 1
+        assert got == expect_reports, (offset, dict(ue.metrics))
