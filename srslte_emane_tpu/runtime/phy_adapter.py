@@ -44,6 +44,9 @@ class DlGrant:
     # true 36.213 search space (scheduler_grid.cc alloc_dci)
     l_aggr: int = 4
     cce_start: int = 0
+    # SPS occasion: transmit on the semi-persistent allocation with NO
+    # PDCCH DCI (36.321 §5.10 — only activation/release use the PDCCH)
+    sps_no_dci: int = 0
 
 
 @dataclasses.dataclass
@@ -144,12 +147,14 @@ class EnbPhyAdapter:
                             phich_resources="1", phich_length=0)
         for g in dl_grants:
             prbs = _prbs_of_mask(g.prb_mask)
-            dci = otamsg.DciMsg(rnti=g.rnti, format="1A", l_level=g.l_aggr,
-                                l_ncce=g.cce_start, num_bits=0, data=b"")
-            msg.pdcch_dl.append(dci)
-            txc.channels.append(otamsg.ChannelMessage(
-                otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
-                prb_slot0=all_prbs, prb_slot1=all_prbs))
+            if not g.sps_no_dci:
+                dci = otamsg.DciMsg(rnti=g.rnti, format="1A",
+                                    l_level=g.l_aggr, l_ncce=g.cce_start,
+                                    num_bits=0, data=b"")
+                msg.pdcch_dl.append(dci)
+                txc.channels.append(otamsg.ChannelMessage(
+                    otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
+                    prb_slot0=all_prbs, prb_slot1=all_prbs))
             msg.pdsch.append(otamsg.PdschData(
                 refid=g.rnti, tb=0, tbs=len(g.payload) * 8, data=g.payload))
             qm = {2: otamsg.Mod.QPSK, 4: otamsg.Mod.QAM16, 6: otamsg.Mod.QAM64}[
@@ -298,6 +303,19 @@ class UePhyAdapter:
                                           snr, rnti=dci.rnti)
                 except TypeError:  # legacy MACs without the rnti kwarg
                     self.stack.tb_decoded(msg.tti, data.data if passed else None, snr)
+            # SPS occasions: decode the semi-persistent allocation with NO
+            # PDCCH DCI in this subframe (36.321 §5.10)
+            sps_cb = getattr(self.stack, "sps_occasion", None)
+            sps_rnti = sps_cb(msg.tti) if sps_cb else None
+            if sps_rnti:
+                data = next((d for d in msg.pdsch if d.refid == sps_rnti),
+                            None)
+                if data is not None:
+                    pm = chans.get((otamsg.Chan.PDSCH, sps_rnti))
+                    passed, snr = tester.check(pm) if pm else (False, -99.0)
+                    self.stack.tb_decoded(
+                        msg.tti, data.data if passed else None, snr,
+                        rnti=sps_rnti)
             for dci in msg.pdcch_ul:
                 if dci.rnti != self.crnti:
                     continue

@@ -436,10 +436,50 @@ class EnbStack:
                     todo = set(u.scells_cfg) - u.scells_act
                     if todo:
                         u.scell_act_pending |= todo
+        # semi-persistent scheduling (36.321 §5.10, srsenb sched SPS):
+        # activation rides ONE PDCCH DCI to the SPS C-RNTI; every interval
+        # thereafter the allocation recurs with NO PDCCH (no CCE cost).
+        # SPS losses are recovered by RLC AM (no eNB HARQ entity for SPS).
+        sps_served = set()
+        for rnti in data_pending:
+            u = self.ues.get(rnti)
+            sps = getattr(u, "sps", None) if u is not None else None
+            if sps is None or cursor >= self.n_prb - 2:
+                continue
+            # SPS carries USER-plane bearers only; SRB traffic (including
+            # the sps-Config reconfiguration itself) rides dynamic grants
+            if any(l <= SRB2 and u.rlc[l].has_data() for l in u.rlc):
+                continue
+            tb = None
+            if not sps["active"]:
+                la = cce.alloc(sps["crnti"], l_pref=4)
+                if la is None:
+                    self.metrics["cce_defer"] += 1
+                    continue
+                tb = self._drain_tb(u, sps["bytes"])
+                if tb is None:
+                    continue
+                sps["active"] = True
+                sps["act_tti"] = tti
+                self.metrics["sps_activation_tx"] += 1
+                grants.append(DlGrant(
+                    rnti=sps["crnti"], prb_mask=alloc(sps["n_prb"]), mcs=0,
+                    payload=tb, l_aggr=la[0], cce_start=la[1]))
+                sps_served.add(rnti)
+            elif (tti - sps["act_tti"]) % sps["interval"] == 0:
+                tb = self._drain_tb(u, sps["bytes"])
+                if tb is None:
+                    continue
+                self.metrics["sps_tx"] += 1
+                grants.append(DlGrant(
+                    rnti=sps["crnti"], prb_mask=alloc(sps["n_prb"]), mcs=0,
+                    payload=tb, sps_no_dci=1))
+                sps_served.add(rnti)
         # new transmissions: RR or proportional-fair over UEs with RLC data
         # and a free HARQ process (data_pending computed once above)
         active = [r for r in data_pending
-                  if r in self.ues and self._free_pid(self.ues[r]) is not None]
+                  if r in self.ues and r not in sps_served
+                  and self._free_pid(self.ues[r]) is not None]
         if self.n_carriers > 1:
             active += [r for r, u in self.ues.items()
                        if u.scell_act_pending and r not in active
@@ -676,6 +716,37 @@ class EnbStack:
 
     def _alloc(self, n):
         return tuple(1 if i < n else 0 for i in range(self.n_prb))
+
+    def configure_sps(self, rnti: int, interval: int = 20,
+                      n_prb_sps: int = 4, tb_bytes: int = 120):
+        """Configure DL semi-persistent scheduling for a UE: pushes
+        sps-Config (SPS C-RNTI + interval) in an RRC reconfiguration; the
+        scheduler activates it via one PDCCH DCI once DL data appears and
+        then recurs the allocation PDCCH-free (36.331 sps-Config /
+        36.321 §5.10; srsenb sched SPS role for VoLTE-class flows)."""
+        u = self.ues[rnti]
+        sps_crnti = 0x3000 | (rnti & 0x0FFF)
+        u.sps = dict(crnti=sps_crnti, interval=interval, n_prb=n_prb_sps,
+                     bytes=tb_bytes, active=False, act_tti=-1)
+        u.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
+            sps_config=rrc_msgs.SpsConfig(sps_crnti=sps_crnti,
+                                          interval_dl=interval)))
+        self.metrics["sps_configured"] += 1
+
+    @staticmethod
+    def _drain_tb(u, max_bytes: int, min_lcid: int = DRB1_LCID):
+        """Drain RLC data (lcid >= min_lcid) into one MAC PDU of at most
+        max_bytes; None when nothing is pending."""
+        subs = []
+        room = max_bytes
+        for lcid in sorted(l for l in u.rlc if l >= min_lcid):
+            while room > 8 and u.rlc[lcid].has_data():
+                p = u.rlc[lcid].read_pdu(room - 4)
+                if p is None:
+                    break
+                subs.append((lcid, p))
+                room -= len(p) + 3
+        return pdu.pack(subs) if subs else None
 
     @staticmethod
     def _pf_avg(u, tti: int) -> float:

@@ -142,10 +142,22 @@ class MeasConfig:
 
 
 @codec.register
+@per.schema(("sps_crnti", "cint", 0, 65535),
+            ("interval_dl", "cint", 1, 640))
+@dataclasses.dataclass
+class SpsConfig:
+    """36.331 sps-Config subset: SPS C-RNTI + semiPersistSchedIntervalDL
+    (in TTIs).  Activation/release ride PDCCH addressed to the SPS C-RNTI
+    (36.321 §5.10; srsenb sched SPS role)."""
+    sps_crnti: int = 0
+    interval_dl: int = 20
+
+
+@codec.register
 @per.schema(("drbs_to_add", "seqof", ("msg",), "?"),
             ("nas_pdu", "bytes", "?"), ("mobility", "msg", "?"),
             ("scells_to_add", "seqof", ("msg",), "?"),
-            ("meas_config", "msg", "?"))
+            ("meas_config", "msg", "?"), ("sps_config", "msg", "?"))
 @dataclasses.dataclass
 class RrcConnectionReconfiguration:
     drbs_to_add: list = dataclasses.field(default_factory=list)
@@ -153,6 +165,7 @@ class RrcConnectionReconfiguration:
     mobility: object = None  # MobilityControlInfo for handover
     scells_to_add: list = dataclasses.field(default_factory=list)
     meas_config: object = None  # MeasConfig pushed by the network
+    sps_config: object = None  # SpsConfig (semi-persistent scheduling)
 
 
 @codec.register

@@ -114,6 +114,8 @@ class UeStack:
         if self.mac_state == "PRACH_SENT":
             return set(range(1, 11))
         out = {self.crnti} if self.crnti else set()
+        if self.sps_cfg is not None and self.crnti:
+            out.add(self.sps_cfg.sps_crnti)  # SPS activation/release DCIs
         if self.sib1 is None or self.sib2 is None or self.rrc_state == "IDLE":
             out.add(self.SI_RNTI)  # system information acquisition
         if self.rrc_state == "IDLE" and self.emm_state == "REGISTERED":
@@ -247,13 +249,38 @@ class UeStack:
         return {s["pci"]: idx for idx, s in self.scells.items()
                 if s["active"]}
 
+    # ---- semi-persistent scheduling (36.321 §5.10) ----
+    sps_cfg = None  # SpsConfig once the network pushes it
+    _sps_act_tti = None  # activation TTI (PDCCH to SPS C-RNTI)
+
+    def sps_occasion(self, tti):
+        """SPS C-RNTI to decode WITHOUT a PDCCH grant at this TTI, or
+        None.  Occasions recur every interval from the activation TTI;
+        the activation itself arrives WITH a DCI and is excluded."""
+        if self.sps_cfg is None or self._sps_act_tti is None:
+            return None
+        d = tti - self._sps_act_tti
+        if d > 0 and d % self.sps_cfg.interval_dl == 0:
+            return self.sps_cfg.sps_crnti
+        return None
+
     def tb_decoded(self, tti, payload, snr_db, rnti=None, cc=0):
         # HARQ feedback only for C-RNTI-addressed TBs: broadcast (SI-RNTI /
         # P-RNTI) carries no HARQ (and acking it floods the PUCCH)
-        own = rnti is None or rnti == self.crnti
+        sps_rnti = self.sps_cfg.sps_crnti if self.sps_cfg else None
+        if rnti is not None and rnti == sps_rnti:
+            if self._sps_act_tti is None:
+                # PDCCH to the SPS C-RNTI = activation (36.321 §5.10.1)
+                self._sps_act_tti = tti
+                self.metrics["sps_activated"] += 1
+            self.metrics["sps_rx"] += 1
+        own = rnti is None or rnti == self.crnti or rnti == sps_rnti
+        # SPS TBs carry no eNB-side HARQ process (losses recover via RLC
+        # AM), so they generate no PUCCH HARQ feedback either
+        harq_fb = self.crnti and (rnti is None or rnti == self.crnti)
         if payload is None:
             self.metrics["dl_crc_err"] += 1
-            if self.crnti and own:  # HARQ NACK -> eNB retransmits
+            if harq_fb:  # HARQ NACK -> eNB retransmits
                 self._acks.append(dict(rnti=self.crnti, ack=[0],
                                        ack_cc=[cc]))
             return
@@ -291,7 +318,7 @@ class UeStack:
                         self.metrics["scell_activated"] += 1
             elif lcid in self.rlc:
                 self.rlc[lcid].write_pdu(sdu)
-        if self.crnti and own:
+        if harq_fb:
             self._acks.append(dict(rnti=self.crnti, ack=[1], ack_cc=[cc]))
 
     def ul_grant(self, tti, grant):
@@ -564,6 +591,10 @@ class UeStack:
                 # §5.5.2); replaces the defaults wholesale
                 self.meas_cfg = msg.meas_config
                 self.metrics["meas_config_applied"] += 1
+            if getattr(msg, "sps_config", None) is not None:
+                self.sps_cfg = msg.sps_config
+                self._sps_act_tti = None  # awaits PDCCH activation
+                self.metrics["sps_configured"] += 1
             self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
             if msg.nas_pdu:
                 self._rx_nas(codec.decode(msg.nas_pdu))
