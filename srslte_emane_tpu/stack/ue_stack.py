@@ -318,7 +318,9 @@ class UeStack:
                         self.metrics["scell_activated"] += 1
             elif lcid in self.rlc:
                 self.rlc[lcid].write_pdu(sdu)
-        if harq_fb:
+        # re-check crnti: processing the PDU above may have released the
+        # connection (e.g. contention resolution lost cleared the C-RNTI)
+        if harq_fb and self.crnti:
             self._acks.append(dict(rnti=self.crnti, ack=[1], ack_cc=[cc]))
 
     def ul_grant(self, tti, grant):
