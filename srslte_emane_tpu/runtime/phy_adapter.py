@@ -229,6 +229,10 @@ class UePhyAdapter:
         self._sync_cb = getattr(stack, "sync_indication", None)
         self._neigh_cb = getattr(stack, "neighbor_meas", None)
         self._scells_cb = getattr(stack, "active_scell_pcis", None)
+        self._dormant_cb = getattr(stack, "is_dormant", None)
+        self._dorm_w = -1  # stride window of the cached dormancy state
+        self._dorm = False
+        self._listen_cache = frozenset()
         # seed the serving cell so idle-mode reselection has a baseline
         if getattr(stack, "serving_pci", None) is None:
             stack.serving_pci = cell_id
@@ -247,11 +251,44 @@ class UePhyAdapter:
     def serving_cell(self):
         return getattr(self.stack, "serving_pci", None) or self.cell_id
 
+    # dormant-UE receive stride: a UE with no protocol activity samples
+    # sync/measurements every Nth TTI and otherwise only reacts to frames
+    # that actually address one of its RNTIs — the per-UE-per-TTI work at
+    # 200-UE deployment scale collapses to a set intersection
+    LITE_STRIDE = 8
+
     def _rx(self, tti: int):
+        # dormancy re-checked every TTI (cheap attribute test); the listen
+        # set is cached per stride window, revalidated on C-RNTI change so
+        # a mid-window RA completion can't leave a stale set
+        dormant = (self._dormant_cb is not None
+                   and (tti + self.node_id) % self.LITE_STRIDE != 0
+                   and self._dormant_cb())
+        if dormant:
+            w = (tti + self.node_id) // self.LITE_STRIDE
+            crnti = self.stack.crnti
+            if w != self._dorm_w or crnti != getattr(self, "_listen_crnti",
+                                                     -1):
+                self._dorm_w = w
+                self._listen_crnti = crnti
+                self._listen_cache = self.stack.listen_rntis(tti)
+        listen = self._listen_cache
         for frame, tester in self.bus.get_messages(self.node_id):
             msg = frame.msg
             if not isinstance(msg, otamsg.EnbDlMessage):
                 continue
+            if dormant and msg.phy_cell_id == self.serving_cell:
+                # serving-cell frame not addressing any of our RNTIs:
+                # skip (sync sampling happens on the stride TTIs);
+                # neighbor-cell frames always measure below
+                rset = getattr(frame, "_rnti_set", None)
+                if rset is None:
+                    rset = {d.rnti for d in msg.pdcch_dl}
+                    rset.update(d.rnti for d in msg.pdcch_ul)
+                    rset.update(d.refid for d in msg.pdsch)
+                    frame._rnti_set = rset
+                if not (rset & listen):
+                    continue  # nothing for this UE in this subframe
             if msg.phy_cell_id != self.serving_cell:
                 # activated SCell carrier? (scell_recv / cc_worker role)
                 scells = self._scells_cb() if self._scells_cb else {}

@@ -135,6 +135,7 @@ class UeContext:
             self.stack.ccch_dl.append((self.rnti, data))
         else:
             self.rlc[lcid].write_sdu(self.pdcp[lcid].write_sdu(data))
+            self.stack._dl_hint.add(self.rnti)
 
 
 class EnbStack:
@@ -174,6 +175,10 @@ class EnbStack:
         self._rr = 0
         self._page_buf = {}  # teid -> DL packets buffered while UE idle
         self.metrics = collections.Counter()
+        # event-driven scheduler hints: rntis that MAY have DL data (every
+        # RLC write adds one; get_dl_sched filters by actual has_data and
+        # a low-rate full rescan bounds any missed-site starvation)
+        self._dl_hint = set()
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
@@ -286,6 +291,7 @@ class EnbStack:
                 ue.bsr = sdu[0] if sdu else 0
             elif lcid in ue.rlc:
                 ue.rlc[lcid].write_pdu(sdu)
+                self._dl_hint.add(rnti)  # AM rx may queue a status PDU
         self.metrics["ul_bytes"] += len(payload)
 
     SI_RNTI = 0xFFFF
@@ -298,10 +304,20 @@ class EnbStack:
         grants = []
         cursor = 0
 
-        # one pass over the UE set: who has DL data pending (reused by the
-        # CFI choice AND the new-transmission loop below)
-        data_pending = [r for r, u in self.ues.items()
-                        if any(e.has_data() for e in u.rlc.values())]
+        # hint-driven pending scan: only rntis touched by an RLC write are
+        # checked each TTI; a periodic full rescan (every 64 TTIs) bounds
+        # starvation if a write site ever misses the hint
+        if tti % 64 == 1:
+            self._dl_hint.update(self.ues.keys())
+        data_pending = []
+        for r in list(self._dl_hint):
+            u = self.ues.get(r)
+            if u is None:
+                self._dl_hint.discard(r)
+            elif any(e.has_data() for e in u.rlc.values()):
+                data_pending.append(r)
+            else:
+                self._dl_hint.discard(r)
         # CFI escalation with demand (the reference widens the control
         # region under load): smallest CFI whose CCE count covers the
         # common search space plus the expected DCI load; the allocator
@@ -710,9 +726,10 @@ class EnbStack:
         return self.cell_pci
 
     def tick(self):
-        for u in self.ues.values():
+        for r, u in self.ues.items():
             for e in u.rlc.values():
-                e.timer_tick()
+                if e.timer_tick():
+                    self._dl_hint.add(r)  # timer created pending data
 
     def _alloc(self, n):
         return tuple(1 if i < n else 0 for i in range(self.n_prb))
@@ -826,6 +843,7 @@ class EnbStack:
             for ip_pkt in self._page_buf.pop(ue.teid_enb, []):
                 ue.rlc[DRB1_LCID].write_sdu(
                     ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+                self._dl_hint.add(ue.rnti)
             ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
                 drbs_to_add=[rrc_msgs.DrbToAdd(drb_id=1, lcid=DRB1_LCID,
                                                eps_bearer_id=ue.eps_bearer or 5)],
@@ -850,6 +868,7 @@ class EnbStack:
                 for ip_pkt in getattr(ue, "fwd_buffer", None) or []:
                     ue.rlc[DRB1_LCID].write_sdu(
                         ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+                    self._dl_hint.add(ue.rnti)
                 ue.fwd_buffer = None
                 self.mme.path_switch(self.enb_id, mme_mod.PathSwitchRequest(
                     mme_ue_id=ue.mme_ue_id, target_enb_ue_id=ue.enb_ue_id))
@@ -1100,6 +1119,7 @@ class EnbStack:
             return
         if ue.fwd_buffer is None:  # UE already arrived: deliver directly
             ue.rlc[DRB1_LCID].write_sdu(ue.pdcp[DRB1_LCID].write_sdu(ip_pkt))
+            self._dl_hint.add(ue.rnti)
         else:
             ue.fwd_buffer.append(ip_pkt)
         self.metrics["x2_fwd_pkts"] += 1
@@ -1150,6 +1170,7 @@ class EnbStack:
             if lcid not in ue.rlc:
                 lcid = DRB1_LCID
         ue.rlc[lcid].write_sdu(ue.pdcp[lcid].write_sdu(ip_pkt))
+        self._dl_hint.add(ue.rnti)
 
     def _ul_user_data(self, ue: UeContext, ip_pkt: bytes):
         """PDCP DRB uplink -> GTP-U to SPGW."""

@@ -436,16 +436,21 @@ class RlcAm:
             self.vt_a = self.tx_sn
 
     def timer_tick(self):
+        """Returns truthy when timer work CREATED pending data (a status
+        trigger or poll retransmission) — event-driven schedulers use this
+        to re-arm their per-UE pending hints."""
         # fast path: a fully idle entity (no rx state, nothing unacked) has
         # no timer work — this is every idle UE's bearer every TTI at
         # deployment scale
         if not self.rx and not self.tx_window:
             self._poll_timer = 0
-            return
+            return False
+        woke = False
         # reordering: if gaps persist, request nothing here (receiver-driven
         # status comes from polls); a t_reordering-based status trigger:
         if self._missing_sns():
             self.status_requested = True
+            woke = True
         # t-PollRetransmit (36.322): unacked data with no status feedback ->
         # retransmit the oldest unacked PDU with a fresh poll
         if self.tx_window and not self.retx_q:
@@ -455,5 +460,7 @@ class RlcAm:
                 oldest = min(self.tx_window.keys(), key=self._dist)
                 self.retx_q.append(oldest)
                 self.metrics["poll_retx"] += 1
+                woke = True
         else:
             self._poll_timer = 0
+        return woke

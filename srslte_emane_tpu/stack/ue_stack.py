@@ -125,6 +125,20 @@ class UeStack:
     def mib_received(self, tti, pbch):
         self.mib = pbch
 
+    def is_dormant(self) -> bool:
+        """No RECEIVE-side protocol activity in flight: the PHY adapter
+        may skip this UE's per-TTI receive work except for frames
+        addressing its RNTIs (deployment-scale DRX-like shortcut).  The
+        transmit path (PUCCH SR/ACK/CQI, PUSCH, PRACH) runs every TTI
+        regardless, so pending uplink state is irrelevant here; frames
+        that address this UE (grants, paging, RARs after PRACH — which
+        exits dormancy via mac_state) always process."""
+        return (self.mac_state in ("CONNECTED", "IDLE")
+                and self.rrc_state in ("CONNECTED", "IDLE")
+                and not getattr(self, "_connect_pending", False)
+                and not getattr(self, "_csfb_pending", None)
+                and self.sib1 is not None and self.sib2 is not None)
+
     # ---- neighbor measurement + A3 reporting (rrc measurements) ----
     serving_pci = None
     _neigh_snr = None
