@@ -231,7 +231,27 @@ def _map_decode(ls_eff: jnp.ndarray, lp: jnp.ndarray, tail_x: jnp.ndarray, tail_
     return llr.transpose(1, 2, 0).reshape(B, K)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def quantize_llr_int8(llr, scale: float = 8.0):
+    """Quantize LLRs to the reference's 8-bit dynamic range
+    (`lib/include/srslte/phy/fec/turbodecoder.h:50-66` SRSLTE_TDEC_8BIT):
+    round(llr * scale) saturated to [-127, 127], then dequantized — the
+    decoder's inputs carry exactly 8 bits of information, as in the
+    reference's SIMD mode.  On TPU the VPU is f32-native, so the 8-bit
+    mode is a PRECISION contract, not a speed path (the SIMD-width win the
+    reference gets from 8-bit lanes is already taken here by the
+    (codeblock x window) lane batching); BLER parity with the f32 path is
+    pinned in tests/test_turbo_bler.py."""
+    q = jnp.clip(jnp.round(llr * scale), -127, 127)
+    return q / scale
+
+
+def quantize_llr_int16(llr, scale: float = 256.0):
+    """16-bit mode (SRSLTE_TDEC_16BIT): same contract, +/-32767 range."""
+    q = jnp.clip(jnp.round(llr * scale), -32767, 32767)
+    return q / scale
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def turbo_decode(
     d0: jnp.ndarray,
     d1: jnp.ndarray,
@@ -241,6 +261,7 @@ def turbo_decode(
     max_iter: int = 8,
     crc: tuple = crc_mod.LTE_CRC24B,
     use_pallas: bool = False,
+    llr_bits: int = 32,
 ):
     """Decode a batch of code blocks with CRC-gated early stop.
 
@@ -250,6 +271,11 @@ def turbo_decode(
     crc: polynomial for per-CB early stop, or None to run all iterations.
     Returns (bits (B, K) int8 hard decisions, crc_pass (B,) bool, n_iter int32).
     """
+    if llr_bits == 8:
+        # reference 8-bit mode (turbodecoder.h SRSLTE_TDEC_8BIT)
+        d0, d1, d2 = (quantize_llr_int8(d) for d in (d0, d1, d2))
+    elif llr_bits == 16:
+        d0, d1, d2 = (quantize_llr_int16(d) for d in (d0, d1, d2))
     B = d0.shape[0]
     perm = jnp.asarray(turbo.qpp_interleaver(k))
     inv_perm = jnp.asarray(np.argsort(turbo.qpp_interleaver(k)))
