@@ -36,3 +36,29 @@ def test_radio_resample():
                   np.sin(2 * np.pi * 1e5 * t)], -1).astype(np.float32)
     y = r.resample_to(x, 3.84e6)
     assert abs(len(y) - 3840) <= 32
+
+
+def test_radio_multichannel():
+    """Multi-channel radio (radio.cc rf_buffer_t / carrier mapping): two
+    independent streams with per-channel gain; rx stacks (N, T, 2)."""
+    import numpy as np
+
+    from srslte_emane_tpu.utils import radio as radio_mod
+
+    r = radio_mod.Radio(nof_channels=2)
+    assert r.nof_channels == 2
+    r.set_tx_gain(6.0, channel=1)  # only channel 1 amplified
+    a = np.ones((100, 2), np.float32) * 0.5
+    b = np.ones((100, 2), np.float32) * 0.25
+    r.tx([a, b])
+    y = r.rx(100)
+    assert y.shape == (2, 100, 2)
+    np.testing.assert_allclose(y[0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(y[1], 0.25 * 10 ** (6 / 20), rtol=1e-5)
+    # single-channel addressing + carrier mapping
+    r.tx(a * 0.1, channel=0)
+    y0 = r.rx(100, channel=0)
+    np.testing.assert_allclose(y0, 0.05, atol=1e-6)
+    assert r.channel_of_carrier(1) == 1
+    r.carrier_map[1] = 0  # SCell mapped onto channel 0
+    assert r.channel_of_carrier(1) == 0
