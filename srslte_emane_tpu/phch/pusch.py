@@ -88,9 +88,12 @@ def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     g_total = m_sc * N_DATA_SYMS * cfg.Qm
     cw = sch.encode_tb(tb_bits, cfg)
     if uci:
-        ack = uci.get("ack")
-        ri = uci.get("ri")
-        cqi = uci.get("cqi")
+        def _nz(x):
+            return x if x is not None and x.shape[-1] else None
+
+        ack = _nz(uci.get("ack"))
+        ri = _nz(uci.get("ri"))
+        cqi = _nz(uci.get("cqi"))
         q_ack, q_ri, q_cqi, g_data = uci_dims(
             l_prb, cfg.Qm, 0 if ack is None else ack.shape[-1],
             0 if ri is None else ri.shape[-1],
@@ -98,7 +101,7 @@ def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
         assert cfg.G == g_data, (cfg.G, g_data)
         parts = []
         if cqi is not None:
-            parts.append(uci_codes.encode_rm(cqi, q_cqi))
+            parts.append(uci_codes.encode_cqi_pusch(cqi, q_cqi))
         parts.append(cw)
         data = jnp.concatenate(parts, axis=-1)
         ri_c = pusch_uci.encode_ack_ri(ri, q_ri // cfg.Qm, cfg.Qm) if ri is not None else None
@@ -186,7 +189,7 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
         cqi_bits = None
         if q_cqi:
             cqi_llr, data = data[..., :q_cqi], data[..., q_cqi:]
-            cqi_bits, _ = uci_codes.decode_rm(cqi_llr, n_cqi, "rm32")
+            cqi_bits, _ = uci_codes.decode_cqi_pusch(cqi_llr, n_cqi)
         payload, ok, softbuf, _ = sch.decode_tb(data, cfg, softbuf, max_iter,
                                                 use_pallas=use_pallas)
         out = dict(payload=payload, ok=ok, softbuf=softbuf, noise=noise,

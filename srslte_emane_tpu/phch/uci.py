@@ -59,6 +59,38 @@ def decode_rm(llrs, n_bits: int, which: str = "rm32"):
     return bits, jnp.max(corr, axis=-1)
 
 
+# ---- CQI channel coding on PUSCH (36.212 §5.2.2.6) ----
+
+def encode_cqi_pusch(bits, q_bits: int):
+    """O <= 11 payload bits -> RM(32, O); O > 11 -> CRC8 + tail-biting
+    convolutional code + circular rate matching (36.212 §5.2.2.6.4 —
+    `lib/src/phy/phch/uci.c` encode_cqi_long).  Long aperiodic reports
+    (HL subband at wide bandwidths) always take the second path."""
+    from ..ops.fec import convcoder, crc as crc_mod
+
+    O = bits.shape[-1]
+    if O <= 11:
+        return encode_rm(bits, q_bits)
+    w = crc_mod.crc_attach(bits, crc_mod.LTE_CRC8)
+    streams = convcoder.conv_encode(w)
+    return convcoder.rate_match_cc(streams, q_bits)
+
+
+def decode_cqi_pusch(llrs, n_bits: int):
+    """Inverse of encode_cqi_pusch.  Returns (bits (B, n_bits), ok (B,))
+    where ok is the RM correlation metric sign proxy for short reports
+    and the CRC8 verdict for long ones (uci.c decode_cqi_long)."""
+    from ..ops.fec import convcoder, crc as crc_mod, viterbi
+
+    if n_bits <= 11:
+        bits, metric = decode_rm(llrs, n_bits, "rm32")
+        return bits, metric > 0
+    streams = convcoder.rate_unmatch_cc(llrs, n_bits + 8)
+    bits = viterbi.viterbi_decode(streams)
+    ok = crc_mod.crc_ok(bits, crc_mod.LTE_CRC8)
+    return bits[:, :n_bits], ok
+
+
 # ---- CQI report packing (cqi.c, all four report formats) ----
 
 def _ubits(v: int, n: int) -> list:

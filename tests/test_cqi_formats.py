@@ -78,3 +78,60 @@ def test_aperiodic_cqi_on_pusch_e2e():
     n_sb = uci.cqi_hl_subband_size(50)
     for ctx in enb.ues.values():
         assert len(getattr(ctx, "sb_cqi", [])) == n_sb
+
+
+def test_aperiodic_hl_subband_report_on_pusch_waveform():
+    """An aperiodic HL-subband report (real 36.212 bit packing) rides the
+    PUSCH UCI multiplexing through the full waveform and unpacks at the
+    eNB (cqi.c aperiodic on UL-SCH + sch.c channel interleaver)."""
+    import jax
+
+    from srslte_emane_tpu.ops import channel, ofdm
+    from srslte_emane_tpu.phch import grid as grid_mod, pusch, sch
+
+    cell = grid_mod.CellConfig(n_prb=25, cell_id=42)
+    sf_idx, rnti, rb_start, l_prb, qm = 2, 0x5A, 0, 8, 2
+    n_prb_dl = 50
+    n_sb = uci.cqi_hl_subband_size(n_prb_dl)
+    diffs = [i % 4 for i in range(n_sb)]
+    report = uci.pack_cqi_hl_subband(12, diffs, n_prb_dl)
+    n_cqi = len(report)
+    B = 2
+    rng = np.random.default_rng(1)
+    q_ack, q_ri, q_cqi, g_data = pusch.uci_dims(l_prb, qm, 0, 0, n_cqi)
+    tbs = max(8, (int(g_data * 0.4) - 24) // 8 * 8)
+    cfg = sch.SchConfig(tbs=tbs, G=g_data, Qm=qm, Nl=1)
+    payload = rng.integers(0, 2, (B, tbs), dtype=np.int8)
+    cqi_bits = np.tile(report, (B, 1)).astype(np.int8)
+    g = pusch.encode(payload, cfg, cell, sf_idx, rnti, rb_start, l_prb,
+                     uci=dict(ack=np.zeros((B, 0), np.int8),
+                              ri=np.zeros((B, 0), np.int8), cqi=cqi_bits))
+    t = ofdm.modulate(g, cell.n_prb)
+    rx = channel.awgn(jax.random.PRNGKey(1), t, 10.0)
+    rg = ofdm.demodulate(rx, cell.n_prb)
+    out = pusch.decode(rg, cfg, cell, sf_idx, rnti, rb_start, l_prb,
+                       uci_dims_in=(q_ack, q_ri, q_cqi, 0, 0, n_cqi))
+    assert np.asarray(out["ok"]).all()
+    got = uci.unpack_cqi_hl_subband(np.asarray(out["cqi"])[0], n_prb_dl)
+    assert got["wideband_cqi"] == 12 and got["subband_diff_cqi"] == diffs
+
+
+def test_periodic_subband_report_on_pucch_f2_waveform():
+    """A periodic UE-selected subband report (format2_subband layout)
+    rides PUCCH format 2 through the waveform and unpacks at the eNB."""
+    import jax
+
+    from srslte_emane_tpu.ops import channel, cplx, ofdm
+    from srslte_emane_tpu.phch import grid as grid_mod, pucch
+
+    cell = grid_mod.CellConfig(n_prb=6, cell_id=1, cfi=2)
+    report = uci.pack_cqi_format2_subband(9, 2, label_2_bits=True)
+    bits = np.tile(report, (2, 1)).astype(np.int8)
+    g = cplx.zeros((2, grid_mod.N_SYM, cell.nre))
+    g = pucch.encode_f2(bits, cell, 4, n_pucch2=3, grid=g)
+    t = ofdm.modulate(g, cell.n_prb)
+    rx = channel.awgn(jax.random.PRNGKey(3), t, 10.0)
+    rg = ofdm.demodulate(rx, cell.n_prb)
+    out, _ = pucch.decode_f2(rg, cell, 4, n_pucch2=3, n_bits=len(report))
+    got = uci.unpack_cqi_format2_subband(np.asarray(out)[0], True)
+    assert got == dict(subband_cqi=9, subband_label=2)
