@@ -166,6 +166,22 @@ class Mme:
             if ue is not None and ue["state"] == "ATTACHED":
                 self._csfb(nas.guti)
             return
+        if isinstance(nas, nas_msgs.TrackingAreaUpdateRequest):
+            # periodic TAU (s1ap nas.cc TAU proc): refresh the context and
+            # release the UE back to idle — no bearer activation
+            ue = self.ues.get(nas.guti)
+            if ue is None or ue["state"] != "ATTACHED":
+                self._dl_nas(enb_id, nas.guti, msg.enb_ue_id,
+                             nas_msgs.ServiceReject())
+                return
+            ue["enb_id"] = enb_id
+            ue["enb_ue_id"] = msg.enb_ue_id
+            self._dl_nas(enb_id, nas.guti, msg.enb_ue_id,
+                         nas_msgs.TrackingAreaUpdateAccept(t3412=500))
+            self.enbs[enb_id].release(UEContextReleaseCommand(
+                nas.guti, msg.enb_ue_id, "tau-complete"))
+            self.metrics["tau_ok"] = self.metrics.get("tau_ok", 0) + 1
+            return
         if isinstance(nas, nas_msgs.ServiceRequest):
             self._service_request(enb_id, msg, nas)
             return

@@ -289,6 +289,11 @@ class EnbStack:
                 self._rx_ccch(ue, sdu)
             elif lcid == pdu.LCID_SBSR:
                 ue.bsr = sdu[0] if sdu else 0
+            elif lcid == pdu.LCID_PHR:
+                # Power Headroom CE -> UL link adaptation input
+                # (scheduler_ue.cc uses PHR to bound the UL allocation)
+                ue.phr_db = pdu.phr_db(sdu)
+                self.metrics["phr_rx"] += 1
             elif lcid in ue.rlc:
                 ue.rlc[lcid].write_pdu(sdu)
                 self._dl_hint.add(rnti)  # AM rx may queue a status PDU
@@ -703,6 +708,11 @@ class EnbStack:
                 u.bsr = 0
                 ul_mcs = max(0, min(20, self.mcs
                                     + int(getattr(u, "ul_olla", 0.0))))
+                # power-limited UEs (low PHR) can't sustain high UL MCS:
+                # cap it (scheduler_ue.cc PHR-driven UL adaptation)
+                phr = getattr(u, "phr_db", None)
+                if phr is not None and phr < 5:
+                    ul_mcs = min(ul_mcs, max(0, int(phr) + 5))
                 # periodic aperiodic-CQI solicitation (scheduler_ue.cc
                 # sets the DCI-0 CSI request every few PUSCH grants)
                 cqi_req = 0

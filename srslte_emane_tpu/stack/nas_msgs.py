@@ -134,10 +134,21 @@ class ServiceReject:
 
 
 @codec.register
-@per.schema()
+@per.schema(("guti", "int"), ("tac", "cint", 0, 65535))
 @dataclasses.dataclass
 class TrackingAreaUpdateRequest:
-    pass
+    """24.301 §8.2.29: periodic (T3412) or mobility-triggered TAU from a
+    registered UE (nas.cc start_tracking_area_update)."""
+    guti: int = 0
+    tac: int = 0
+
+
+@codec.register
+@per.schema(("t3412", "cint", 0, 65535))
+@dataclasses.dataclass
+class TrackingAreaUpdateAccept:
+    """24.301 §8.2.26: TAU accepted; carries the refreshed T3412."""
+    t3412: int = 500
 
 
 @codec.register

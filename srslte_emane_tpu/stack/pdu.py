@@ -17,7 +17,19 @@ LCID_TA = 29  # DL: timing advance (context-dependent)
 
 LCID_SCELL_ACT = 27  # DL CE: SCell Activation/Deactivation (36.321 §6.1.3.8)
 
-CE_SIZES_UL = {LCID_CRNTI: 2, LCID_SBSR: 1}
+LCID_PHR = 26  # UL CE: Power Headroom Report (36.321 §6.1.3.6)
+CE_SIZES_UL = {LCID_CRNTI: 2, LCID_SBSR: 1, LCID_PHR: 1}
+
+
+def phr_ce(ph_db: float) -> bytes:
+    """Power Headroom CE: 6-bit level, PH = (-23 + level) dB
+    (36.133 Table 9.1.8.4-1; pdu.cc phr pack)."""
+    level = int(max(0, min(63, round(ph_db + 23))))
+    return bytes([level])
+
+
+def phr_db(ce: bytes) -> float:
+    return (ce[0] & 0x3F) - 23.0
 CE_SIZES_DL = {LCID_CON_RES: 6, LCID_TA: 1, LCID_SCELL_ACT: 1}
 
 

@@ -84,6 +84,10 @@ class UeStack:
             200, self._t304_expired)  # handover execution
         self.t311 = self.timers.get_unique_timer().set(
             1000, self._t311_expired)  # RLF recovery window
+        # T3412 periodic tracking-area-update timer (24.301 §5.3.5): runs
+        # while registered-idle; expiry triggers a TAU
+        self.t3412 = self.timers.get_unique_timer().set(
+            500, self._t3412_expired)
 
     # ================= bearers =================
     def _rlc_to_pdcp(self, lcid, sdu):
@@ -369,6 +373,16 @@ class UeStack:
             room = 1000
             if self.ul_ccch:
                 subs.append((pdu.LCID_CCCH, self.ul_ccch.popleft()))
+            # periodic Power Headroom Report CE (36.321 §5.4.6 / proc_phr):
+            # PH estimated from the serving DL SNR (channel-symmetric proxy
+            # at message level) rides the next PUSCH after the timer
+            if (self.mac_state == "CONNECTED"
+                    and tti - getattr(self, "_last_phr", -10**6) >= 100
+                    and getattr(self, "last_rsrp_snr", None) is not None):
+                self._last_phr = tti
+                ph = max(-23.0, min(40.0, self.last_rsrp_snr - 17.0))
+                subs.append((pdu.LCID_PHR, pdu.phr_ce(ph)))
+                self.metrics["phr_tx"] += 1
             for lcid in sorted(self.rlc):
                 while room > 8 and self.rlc[lcid].has_data():
                     p = self.rlc[lcid].read_pdu(room - 4)
@@ -553,6 +567,11 @@ class UeStack:
                         guti=self.guti, service_type=self._csfb_pending)
                     self._csfb_pending = None
                     self.metrics["ext_service_req"] += 1
+                elif getattr(self, "_tau_pending", False):
+                    # periodic TAU (T3412 expiry, 24.301 §5.5.3)
+                    req = nas_msgs.TrackingAreaUpdateRequest(guti=self.guti)
+                    self._tau_pending = False
+                    self.metrics["tau_req"] += 1
                 else:
                     req = nas_msgs.ServiceRequest(guti=self.guti)
                     self.metrics["service_req"] += 1
@@ -619,6 +638,8 @@ class UeStack:
             self.mac_state = "IDLE"  # C-RNTI released with the connection
             self.crnti = None
             self._conn_barred = 60  # T302-style wait before re-access
+            if self.emm_state == "REGISTERED":
+                self.t3412.run()  # periodic TAU supervision in idle
             if msg.redirect_rat != "none":
                 # CSFB: leave E-UTRA for the redirected CS RAT; the voice
                 # call proceeds there (36.331 redirectedCarrierInfo)
@@ -673,6 +694,9 @@ class UeStack:
             self.metrics["attach_ok"] += 1
         elif isinstance(msg, nas_msgs.ServiceAccept):
             self.metrics["service_ok"] += 1
+        elif isinstance(msg, nas_msgs.TrackingAreaUpdateAccept):
+            self.metrics["tau_ok"] += 1
+            self.t3412.set(msg.t3412)  # refreshed period; restarts in idle
         elif isinstance(msg, nas_msgs.CsServiceNotification):
             # mobile-terminated CS call while connected (24.301 §5.6.2.2):
             # accept by requesting CSFB
@@ -762,6 +786,14 @@ class UeStack:
         self.mac_state = "IDLE"
         self.crnti = None
         self.t311.run()
+
+    def _t3412_expired(self, _tid):
+        """Periodic TAU timer fired while registered-idle: connect and
+        run a tracking-area update (24.301 §5.3.5)."""
+        if self.emm_state != "REGISTERED" or self.rrc_state != "IDLE":
+            return
+        self._tau_pending = True
+        self._connect_pending = True
 
     def _t311_expired(self, _tid):
         """No suitable cell answered during the RLF recovery window: give
