@@ -76,3 +76,20 @@ class Hss:
         autn = sqn_xor_ak + amf + mac_a
         kasme = security.kdf_kasme(ck, ik, plmn, sqn_xor_ak)
         return dict(rand=rand, autn=autn, xres=res, kasme=kasme)
+
+    def resync(self, imsi: str, rand: bytes, auts: bytes):
+        """AKA sequence-number resynchronisation (hss.cc resync_sqn /
+        TS 33.102 §6.3.5): recover SQN_ms from AUTS = (SQN_ms ^ AK*) ||
+        MAC-S, verify MAC-S, adopt the UE's counter, and hand back a
+        fresh vector.  Returns None when MAC-S fails."""
+        sub = self.subs.get(imsi)
+        if sub is None or len(auts) != 14 or sub.algo != "milenage":
+            return None
+        ak_star = security.milenage_f5_star(sub.key, sub.opc, rand)
+        sqn_ms = bytes(a ^ b for a, b in zip(auts[:6], ak_star))
+        mac_s = security.milenage_f1_star(sub.key, sub.opc, rand, sqn_ms,
+                                          b"\x00\x00")
+        if mac_s != auts[6:]:
+            return None
+        sub.sqn = int.from_bytes(sqn_ms, "big")
+        return self.get_auth_vector(imsi)

@@ -216,6 +216,23 @@ class Mme:
             ue["state"] = "SMC"
             self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
                          nas_msgs.NasSecurityModeCommand(eea=0, eia=2))
+        elif isinstance(nas, nas_msgs.AuthenticationFailure) \
+                and ue["state"] == "AUTH":
+            # SQN resynchronisation (nas.cc handle_authentication_failure):
+            # hand AUTS to the HSS, retry authentication with a fresh vector
+            vec = None
+            if nas.cause == "synch-failure":
+                vec = self.hss.resync(ue["imsi"], ue["vec"]["rand"], nas.auts)
+            if vec is None:
+                self.metrics["auth_fail"] += 1
+                self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
+                             nas_msgs.AuthenticationReject())
+                return
+            ue["vec"] = vec
+            self.metrics["sqn_resync"] = self.metrics.get("sqn_resync", 0) + 1
+            self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
+                         nas_msgs.AuthenticationRequest(rand=vec["rand"],
+                                                        autn=vec["autn"]))
         elif isinstance(nas, nas_msgs.NasSecurityModeComplete) and ue["state"] == "SMC":
             # create user-plane session, then InitialContextSetup with
             # piggybacked Attach Accept (mme_gtpc.cc + s1ap_ctx_mngmt_proc.cc)

@@ -37,6 +37,17 @@ class AuthenticationResponse:
 
 
 @codec.register
+@per.schema(("cause", "enum", ("mac-failure", "synch-failure")),
+            ("auts", "bytes"))
+@dataclasses.dataclass
+class AuthenticationFailure:
+    """24.301 §8.2.5: UE-side AKA failure; synch-failure carries the
+    14-byte AUTS resynchronisation token (TS 33.102 §6.3.3)."""
+    cause: str = "synch-failure"
+    auts: bytes = b""
+
+
+@codec.register
 @per.schema()
 @dataclasses.dataclass
 class AuthenticationReject:

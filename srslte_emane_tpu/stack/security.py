@@ -114,6 +114,25 @@ def _rot(b: bytes, n_bytes: int) -> bytes:
     return b[n_bytes:] + b[:n_bytes]
 
 
+def milenage_f1_star(k, opc, rand, sqn, amf) -> bytes:
+    """f1* -> MAC-S (8 bytes): OUT1[8:16] of the same computation as f1
+    (TS 35.206 §4.1; used in the AUTS resynchronisation token)."""
+    temp = _aes_ecb(k, _xor(rand, opc))
+    in1 = sqn + amf + sqn + amf
+    x = _xor(temp, _rot(_xor(in1, opc), 8))
+    out = _xor(_aes_ecb(k, x), opc)
+    return out[8:16]
+
+
+def milenage_f5_star(k: bytes, opc: bytes, rand: bytes) -> bytes:
+    """f5* -> AK* (6 bytes): r5 = 96 bits, c5 = ...0008."""
+    temp = _aes_ecb(k, _xor(rand, opc))
+    x = _rot(_xor(temp, opc), 12)
+    x = bytes(x[:15]) + bytes([x[15] ^ 8])
+    out = _xor(_aes_ecb(k, x), opc)
+    return out[:6]
+
+
 def milenage_f2345(k: bytes, opc: bytes, rand: bytes):
     """Returns (RES(8), CK(16), IK(16), AK(6))."""
     temp = _aes_ecb(k, _xor(rand, opc))

@@ -21,18 +21,41 @@ DRB1_LCID = 3
 
 
 class Usim:
-    """Soft USIM (usim.cc): Milenage AKA on the UE side."""
+    """Soft USIM (usim.cc): Milenage AKA on the UE side, with SQN
+    freshness checking and AUTS resynchronisation (usim.cc:gen_auth_res
+    AUTH_SYNCH_FAILURE path / TS 33.102 §6.3.3)."""
 
-    def __init__(self, imsi: str, key: bytes, opc: bytes):
+    def __init__(self, imsi: str, key: bytes, opc: bytes, sqn_ms: int = 0):
         self.imsi = imsi
         self.key = key
         self.opc = opc
+        self.sqn_ms = sqn_ms  # highest SQN accepted so far
 
     def authenticate(self, rand: bytes, autn: bytes):
+        """Returns (res, kasme) on success, or raises SqnSyncFailure
+        carrying the AUTS token when the network's SQN is stale."""
         res, ck, ik, ak = security.milenage_f2345(self.key, self.opc, rand)
         sqn = bytes(a ^ b for a, b in zip(autn[:6], ak))
+        sqn_i = int.from_bytes(sqn, "big")
+        if sqn_i <= self.sqn_ms:
+            # out-of-order SQN: build AUTS = (SQN_ms ^ AK*) || MAC-S
+            sqn_ms = self.sqn_ms.to_bytes(6, "big")
+            ak_star = security.milenage_f5_star(self.key, self.opc, rand)
+            mac_s = security.milenage_f1_star(
+                self.key, self.opc, rand, sqn_ms, b"\x00\x00")
+            auts = bytes(a ^ b for a, b in zip(sqn_ms, ak_star)) + mac_s
+            raise SqnSyncFailure(auts)
+        self.sqn_ms = sqn_i
         kasme = security.kdf_kasme(ck, ik, b"\x00\xf1\x10", autn[:6])
         return res, kasme
+
+
+class SqnSyncFailure(Exception):
+    """AKA sequence-number mismatch; .auts carries the resync token."""
+
+    def __init__(self, auts: bytes):
+        super().__init__("SQN out of range")
+        self.auts = auts
 
 
 class UeStack:
@@ -678,7 +701,15 @@ class UeStack:
     # ================= NAS (nas.cc EMM) =================
     def _rx_nas(self, msg):
         if isinstance(msg, nas_msgs.AuthenticationRequest):
-            res, kasme = self.usim.authenticate(msg.rand, msg.autn)
+            try:
+                res, kasme = self.usim.authenticate(msg.rand, msg.autn)
+            except SqnSyncFailure as e:
+                # 24.301 §5.4.2.6: Authentication Failure with the AUTS
+                # resync token; the MME resynchronises the HSS and retries
+                self.metrics["auth_sync_failure"] += 1
+                self._send_nas(nas_msgs.AuthenticationFailure(
+                    cause="synch-failure", auts=e.auts))
+                return
             self.kasme = kasme
             self._send_nas(nas_msgs.AuthenticationResponse(res=res))
         elif isinstance(msg, nas_msgs.NasSecurityModeCommand):

@@ -60,3 +60,18 @@ def test_periodic_tau_t3412():
     net.run(100)
     assert (ue.rrc_state, ue.emm_state) == ("IDLE", "REGISTERED")
     assert ue.t3412.is_running
+
+
+def test_aka_sqn_resynchronisation():
+    """A UE whose USIM SQN counter is AHEAD of the HSS (e.g. the HSS
+    database was restored from backup) attaches through the AUTS resync:
+    Authentication Failure (synch-failure) -> HSS adopts SQN_ms -> fresh
+    vector -> attach completes (hss.cc resync_sqn / TS 33.102 §6.3.5)."""
+    sysd = netsim.build_network(1, 70.0)
+    net, mme, ue = sysd["net"], sysd["mme"], sysd["ues"][0]
+    ue.usim.sqn_ms = 1000  # HSS counter starts at 0: first AUTN is stale
+    net.run(200)
+    assert ue.metrics.get("auth_sync_failure", 0) == 1
+    assert mme.metrics.get("sqn_resync", 0) == 1
+    assert ue.emm_state == "REGISTERED"
+    assert ue.usim.sqn_ms == 1001  # adopted + incremented by the retry
