@@ -288,7 +288,11 @@ class EnbStack:
             if lcid == pdu.LCID_CCCH:
                 self._rx_ccch(ue, sdu)
             elif lcid == pdu.LCID_SBSR:
-                ue.bsr = sdu[0] if sdu else 0
+                # short BSR: 2-bit LCG + 6-bit table index (36.321)
+                ue.bsr = pdu.BSR_TABLE[sdu[0] & 0x3F] if sdu else 0
+            elif lcid == pdu.LCID_LBSR:
+                ue.bsr = sum(pdu.long_bsr_bytes(sdu))
+                self.metrics["long_bsr_rx"] += 1
             elif lcid == pdu.LCID_PHR:
                 # Power Headroom CE -> UL link adaptation input
                 # (scheduler_ue.cc uses PHR to bound the UL allocation)

@@ -18,7 +18,39 @@ LCID_TA = 29  # DL: timing advance (context-dependent)
 LCID_SCELL_ACT = 27  # DL CE: SCell Activation/Deactivation (36.321 §6.1.3.8)
 
 LCID_PHR = 26  # UL CE: Power Headroom Report (36.321 §6.1.3.6)
-CE_SIZES_UL = {LCID_CRNTI: 2, LCID_SBSR: 1, LCID_PHR: 1}
+LCID_LBSR = 30  # UL CE: Long BSR (four LCGs, 36.321 §6.1.3.1)
+CE_SIZES_UL = {LCID_CRNTI: 2, LCID_SBSR: 1, LCID_PHR: 1, LCID_LBSR: 3}
+
+# 36.321 Table 6.1.3.1-1: buffer-size levels (bytes) per 6-bit index
+BSR_TABLE = (
+    0, 10, 12, 14, 17, 19, 22, 26, 31, 36, 42, 49, 57, 67, 78, 91,
+    107, 125, 146, 171, 200, 234, 274, 321, 376, 440, 515, 603, 706, 826,
+    967, 1132, 1326, 1552, 1817, 2127, 2490, 2915, 3413, 3995, 4677, 5476,
+    6411, 7505, 8787, 10287, 12043, 14099, 16507, 19325, 22624, 26487,
+    31009, 36304, 42502, 49759, 58255, 68201, 79846, 93479, 109439, 128125,
+    150000, 150001)
+
+
+def bsr_index(n_bytes: int) -> int:
+    """Smallest index whose level is >= the buffer size (pdu.cc
+    buff_size_table lookup)."""
+    for i, lvl in enumerate(BSR_TABLE):
+        if n_bytes <= lvl:
+            return i
+    return 63
+
+
+def long_bsr_ce(lcg_bytes) -> bytes:
+    """Long BSR CE: four 6-bit indices packed into 3 bytes."""
+    idx = [bsr_index(b) for b in lcg_bytes]
+    v = (idx[0] << 18) | (idx[1] << 12) | (idx[2] << 6) | idx[3]
+    return v.to_bytes(3, "big")
+
+
+def long_bsr_bytes(ce: bytes) -> list:
+    """Inverse: per-LCG buffer-size estimates (table levels)."""
+    v = int.from_bytes(ce[:3], "big")
+    return [BSR_TABLE[(v >> s) & 0x3F] for s in (18, 12, 6, 0)]
 
 
 def phr_ce(ph_db: float) -> bytes:

@@ -414,7 +414,23 @@ class UeStack:
                     subs.append((lcid, p))
                     room -= len(p) + 3
             if self._pending_ul_bytes():
-                subs.append((pdu.LCID_SBSR, bytes([min(255, self._pending_ul_bytes())])))
+                # BSR (36.321 §5.4.5): short when one LCG has data, long
+                # (four 6-bit table indices) when several do.  LCG0 = SRBs,
+                # LCG2 = DRBs (rr.conf default mapping).
+                srb_b = (sum(len(s) for s in self.ul_ccch)
+                         + sum(100 for l in self.rlc
+                               if l <= 2 and self.rlc[l].has_data()))
+                drb_b = sum(100 for l in self.rlc
+                            if l >= 3 and self.rlc[l].has_data())
+                if srb_b and drb_b:
+                    subs.append((pdu.LCID_LBSR,
+                                 pdu.long_bsr_ce([srb_b, 0, drb_b, 0])))
+                    self.metrics["long_bsr_tx"] += 1
+                else:
+                    lcg = 0 if srb_b else 2
+                    n = srb_b or drb_b
+                    subs.append((pdu.LCID_SBSR,
+                                 bytes([(lcg << 6) | pdu.bsr_index(n)])))
             if subs:
                 payload = pdu.pack(subs)
                 self._ul_harq_buf = payload  # kept until the PHICH verdict

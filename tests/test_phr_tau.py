@@ -75,3 +75,29 @@ def test_aka_sqn_resynchronisation():
     assert mme.metrics.get("sqn_resync", 0) == 1
     assert ue.emm_state == "REGISTERED"
     assert ue.usim.sqn_ms == 1001  # adopted + incremented by the retry
+
+
+def test_long_bsr_when_srb_and_drb_pending():
+    """Simultaneous SRB + DRB uplink backlog triggers the Long BSR CE
+    (four 6-bit LCG indices, 36.321 §5.4.5 / Table 6.1.3.1-1)."""
+    assert pdu.bsr_index(0) == 0 and pdu.bsr_index(10) == 1
+    assert pdu.bsr_index(150001) == 63
+    ce = pdu.long_bsr_ce([100, 0, 5000, 0])
+    assert len(ce) == 3
+    got = pdu.long_bsr_bytes(ce)
+    assert got[0] >= 100 and got[2] >= 5000 and got[1] == got[3] == 0
+
+    from srslte_emane_tpu.stack import nas_msgs
+
+    sysd = netsim.build_network(1, 70.0)
+    net, enb, ue = sysd["net"], sysd["enb"], sysd["ues"][0]
+    net.run(150)
+    # backlog BOTH LCGs beyond one transport block so the post-drain BSR
+    # sees data in two groups
+    for _ in range(80):
+        ue._send_nas(nas_msgs.ServiceRequest(guti=ue.guti))
+    for _ in range(5):
+        ue.gw_send(spgw_mod.make_ipv4(ue.ip_addr, "8.8.8.8", b"u" * 1100))
+    net.run(100)
+    assert ue.metrics.get("long_bsr_tx", 0) >= 1
+    assert enb.metrics.get("long_bsr_rx", 0) >= 1
