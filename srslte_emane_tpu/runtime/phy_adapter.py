@@ -233,6 +233,10 @@ class UePhyAdapter:
         self._dorm_w = -1  # stride window of the cached dormancy state
         self._dorm = False
         self._listen_cache = frozenset()
+        # sleep/wake scheduling (ttiloop skips us between wakes)
+        self._sleep_until = 0
+        self._last_tick_tti = None
+        self._tick_n = getattr(stack, "tick_n", None)
         # seed the serving cell so idle-mode reselection has a baseline
         if getattr(stack, "serving_pci", None) is None:
             stack.serving_pci = cell_id
@@ -241,11 +245,74 @@ class UePhyAdapter:
     def crnti(self):
         return self.stack.crnti
 
+    def skip_tti(self, tti: int) -> bool:
+        """ttiloop probe: True when this UE can sleep through the TTI —
+        it is inside its scheduled sleep window AND no delivered frame is
+        anything but a serving-cell subframe addressing none of its
+        RNTIs.  Skipped frames are drained (their SINR outcome for an
+        unaddressed dormant UE is irrelevant); timers catch up on the
+        next real run via tick_n."""
+        if tti >= self._sleep_until:
+            return False
+        if self.stack.gw_tx:  # app enqueued uplink data mid-sleep
+            return False
+        msgs = self.bus._delivered.get(self.node_id)
+        if msgs:
+            listen = self._listen_cache
+            serving = self.serving_cell
+            for frame, _tester in msgs:
+                msg = frame.msg
+                if (not isinstance(msg, otamsg.EnbDlMessage)
+                        or msg.phy_cell_id != serving):
+                    return False  # neighbor frame / UL capture: full run
+                rset = getattr(frame, "_rnti_set", None)
+                if rset is None:
+                    rset = {d.rnti for d in msg.pdcch_dl}
+                    rset.update(d.rnti for d in msg.pdcch_ul)
+                    rset.update(d.refid for d in msg.pdsch)
+                    frame._rnti_set = rset
+                if rset & listen:
+                    return False
+            self.bus._delivered[self.node_id] = []
+        return True
+
     def run_tti(self, tti: int):
         self._rx(tti)
-        if self._stack_tick is not None:
+        if self._tick_n is not None:
+            last = self._last_tick_tti
+            self._last_tick_tti = tti
+            self._tick_n(tti - last if last is not None else 1)
+        elif self._stack_tick is not None:
             self._stack_tick()
         self._tx(tti)
+        # schedule the next sleep window: a dormant, transmit-quiet UE
+        # sleeps to the next sync-sampling stride boundary
+        st = self.stack
+        if (self._dormant_cb is not None and self._dormant_cb()
+                and st.emm_state == "REGISTERED"  # else it wants to attach
+                and not st._acks and not st._ul_grants
+                and not st.gw_tx and not st.ul_ccch
+                and (st.mac_state != "CONNECTED"
+                     or not st._pending_ul_bytes())):
+            self._sleep_until = tti + self.LITE_STRIDE \
+                - ((tti + self.node_id) % self.LITE_STRIDE)
+            # register with the bus: sleeping receivers get no delivery
+            # (and no SINR testers) for unaddressed serving-cell frames.
+            # The adapter's own skip-filter cache must agree (a stale set
+            # here would silently eat frames the bus delivered).
+            listen = self.stack.listen_rntis(tti)
+            self._listen_cache = listen
+            self._listen_crnti = self.stack.crnti
+            set_sleep = getattr(self.bus, "set_sleep", None)
+            if set_sleep is not None:
+                set_sleep(self.node_id, self._sleep_until, listen,
+                          self.serving_cell)
+        else:
+            if self._sleep_until:
+                clear = getattr(self.bus, "clear_sleep", None)
+                if clear is not None:
+                    clear(self.node_id)
+            self._sleep_until = 0
 
     @property
     def serving_cell(self):

@@ -155,7 +155,21 @@ class SinrTester:
         return sinr >= thr, sinr
 
 
-def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None):
+def _frame_occ(fr):
+    """Occupied-PRB index vector for a frame, cached on the frame."""
+    occ = getattr(fr, "_occ_prbs", None)
+    if occ is None:
+        prbs = set()
+        for ch in fr.txc.channels:
+            prbs.update(ch.prb_slot0)
+            prbs.update(ch.prb_slot1)
+        occ = np.fromiter(prbs, np.int64, len(prbs))
+        fr._occ_prbs = occ
+    return occ
+
+
+def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None,
+               recv=None):
     """Compute SinrTesters for every (tx frame, rx node) pair of a TTI.
 
     FDD: downlink and uplink frames live on separate carriers, so they are
@@ -163,7 +177,24 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None):
     eNB/UE self-interference); carrier-aggregation component carriers
     (txc.freq_idx) are further independent domains.  Returns
     {(id(frame), rx_id): SinrTester} — keyed by frame identity because one
-    node may emit on several carriers in the same TTI."""
+    node may emit on several carriers in the same TTI.
+
+    Propagation is static between explicit pathloss edits, so a TTI whose
+    (transmitter-set, occupancy, receiver-set) signature repeats reuses the
+    cached tester objects outright — at deployment scale the steady-state
+    DL subframe and the per-stride-phase awake sets recur every few TTIs,
+    and the per-RB SINR math drops out of the per-TTI loop entirely.
+    Testers are read-only after construction, so sharing them is safe; a
+    pathloss edit (mobility, RLF tests) is caught by snapshot compare and
+    flushes the cache."""
+    cache = getattr(prop, "_adj_cache", None)
+    if cache is None:
+        cache = {}
+        prop._adj_cache = cache
+        prop._pl_snapshot = prop.pathloss_db.copy()
+    elif not np.array_equal(prop.pathloss_db, prop._pl_snapshot):
+        cache.clear()
+        prop._pl_snapshot = prop.pathloss_db.copy()
     out = {}
     domains = sorted({(f.txc.is_downlink, f.txc.freq_idx) for f in frames})
     for dom in domains:
@@ -176,15 +207,38 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None):
             # (T x R) SINR work and tester objects for the rest
             want = "ue" if dom[0] else "enb"
             rx_ids = [n for n in node_ids if roles.get(n) == want]
-        out.update(_adjudicate_group(group, prop, n_prb, rx_ids,
-                                     node_ids))
+        if recv is not None:
+            # receiver pruning from the bus's sleep registry: tester
+            # objects only for pairs that will actually be delivered
+            want_rx = set()
+            for f in group:
+                want_rx.update(recv.get(id(f), ()))
+            rx_ids = [n for n in rx_ids if n in want_rx]
+        key = (dom, n_prb, tuple(rx_ids), tuple(
+            (f.src, f.txc.reference_signal_power_mw, f.txc.phy_cell_id,
+             not f.txc.channels, _frame_occ(f).tobytes(),
+             tuple(recv[id(f)]) if recv is not None else None)
+            for f in group))
+        by_t = cache.get(key)
+        if by_t is None:
+            by_t = _adjudicate_group(group, prop, n_prb, rx_ids,
+                                     node_ids, recv=recv)
+            if len(cache) >= 1024:
+                cache.clear()
+            cache[key] = by_t
+        for t, fr in enumerate(group):
+            fid = id(fr)
+            for rid, tester in by_t[t].items():
+                out[(fid, rid)] = tester
     return out
 
 
 def _adjudicate_group(frames, prop: Propagation, n_prb: int, rx_ids,
-                      node_ids=None):
+                      node_ids=None, recv=None):
+    """Returns [ {rx_id: SinrTester} per frame ] — cache-friendly shape
+    (no frame identities), mapped to (id(frame), rx) keys by the caller."""
     if not frames or not rx_ids:
-        return {}
+        return [{} for _ in frames]
     node_ids = rx_ids if node_ids is None else node_ids
     T = len(frames)
     gidx = {n: i for i, n in enumerate(node_ids)}
@@ -194,11 +248,13 @@ def _adjudicate_group(frames, prop: Propagation, n_prb: int, rx_ids,
     pl = np.zeros((T, len(rx_ids)), np.float32)
     for t, fr in enumerate(frames):
         tx_power[t] = 10.0 * np.log10(fr.txc.reference_signal_power_mw + 1e-12)
-        for ch in fr.txc.channels:
-            for p in list(ch.prb_slot0) + list(ch.prb_slot1):
-                used[t, p] = 1.0
+        # one fancy-index per frame instead of a python loop per PRB (the
+        # 100-PRB DL frame made this the per-TTI hot spot at 200 UEs)
+        occ = _frame_occ(fr)
         if not fr.txc.channels:
             used[t, :] = 1.0
+        elif occ.size:
+            used[t, occ] = 1.0
         pl[t, :] = prop.pathloss_db[gidx[fr.src], cols]
     cells = np.asarray([fr.txc.phy_cell_id for fr in frames], np.int32)
     sinr = per_rb_sinr(tx_power, used, pl, prop.noise_floor_dbm, cells)
@@ -206,14 +262,16 @@ def _adjudicate_group(frames, prop: Propagation, n_prb: int, rx_ids,
     # sync/neighbor probes hit this every TTI, and per-check numpy mean
     # dispatch dominated the 200-UE receive loop
     wb = sinr.mean(axis=2).tolist()
-    out = {}
+    out = []
     for t, fr in enumerate(frames):
         wb_t = wb[t]
         sinr_t = sinr[t]
-        fid = id(fr)
+        want = recv.get(id(fr)) if recv is not None else None
+        row = {}
         for r, rid in enumerate(rx_ids):
-            if rid == fr.src:
+            if rid == fr.src or (want is not None and rid not in want):
                 continue
-            out[(fid, rid)] = SinrTester(sinr_t[r], prop.noise_floor_dbm,
-                                         full_mean=wb_t[r])
+            row[rid] = SinrTester(sinr_t[r], prop.noise_floor_dbm,
+                                  full_mean=wb_t[r])
+        out.append(row)
     return out

@@ -20,8 +20,15 @@ class Network:
         return node
 
     def run(self, n_ttis: int):
+        # sleep/wake: a node may skip TTIs that carry nothing for it
+        # (dormant UEs at deployment scale); timers catch up on its next
+        # real run.  Probe/run pairs bound once per run() call.
+        pairs = [(getattr(n, "skip_tti", None), n.run_tti)
+                 for n in self.nodes]
+        step = self.bus.step_tti
         for _ in range(n_ttis):
             tti = self.bus.curr_tti
-            for node in self.nodes:
-                node.run_tti(tti)
-            self.bus.step_tti()
+            for probe, run in pairs:
+                if probe is None or not probe(tti):
+                    run(tti)
+            step()

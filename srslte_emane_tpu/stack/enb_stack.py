@@ -179,6 +179,9 @@ class EnbStack:
         # RLC write adds one; get_dl_sched filters by actual has_data and
         # a low-rate full rescan bounds any missed-site starvation)
         self._dl_hint = set()
+        # same idea for the UL: only rntis with msg3/SR/BSR/retx state are
+        # visited by get_ul_sched (O(active), not O(UEs), per TTI)
+        self._ul_hint = set()
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
@@ -198,6 +201,7 @@ class EnbStack:
     def sr_detected(self, tti, rnti):
         if rnti in self.ues:
             self.ues[rnti].sr = True
+            self._ul_hint.add(rnti)
 
     LINK_FAILURE_NOF_ERR = 50  # expert.link_failure_nof_err (srsenb main.cc:146)
 
@@ -227,6 +231,7 @@ class EnbStack:
                 self.metrics["ul_harq_drop"] += 1
             else:
                 ent["retx_due"] = True
+                self._ul_hint.add(rnti)
         if ok:
             ue.ul_err_streak = 0
         else:
@@ -290,8 +295,11 @@ class EnbStack:
             elif lcid == pdu.LCID_SBSR:
                 # short BSR: 2-bit LCG + 6-bit table index (36.321)
                 ue.bsr = pdu.BSR_TABLE[sdu[0] & 0x3F] if sdu else 0
+                if ue.bsr:
+                    self._ul_hint.add(rnti)
             elif lcid == pdu.LCID_LBSR:
                 ue.bsr = sum(pdu.long_bsr_bytes(sdu))
+                self._ul_hint.add(rnti)
                 self.metrics["long_bsr_rx"] += 1
             elif lcid == pdu.LCID_PHR:
                 # Power Headroom CE -> UL link adaptation input
@@ -390,6 +398,7 @@ class EnbStack:
                                   payload=rar, l_aggr=la[0], cce_start=la[1]))
             # RAR includes an UL grant for Msg3 (proc_ra contention)
             self.ues[rnti].msg3_grant = True
+            self._ul_hint.add(rnti)
         # CCCH (SRB0) messages ride dedicated grants
         while self.ccch_dl and cursor < self.n_prb - 4:
             la = cce.alloc(self.ccch_dl[0][0], l_pref=4)
@@ -679,7 +688,14 @@ class EnbStack:
         SR/BSR grants."""
         grants = []
         cursor = 0
-        for rnti, u in self.ues.items():
+        if tti % 64 == 1:  # backstop for any hint site missed
+            self._ul_hint.update(self.ues.keys())
+        hinted = sorted(self._ul_hint)
+        for rnti in hinted:
+            u = self.ues.get(rnti)
+            if u is None:
+                self._ul_hint.discard(rnti)
+                continue
             ent = getattr(u, "ul_harq_ent", None)
             if ent is None or not ent.get("retx_due"):
                 continue
@@ -696,7 +712,10 @@ class EnbStack:
                                   rv=self.RV_SEQ_UL[(n_tx - 1) % 4]))
             cursor += l_prb
             self.metrics["ul_harq_retx"] += 1
-        for rnti, u in self.ues.items():
+        for rnti in hinted:
+            u = self.ues.get(rnti)
+            if u is None:
+                continue
             if cursor + 4 > self.n_prb:
                 break
             if getattr(u, "msg3_grant", False):
@@ -704,7 +723,10 @@ class EnbStack:
                 grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=4,
                                       mcs=self.mcs))
                 cursor += 4
-        for rnti, u in self.ues.items():
+        for rnti in hinted:
+            u = self.ues.get(rnti)
+            if u is None:
+                continue
             if cursor + 8 > self.n_prb:
                 break
             if getattr(u, "sr", False) or getattr(u, "bsr", 0) > 0:
@@ -729,6 +751,16 @@ class EnbStack:
                 u.ul_harq_ent = dict(l_prb=8, mcs=ul_mcs, n_tx=1,
                                      retx_due=False)
                 cursor += 8
+        for rnti in hinted:
+            u = self.ues.get(rnti)
+            if u is None:
+                continue
+            ent = getattr(u, "ul_harq_ent", None)
+            if not (getattr(u, "msg3_grant", False) or getattr(u, "sr", False)
+                    or getattr(u, "bsr", 0) > 0
+                    or (ent is not None and ent.get("retx_due"))
+                    or ent is not None):
+                self._ul_hint.discard(rnti)
         return grants
 
     def get_phich(self, tti):
@@ -740,10 +772,18 @@ class EnbStack:
         return self.cell_pci
 
     def tick(self):
-        for r, u in self.ues.items():
-            for e in u.rlc.values():
-                if e.timer_tick():
-                    self._dl_hint.add(r)  # timer created pending data
+        # tick only entities that CAN have timer work (rx state or unacked
+        # data), with the active list rebuilt every 16 TTIs — fully idle
+        # bearers (most of a 200-UE cell) cost nothing per TTI
+        self._tick_count = getattr(self, "_tick_count", 0) + 1
+        active = getattr(self, "_tick_active", None)
+        if active is None or self._tick_count % 16 == 0:
+            active = [(r, e) for r, u in self.ues.items()
+                      for e in u.rlc.values() if e.needs_tick()]
+            self._tick_active = active
+        for r, e in active:
+            if e.timer_tick():
+                self._dl_hint.add(r)  # timer created pending data
 
     def _alloc(self, n):
         return tuple(1 if i < n else 0 for i in range(self.n_prb))

@@ -46,6 +46,9 @@ class RlcTm:
     def timer_tick(self):
         pass
 
+    def needs_tick(self) -> bool:
+        return False
+
     def has_data(self):
         return bool(self.q)
 
@@ -219,6 +222,9 @@ class RlcUm:
                     else:
                         self.partial = part
             self.vr_ur = (self.vr_ur + 1) % self.sn_mod
+
+    def needs_tick(self) -> bool:
+        return bool(self.rx)
 
     def timer_tick(self):
         # gap detection: skip over losses after t_reordering
@@ -434,6 +440,11 @@ class RlcAm:
             self.vt_a = min(self.tx_window.keys(), key=self._dist)
         else:
             self.vt_a = self.tx_sn
+
+    def needs_tick(self) -> bool:
+        """Timer work is only possible with rx state or unacked data —
+        event-driven tickers skip fully idle entities."""
+        return bool(self.rx or self.tx_window)
 
     def timer_tick(self):
         """Returns truthy when timer work CREATED pending data (a status

@@ -470,12 +470,12 @@ class UeStack:
             out = dict(rnti=self.crnti, sr=True, ack=[])
         # periodic wideband CQI from the serving-cell SNR (cqi.c reporting)
         if self._cqi_timer is None:
-            self._cqi_timer = self.preamble % 20  # desynchronize CQI reports
-        self._cqi_timer += 1
-        if (self.mac_state == "CONNECTED" and self._cqi_timer >= 20
+            # wall-TTI based so sleeping TTIs still count toward the period
+            self._cqi_timer = tti + self.preamble % 20
+        if (self.mac_state == "CONNECTED" and tti - self._cqi_timer >= 20
                 and getattr(self, "last_rsrp_snr", None) is not None):
-            self._cqi_timer = 0
-            cqi = int(np.clip(round(self.last_rsrp_snr / 2.0 + 2), 1, 15))
+            self._cqi_timer = tti
+            cqi = min(15, max(1, int(round(float(self.last_rsrp_snr) / 2.0 + 2))))
             if out is None:
                 out = dict(rnti=self.crnti, sr=False, ack=[])
             out["cqi"] = cqi
@@ -496,6 +496,16 @@ class UeStack:
 
     RESEL_HYST_DB = 2.0  # Qhyst (36.304 cell reselection)
     _resel_count = 0
+
+    def tick_n(self, k: int):
+        """Catch-up tick after k skipped TTIs (sleeping dormant UE): the
+        timer wheel steps exactly k; RLC timer work and the barring
+        counter collapse to one pass (idle entities have none anyway)."""
+        if k > 1:
+            self.timers.step(k - 1)
+            if getattr(self, "_conn_barred", 0) > 0:
+                self._conn_barred = max(0, self._conn_barred - (k - 1))
+        self.tick()
 
     def tick(self):
         self.timers.step()

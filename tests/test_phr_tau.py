@@ -32,6 +32,7 @@ def test_phr_reported_and_caps_ul_mcs():
     mcs = {}
     for r, c in ctxs.items():
         c.bsr = 50
+        enb.sr_detected(5000, r)
     for g in enb.get_ul_sched(5000):
         mcs[g.rnti] = g.mcs
     lo_rnti = min(ctxs, key=lambda r: ctxs[r].phr_db)

@@ -72,6 +72,7 @@ def test_enb_ul_harq_adaptive_retx():
     u = enb.ues[rnti]
     # UE signals buffer status -> eNB issues a fresh UL grant (ndi=1)
     u.bsr = 100
+    enb.sr_detected(1000, rnti)
     g0 = [g for g in enb.get_ul_sched(1000) if g.rnti == rnti][0]
     assert g0.ndi == 1 and g0.rv == 0
     assert u.ul_harq_ent is not None and u.ul_harq_ent["n_tx"] == 1
@@ -93,6 +94,7 @@ def test_enb_ul_harq_adaptive_retx():
     assert not [g for g in enb.get_ul_sched(1032) if g.rnti == rnti]
     # success path clears the entity without a retx
     u.bsr = 50
+    enb.sr_detected(1040, rnti)
     enb.get_ul_sched(1040)
     enb.ul_crc_info(1044, rnti, True)
     assert u.ul_harq_ent is None
