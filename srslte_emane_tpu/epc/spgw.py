@@ -51,8 +51,14 @@ class Spgw:
     def create_session(self, imsi: str, enb_tx):
         """enb_tx(bytes): callable delivering S1-U packets to the eNB.
         Returns dict(ue_ip, teid_in (SPGW's), teid_out (eNB's))."""
-        ue_ip = f"{self.ip_pool_base}{self.next_ip}"
+        # /16 pool: the host index spills into the third octet so more
+        # than 253 sessions allocate valid addresses (sgw_sgi pool role)
+        hi, lo = divmod(self.next_ip, 256)
+        base = self.ip_pool_base.rstrip(".").rsplit(".", 1)[0]
+        ue_ip = f"{base}.{hi}.{lo}"
         self.next_ip += 1
+        if lo == 254:
+            self.next_ip += 2  # skip .255 (broadcast) and .0
         teid_in = self.next_teid  # our rx teid (eNB sends UL with this)
         teid_out = self.next_teid + 1  # eNB's rx teid (we send DL with it)
         self.next_teid += 2

@@ -160,6 +160,9 @@ class EnbStack:
         self.ues = {}
         self.next_rnti = 0x46 + 0x100 * enb_id
         self.rar_pending = []
+        # RACH-overload level: raised by drops at a full RAR queue, decayed
+        # each scheduling pass; maps to the RAR Backoff Indicator index
+        self._ra_congestion = 0
         self.ccch_dl = collections.deque()
         self.phich_queue = []
         self.by_teid = {}
@@ -185,12 +188,23 @@ class EnbStack:
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
+    RAR_QUEUE_MAX = 16  # PRACH detector capacity per RAR window
+
     def rach_detected(self, tti, preamble):
         if preamble in self.dedicated_preambles:
             # contention-free RA of an incoming handover UE
             rnti = self.dedicated_preambles.pop(preamble)
             self.rar_pending.append((tti, preamble, rnti))
             self.metrics["rach_ho"] += 1
+            return
+        if len(self.rar_pending) >= self.RAR_QUEUE_MAX:
+            # congestion valve (36.321 §7.2): excess detections are dropped
+            # (a saturated detector cannot answer them inside the response
+            # window anyway) and subsequent RARs carry a Backoff Indicator
+            # sized to the overload so the herd spreads out instead of
+            # re-colliding every response window
+            self.metrics["rach_drop"] += 1
+            self._ra_congestion = min(200, self._ra_congestion + 2)
             return
         rnti = self.next_rnti
         self.next_rnti += 1
@@ -354,7 +368,8 @@ class EnbStack:
         if tti % 100 == 3:
             for r in [r for r, u in self.ues.items()
                       if u.state == "RRC_IDLE" and u.kenb is None
-                      and u.mme_ue_id is None and tti - u.birth_tti > 200]:
+                      and u.mme_ue_id is None
+                      and (tti - u.birth_tti) % 10240 > 200]:
                 del self.ues[r]
                 self.metrics["ctx_expired"] += 1
 
@@ -390,14 +405,26 @@ class EnbStack:
                 self.metrics["cce_defer"] += 1
                 break  # control region full: RARs wait a TTI
             _, preamble, rnti = self.rar_pending.pop(0)
-            rar = pdu.pack_rar(rapid=preamble, ta=0, ul_grant=0, t_crnti=rnti)
+            u = self.ues.get(rnti)
+            if u is None:
+                # context expired while the RAR sat in a congested queue
+                # (mass attach backs rar_pending up past the zombie window)
+                continue
+            # Backoff Indicator under RACH overload: index scales with the
+            # measured drop pressure (36.321 Table 7.2-1 via pdu.BI_TABLE_MS)
+            bi = 0
+            if self._ra_congestion:
+                bi = min(12, 6 + self._ra_congestion // 16)
+                self._ra_congestion = max(0, self._ra_congestion - 1)
+            rar = pdu.pack_rar(rapid=preamble, ta=0, ul_grant=0, t_crnti=rnti,
+                               bi=bi)
             m = alloc(2)
             if m is None:
                 break
             grants.append(DlGrant(rnti=1 + tti % 10, prb_mask=m, mcs=0,
                                   payload=rar, l_aggr=la[0], cce_start=la[1]))
             # RAR includes an UL grant for Msg3 (proc_ra contention)
-            self.ues[rnti].msg3_grant = True
+            u.msg3_grant = True
             self._ul_hint.add(rnti)
         # CCCH (SRB0) messages ride dedicated grants
         while self.ccch_dl and cursor < self.n_prb - 4:

@@ -99,10 +99,23 @@ def pack(subpdus, tb_size: int = None) -> bytes:
     return pdu
 
 
-def pack_rar(rapid: int, ta: int, ul_grant: int, t_crnti: int) -> bytes:
+# 36.321 Table 7.2-1: Backoff Parameter index -> ms (reserved indices -> 960)
+BI_TABLE_MS = (0, 10, 20, 30, 40, 60, 80, 120, 160, 240, 320, 480, 960,
+               960, 960, 960)
+
+
+def pack_rar(rapid: int, ta: int, ul_grant: int, t_crnti: int,
+             bi: int = 0) -> bytes:
     """Random Access Response MAC PDU (36.321 §6.1.5 / §6.2.2):
-    subheader [E=0|T=1|RAPID(6)] + payload [R|TA(11)|UL grant(20)|T-CRNTI(16)]."""
-    hdr = bytes([0x40 | (rapid & 0x3F)])
+    optional BI subheader [E=1|T=0|R|R|BI(4)], then
+    subheader [E=0|T=1|RAPID(6)] + payload [R|TA(11)|UL grant(20)|T-CRNTI(16)].
+    A nonzero `bi` broadcasts the Backoff Indicator (36.321 §7.2) — every
+    contending UE that reads the RAR applies a random backoff <= BI ms
+    before its next PRACH (the congestion-collapse valve at mass attach)."""
+    hdr = b""
+    if bi:
+        hdr += bytes([0x80 | (bi & 0x0F)])
+    hdr += bytes([0x40 | (rapid & 0x3F)])
     body = (
         ((ta & 0x7FF) << 36) | ((ul_grant & 0xFFFFF) << 16) | (t_crnti & 0xFFFF)
     ).to_bytes(6, "big")
@@ -110,14 +123,21 @@ def pack_rar(rapid: int, ta: int, ul_grant: int, t_crnti: int) -> bytes:
 
 
 def is_rar(pdu_bytes: bytes) -> bool:
+    if len(pdu_bytes) >= 8 and (pdu_bytes[0] & 0xC0) == 0x80:
+        return (pdu_bytes[1] & 0xC0) == 0x40  # BI subheader then RAPID
     return len(pdu_bytes) >= 7 and (pdu_bytes[0] & 0xC0) == 0x40
 
 
 def unpack_rar(pdu_bytes: bytes) -> dict:
+    bi = 0
+    if (pdu_bytes[0] & 0xC0) == 0x80:  # leading Backoff Indicator subheader
+        bi = pdu_bytes[0] & 0x0F
+        pdu_bytes = pdu_bytes[1:]
     rapid = pdu_bytes[0] & 0x3F
     v = int.from_bytes(pdu_bytes[1:7], "big")
     return dict(rapid=rapid, ta=(v >> 36) & 0x7FF,
-                ul_grant=(v >> 16) & 0xFFFFF, t_crnti=v & 0xFFFF)
+                ul_grant=(v >> 16) & 0xFFFFF, t_crnti=v & 0xFFFF,
+                backoff_ms=BI_TABLE_MS[bi])
 
 
 def unpack(pdu: bytes):

@@ -331,6 +331,9 @@ class UeStack:
             if self.mac_state != "PRACH_SENT":
                 return
             rar = pdu.unpack_rar(payload)
+            # Backoff Indicator (36.321 §7.2): remember the cell's current
+            # backoff window for the next retry, matched or not
+            self._ra_bi_ms = rar.get("backoff_ms", 0)
             if getattr(self, "_ho_pending", False) and rar["rapid"] == self._ho_preamble:
                 # contention-free RA at the handover target completed
                 self._ho_pending = False
@@ -539,10 +542,15 @@ class UeStack:
                 # handover RA retries stay contention-free at the target
                 self.mac_state = "HO_PRACH" if getattr(self, "_ho_pending", False) else "IDLE"
                 self.metrics["ra_retries"] += 1
-                # randomized backoff before the next attempt (proc_ra.cc
-                # backoff indicator): desynchronizes colliding UEs
+                # randomized backoff before the next attempt: the window is
+                # the larger of the cell-advertised Backoff Indicator
+                # (36.321 §7.2, set under RACH overload) and an exponential
+                # per-UE ramp — colliding herds spread out instead of
+                # re-colliding every response window
                 n = self.metrics["ra_retries"]
-                self._ra_backoff = (self._salt * 7 + n * 13) % min(40, 8 * n)
+                win = max(getattr(self, "_ra_bi_ms", 0),
+                          min(512, 8 << min(n, 6)))
+                self._ra_backoff = (self._salt * 7 + n * 13) % max(8, win)
         else:
             self._ra_timer = 0
         # drain app uplink queue into the DRBs, TFT-classified
