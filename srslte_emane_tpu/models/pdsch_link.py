@@ -92,7 +92,10 @@ def make_link_step_sharded(cfg: LinkConfig, mesh):
     shard_map contract removes them all, which is what makes per-chip
     weak scaling communication-free on real hardware."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     def local_step(payload, key):
         # decorrelate noise across devices: fold the device coordinates in
@@ -100,9 +103,11 @@ def make_link_step_sharded(cfg: LinkConfig, mesh):
         key = jax.random.fold_in(key, jax.lax.axis_index("sf"))
         return link_step(payload, key, cfg)
 
-    step = shard_map(
-        local_step, mesh=mesh,
+    specs = dict(
         in_specs=(P(("node", "sf")), P()),
-        out_specs=(P(("node", "sf")), P(("node", "sf")), P(("node", "sf"))),
-        check_rep=False)
+        out_specs=(P(("node", "sf")), P(("node", "sf")), P(("node", "sf"))))
+    try:  # jax >= 0.8 renamed the replication-check kwarg
+        step = shard_map(local_step, mesh=mesh, check_vma=False, **specs)
+    except TypeError:
+        step = shard_map(local_step, mesh=mesh, check_rep=False, **specs)
     return jax.jit(step)
