@@ -86,7 +86,11 @@ def read_constrained(r: BitReader, lo: int, hi: int) -> int:
         return lo + r.read_octets(1)[0]
     if rng <= 65536:
         return lo + int.from_bytes(r.read_octets(2), "big")
-    raise AperError(f"range {rng} not supported")
+    # X.691 §10.5.7.4: large range — octet count as a constrained whole
+    # number, then the value in that many aligned octets
+    n_max = ((hi - lo).bit_length() + 7) // 8
+    n = read_constrained(r, 1, n_max)
+    return lo + int.from_bytes(r.read_octets(n), "big")
 
 
 def write_constrained(w: BitWriter, v: int, lo: int, hi: int):
@@ -100,7 +104,10 @@ def write_constrained(w: BitWriter, v: int, lo: int, hi: int):
     elif rng <= 65536:
         w.write_octets((v - lo).to_bytes(2, "big"))
     else:
-        raise AperError(f"range {rng} not supported")
+        n_max = ((hi - lo).bit_length() + 7) // 8
+        n = max(1, ((v - lo).bit_length() + 7) // 8)
+        write_constrained(w, n, 1, n_max)
+        w.write_octets((v - lo).to_bytes(n, "big"))
 
 
 def read_length(r: BitReader) -> int:

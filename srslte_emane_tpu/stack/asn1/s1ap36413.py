@@ -22,17 +22,44 @@ from .aper import (AperError, BitReader, BitWriter, read_constrained,
 
 CRITICALITY = ("reject", "ignore", "notify")
 
-# procedure codes (36.413 §9.3.7)
+# procedure codes (36.413 §9.3.7; liblte_s1ap.h LIBLTE_S1AP_PROC_ID_*)
+PROC_INITIAL_CONTEXT_SETUP = 9
+PROC_PAGING = 10
+PROC_DOWNLINK_NAS_TRANSPORT = 11
+PROC_INITIAL_UE_MESSAGE = 12
+PROC_UPLINK_NAS_TRANSPORT = 13
 PROC_S1SETUP = 17
+PROC_UE_CONTEXT_RELEASE_REQUEST = 18
+PROC_UE_CONTEXT_RELEASE = 23
 
-# protocol IE ids
+# protocol IE ids (liblte_s1ap.h LIBLTE_S1AP_IE_ID_*)
+ID_MME_UE_S1AP_ID = 0
+ID_CAUSE = 2
+ID_ENB_UE_S1AP_ID = 8
+ID_NAS_PDU = 26
+ID_UE_PAGING_ID = 43
+ID_TAI_LIST = 46
+ID_TAI_ITEM = 47
+ID_UE_IDENTITY_INDEX = 80
 ID_GLOBAL_ENB_ID = 59
 ID_ENB_NAME = 60
 ID_MME_NAME = 61
-ID_SERVED_GUMMEIS = 105
-ID_RELATIVE_MME_CAPACITY = 87
 ID_SUPPORTED_TAS = 64
+ID_TAI = 67
+ID_SECURITY_KEY = 73
+ID_RELATIVE_MME_CAPACITY = 87
+ID_UE_S1AP_IDS = 99
+ID_EUTRAN_CGI = 100
+ID_SERVED_GUMMEIS = 105
+ID_UE_SECURITY_CAPABILITIES = 107
+ID_CN_DOMAIN = 109
+ID_RRC_ESTABLISHMENT_CAUSE = 134
 ID_DEFAULT_PAGING_DRX = 137
+
+# Cause CHOICE arms (36.413 §9.2.1.3) and RRC establishment causes
+CAUSE_GROUPS = ("radioNetwork", "transport", "nas", "protocol", "misc")
+RRC_CAUSES = ("emergency", "highPriorityAccess", "mt-Access",
+              "mo-Signalling", "mo-Data")
 
 
 @dataclasses.dataclass
@@ -90,10 +117,187 @@ def _read_mme_name(r: BitReader) -> str:
     return r.read_octets(n).decode()
 
 
+def _read_nas_pdu(r: BitReader) -> bytes:
+    return r.read_octets(read_length(r))  # unconstrained OCTET STRING
+
+
+def _read_tai(r: BitReader) -> dict:
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext:
+        raise AperError("TAI extension")
+    out = dict(plmn=r.read_octets(3), tac=r.read_octets(2))
+    if opt:
+        raise AperError("TAI iE-Extensions")
+    return out
+
+
+def _write_tai(w: BitWriter, v: dict):
+    w.write_bits(0, 2)
+    w.write_octets(bytes(v["plmn"]))
+    w.write_octets(bytes(v["tac"]))
+
+
+def _read_cgi(r: BitReader) -> dict:
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext or opt:
+        raise AperError("EUTRAN-CGI extensions")
+    plmn = r.read_octets(3)
+    r.align()  # BIT STRING SIZE(28) > 16 bits: aligned (X.691 §15.11)
+    return dict(plmn=plmn, cell_id=r.read_bits(28))
+
+
+def _write_cgi(w: BitWriter, v: dict):
+    w.write_bits(0, 2)
+    w.write_octets(bytes(v["plmn"]))
+    w.align()
+    w.write_bits(v["cell_id"], 28)
+
+
+def _read_cause(r: BitReader) -> tuple:
+    if r.read_bits(1):
+        raise AperError("Cause extension")
+    group = CAUSE_GROUPS[r.read_bits(3)]
+    ext = r.read_bits(1)  # each arm is an extensible ENUMERATED
+    n_max = {"radioNetwork": 35, "transport": 1, "nas": 3,
+             "protocol": 6, "misc": 5}[group]
+    val = read_constrained(r, 0, n_max) if not ext else read_length(r)
+    return (group, val)
+
+
+def _write_cause(w: BitWriter, v: tuple):
+    group, val = v
+    w.write_bits(0, 1)
+    w.write_bits(CAUSE_GROUPS.index(group), 3)
+    w.write_bits(0, 1)
+    n_max = {"radioNetwork": 35, "transport": 1, "nas": 3,
+             "protocol": 6, "misc": 5}[group]
+    write_constrained(w, val, 0, n_max)
+
+
+def _read_rrc_cause(r: BitReader):
+    if r.read_bits(1):
+        raise AperError("establishment-cause extension")
+    return RRC_CAUSES[read_constrained(r, 0, len(RRC_CAUSES) - 1)]
+
+
+def _read_ue_paging_id(r: BitReader):
+    if r.read_bits(1):
+        raise AperError("UEPagingID extension")
+    if r.read_bits(1) == 0:  # s-TMSI
+        ext, opt = r.read_bits(1), r.read_bits(1)
+        if ext or opt:
+            raise AperError("S-TMSI extensions")
+        # MMEC is OCTET STRING SIZE(1): <=2 octets stay UNALIGNED
+        # (X.691 §16.6); m-TMSI SIZE(4) is aligned
+        return ("s_tmsi", dict(mmec=bytes([r.read_bits(8)]),
+                               m_tmsi=r.read_octets(4)))
+    n = read_constrained(r, 3, 8)
+    return ("imsi", r.read_octets(n))
+
+
+def _write_ue_paging_id(w: BitWriter, v: tuple):
+    kind, val = v
+    w.write_bits(0, 1)
+    if kind == "s_tmsi":
+        w.write_bits(0, 1)
+        w.write_bits(0, 2)
+        w.write_bits(val["mmec"][0], 8)  # <=2-octet string: unaligned
+        w.write_octets(bytes(val["m_tmsi"]))
+    else:
+        w.write_bits(1, 1)
+        write_constrained(w, len(val), 3, 8)
+        w.write_octets(bytes(val))
+
+
+def _read_ue_s1ap_ids(r: BitReader):
+    if r.read_bits(1):
+        raise AperError("UE-S1AP-IDs extension")
+    if r.read_bits(1) == 0:  # uE-S1AP-ID-pair
+        ext, opt = r.read_bits(1), r.read_bits(1)
+        if ext or opt:
+            raise AperError("pair extensions")
+        return ("pair", dict(mme_ue_id=read_constrained(r, 0, 4294967295),
+                             enb_ue_id=read_constrained(r, 0, 16777215)))
+    return ("mme_ue_id", read_constrained(r, 0, 4294967295))
+
+
+def _write_ue_s1ap_ids(w: BitWriter, v: tuple):
+    kind, val = v
+    w.write_bits(0, 1)
+    if kind == "pair":
+        w.write_bits(0, 1)
+        w.write_bits(0, 2)
+        write_constrained(w, val["mme_ue_id"], 0, 4294967295)
+        write_constrained(w, val["enb_ue_id"], 0, 16777215)
+    else:
+        w.write_bits(1, 1)
+        write_constrained(w, val, 0, 4294967295)
+
+
+def _read_security_caps(r: BitReader) -> dict:
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext or opt:
+        raise AperError("UESecurityCapabilities extensions")
+    # BIT STRING SIZE(16) <= 16 bits: unaligned (X.691 §15.8)
+    return dict(eea=r.read_bits(16), eia=r.read_bits(16))
+
+
+def _write_security_caps(w: BitWriter, v: dict):
+    w.write_bits(0, 2)
+    w.write_bits(v["eea"], 16)
+    w.write_bits(v["eia"], 16)
+
+
+def _read_tai_list(r: BitReader) -> list:
+    """TAIList ::= SEQUENCE (SIZE(1..256)) OF
+    ProtocolIE-SingleContainer{TAIItem}."""
+    n = read_constrained(r, 1, 256)
+    out = []
+    for _ in range(n):
+        ie_id = read_constrained(r, 0, 65535)
+        crit = CRITICALITY[r.read_bits(2)]
+        body = BitReader(read_open_type(r))
+        ext, opt = body.read_bits(1), body.read_bits(1)
+        if ie_id != ID_TAI_ITEM or ext or opt:
+            raise AperError("unexpected TAIList element")
+        out.append(_read_tai(body))
+    return out
+
+
+def _write_tai_list(w: BitWriter, items: list):
+    write_constrained(w, len(items), 1, 256)
+    for tai in items:
+        write_constrained(w, ID_TAI_ITEM, 0, 65535)
+        w.write_bits(CRITICALITY.index("ignore"), 2)
+        bw = BitWriter()
+        bw.write_bits(0, 2)  # TAIItem ext + no iE-Extensions
+        _write_tai(bw, tai)
+        write_open_type(w, bw.to_bytes())
+
+
+def _read_security_key(r: BitReader) -> bytes:
+    r.align()  # BIT STRING SIZE(256): aligned
+    return bytes((r.read_bits(8)) for _ in range(32))
+
+
 _IE_DECODERS = {
     ID_SERVED_GUMMEIS: _read_gummei_list,
     ID_RELATIVE_MME_CAPACITY: lambda r: read_constrained(r, 0, 255),
     ID_MME_NAME: _read_mme_name,
+    ID_MME_UE_S1AP_ID: lambda r: read_constrained(r, 0, 4294967295),
+    ID_ENB_UE_S1AP_ID: lambda r: read_constrained(r, 0, 16777215),
+    ID_NAS_PDU: _read_nas_pdu,
+    ID_TAI: _read_tai,
+    ID_EUTRAN_CGI: _read_cgi,
+    ID_CAUSE: _read_cause,
+    ID_RRC_ESTABLISHMENT_CAUSE: _read_rrc_cause,
+    ID_UE_PAGING_ID: _read_ue_paging_id,
+    ID_UE_S1AP_IDS: _read_ue_s1ap_ids,
+    ID_CN_DOMAIN: lambda r: ("ps", "cs")[r.read_bits(1)],
+    ID_TAI_LIST: _read_tai_list,
+    ID_UE_IDENTITY_INDEX: lambda r: r.read_bits(10),
+    ID_UE_SECURITY_CAPABILITIES: _read_security_caps,
+    ID_SECURITY_KEY: _read_security_key,
 }
 
 
@@ -106,6 +310,39 @@ def _encode_ie_value(ie: ProtocolIE) -> bytes:
     elif ie.id == ID_MME_NAME:
         write_constrained(w, len(ie.value), 1, 150)
         w.write_octets(ie.value.encode())
+    elif ie.id == ID_MME_UE_S1AP_ID:
+        write_constrained(w, ie.value, 0, 4294967295)
+    elif ie.id == ID_ENB_UE_S1AP_ID:
+        write_constrained(w, ie.value, 0, 16777215)
+    elif ie.id == ID_NAS_PDU:
+        write_length(w, len(ie.value))
+        w.write_octets(bytes(ie.value))
+    elif ie.id == ID_TAI:
+        _write_tai(w, ie.value)
+    elif ie.id == ID_EUTRAN_CGI:
+        _write_cgi(w, ie.value)
+    elif ie.id == ID_CAUSE:
+        _write_cause(w, ie.value)
+    elif ie.id == ID_RRC_ESTABLISHMENT_CAUSE:
+        w.write_bits(0, 1)
+        write_constrained(w, RRC_CAUSES.index(ie.value), 0,
+                          len(RRC_CAUSES) - 1)
+    elif ie.id == ID_UE_PAGING_ID:
+        _write_ue_paging_id(w, ie.value)
+    elif ie.id == ID_UE_S1AP_IDS:
+        _write_ue_s1ap_ids(w, ie.value)
+    elif ie.id == ID_CN_DOMAIN:
+        w.write_bits(("ps", "cs").index(ie.value), 1)
+    elif ie.id == ID_TAI_LIST:
+        _write_tai_list(w, ie.value)
+    elif ie.id == ID_UE_IDENTITY_INDEX:
+        w.write_bits(ie.value, 10)  # BIT STRING SIZE(10): unaligned
+    elif ie.id == ID_UE_SECURITY_CAPABILITIES:
+        _write_security_caps(w, ie.value)
+    elif ie.id == ID_SECURITY_KEY:
+        w.align()
+        for b in ie.value:
+            w.write_bits(b, 8)
     elif isinstance(ie.value, (bytes, bytearray)):
         w.write_octets(bytes(ie.value))  # raw passthrough
     else:
@@ -141,6 +378,81 @@ def decode_pdu(data: bytes) -> S1apPdu:
         raise AperError("extended message sequence")
     ies = _read_ie_container(br)
     return S1apPdu(pdu_type, proc, crit, ies)
+
+
+# ---- procedure builders (36.413 §8/§9.1) ----------------------------------
+# 36.413-conformant PDUs for the runtime's S1 procedures: the simulator's
+# typed messages (epc/mme.py dataclasses) map onto these for wire interop
+# with a real MME/eNB (srsepc s1ap.cc / srsenb s1ap.cc message shapes).
+
+def _ie(id_, crit, value):
+    return ProtocolIE(id_, crit, value)
+
+
+def initial_ue_message(enb_ue_id: int, nas_pdu: bytes, tai: dict, cgi: dict,
+                       cause: str = "mo-Signalling") -> S1apPdu:
+    return S1apPdu("initiatingMessage", PROC_INITIAL_UE_MESSAGE, "ignore", [
+        _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+        _ie(ID_NAS_PDU, "reject", bytes(nas_pdu)),
+        _ie(ID_TAI, "reject", tai),
+        _ie(ID_EUTRAN_CGI, "ignore", cgi),
+        _ie(ID_RRC_ESTABLISHMENT_CAUSE, "ignore", cause),
+    ])
+
+
+def downlink_nas_transport(mme_ue_id: int, enb_ue_id: int,
+                           nas_pdu: bytes) -> S1apPdu:
+    return S1apPdu("initiatingMessage", PROC_DOWNLINK_NAS_TRANSPORT,
+                   "ignore", [
+                       _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+                       _ie(ID_NAS_PDU, "reject", bytes(nas_pdu)),
+                   ])
+
+
+def uplink_nas_transport(mme_ue_id: int, enb_ue_id: int, nas_pdu: bytes,
+                         cgi: dict, tai: dict) -> S1apPdu:
+    return S1apPdu("initiatingMessage", PROC_UPLINK_NAS_TRANSPORT,
+                   "ignore", [
+                       _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+                       _ie(ID_NAS_PDU, "reject", bytes(nas_pdu)),
+                       _ie(ID_EUTRAN_CGI, "ignore", cgi),
+                       _ie(ID_TAI, "ignore", tai),
+                   ])
+
+
+def ue_context_release_command(mme_ue_id: int, enb_ue_id: int,
+                               cause=("nas", 0)) -> S1apPdu:
+    ids = ("pair", dict(mme_ue_id=mme_ue_id, enb_ue_id=enb_ue_id))
+    return S1apPdu("initiatingMessage", PROC_UE_CONTEXT_RELEASE, "reject", [
+        _ie(ID_UE_S1AP_IDS, "reject", ids),
+        _ie(ID_CAUSE, "ignore", cause),
+    ])
+
+
+def ue_context_release_request(mme_ue_id: int, enb_ue_id: int,
+                               cause=("radioNetwork", 21)) -> S1apPdu:
+    return S1apPdu("initiatingMessage", PROC_UE_CONTEXT_RELEASE_REQUEST,
+                   "ignore", [
+                       _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+                       _ie(ID_CAUSE, "ignore", cause),
+                   ])
+
+
+def paging(mmec: bytes, m_tmsi: bytes, tai: dict, cn_domain: str = "ps",
+           ue_identity_index: int = None) -> S1apPdu:
+    pid = ("s_tmsi", dict(mmec=bytes(mmec), m_tmsi=bytes(m_tmsi)))
+    if ue_identity_index is None:
+        # UE_ID mod 1024 (36.304 §7: index drives the paging frame)
+        ue_identity_index = int.from_bytes(m_tmsi, "big") % 1024
+    return S1apPdu("initiatingMessage", PROC_PAGING, "ignore", [
+        _ie(ID_UE_IDENTITY_INDEX, "ignore", ue_identity_index),
+        _ie(ID_UE_PAGING_ID, "ignore", pid),
+        _ie(ID_CN_DOMAIN, "ignore", cn_domain),
+        _ie(ID_TAI_LIST, "ignore", [tai]),
+    ])
 
 
 def encode_pdu(pdu: S1apPdu) -> bytes:

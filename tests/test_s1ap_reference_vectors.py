@@ -56,3 +56,93 @@ def test_generated_pdu_roundtrip():
     assert back.ies[1].value[0]["mme_codes"] == [bytes([0x02])]
     assert back.ies[2].value == 10
     assert s1ap.encode_pdu(back) == wire
+
+
+# ---- 36.413-conformant procedure PDUs (round-2 breadth) -------------------
+
+def _rt(pdu):
+    from srslte_emane_tpu.stack.asn1 import s1ap36413 as s1ap
+    wire = s1ap.encode_pdu(pdu)
+    got = s1ap.decode_pdu(wire)
+    assert got.pdu_type == pdu.pdu_type
+    assert got.procedure_code == pdu.procedure_code
+    assert [ (i.id, i.value) for i in got.ies ] == \
+           [ (i.id, i.value) for i in pdu.ies ]
+    assert s1ap.encode_pdu(got) == wire
+    return got
+
+
+def test_initial_ue_message_roundtrip():
+    from srslte_emane_tpu.stack.asn1 import s1ap36413 as s1ap
+    tai = dict(plmn=b"\x00\xf1\x10", tac=b"\x00\x07")
+    cgi = dict(plmn=b"\x00\xf1\x10", cell_id=0x19B0100)
+    got = _rt(s1ap.initial_ue_message(
+        42, b"\x07\x41\x01" + bytes(20), tai, cgi, "mo-Signalling"))
+    ies = {i.id: i.value for i in got.ies}
+    assert ies[s1ap.ID_ENB_UE_S1AP_ID] == 42
+    assert ies[s1ap.ID_TAI] == tai
+    assert ies[s1ap.ID_EUTRAN_CGI] == cgi
+    assert ies[s1ap.ID_RRC_ESTABLISHMENT_CAUSE] == "mo-Signalling"
+
+
+def test_nas_transport_roundtrips():
+    from srslte_emane_tpu.stack.asn1 import s1ap36413 as s1ap
+    tai = dict(plmn=b"\x00\xf1\x10", tac=b"\x12\x34")
+    cgi = dict(plmn=b"\x00\xf1\x10", cell_id=7)
+    _rt(s1ap.downlink_nas_transport(0x01020304, 77, b"\x07\x52" + bytes(17)))
+    _rt(s1ap.uplink_nas_transport(1, 2, b"\x07\x53\x08" + bytes(8), cgi, tai))
+
+
+def test_release_and_paging_roundtrips():
+    from srslte_emane_tpu.stack.asn1 import s1ap36413 as s1ap
+    _rt(s1ap.ue_context_release_command(0xFFFFFFFF, 0xFFFFFF, ("nas", 2)))
+    _rt(s1ap.ue_context_release_request(5, 6, ("radioNetwork", 21)))
+    tai = dict(plmn=b"\x00\xf1\x10", tac=b"\x00\x07")
+    got = _rt(s1ap.paging(b"\x1a", b"\xde\xad\xbe\xef", tai, "ps"))
+    ies = {i.id: i.value for i in got.ies}
+    assert ies[s1ap.ID_TAI_LIST] == [tai]
+    assert ies[s1ap.ID_UE_IDENTITY_INDEX] == 0xdeadbeef % 1024
+    # IMSI-flavoured paging identity
+    pdu = s1ap.S1apPdu("initiatingMessage", s1ap.PROC_PAGING, "ignore", [
+        s1ap.ProtocolIE(s1ap.ID_UE_PAGING_ID, "ignore",
+                        ("imsi", b"\x21\x43\x65\x87\x09\x21\x43\xf5")),
+        s1ap.ProtocolIE(s1ap.ID_CN_DOMAIN, "ignore", "cs"),
+    ])
+    _rt(pdu)
+
+
+def test_security_ies_roundtrip():
+    from srslte_emane_tpu.stack.asn1 import s1ap36413 as s1ap
+    pdu = s1ap.S1apPdu(
+        "initiatingMessage", s1ap.PROC_INITIAL_CONTEXT_SETUP, "reject", [
+            s1ap.ProtocolIE(s1ap.ID_MME_UE_S1AP_ID, "reject", 1000000),
+            s1ap.ProtocolIE(s1ap.ID_ENB_UE_S1AP_ID, "reject", 99),
+            s1ap.ProtocolIE(s1ap.ID_UE_SECURITY_CAPABILITIES, "reject",
+                            dict(eea=0xE000, eia=0x6000)),
+            s1ap.ProtocolIE(s1ap.ID_SECURITY_KEY, "reject",
+                            bytes(range(32))),
+        ])
+    _rt(pdu)
+
+
+def test_liblte_packed_paging_decodes_byte_exact():
+    """This hex was produced by the REFERENCE's own generated codec
+    (liblte_s1ap_pack_s1ap_pdu via scripts/s1ap_interop/pack_paging.cpp)
+    with mmec=0x1a, m-TMSI deadbeef, index 0x2BB, TAC 0007 — our decoder
+    must read it and re-encode identically (cross-codec agreement was
+    verified live for all five round-2 procedures; see
+    scripts/s1ap_interop/README.md)."""
+    from srslte_emane_tpu.stack.asn1 import s1ap36413 as s1ap
+    wire = bytes.fromhex(
+        "000a402700000400504002aec0002b400601a0deadbeef006d400100002e400b"
+        "00002f40060000f1100007")
+    got = s1ap.decode_pdu(wire)
+    assert got.procedure_code == s1ap.PROC_PAGING
+    ies = {i.id: i.value for i in got.ies}
+    assert ies[s1ap.ID_UE_IDENTITY_INDEX] == 0x2BB
+    assert ies[s1ap.ID_UE_PAGING_ID] == (
+        "s_tmsi", dict(mmec=b"\x1a", m_tmsi=b"\xde\xad\xbe\xef"))
+    assert ies[s1ap.ID_CN_DOMAIN] == "ps"
+    assert ies[s1ap.ID_TAI_LIST] == [dict(plmn=b"\x00\xf1\x10",
+                                          tac=b"\x00\x07")]
+    assert s1ap.encode_pdu(got) == wire
