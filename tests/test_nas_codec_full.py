@@ -133,3 +133,58 @@ def test_security_protected_wrapping():
     assert got["security_header"] == 2 and got["seq"] == 7
     assert got["inner"]["msg_name"] == "identity_request"
     assert nas.encode(got) == wire
+
+
+# ---- golden vectors packed by the REFERENCE's liblte_mme codec ------------
+# Produced by scripts/s1ap_interop/pack_nas.cpp (compiles liblte_mme.cc and
+# packs each message with fixed field values).  Our decoder must read every
+# byte-exact and re-encode identically — cross-codec interop in both
+# directions, like the S1AP harness.
+
+LIBLTE_VECTORS = {
+    "authentication_request":
+        "075202000102030405060708090a0b0c0d0e0f"
+        "106465666768696a6b6c6d6e6f70717273",
+    "authentication_reject": "0754",
+    "identity_request": "075501",
+    "security_mode_command": "075d220002e060c1",
+    "detach_request": "0745110bf600f11012341adeadbeef",
+    "service_reject": "074e275b25",
+    "guti_reallocation_command": "07500bf600f11000020301020304",
+    "emm_information": "076143078673f99c492d0245048373f91c",
+    "pdn_connectivity_request": "0201d011d1",
+    "esm_information_response": "0201da280908696e7465726e6574",
+}
+
+
+@pytest.mark.parametrize("name", sorted(LIBLTE_VECTORS))
+def test_liblte_packed_vector(name):
+    wire = bytes.fromhex(LIBLTE_VECTORS[name])
+    got = nas.decode(wire)
+    assert got["msg_name"] == name
+    assert nas.encode(got) == wire
+
+
+def test_liblte_vector_fields():
+    got = nas.decode(bytes.fromhex(LIBLTE_VECTORS["authentication_request"]))
+    assert got["ksi"] == (0, 2)
+    assert got["rand"] == bytes(range(16))
+    assert got["autn"] == bytes(range(100, 116))
+    got = nas.decode(bytes.fromhex(LIBLTE_VECTORS["security_mode_command"]))
+    assert got["selected_nas_algs"] == b"\x22"
+    assert got["replayed_ue_capabilities"] == b"\xe0\x60"
+    assert got["imeisv_request"] == 1
+    got = nas.decode(bytes.fromhex(LIBLTE_VECTORS["service_reject"]))
+    assert got["emm_cause"] == b"\x27" and got["t3442"] == b"\x25"
+    got = nas.decode(bytes.fromhex(LIBLTE_VECTORS["detach_request"]))
+    assert got["ksi_detach_type"] == (1, 1)
+    from srslte_emane_tpu.stack.asn1.nas24301 import parse_guti
+    g = parse_guti(got["eps_mobile_identity"])
+    assert g["mme_code"] == 0x1A and g["m_tmsi"] == 0xDEADBEEF
+    got = nas.decode(bytes.fromhex(LIBLTE_VECTORS["esm_information_response"]))
+    from srslte_emane_tpu.stack.asn1.nas24301 import parse_apn
+    assert parse_apn(got["apn"]) == "internet"
+    got = nas.decode(bytes.fromhex(
+        LIBLTE_VECTORS["pdn_connectivity_request"]))
+    assert got["pdn_request_type"] == (1, 1)
+    assert got["esm_info_transfer_flag"] == 1
