@@ -1047,11 +1047,17 @@ RR_CFG_DED = Seq([
 ])
 
 
-def _crit_ext_c1(inner: Seq) -> Choice:
-    """`criticalExtensions CHOICE {c1 CHOICE {x-r8, spare...}, future}`."""
+def _crit_ext_c1(inner: Seq, n_spares: int = 7) -> Choice:
+    """`criticalExtensions CHOICE {c1 CHOICE {x-r8, spare...}, future}`.
+
+    The spare count varies per message in 36.331 (7 for setup/reest/
+    reconfiguration/measurementReport, 3 for reject/release/SMC/enquiry/
+    dlInformationTransfer/...) and determines the c1 index width — the
+    wrong count shifts every following bit (caught by cross-decoding
+    rrc_asn1.cc-packed messages, scripts/s1ap_interop/pack_rrc.cpp)."""
     return Choice([
         ("c1", Choice([("r8", inner)] +
-                      [(f"spare{i}", Null()) for i in range(7, 0, -1)])),
+                      [(f"spare{i}", Null()) for i in range(n_spares, 0, -1)])),
         ("crit_exts_future", Seq([])),
     ])
 
@@ -1086,7 +1092,7 @@ RRC_CONN_REJECT = Seq([
     ("crit_exts", _crit_ext_c1(Seq([
         ("wait_time", Int(1, 16)),
         ("non_crit_ext", OctStr(), "?"),
-    ]))),
+    ]), n_spares=3)),
 ])
 
 DL_CCCH_MSG = Seq([
@@ -1316,11 +1322,11 @@ MOBILITY_CTRL_INFO = Seq([
 ], ext=True)
 
 SECURITY_ALGORITHM_CFG = Seq([
-    ("ciphering_algorithm", Enum(("eea0", "eea1", "eea2", "spare5",
+    ("ciphering_algorithm", Enum(("eea0", "eea1", "eea2", "eea3_v1130",
                                   "spare4", "spare3", "spare2", "spare1"),
                                  ext=True)),
     ("integrity_prot_algorithm", Enum(("eia0_v920", "eia1", "eia2",
-                                       "spare5", "spare4", "spare3",
+                                       "eia3_v1130", "spare4", "spare3",
                                        "spare2", "spare1"), ext=True)),
 ])
 
@@ -1456,7 +1462,7 @@ DL_DCCH_MSG = Seq([
                         ("ded_info_cdma2000_hrpd", OctStr()),
                     ])),
                     ("non_crit_ext", OctStr(), "?"),
-                ]))),
+                ]), n_spares=3)),
             ])),
             ("ho_from_eutra_prep_request", OctStr()),
             ("mob_from_eutra_cmd", OctStr()),
@@ -1477,7 +1483,7 @@ DL_DCCH_MSG = Seq([
                     ], ext=True), "?"),
                     ("idle_mode_mob_ctrl_info", OctStr(), "?"),
                     ("non_crit_ext", OctStr(), "?"),
-                ]))),
+                ]), n_spares=3)),
             ])),
             ("security_mode_cmd", Seq([
                 ("rrc_transaction_id", Int(0, 3)),
@@ -1486,7 +1492,7 @@ DL_DCCH_MSG = Seq([
                         ("security_algorithm_cfg", SECURITY_ALGORITHM_CFG),
                     ], ext=True)),
                     ("non_crit_ext", OctStr(), "?"),
-                ]))),
+                ]), n_spares=3)),
             ])),
             ("ue_cap_enquiry", Seq([
                 ("rrc_transaction_id", Int(0, 3)),
@@ -1495,7 +1501,7 @@ DL_DCCH_MSG = Seq([
                      SeqOf(Enum(("eutra", "utra", "geran_cs", "geran_ps",
                                  "cdma2000_1xrtt"), ext=True), 1, 8)),
                     ("non_crit_ext", OctStr(), "?"),
-                ]))),
+                ]), n_spares=3)),
             ])),
             ("counter_check", OctStr()),
             ("ue_info_request_r9", OctStr()),
@@ -1592,6 +1598,35 @@ UL_DCCH_MSG = Seq([
             ("mbms_count_resp_r10", OctStr()),
             ("inter_freq_rstd_meas_ind_r10", OctStr()),
         ])),
+        ("msg_class_ext", Seq([])),
+    ])),
+])
+
+# ---------------- PCCH (Paging, 36.331 §6.2.2) ----------------
+
+PAGING_UE_IDENTITY = Choice([
+    ("s_tmsi", Seq([
+        ("mmec", BitStr(8)),
+        ("m_tmsi", BitStr(32)),
+    ])),
+    ("imsi", SeqOf(Int(0, 9), 6, 21)),
+], ext=True)
+
+PAGING_RECORD = Seq([
+    ("ue_identity", PAGING_UE_IDENTITY),
+    ("cn_domain", Enum(("ps", "cs"))),
+], ext=True)
+
+PAGING = Seq([
+    ("paging_record_list", SeqOf(PAGING_RECORD, 1, 16), "?"),
+    ("sys_info_mod", Enum(("true",)), "?"),
+    ("etws_ind", Enum(("true",)), "?"),
+    ("non_crit_ext", OctStr(), "?"),
+])
+
+PCCH_MSG = Seq([
+    ("msg", Choice([
+        ("c1", Choice([("paging", PAGING)])),
         ("msg_class_ext", Seq([])),
     ])),
 ])

@@ -148,3 +148,60 @@ def test_mcch_area_configuration():
                   "0d8fdfffffffe22ffc385e61eca80000020210002005e61eca8000004042")
     alt, c1 = v["msg"]
     assert alt == "c1"
+
+
+# ---- golden vectors packed by the REFERENCE's generated rrc_asn1.cc -------
+# Produced by scripts/s1ap_interop/pack_rrc.cpp (compiles the reference's
+# 119k-LoC generated 36.331 codec and packs each message with fixed
+# values).  Cross-decoding these caught a real wire bug: the c1
+# criticalExtensions spare count varies per message (7 vs 3 spares = 3 vs
+# 2 index bits) and we used 7 everywhere.
+
+def test_refpacked_rrc_conn_reject():
+    v = roundtrip(rrc.DL_CCCH_MSG, "4120")
+    _, (name, m) = v["msg"]
+    assert name == "rrc_conn_reject"
+    assert m["crit_exts"] == ("c1", ("r8", {"wait_time": 10}))
+
+
+def test_refpacked_rrc_conn_release():
+    v = roundtrip(rrc.DL_DCCH_MSG, "2c02")
+    _, (name, m) = v["msg"]
+    assert name == "rrc_conn_release"
+    assert m["rrc_transaction_id"] == 2
+    assert m["crit_exts"][1][1]["release_cause"] == "other"
+
+
+def test_refpacked_ue_capability_enquiry():
+    v = roundtrip(rrc.DL_DCCH_MSG, "3a0000")
+    _, (name, m) = v["msg"]
+    assert name == "ue_cap_enquiry"
+    assert m["crit_exts"][1][1]["ue_cap_request"] == ["eutra"]
+
+
+def test_refpacked_security_mode_command():
+    v = roundtrip(rrc.DL_DCCH_MSG, "300220")
+    _, (name, m) = v["msg"]
+    assert name == "security_mode_cmd"
+    alg = m["crit_exts"][1][1]["security_cfg_smc"]["security_algorithm_cfg"]
+    assert alg == {"ciphering_algorithm": "eea2",
+                   "integrity_prot_algorithm": "eia2"}
+
+
+def test_refpacked_paging():
+    v = roundtrip(rrc.PCCH_MSG, "6001adeadbeef0")
+    _, (name, m) = v["msg"]
+    assert name == "paging"
+    rec = m["paging_record_list"][0]
+    assert rec["ue_identity"] == ("s_tmsi", {
+        "mmec": "00011010", "m_tmsi": "11011110101011011011111011101111"})
+    assert rec["cn_domain"] == "ps" and m["sys_info_mod"] == "true"
+
+
+def test_refpacked_dl_info_transfer():
+    v = roundtrip(rrc.DL_DCCH_MSG, "0e00283aa80d5e68")
+    _, (name, m) = v["msg"]
+    assert name == "dl_info_transfer"
+    assert m["rrc_transaction_id"] == 3
+    assert m["crit_exts"][1][1]["ded_info_type"] == (
+        "ded_info_nas", b"\x07\x55\x01\xab\xcd")
