@@ -98,6 +98,21 @@ def main():
                check=lambda o: np.asarray(o[1]).all() or (_ for _ in ()).throw(AssertionError("UL crc")))
     print(f"# UL 20MHz 16QAM: {batch/dt:.0f} sf/s ({batch/dt*tbs/1e6:.0f} Mb/s)", file=sys.stderr)
 
+    # --- carrier aggregation: 2x 20 MHz CCs in one compiled module ---
+    ca_cfg = pdsch_link.LinkConfig(
+        cell=grid_mod.CellConfig(n_prb=100, cell_id=1, cfi=1),
+        qm=6, code_rate=0.55, snr_db=20.0, sf_idx=1)
+    ca_step = pdsch_link.make_ca_link_step(ca_cfg, n_cc=2)
+    ca_payloads = jax.device_put(rng.integers(
+        0, 2, size=(2, batch, ca_cfg.tbs), dtype=np.int8))
+    ca_key = jax.random.PRNGKey(3)
+    dt = timed("ca_2cc_link", lambda p: ca_step(p, ca_key), ca_payloads,
+               check=lambda o: np.asarray(o[1]).all() or (_ for _ in ()).throw(
+                   AssertionError("ca crc")))
+    agg = 2 * batch / dt
+    print(f"# CA 2CC 20MHz e2e encode+decode: {agg:.0f} carrier-sf/s "
+          f"({agg*ca_cfg.tbs/1e6:.0f} Mb/s aggregate)", file=sys.stderr)
+
     print(json.dumps({k: round(batch / v, 1) for k, v in results.items()}))
 
 

@@ -165,6 +165,28 @@ def main(argv=None):
             d, ack, metric = det[r["rnti"]]
             r["pucch_ack"] = bool(d and ack == 1)
             r["pucch_db"] = round(metric, 1)
+        # UL data + aperiodic CQI: the DCI-0 csi_request path through the
+        # real PUSCH (UCI multiplexed per 36.212, decoded at the eNB)
+        up = wavesim.UlSchPlane(cell)
+        from ..phch import pusch as pusch_mod
+        ul_prb = max(2, args.prb // max(1, len(placed)) - 1)
+        while not pusch_mod.valid_n_prb(ul_prb):  # DFT sizes: 2^a 3^b 5^c
+            ul_prb -= 1
+        pls_ul = {}
+        for i, u in enumerate(placed):
+            up.add_ue(u.crnti, min(i * ul_prb, args.prb - ul_prb), ul_prb)
+            pls_ul[u.crnti] = float(
+                sysd["bus"].prop.pathloss_db[0, 1 + ues.index(u)])
+        wb = {u.crnti: min(15, max(1, int(round(
+            (up.tx_power_dbm - pls_ul[u.crnti] - up.noise_floor_dbm) / 2
+            + 2)))) for u in placed}
+        ul = up.step({u.crnti: (b"ul" * 6, wb[u.crnti]) for u in placed},
+                     pls_ul)
+        for r in results:
+            pkt, ok, cqi = ul[r["rnti"]]
+            r["pusch_ok"] = bool(ok and pkt == b"ul" * 6)
+            r["aperiodic_cqi"] = cqi
+            r["cqi_exact"] = bool(cqi == wb[r["rnti"]])
         wf_summary = results
 
     summary = dict(

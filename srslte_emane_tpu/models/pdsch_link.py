@@ -80,6 +80,35 @@ def make_link_step(cfg: LinkConfig):
     return jax.jit(functools.partial(link_step, cfg=cfg))
 
 
+def make_ca_link_step(cfg: LinkConfig, n_cc: int):
+    """Carrier-aggregation link step: n_cc component carriers as a leading
+    batched axis, each with its own cell identity (distinct scrambling
+    c_init + CRS sequences, as the UE's per-SCell cc_worker sees —
+    srsue/src/phy/scell/scell_recv.cc role).  Carriers are independent RF
+    channels, so on TPU the carrier axis is simply more batch: one compiled
+    module runs PCell + SCells together and throughput scales with n_cc.
+
+    payloads: (n_cc, B, tbs) -> (out (n_cc, B, tbs), ok (n_cc, B))."""
+    import dataclasses as _dc
+
+    cfgs = [
+        _dc.replace(cfg, cell=_dc.replace(cfg.cell,
+                                          cell_id=cfg.cell.cell_id + 3 * i))
+        for i in range(n_cc)
+    ]
+
+    def step(payloads, key):
+        outs, oks = [], []
+        for i, c in enumerate(cfgs):
+            out, ok, _ = link_step(payloads[i], jax.random.fold_in(key, i), c)
+            outs.append(out)
+            oks.append(ok)
+        import jax.numpy as jnp
+        return jnp.stack(outs), jnp.stack(oks)
+
+    return jax.jit(step)
+
+
 def make_link_step_sharded(cfg: LinkConfig, mesh):
     """link_step over an n-device mesh via shard_map: each device runs the
     whole pipeline on its local slice of the batch, so the compiled module

@@ -290,6 +290,96 @@ class UlControlPlane:
         return out
 
 
+class UlSchPlane:
+    """Waveform-mode PUSCH with aperiodic CQI multiplexed on UL-SCH: the
+    DCI-0 csi_request path carried through the REAL device PHY.
+
+    Reference behavior: `lib/src/phy/phch/pusch.c` UCI multiplexing +
+    `cqi.c` aperiodic HL-subband reporting; `srsenb/src/phy/sf_worker.cc`
+    decodes data and CQI from the same PUSCH.  Each UE's transmission runs
+    SC-FDMA encode (turbo + DFT precode) with the packed 36.212 §5.2.2.6
+    CQI report punctured in, AWGN at the link SNR, then the eNB-side MMSE
+    equalize + decode recovering payload AND report.
+
+    TPU design: one jitted graph per allocation shape; the (encode ->
+    channel -> decode) chain is a single compiled module per UE slot."""
+
+    def __init__(self, cell: grid_mod.CellConfig,
+                 noise_floor_dbm: float = -104.0, tx_power_dbm: float = 23.0):
+        self.cell = cell
+        self.noise_floor_dbm = noise_floor_dbm
+        self.tx_power_dbm = tx_power_dbm
+        self.slots: dict = {}  # rnti -> (rb_start, l_prb, qm)
+        self._key = jax.random.PRNGKey(5)
+        self.metrics = {"pusch_tx": 0, "pusch_crc_ok": 0, "cqi_rx": 0}
+
+    def add_ue(self, rnti: int, rb_start: int, l_prb: int, qm: int = 2):
+        self.slots[rnti] = (rb_start, l_prb, qm)
+
+    def _dims(self, rnti: int):
+        from ..phch import pusch, sch, uci as uci_codes
+
+        rb_start, l_prb, qm = self.slots[rnti]
+        n_cqi = 4 + 2 * uci_codes.cqi_hl_subband_size(self.cell.n_prb)
+        q_ack, q_ri, q_cqi, g_data = pusch.uci_dims(l_prb, qm, 0, 0, n_cqi)
+        tbs = max(8, (int(g_data * 0.4) - 24) // 8 * 8)
+        cfg = sch.SchConfig(tbs=tbs, G=g_data, Qm=qm, Nl=1)
+        return cfg, n_cqi, (q_ack, q_ri, q_cqi, 0, 0, n_cqi)
+
+    @functools.lru_cache(maxsize=None)
+    def _fn(self, rnti: int, sf_idx: int):
+        from ..phch import pusch
+
+        cell = self.cell
+        rb_start, l_prb, qm = self.slots[rnti]
+        cfg, n_cqi, dims = self._dims(rnti)
+
+        def run(payload, cqi_bits, key, snr_db):
+            g = pusch.encode(payload, cfg, cell, sf_idx, rnti, rb_start,
+                             l_prb, uci=dict(cqi=cqi_bits))
+            t = ofdm.modulate(g, cell.n_prb)
+            rx = channel.awgn(key, t, snr_db)
+            rg = ofdm.demodulate(rx, cell.n_prb)
+            return pusch.decode(rg, cfg, cell, sf_idx, rnti, rb_start,
+                                l_prb, uci_dims_in=dims)
+
+        return jax.jit(run), cfg, n_cqi
+
+    def step(self, tx: dict, pathloss_db: dict, sf_idx: int = 4):
+        """tx: {rnti: (payload_bytes, wb_cqi_int)}.  Returns
+        {rnti: (payload_bytes|None, crc_ok, decoded_wb_cqi|None)}."""
+        from ..phch import uci as uci_codes
+
+        out = {}
+        for rnti, (pkt, wb_cqi) in tx.items():
+            fn, cfg, n_cqi = self._fn(rnti, sf_idx)
+            payload = np.zeros((1, cfg.tbs), np.int8)
+            raw = bits_mod.bytes_to_bits(pkt[: cfg.tbs // 8])
+            payload[0, : raw.size] = raw
+            n_sb = uci_codes.cqi_hl_subband_size(self.cell.n_prb)
+            bits = uci_codes.pack_cqi_hl_subband(wb_cqi, [0] * n_sb,
+                                                 self.cell.n_prb)
+            cqi = np.asarray(bits, np.int8)[None, :n_cqi]
+            snr_db = (self.tx_power_dbm - pathloss_db[rnti]
+                      - self.noise_floor_dbm)
+            self._key, sub = jax.random.split(self._key)
+            res = fn(jnp.asarray(payload), jnp.asarray(cqi), sub,
+                     float(snr_db))
+            ok = bool(np.asarray(res["ok"])[0])
+            self.metrics["pusch_tx"] += 1
+            if not ok:
+                out[rnti] = (None, False, None)
+                continue
+            self.metrics["pusch_crc_ok"] += 1
+            got = bits_mod.bits_to_bytes(
+                np.asarray(res["payload"][0]))[: len(pkt)]
+            rep = uci_codes.unpack_cqi_hl_subband(
+                np.asarray(res["cqi"][0]), self.cell.n_prb)
+            self.metrics["cqi_rx"] += 1
+            out[rnti] = (bytes(got), True, rep["wideband_cqi"])
+        return out
+
+
 class MimoDataPlane:
     """TM3 2x2 open-loop spatial-multiplexing DL data plane: two transport
     blocks per subframe per UE through the full device pipeline —

@@ -90,3 +90,25 @@ def test_mimo_tm3_data_plane():
     assert all(o == p for o, p in zip(out, pdus)), dp.metrics
     out2 = dp.send(0x50, pdus[:2], pathloss_db=135.0)
     assert all(o is None for o in out2)
+
+
+def test_ulsch_plane_pusch_with_aperiodic_cqi():
+    """UL-SCH waveform plane: PUSCH data + the 36.212 aperiodic HL-subband
+    CQI report multiplexed and both recovered at the eNB (pusch.c UCI mux
+    + cqi.c aperiodic path through the device)."""
+    from srslte_emane_tpu.phch import grid as grid_mod
+    from srslte_emane_tpu.runtime import wavesim
+
+    cell = grid_mod.CellConfig(n_prb=25, cell_id=1)
+    up = wavesim.UlSchPlane(cell)
+    up.add_ue(0x46, 0, 8, qm=2)
+    up.add_ue(0x47, 8, 8, qm=2)
+    out = up.step({0x46: (b"hello-ul-world!!", 9),
+                   0x47: (b"second-ue-pusch!", 12)},
+                  {0x46: 100.0, 0x47: 105.0})
+    assert out[0x46] == (b"hello-ul-world!!", True, 9)
+    assert out[0x47] == (b"second-ue-pusch!", True, 12)
+    assert up.metrics["cqi_rx"] == 2
+    # cell-edge pathloss: CRC fails cleanly, no CQI claimed
+    far = up.step({0x46: (b"hello-ul-world!!", 9)}, {0x46: 145.0})
+    assert far[0x46] == (None, False, None)
