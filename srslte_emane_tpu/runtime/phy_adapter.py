@@ -233,8 +233,11 @@ class UePhyAdapter:
         self._dorm_w = -1  # stride window of the cached dormancy state
         self._dorm = False
         self._listen_cache = frozenset()
-        # sleep/wake scheduling (ttiloop skips us between wakes)
+        # sleep/wake scheduling (ttiloop skips us between wakes); the
+        # stride adapts upward with consecutive quiet windows (DRX short ->
+        # long cycle, 36.321 §5.7 role)
         self._sleep_until = 0
+        self._quiet = 0
         self._last_tick_tti = None
         self._tick_n = getattr(stack, "tick_n", None)
         # seed the serving cell so idle-mode reselection has a baseline
@@ -294,8 +297,12 @@ class UePhyAdapter:
                 and not st.gw_tx and not st.ul_ccch
                 and (st.mac_state != "CONNECTED"
                      or not st._pending_ul_bytes())):
-            self._sleep_until = tti + self.LITE_STRIDE \
-                - ((tti + self.node_id) % self.LITE_STRIDE)
+            # consecutive quiet windows double the stride (8 -> 64): a
+            # long-idle UE wakes ~16x/s for sync sampling, an active one
+            # returns to the short cycle instantly via the else branch
+            stride = self.LITE_STRIDE << min(self._quiet >> 1, 3)
+            self._quiet += 1
+            self._sleep_until = tti + stride - ((tti + self.node_id) % stride)
             # register with the bus: sleeping receivers get no delivery
             # (and no SINR testers) for unaddressed serving-cell frames.
             # The adapter's own skip-filter cache must agree (a stale set
@@ -308,6 +315,7 @@ class UePhyAdapter:
                 set_sleep(self.node_id, self._sleep_until, listen,
                           self.serving_cell)
         else:
+            self._quiet = 0
             if self._sleep_until:
                 clear = getattr(self.bus, "clear_sleep", None)
                 if clear is not None:

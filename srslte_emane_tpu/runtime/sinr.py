@@ -45,13 +45,40 @@ CONTROL_MARGIN_DB = {
 }
 
 
+class _TrackedArray(np.ndarray):
+    """ndarray view that bumps its owner's version on every __setitem__ —
+    lets the adjudication cache detect pathloss edits (test mobility
+    scripts write `prop.pathloss_db[i, j] = v` directly) in O(1) instead
+    of snapshot-comparing the full N x N matrix every TTI."""
+
+    def __array_finalize__(self, obj):
+        self._owner = getattr(obj, "_owner", None)
+
+    def __setitem__(self, key, value):
+        owner = self._owner
+        if owner is not None:
+            owner._version += 1
+        np.ndarray.__setitem__(self, key, value)
+
+
 @dataclasses.dataclass
 class Propagation:
     """Static-per-TTI propagation state for N nodes.
 
-    pathloss_db: (N, N) tx->rx pathloss (dB); noise_floor_dbm: scalar."""
+    pathloss_db: (N, N) tx->rx pathloss (dB); noise_floor_dbm: scalar.
+    The matrix is COPIED at construction; edit it in place through
+    `prop.pathloss_db[i, j] = v` (mobility scripts, RLF tests) — those
+    writes are version-tracked so the per-TTI adjudication cache
+    invalidates in O(1).  Writes to the array originally passed in have
+    no effect."""
     pathloss_db: np.ndarray
     noise_floor_dbm: float = -110.0
+
+    def __post_init__(self):
+        self._version = 0
+        arr = np.array(self.pathloss_db, np.float32).view(_TrackedArray)
+        arr._owner = self
+        self.pathloss_db = arr
 
 
 def per_rb_sinr(tx_power_dbm, prb_used, pathloss_db, noise_floor_dbm,
@@ -188,13 +215,11 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None,
     pathloss edit (mobility, RLF tests) is caught by snapshot compare and
     flushes the cache."""
     cache = getattr(prop, "_adj_cache", None)
-    if cache is None:
+    sig = (id(prop.pathloss_db), getattr(prop, "_version", 0))
+    if cache is None or prop._adj_sig != sig:
         cache = {}
         prop._adj_cache = cache
-        prop._pl_snapshot = prop.pathloss_db.copy()
-    elif not np.array_equal(prop.pathloss_db, prop._pl_snapshot):
-        cache.clear()
-        prop._pl_snapshot = prop.pathloss_db.copy()
+        prop._adj_sig = sig
     out = {}
     domains = sorted({(f.txc.is_downlink, f.txc.freq_idx) for f in frames})
     for dom in domains:
@@ -214,7 +239,18 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None,
             for f in group:
                 want_rx.update(recv.get(id(f), ()))
             rx_ids = [n for n in rx_ids if n in want_rx]
-        key = (dom, n_prb, tuple(rx_ids), tuple(
+        # interned rx tuple (tuples cache their hash): the receiver set
+        # recurs TTI after TTI, so key hashing must not re-walk it
+        memo = getattr(prop, "_rxids_memo", None)
+        if memo is None:
+            memo = prop._rxids_memo = {}
+        m = memo.get(dom)
+        if m is not None and m[0] == rx_ids:
+            rx_t = m[1]
+        else:
+            rx_t = tuple(rx_ids)
+            memo[dom] = (rx_ids, rx_t)
+        key = (dom, n_prb, rx_t, tuple(
             (f.src, f.txc.reference_signal_power_mw, f.txc.phy_cell_id,
              not f.txc.channels, _frame_occ(f).tobytes(),
              tuple(recv[id(f)]) if recv is not None else None)

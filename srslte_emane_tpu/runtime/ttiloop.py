@@ -5,9 +5,20 @@ pace one TTI per ms, RX->TX turnaround 4 ms (TX_DELAY, common.h:45).
 
 Here one loop steps every node each TTI (faster than real time unless the bus
 is paced); nodes are the phy adapters which pull/push through their stacks.
+
+Deployment-scale design: the loop is EVENT-DRIVEN over sleeping nodes.  A
+node that schedules a sleep window (`_sleep_until`, the DRX-like dormant
+stride of the UE phy adapter) is removed from the per-TTI run list and
+re-inserted by a wake calendar at its wake TTI — or immediately when the bus
+delivers it a frame (paging, a grant, a neighbor subframe).  Per-TTI cost is
+O(active + woken), not O(nodes): at 200+ registered-idle UEs almost the
+whole population is asleep almost every TTI.  Wake times are tracked on an
+absolute (non-wrapping) clock so the 10240-TTI wrap cannot stall a sleeper.
 """
 
 from __future__ import annotations
+
+import collections
 
 
 class Network:
@@ -20,15 +31,45 @@ class Network:
         return node
 
     def run(self, n_ttis: int):
-        # sleep/wake: a node may skip TTIs that carry nothing for it
-        # (dormant UEs at deployment scale); timers catch up on its next
-        # real run.  Probe/run pairs bound once per run() call.
-        pairs = [(getattr(n, "skip_tti", None), n.run_tti)
-                 for n in self.nodes]
-        step = self.bus.step_tti
-        for _ in range(n_ttis):
-            tti = self.bus.curr_tti
-            for probe, run in pairs:
-                if probe is None or not probe(tti):
-                    run(tti)
+        bus = self.bus
+        step = bus.step_tti
+        take_woken = getattr(bus, "take_woken", None)
+        # nodes without sleep support (eNB adapters) run every TTI
+        always = [n for n in self.nodes if not hasattr(n, "_sleep_until")]
+        sleepers = [n for n in self.nodes if hasattr(n, "_sleep_until")]
+        by_id = {n.node_id: n for n in sleepers}
+        # external events between run() calls (gw_send app traffic) must be
+        # seen: everyone starts awake and re-sleeps if still dormant
+        active = list(sleepers)
+        for n in active:
+            n._sleep_until = 0
+            n._asleep = False
+        calendar = collections.defaultdict(list)
+        for abs_t in range(n_ttis):
+            tti = bus.curr_tti
+            for n in always:
+                n.run_tti(tti)
+            for n in calendar.pop(abs_t, ()):
+                if n._asleep:  # not already woken early by a delivery
+                    n._asleep = False
+                    active.append(n)
+            still = []
+            for n in active:
+                n.run_tti(tti)
+                su = n._sleep_until
+                if su > tti + 1:  # sleeps through at least the next TTI
+                    n._asleep = True
+                    calendar[abs_t + (su - tti)].append(n)
+                else:
+                    still.append(n)
+            active = still
             step()
+            if take_woken is not None:
+                for nid in take_woken():
+                    n = by_id.get(nid)
+                    if n is not None and n._asleep:
+                        # delivery while sleeping: stale calendar entry may
+                        # fire later as a harmless spurious wake
+                        n._asleep = False
+                        n._sleep_until = 0
+                        active.append(n)

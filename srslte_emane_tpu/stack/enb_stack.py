@@ -185,6 +185,10 @@ class EnbStack:
         # same idea for the UL: only rntis with msg3/SR/BSR/retx state are
         # visited by get_ul_sched (O(active), not O(UEs), per TTI)
         self._ul_hint = set()
+        # and for DL HARQ: only rntis with in-flight processes (harq_fifo /
+        # harq_retx_q non-empty) are visited by the per-TTI DTX-expiry and
+        # retransmission scans
+        self._harq_hint = set()
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
@@ -276,6 +280,7 @@ class EnbStack:
             else:
                 h.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
                 h.harq_retx_q.append(pid)
+                self._harq_hint.add(rnti)
                 self.metrics["harq_retx"] += 1
 
     def cqi_info(self, tti, rnti, cqi: int, ri: int = None, pmi: int = None,
@@ -446,7 +451,12 @@ class EnbStack:
         # was lost) is treated as NACKed after a timeout — otherwise all 8
         # processes wedge and the UE starves forever.
         DTX_TIMEOUT = 12
-        for rnti, u in self.ues.items():
+        harq_rntis = sorted(self._harq_hint)
+        for rnti in harq_rntis:
+            u = self.ues.get(rnti)
+            if u is None:
+                self._harq_hint.discard(rnti)
+                continue
             while (u.harq_fifo and
                    tti - u.harq_tx_tti.get(u.harq_fifo[0], tti) > DTX_TIMEOUT):
                 pid = u.harq_fifo.popleft()
@@ -460,7 +470,10 @@ class EnbStack:
                     u.dl_harq[pid] = (payload, n_prb, mcs, n_tx + 1)
                     u.harq_retx_q.append(pid)
                     self.metrics["harq_dtx_retx"] += 1
-        for rnti, u in self.ues.items():
+        for rnti in harq_rntis:
+            u = self.ues.get(rnti)
+            if u is None:
+                continue
             while u.harq_retx_q and cursor < self.n_prb:
                 pid = u.harq_retx_q[0]
                 if pid not in u.dl_harq:
@@ -487,6 +500,10 @@ class EnbStack:
                                       mcs=mcs_tx, payload=payload,
                                       harq_pid=pid, rv=RV_SEQ[(n_tx - 1) % 4],
                                       l_aggr=la[0], cce_start=la[1]))
+        for rnti in harq_rntis:
+            u = self.ues.get(rnti)
+            if u is not None and not u.harq_fifo and not u.harq_retx_q:
+                self._harq_hint.discard(rnti)
         # SCell activation (36.321 §5.13): a configured-but-inactive SCell
         # activates when DL backlog appears; the Activation/Deactivation CE
         # rides the UE's next PCell MAC PDU
@@ -604,6 +621,7 @@ class EnbStack:
                 u.dl_harq[pid] = (payload, n_prb, mcs, 1)
                 u.harq_fifo.append(pid)
                 u.harq_tx_tti[pid] = tti
+                self._harq_hint.add(rnti)
                 u.avg_thr = self._pf_avg(u, tti) + PF_ALPHA * 8 * n_bytes
                 u.pf_tti = tti
                 grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
@@ -783,10 +801,13 @@ class EnbStack:
             if u is None:
                 continue
             ent = getattr(u, "ul_harq_ent", None)
+            # a completed UL HARQ entity (no retx due) does NOT pin the
+            # hint: a later PUSCH CRC failure re-adds the rnti when it
+            # sets retx_due (ul_crc_info) — otherwise every UE that ever
+            # transmitted stays in the per-TTI UL scan forever
             if not (getattr(u, "msg3_grant", False) or getattr(u, "sr", False)
                     or getattr(u, "bsr", 0) > 0
-                    or (ent is not None and ent.get("retx_due"))
-                    or ent is not None):
+                    or (ent is not None and ent.get("retx_due"))):
                 self._ul_hint.discard(rnti)
         return grants
 

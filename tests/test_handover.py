@@ -176,7 +176,7 @@ def test_network_pushed_meas_config_controls_a3():
         assert ue.metrics.get("meas_config_applied", 0) >= 1
         assert ue.meas_cfg.a3_offset_db == offset
         # B becomes 6 dB better than serving A
-        pl[1, 2] = pl[2, 1] = 68.0
+        prop.pathloss_db[1, 2] = prop.pathloss_db[2, 1] = 68.0
         # DL traffic keeps serving SNR sampled
         for _ in range(10):
             spgw.handle_sgi_pdu(spgw_mod.make_ipv4("8.8.8.8", ue.ip_addr,
