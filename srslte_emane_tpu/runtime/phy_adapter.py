@@ -297,10 +297,13 @@ class UePhyAdapter:
                 and not st.gw_tx and not st.ul_ccch
                 and (st.mac_state != "CONNECTED"
                      or not st._pending_ul_bytes())):
-            # consecutive quiet windows double the stride (8 -> 64): a
-            # long-idle UE wakes ~16x/s for sync sampling, an active one
-            # returns to the short cycle instantly via the else branch
-            stride = self.LITE_STRIDE << min(self._quiet >> 1, 3)
+            # consecutive quiet windows double the stride (8 -> 512): a
+            # long-idle UE wakes ~2x/s for sync sampling, an active one
+            # returns to the short cycle instantly via the else branch.
+            # Long strides are safe because any frame actually delivered
+            # to a sleeper (paging, grant, neighbor subframe) wakes it
+            # immediately through the bus's listen-RNTI index.
+            stride = self.LITE_STRIDE << min(self._quiet >> 1, 6)
             self._quiet += 1
             self._sleep_until = tti + stride - ((tti + self.node_id) % stride)
             # register with the bus: sleeping receivers get no delivery

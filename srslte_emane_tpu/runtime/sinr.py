@@ -225,20 +225,32 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None,
     for dom in domains:
         group = [f for f in frames
                  if (f.txc.is_downlink, f.txc.freq_idx) == dom]
-        rx_ids = node_ids
-        if roles is not None:
-            # the EMANE hub's role filter: downlink frames are only ever
-            # decoded by UEs, uplink frames only by eNBs — skip the
-            # (T x R) SINR work and tester objects for the rest
-            want = "ue" if dom[0] else "enb"
-            rx_ids = [n for n in node_ids if roles.get(n) == want]
         if recv is not None:
             # receiver pruning from the bus's sleep registry: tester
-            # objects only for pairs that will actually be delivered
+            # objects only for pairs that will actually be delivered.
+            # recv was built role-aware by the bus, so the receiver list
+            # IS the delivered union — no O(nodes) role scan per TTI.
             want_rx = set()
             for f in group:
                 want_rx.update(recv.get(id(f), ()))
-            rx_ids = [n for n in rx_ids if n in want_rx]
+            rx_ids = sorted(want_rx)
+        elif roles is not None:
+            # the EMANE hub's role filter: downlink frames are only ever
+            # decoded by UEs, uplink frames only by eNBs — skip the
+            # (T x R) SINR work and tester objects for the rest.  The
+            # role partition is static: memoize it instead of calling
+            # roles.get for every node every TTI.
+            part = getattr(prop, "_role_rx", None)
+            if part is None or part[0] is not roles or part[1] is not node_ids:
+                part = (roles, node_ids,
+                        {True: [n for n in node_ids
+                                if roles.get(n) == "ue"],
+                         False: [n for n in node_ids
+                                 if roles.get(n) == "enb"]})
+                prop._role_rx = part
+            rx_ids = part[2][bool(dom[0])]
+        else:
+            rx_ids = node_ids
         # interned rx tuple (tuples cache their hash): the receiver set
         # recurs TTI after TTI, so key hashing must not re-walk it
         memo = getattr(prop, "_rxids_memo", None)
@@ -250,11 +262,18 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None,
         else:
             rx_t = tuple(rx_ids)
             memo[dom] = (rx_ids, rx_t)
+        if recv is not None:
+            # the bus interns receiver tuples per (src, domain): reuse
+            # them as key components instead of re-tupling per TTI
+            rcv_of = [recv[id(f)] for f in group]
+            rcv_of = [r if isinstance(r, tuple) else tuple(r)
+                      for r in rcv_of]
+        else:
+            rcv_of = [None] * len(group)
         key = (dom, n_prb, rx_t, tuple(
             (f.src, f.txc.reference_signal_power_mw, f.txc.phy_cell_id,
-             not f.txc.channels, _frame_occ(f).tobytes(),
-             tuple(recv[id(f)]) if recv is not None else None)
-            for f in group))
+             not f.txc.channels, _frame_occ(f).tobytes(), rcv)
+            for f, rcv in zip(group, rcv_of)))
         by_t = cache.get(key)
         if by_t is None:
             by_t = _adjudicate_group(group, prop, n_prb, rx_ids,

@@ -189,6 +189,9 @@ class EnbStack:
         # harq_retx_q non-empty) are visited by the per-TTI DTX-expiry and
         # retransmission scans
         self._harq_hint = set()
+        # rntis whose RLC entities may hold timer state (rx state or
+        # unacked AM data): the only UEs tick() visits per TTI
+        self._tick_set = set()
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
@@ -337,13 +340,17 @@ class EnbStack:
         the same subframe never overlap in PRBs, and every DCI is placed on
         collision-free CCEs from its RNTI's true search space — when the
         control region fills, remaining UEs defer to a later TTI."""
+        # every RLC write site raises _dl_hint; capture it into the RLC
+        # timer registry BEFORE serving drains the hint (AM drains create
+        # tx_window state that needs t-PollRetransmit ticks)
+        self._tick_set |= self._dl_hint
         grants = []
         cursor = 0
 
         # hint-driven pending scan: only rntis touched by an RLC write are
-        # checked each TTI; a periodic full rescan (every 64 TTIs) bounds
+        # checked each TTI; a periodic full rescan (every 512 TTIs) bounds
         # starvation if a write site ever misses the hint
-        if tti % 64 == 1:
+        if tti % 512 == 1:
             self._dl_hint.update(self.ues.keys())
         data_pending = []
         for r in list(self._dl_hint):
@@ -733,7 +740,7 @@ class EnbStack:
         SR/BSR grants."""
         grants = []
         cursor = 0
-        if tti % 64 == 1:  # backstop for any hint site missed
+        if tti % 512 == 1:  # backstop for any hint site missed
             self._ul_hint.update(self.ues.keys())
         hinted = sorted(self._ul_hint)
         for rnti in hinted:
@@ -820,18 +827,34 @@ class EnbStack:
         return self.cell_pci
 
     def tick(self):
-        # tick only entities that CAN have timer work (rx state or unacked
-        # data), with the active list rebuilt every 16 TTIs — fully idle
-        # bearers (most of a 200-UE cell) cost nothing per TTI
+        # event-driven: only UEs whose RLC entities CAN have timer work
+        # (rx state or unacked data) are visited.  rntis enter through
+        # the _dl_hint funnel (every RLC write site raises it; the union
+        # happens in get_dl_sched before the hint is drained) and leave
+        # when their entities go fully idle — a 1000-UE registered-idle
+        # cell costs nothing here.  A 256-TTI full rescan backstops any
+        # missed mutation site.
         self._tick_count = getattr(self, "_tick_count", 0) + 1
-        active = getattr(self, "_tick_active", None)
-        if active is None or self._tick_count % 16 == 0:
-            active = [(r, e) for r, u in self.ues.items()
-                      for e in u.rlc.values() if e.needs_tick()]
-            self._tick_active = active
-        for r, e in active:
-            if e.timer_tick():
-                self._dl_hint.add(r)  # timer created pending data
+        if self._tick_count % 256 == 0:
+            self._tick_set.update(
+                r for r, u in self.ues.items()
+                if any(e.needs_tick() for e in u.rlc.values()))
+        drop = None
+        for r in self._tick_set:
+            u = self.ues.get(r)
+            live = False
+            if u is not None:
+                for e in u.rlc.values():
+                    if e.needs_tick():
+                        live = True
+                        if e.timer_tick():
+                            self._dl_hint.add(r)  # timer created data
+            if not live:
+                if drop is None:
+                    drop = []
+                drop.append(r)
+        if drop:
+            self._tick_set.difference_update(drop)
 
     def _alloc(self, n):
         return tuple(1 if i < n else 0 for i in range(self.n_prb))
