@@ -2,9 +2,12 @@
 processes — the SCTP/S1AP and GTP-C transport role.
 
 Reference behavior: S1-MME rides SCTP (srsenb/src/stack/upper/s1ap.cc,
-srsepc/src/mme/s1ap.cc); here the same typed messages (epc/mme.py dataclasses
-via stack/codec or pickle) ride length-prefixed frames over TCP, with a
-server dispatching dotted method paths onto a served object.
+srsepc/src/mme/s1ap.cc); here the NAS-transport and UE-context procedures
+cross the wire as REAL 36.413 APER S1AP PDUs (epc/s1ap_wire.py bridging the
+typed epc/mme.py dataclasses to the capture-proven stack/asn1/s1ap36413
+codec), framed length-prefixed over TCP (this kernel has no SCTP support);
+remaining procedures ride as typed messages, with a server dispatching
+dotted method paths onto a served object.
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ import socket
 import struct
 import threading
 
+from ..epc import s1ap_wire
 from ..utils import wire
 
 
@@ -60,6 +64,8 @@ class RpcServer:
                 conn, _ = self.srv.accept()
             except socket.timeout:
                 continue
+            except OSError:
+                break  # stop() closed the listening socket
             threading.Thread(target=self._serve_conn, args=(conn,),
                              daemon=True).start()
 
@@ -70,9 +76,10 @@ class RpcServer:
                 target = self.obj
                 for part in req["path"].split("."):
                     target = getattr(target, part)
+                args = s1ap_wire.decode_args(req["path"], req["args"])
                 with self.lock:
                     try:
-                        result = target(*req["args"], **req.get("kwargs", {}))
+                        result = target(*args, **req.get("kwargs", {}))
                         _send(conn, dict(ok=True, result=result))
                     except Exception as e:  # propagate to caller
                         _send(conn, dict(ok=False, error=repr(e)))
@@ -92,6 +99,7 @@ class RpcClient:
         self.lock = threading.Lock()
 
     def call(self, path: str, *args, **kwargs):
+        args = s1ap_wire.encode_args(path, args)
         with self.lock:
             _send(self.sock, dict(path=path, args=args, kwargs=kwargs))
             resp = _recv(self.sock)

@@ -1,0 +1,160 @@
+"""Real 36.413 APER S1AP PDUs on the live inter-process S1-MME wire.
+
+Reference behavior: srsenb/srsepc exchange actual S1AP APER bytes over
+SCTP (`srsenb/src/stack/upper/s1ap.cc`, `srsepc/src/mme/s1ap.cc`,
+encoded by `lib/src/asn1/liblte_s1ap.cc`).  Here the NAS-transport and
+UE-context procedures ride the wire as the same spec bytes, produced and
+parsed by the capture-proven `stack/asn1/s1ap36413.py` codec (byte-exact
+against the reference's s1ap_test.cc vectors); this module is the bridge
+between the typed `epc/mme.py` dataclasses the stacks exchange in-process
+and those on-the-wire PDUs.  SCTP itself is unavailable in this kernel
+(IPPROTO_SCTP -> EPROTONOSUPPORT), so the PDUs ride the length-prefixed
+TCP framing of `apps/rpc.py` — the byte payloads are unchanged.
+
+Procedures not yet expressible in the codec (InitialContextSetup's E-RAB
+list, the handover containers) continue as typed RPC arguments.
+"""
+
+from __future__ import annotations
+
+from ..stack.asn1 import s1ap36413 as s1
+from . import mme as mme_mod
+
+# emulation-wide defaults (netsim single-PLMN): mcc 001 / mnc 01, tac 1
+PLMN = bytes.fromhex("00f110")
+TAI = dict(plmn=PLMN, tac=(1).to_bytes(2, "big"))
+
+
+def _cgi(cell_id: int = 0x0100) -> dict:
+    return dict(plmn=PLMN, cell_id=cell_id)
+
+
+def _ies(pdu: s1.S1apPdu) -> dict:
+    return {ie.id: ie.value for ie in pdu.ies}
+
+
+# UEContextReleaseCommand.cause strings <-> 36.413 Cause (group, value);
+# the eNB ignores the cause, so unmapped strings go through "nas"/0
+_CAUSE_TO_WIRE = {
+    "user-inactivity": ("radioNetwork", 20),
+    "cs-fallback-triggered": ("radioNetwork", 14),
+    "detach": ("nas", 2),
+    "normal-release": ("nas", 0),
+}
+_CAUSE_FROM_WIRE = {v: k for k, v in _CAUSE_TO_WIRE.items()}
+
+
+def _enc_initial_ue(msg: mme_mod.InitialUEMessage) -> bytes:
+    return s1.encode_pdu(s1.initial_ue_message(
+        msg.enb_ue_id, msg.nas_pdu, TAI, _cgi()))
+
+
+def _dec_initial_ue(data: bytes) -> mme_mod.InitialUEMessage:
+    ies = _ies(s1.decode_pdu(data))
+    return mme_mod.InitialUEMessage(
+        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID], nas_pdu=ies[s1.ID_NAS_PDU])
+
+
+def _enc_ul_nas(msg: mme_mod.UplinkNASTransport) -> bytes:
+    return s1.encode_pdu(s1.uplink_nas_transport(
+        msg.mme_ue_id, msg.enb_ue_id, msg.nas_pdu, _cgi(), TAI))
+
+
+def _dec_ul_nas(data: bytes) -> mme_mod.UplinkNASTransport:
+    ies = _ies(s1.decode_pdu(data))
+    return mme_mod.UplinkNASTransport(
+        mme_ue_id=ies[s1.ID_MME_UE_S1AP_ID],
+        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID], nas_pdu=ies[s1.ID_NAS_PDU])
+
+
+def _enc_dl_nas(msg: mme_mod.DownlinkNASTransport) -> bytes:
+    return s1.encode_pdu(s1.downlink_nas_transport(
+        msg.mme_ue_id, msg.enb_ue_id, msg.nas_pdu))
+
+
+def _dec_dl_nas(data: bytes) -> mme_mod.DownlinkNASTransport:
+    ies = _ies(s1.decode_pdu(data))
+    return mme_mod.DownlinkNASTransport(
+        mme_ue_id=ies[s1.ID_MME_UE_S1AP_ID],
+        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID], nas_pdu=ies[s1.ID_NAS_PDU])
+
+
+def _enc_release(msg: mme_mod.UEContextReleaseCommand) -> bytes:
+    cause = _CAUSE_TO_WIRE.get(msg.cause, ("nas", 0))
+    return s1.encode_pdu(s1.ue_context_release_command(
+        msg.mme_ue_id, msg.enb_ue_id, cause))
+
+
+def _dec_release(data: bytes) -> mme_mod.UEContextReleaseCommand:
+    ies = _ies(s1.decode_pdu(data))
+    kind, ids = ies[s1.ID_UE_S1AP_IDS]
+    if kind == "pair":
+        mme_id, enb_id = ids["mme_ue_id"], ids["enb_ue_id"]
+    else:  # mME-UE-S1AP-ID choice alternative
+        mme_id, enb_id = ids, 0
+    cause = _CAUSE_FROM_WIRE.get(tuple(ies.get(s1.ID_CAUSE, ("nas", 0))),
+                                 "normal-release")
+    return mme_mod.UEContextReleaseCommand(
+        mme_ue_id=mme_id, enb_ue_id=enb_id, cause=cause)
+
+
+def _enc_page(ue_identity: int, cn_domain: str = "ps") -> bytes:
+    return s1.encode_pdu(s1.paging(
+        mmec=b"\x01", m_tmsi=int(ue_identity).to_bytes(4, "big"),
+        tai=TAI, cn_domain=cn_domain))
+
+
+def _dec_page(data: bytes) -> tuple:
+    ies = _ies(s1.decode_pdu(data))
+    _kind, pid = ies[s1.ID_UE_PAGING_ID]
+    ident = int.from_bytes(pid["m_tmsi"], "big")
+    return ident, ies.get(s1.ID_CN_DOMAIN, "ps")
+
+
+# RPC path -> (argument index of the message, encoder, decoder).  The
+# decoder returns either the typed dataclass or (for `page`) the expanded
+# positional arguments.
+_TABLE = {
+    "initial_ue_message": (1, _enc_initial_ue, _dec_initial_ue),
+    "uplink_nas": (1, _enc_ul_nas, _dec_ul_nas),
+    "dl_nas": (0, _enc_dl_nas, _dec_dl_nas),
+    "release": (0, _enc_release, _dec_release),
+}
+
+
+def encode_args(path: str, args: tuple):
+    """Client side: swap the typed S1AP message for its APER wire bytes."""
+    leaf = path.rsplit(".", 1)[-1]
+    if leaf == "page" and args and isinstance(args[0], int):
+        return ({"__s1ap__": _enc_page(*args)},)
+    ent = _TABLE.get(leaf)
+    if ent is None:
+        return args
+    idx, enc, _dec = ent
+    if idx >= len(args):
+        return args
+    try:
+        data = enc(args[idx])
+    except (AttributeError, TypeError, KeyError):
+        return args  # unexpected shape: fall back to typed transport
+    out = list(args)
+    out[idx] = {"__s1ap__": data}
+    return tuple(out)
+
+
+def decode_args(path: str, args: tuple):
+    """Server side: parse APER wire bytes back to the typed message."""
+    leaf = path.rsplit(".", 1)[-1]
+    if leaf == "page" and args and isinstance(args[0], dict) \
+            and "__s1ap__" in args[0]:
+        return _dec_page(args[0]["__s1ap__"])
+    ent = _TABLE.get(leaf)
+    if ent is None:
+        return args
+    idx, _enc, dec = ent
+    if idx < len(args) and isinstance(args[idx], dict) \
+            and "__s1ap__" in args[idx]:
+        out = list(args)
+        out[idx] = dec(args[idx]["__s1ap__"])
+        return tuple(out)
+    return args

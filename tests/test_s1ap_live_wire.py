@@ -1,0 +1,141 @@
+"""The live inter-process S1-MME wire carries real 36.413 APER S1AP PDUs.
+
+Reference behavior: srsenb <-> srsepc exchange liblte_s1ap-encoded APER
+bytes over SCTP; here epc/s1ap_wire.py bridges the typed mme.py messages
+to the capture-proven stack/asn1/s1ap36413 codec on the apps/rpc.py TCP
+framing.  These tests check (a) every bridged procedure round-trips
+through actual wire bytes that an independent decode_pdu parse accepts,
+and (b) a full attach through RemoteMme/EpcFrontend still works with the
+codec in the loop, with the transported NAS PDU byte-identical.
+"""
+
+import pickle
+import pickletools
+
+from srslte_emane_tpu.apps import rpc
+from srslte_emane_tpu.epc import hss as hss_mod, mme as mme_mod
+from srslte_emane_tpu.epc import s1ap_wire, spgw as spgw_mod
+from srslte_emane_tpu.stack.asn1 import s1ap36413 as s1
+
+
+def _roundtrip(path, args):
+    enc = s1ap_wire.encode_args(path, args)
+    # the typed message must have left the payload: what crosses the
+    # socket is the APER PDU inside a plain dict
+    flat = pickle.dumps(enc)
+    return s1ap_wire.decode_args(path, enc), enc, flat
+
+
+def test_nas_transport_pdus_are_real_aper():
+    nas = bytes(range(32))
+    for path, msg, proc in [
+        ("initial_ue_message",
+         mme_mod.InitialUEMessage(enb_ue_id=7, nas_pdu=nas),
+         s1.PROC_INITIAL_UE_MESSAGE),
+        ("uplink_nas",
+         mme_mod.UplinkNASTransport(mme_ue_id=3, enb_ue_id=7, nas_pdu=nas),
+         s1.PROC_UPLINK_NAS_TRANSPORT),
+        ("dl_nas",
+         mme_mod.DownlinkNASTransport(mme_ue_id=3, enb_ue_id=7, nas_pdu=nas),
+         s1.PROC_DOWNLINK_NAS_TRANSPORT),
+    ]:
+        args = (1, msg) if path in ("initial_ue_message", "uplink_nas") \
+            else (msg,)
+        out, enc, _ = _roundtrip(path, args)
+        assert out == args  # byte-exact typed round-trip
+        wire_bytes = [a["__s1ap__"] for a in enc if isinstance(a, dict)]
+        assert len(wire_bytes) == 1
+        pdu = s1.decode_pdu(wire_bytes[0])  # independent parse
+        assert pdu.procedure_code == proc
+        assert pdu.pdu_type == "initiatingMessage"
+        ies = {ie.id: ie.value for ie in pdu.ies}
+        assert ies[s1.ID_NAS_PDU] == nas
+
+
+def test_release_and_paging_pdus():
+    rel = mme_mod.UEContextReleaseCommand(mme_ue_id=9, enb_ue_id=4,
+                                          cause="user-inactivity")
+    out, enc, _ = _roundtrip("release", (rel,))
+    assert out[0] == rel
+    pdu = s1.decode_pdu(enc[0]["__s1ap__"])
+    assert pdu.procedure_code == s1.PROC_UE_CONTEXT_RELEASE
+
+    enc = s1ap_wire.encode_args("page", (12345, "cs"))
+    assert "__s1ap__" in enc[0]
+    pdu = s1.decode_pdu(enc[0]["__s1ap__"])
+    assert pdu.procedure_code == s1.PROC_PAGING
+    ident, dom = s1ap_wire.decode_args("page", enc)
+    assert ident == 12345 and dom == "cs"
+
+
+def test_unbridged_paths_pass_through():
+    req = mme_mod.PathSwitchRequest(mme_ue_id=1, target_enb_ue_id=2)
+    args = (1, req)
+    assert s1ap_wire.encode_args("path_switch", args) == args
+    assert s1ap_wire.decode_args("path_switch", args) == args
+
+
+def test_rpc_transport_carries_aper_not_pickled_dataclass():
+    """Over the actual TCP framing, the frame for a bridged call must not
+    contain a pickled mme.py dataclass — only the APER bytes."""
+    captured = {}
+
+    class Sink:
+        def initial_ue_message(self, enb_id, msg):
+            captured["msg"] = msg
+            return "ok"
+
+    srv = rpc.RpcServer(Sink())
+    try:
+        cli = rpc.RpcClient(srv.host, srv.port)
+        msg = mme_mod.InitialUEMessage(enb_ue_id=5, nas_pdu=b"\xca\xfe" * 8)
+        assert cli.call("initial_ue_message", 1, msg) == "ok"
+        # what the server dispatched is the decoded typed message
+        assert captured["msg"] == msg
+        # and the client-side frame had no dataclass global in it
+        frame = rpc.wire.dumps(
+            dict(path="initial_ue_message",
+                 args=s1ap_wire.encode_args("initial_ue_message", (1, msg)),
+                 kwargs={}))
+        ops = [op[0].name for op in pickletools.genops(frame)]
+        assert "STACK_GLOBAL" not in ops and "GLOBAL" not in ops
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_attach_through_live_s1ap_wire():
+    """Full NAS attach with the eNB talking to the MME over the RPC
+    transport (RemoteMme/EpcFrontend) — every InitialUEMessage, NAS
+    transport, and context procedure crosses a real TCP socket, the
+    NAS-carrying ones as APER S1AP PDUs — and the UE still registers."""
+    import numpy as np
+
+    from srslte_emane_tpu.runtime import otabus, phy_adapter, sinr, ttiloop
+    from srslte_emane_tpu.stack import enb_stack, security, ue_stack
+
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    srv = rpc.RpcServer(rpc.EpcFrontend(mme))
+    try:
+        remote = rpc.RemoteMme(srv.host, srv.port)
+        prop = sinr.Propagation(np.full((2, 2), 80.0, np.float32))
+        bus = otabus.OtaBus(prop, [0, 1], n_prb=25,
+                            roles={0: "enb", 1: "ue"})
+        net = ttiloop.Network(bus)
+        enb = enb_stack.EnbStack(remote, enb_id=1, n_prb=25)
+        net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25,
+                                          mac=enb))
+        imsi = "001010000000077"
+        key = bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        ue = ue_stack.UeStack(ue_stack.Usim(
+            imsi, key, security.milenage_opc(key, b"\x00" * 16)))
+        net.add(phy_adapter.UePhyAdapter(bus, 1, cell_id=1, n_prb=25,
+                                         stack=ue))
+        net.run(120)
+        assert ue.emm_state == "REGISTERED", (ue.emm_state, ue.rrc_state)
+        assert mme.metrics["attach_ok"] == 1
+    finally:
+        srv.stop()
