@@ -11,8 +11,11 @@ and those on-the-wire PDUs.  SCTP itself is unavailable in this kernel
 (IPPROTO_SCTP -> EPROTONOSUPPORT), so the PDUs ride the length-prefixed
 TCP framing of `apps/rpc.py` — the byte payloads are unchanged.
 
-Procedures not yet expressible in the codec (InitialContextSetup's E-RAB
-list, the handover containers) continue as typed RPC arguments.
+InitialContextSetup rides as a real PDU too (E-RAB-to-be-setup list with
+QoS/ARP, transport address, GTP TEID, piggybacked NAS; SecurityKey =
+KeNB), with one emulation-private extension IE for the eNB-side DL TEID
+that the reference instead returns in the ICS Response.  Only the
+handover containers continue as typed RPC arguments.
 """
 
 from __future__ import annotations
@@ -98,6 +101,33 @@ def _dec_release(data: bytes) -> mme_mod.UEContextReleaseCommand:
         mme_ue_id=mme_id, enb_ue_id=enb_id, cause=cause)
 
 
+def _enc_ctx_setup(msg: mme_mod.InitialContextSetupRequest) -> bytes:
+    import socket as _socket
+    item = dict(erab_id=msg.eps_bearer_id, qci=9, arp_priority=15,
+                pre_emption_capability=0, pre_emption_vulnerability=0,
+                addr=_socket.inet_aton(msg.ue_ip), addr_bits=32,
+                teid=msg.teid_spgw,
+                nas_pdu=msg.nas_pdu if msg.nas_pdu else None)
+    return s1.encode_pdu(s1.initial_context_setup_request(
+        msg.mme_ue_id, msg.enb_ue_id, msg.kenb, [item],
+        dl_teid=msg.teid_enb))
+
+
+def _dec_ctx_setup(data: bytes) -> mme_mod.InitialContextSetupRequest:
+    import socket as _socket
+    ies = _ies(s1.decode_pdu(data))
+    item = ies[s1.ID_ERAB_TO_BE_SETUP_LIST_CTXT][0]
+    return mme_mod.InitialContextSetupRequest(
+        mme_ue_id=ies[s1.ID_MME_UE_S1AP_ID],
+        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID],
+        kenb=ies[s1.ID_SECURITY_KEY],
+        ue_ip=_socket.inet_ntoa(item["addr"]),
+        teid_spgw=item["teid"],
+        teid_enb=int.from_bytes(ies[s1.ID_EMU_DL_TEID], "big"),
+        eps_bearer_id=item["erab_id"],
+        nas_pdu=item["nas_pdu"] or b"")
+
+
 def _enc_page(ue_identity: int, cn_domain: str = "ps") -> bytes:
     return s1.encode_pdu(s1.paging(
         mmec=b"\x01", m_tmsi=int(ue_identity).to_bytes(4, "big"),
@@ -119,6 +149,7 @@ _TABLE = {
     "uplink_nas": (1, _enc_ul_nas, _dec_ul_nas),
     "dl_nas": (0, _enc_dl_nas, _dec_dl_nas),
     "release": (0, _enc_release, _dec_release),
+    "ctx_setup": (0, _enc_ctx_setup, _dec_ctx_setup),
 }
 
 

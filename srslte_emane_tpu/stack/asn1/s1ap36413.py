@@ -47,6 +47,15 @@ ID_MME_NAME = 61
 ID_SUPPORTED_TAS = 64
 ID_TAI = 67
 ID_SECURITY_KEY = 73
+ID_ERAB_TO_BE_SETUP_LIST_CTXT = 24
+ID_ERAB_TO_BE_SETUP_ITEM_CTXT = 52
+ID_UE_AGGREGATE_MAX_BITRATE = 66
+# emulation-private extension IE (outside 36.413's assigned range): the
+# reference returns the eNB-side DL GTP TEID in the InitialContextSetup
+# RESPONSE; this emulation's MME/SPGW pre-allocate it, so the request
+# carries it as an unknown-IE (criticality ignore) the spec's
+# extensibility rules let any decoder skip
+ID_EMU_DL_TEID = 59999
 ID_RELATIVE_MME_CAPACITY = 87
 ID_UE_S1AP_IDS = 99
 ID_EUTRAN_CGI = 100
@@ -280,6 +289,133 @@ def _read_security_key(r: BitReader) -> bytes:
     return bytes((r.read_bits(8)) for _ in range(32))
 
 
+def _read_bitrate(r: BitReader) -> int:
+    """BitRate ::= INTEGER (0..10000000000): range > 64K encodes a 3-bit
+    octet-count-1, aligns, then the value octets (liblte_s1ap.cc
+    pack_bitrate)."""
+    n_oct = r.read_bits(3) + 1
+    r.align()
+    v = 0
+    for _ in range(n_oct):
+        v = (v << 8) | r.read_bits(8)
+    return v
+
+
+def _write_bitrate(w: BitWriter, v: int):
+    v = int(v)
+    n_oct = max(1, (v.bit_length() + 7) // 8)
+    w.write_bits(n_oct - 1, 3)
+    w.align()
+    for i in reversed(range(n_oct)):
+        w.write_bits((v >> (8 * i)) & 0xFF, 8)
+
+
+def _read_ue_ambr(r: BitReader) -> dict:
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext or opt:
+        raise AperError("UEAggregateMaximumBitrate extensions")
+    return dict(dl=_read_bitrate(r), ul=_read_bitrate(r))
+
+
+def _write_ue_ambr(w: BitWriter, v: dict):
+    w.write_bits(0, 2)
+    _write_bitrate(w, v["dl"])
+    _write_bitrate(w, v["ul"])
+
+
+def _read_erab_setup_item(r: BitReader) -> dict:
+    """E-RABToBeSetupItemCtxtSUReq (liblte_s1ap.cc
+    pack_e_rabtobesetupitemctxtsureq bit layout)."""
+    if r.read_bits(1):
+        raise AperError("E-RAB item extension")
+    nas_present, exts = r.read_bits(1), r.read_bits(1)
+    if exts:
+        raise AperError("E-RAB item iE-Extensions")
+    if r.read_bits(1):
+        raise AperError("E-RAB-ID extension")
+    erab_id = r.read_bits(4)
+    # E-RABLevelQoSParameters: ext, gbr-present, exts preamble
+    qext, gbr, qexts = r.read_bits(1), r.read_bits(1), r.read_bits(1)
+    if qext or gbr or qexts:
+        raise AperError("QoS parameter options unsupported")
+    r.align()
+    qci = r.read_bits(8)
+    # AllocationAndRetentionPriority
+    aext, aexts = r.read_bits(1), r.read_bits(1)
+    if aext or aexts:
+        raise AperError("ARP extensions")
+    prio = r.read_bits(4)
+    pre_cap, pre_vuln = r.read_bits(1), r.read_bits(1)
+    # TransportLayerAddress: BIT STRING (1..160, ...)
+    if r.read_bits(1):
+        raise AperError("TransportLayerAddress extension")
+    n_bits = r.read_bits(8) + 1
+    r.align()
+    addr = bytes(r.read_bits(8) for _ in range((n_bits + 7) // 8))
+    r.align()
+    # GTP-TEID: OCTET STRING (SIZE(4)): aligned
+    teid = int.from_bytes(r.read_octets(4), "big")
+    nas = _read_nas_pdu(r) if nas_present else None
+    return dict(erab_id=erab_id, qci=qci, arp_priority=prio,
+                pre_emption_capability=pre_cap,
+                pre_emption_vulnerability=pre_vuln,
+                addr=addr, addr_bits=n_bits, teid=teid, nas_pdu=nas)
+
+
+def _write_erab_setup_item(w: BitWriter, v: dict):
+    nas = v.get("nas_pdu")
+    w.write_bits(0, 1)                      # ext
+    w.write_bits(1 if nas is not None else 0, 1)
+    w.write_bits(0, 1)                      # iE-Extensions
+    w.write_bits(0, 1)                      # E-RAB-ID ext
+    w.write_bits(v["erab_id"], 4)
+    w.write_bits(0, 3)                      # QoS: ext, gbr, exts
+    w.align()
+    w.write_bits(v["qci"], 8)
+    w.write_bits(0, 2)                      # ARP: ext, exts
+    w.write_bits(v.get("arp_priority", 15), 4)
+    w.write_bits(v.get("pre_emption_capability", 0), 1)
+    w.write_bits(v.get("pre_emption_vulnerability", 0), 1)
+    addr = bytes(v["addr"])
+    n_bits = v.get("addr_bits", 8 * len(addr))
+    w.write_bits(0, 1)                      # TransportLayerAddress ext
+    w.write_bits(n_bits - 1, 8)
+    w.align()
+    w.write_octets(addr)
+    w.align()
+    w.write_octets(int(v["teid"]).to_bytes(4, "big"))
+    if nas is not None:
+        write_length(w, len(nas))
+        w.write_octets(bytes(nas))
+
+
+def _read_erab_setup_list(r: BitReader) -> list:
+    """SEQUENCE (SIZE(1..256)) OF ProtocolIE-SingleContainer, each
+    wrapping an E-RABToBeSetupItemCtxtSUReq (id 52)."""
+    n = r.read_bits(8) + 1
+    r.align()
+    items = []
+    for _ in range(n):
+        ie_id = read_constrained(r, 0, 65535)
+        _crit = CRITICALITY[r.read_bits(2)]
+        body = read_open_type(r)
+        if ie_id != ID_ERAB_TO_BE_SETUP_ITEM_CTXT:
+            raise AperError(f"unexpected E-RAB list member {ie_id}")
+        items.append(_read_erab_setup_item(BitReader(body)))
+    return items
+
+
+def _write_erab_setup_list(w: BitWriter, items: list):
+    w.write_bits(len(items) - 1, 8)
+    w.align()
+    for v in items:
+        iw = BitWriter()
+        _write_erab_setup_item(iw, v)
+        write_constrained(w, ID_ERAB_TO_BE_SETUP_ITEM_CTXT, 0, 65535)
+        w.write_bits(CRITICALITY.index("reject"), 2)
+        write_open_type(w, iw.to_bytes())
+
+
 _IE_DECODERS = {
     ID_SERVED_GUMMEIS: _read_gummei_list,
     ID_RELATIVE_MME_CAPACITY: lambda r: read_constrained(r, 0, 255),
@@ -298,6 +434,8 @@ _IE_DECODERS = {
     ID_UE_IDENTITY_INDEX: lambda r: r.read_bits(10),
     ID_UE_SECURITY_CAPABILITIES: _read_security_caps,
     ID_SECURITY_KEY: _read_security_key,
+    ID_UE_AGGREGATE_MAX_BITRATE: _read_ue_ambr,
+    ID_ERAB_TO_BE_SETUP_LIST_CTXT: _read_erab_setup_list,
 }
 
 
@@ -343,6 +481,10 @@ def _encode_ie_value(ie: ProtocolIE) -> bytes:
         w.align()
         for b in ie.value:
             w.write_bits(b, 8)
+    elif ie.id == ID_UE_AGGREGATE_MAX_BITRATE:
+        _write_ue_ambr(w, ie.value)
+    elif ie.id == ID_ERAB_TO_BE_SETUP_LIST_CTXT:
+        _write_erab_setup_list(w, ie.value)
     elif isinstance(ie.value, (bytes, bytearray)):
         w.write_octets(bytes(ie.value))  # raw passthrough
     else:
@@ -453,6 +595,32 @@ def paging(mmec: bytes, m_tmsi: bytes, tai: dict, cn_domain: str = "ps",
         _ie(ID_CN_DOMAIN, "ignore", cn_domain),
         _ie(ID_TAI_LIST, "ignore", [tai]),
     ])
+
+
+def initial_context_setup_request(mme_ue_id: int, enb_ue_id: int,
+                                  kenb: bytes, erab_items: list,
+                                  ambr_dl: int = 1_000_000_000,
+                                  ambr_ul: int = 1_000_000_000,
+                                  security_caps: dict = None,
+                                  dl_teid: int = None) -> S1apPdu:
+    """36.413 §8.3.1 InitialContextSetupRequest with the mandatory IEs the
+    reference's liblte_s1ap packs (MME/eNB ids, UE-AMBR, E-RAB list, UE
+    security capabilities, SecurityKey = KeNB)."""
+    caps = security_caps or dict(eea=0xE000, eia=0x6000)  # EEA1-3 / EIA1-2
+    ies = [
+        _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+        _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+        _ie(ID_UE_AGGREGATE_MAX_BITRATE, "reject",
+            dict(dl=ambr_dl, ul=ambr_ul)),
+        _ie(ID_ERAB_TO_BE_SETUP_LIST_CTXT, "reject", list(erab_items)),
+        _ie(ID_UE_SECURITY_CAPABILITIES, "reject", caps),
+        _ie(ID_SECURITY_KEY, "reject", bytes(kenb)),
+    ]
+    if dl_teid is not None:
+        ies.append(_ie(ID_EMU_DL_TEID, "ignore",
+                       int(dl_teid).to_bytes(4, "big")))
+    return S1apPdu("initiatingMessage", PROC_INITIAL_CONTEXT_SETUP,
+                   "reject", ies)
 
 
 def encode_pdu(pdu: S1apPdu) -> bytes:

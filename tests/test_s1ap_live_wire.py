@@ -68,6 +68,35 @@ def test_release_and_paging_pdus():
     assert ident == 12345 and dom == "cs"
 
 
+def test_initial_context_setup_rides_as_real_erab_pdu():
+    """ICS crosses as a full 36.413 PDU: mandatory IEs incl. the E-RAB
+    to-be-setup list (QoS, transport address, TEID, piggybacked NAS) and
+    SecurityKey; the typed message round-trips field-exact."""
+    msg = mme_mod.InitialContextSetupRequest(
+        mme_ue_id=11, enb_ue_id=3, kenb=bytes(range(32)),
+        ue_ip="172.16.0.9", teid_spgw=0xA1B2C3D4, teid_enb=0x00000777,
+        eps_bearer_id=5, nas_pdu=b"\x07\x42\x01" * 5)
+    out, enc, _ = _roundtrip("ctx_setup", (msg,))
+    assert out[0] == msg
+    pdu = s1.decode_pdu(enc[0]["__s1ap__"])
+    assert pdu.procedure_code == s1.PROC_INITIAL_CONTEXT_SETUP
+    ies = {ie.id: ie.value for ie in pdu.ies}
+    item = ies[s1.ID_ERAB_TO_BE_SETUP_LIST_CTXT][0]
+    assert item["qci"] == 9 and item["addr_bits"] == 32
+    assert item["teid"] == 0xA1B2C3D4
+    assert ies[s1.ID_SECURITY_KEY] == bytes(range(32))
+    assert ies[s1.ID_UE_AGGREGATE_MAX_BITRATE]["dl"] == 1_000_000_000
+    # empty NAS -> absent in the PDU, restored as b""
+    msg2 = dataclasses_replace_nas(msg)
+    out2, _, _ = _roundtrip("ctx_setup", (msg2,))
+    assert out2[0] == msg2
+
+
+def dataclasses_replace_nas(msg):
+    import dataclasses
+    return dataclasses.replace(msg, nas_pdu=b"")
+
+
 def test_unbridged_paths_pass_through():
     req = mme_mod.PathSwitchRequest(mme_ue_id=1, target_enb_ue_id=2)
     args = (1, req)
