@@ -5,24 +5,31 @@ mme_gtpc.cc}` — S1 Setup, InitialUEMessage -> NAS attach -> HSS auth ->
 security mode -> create-session toward SPGW -> InitialContextSetup (KeNB),
 paging, detach.
 
-S1AP here is a typed message interface between the eNB's s1ap client and this
-MME (in-process call transport; SCTP transport is a drop-in later since all
-messages ride stack.codec).
+S1AP here is a typed message interface between the eNB's s1ap client and
+this MME; across process boundaries the NAS-transport / UE-context /
+paging / InitialContextSetup procedures ride as REAL 36.413 APER PDUs
+(epc/s1ap_wire.py over apps/rpc.py TCP framing — no SCTP in this kernel).
+NAS PDUs are true 24.301 bytes (stack/nas_wire.py), integrity-protected
+after the security mode procedure (NasSecurity, §4.4.3).
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-from ..stack import codec, per, nas_msgs, security  # noqa: F401 (security: HO keys)
+from ..stack import codec, nas_wire, per, nas_msgs, security  # noqa: F401 (security: HO keys)
 
 
 @codec.register
-@per.schema(("enb_ue_id", "int"), ("nas_pdu", "bytes"))
+@per.schema(("enb_ue_id", "int"), ("nas_pdu", "bytes"),
+            ("s_tmsi", "int", "?"))
 @dataclasses.dataclass
 class InitialUEMessage:
     enb_ue_id: int
     nas_pdu: bytes
+    # S-TMSI from the RRC connection request's ue-Identity (36.413 IE 96):
+    # identifies the UE for identity-less NAS (the Service Request)
+    s_tmsi: int = None
 
 
 @codec.register
@@ -157,7 +164,19 @@ class Mme:
 
     # ---- NAS transport (s1ap_nas_transport.cc) ----
     def initial_ue_message(self, enb_id: int, msg: InitialUEMessage):
-        nas = codec.decode(msg.nas_pdu)
+        nas = nas_wire.decode(msg.nas_pdu)
+        if isinstance(nas, (nas_msgs.ExtendedServiceRequest,
+                            nas_msgs.TrackingAreaUpdateRequest)):
+            # idle-resume procedures arrive integrity-protected with the
+            # stored context: verify the MAC before acting (§4.4.4)
+            ue = self.ues.get(nas.guti)
+            sec = ue.get("nas_sec") if ue is not None else None
+            if sec is not None:
+                _, ok = sec.unprotect(msg.nas_pdu, downlink=False)
+                if not ok:
+                    self.metrics["nas_mac_fail"] = \
+                        self.metrics.get("nas_mac_fail", 0) + 1
+                    return
         if isinstance(nas, nas_msgs.ExtendedServiceRequest):
             # idle UE starting/answering a CS call: restore the session,
             # then order the eNB to release with redirection (CSFB)
@@ -183,6 +202,18 @@ class Mme:
             self.metrics["tau_ok"] = self.metrics.get("tau_ok", 0) + 1
             return
         if isinstance(nas, nas_msgs.ServiceRequest):
+            # resolve the UE from the S1AP S-TMSI (the 4-byte Service
+            # Request carries no identity) and verify its short MAC
+            # (nas.cc gen_service_request / srsepc short-MAC check)
+            if msg.s_tmsi is not None:
+                nas = dataclasses.replace(nas, guti=msg.s_tmsi)
+                ue = self.ues.get(msg.s_tmsi)
+                sec = ue.get("nas_sec") if ue is not None else None
+                if sec is not None and \
+                        not sec.verify_service_request(msg.nas_pdu):
+                    self.metrics["nas_mac_fail"] = \
+                        self.metrics.get("nas_mac_fail", 0) + 1
+                    return
             self._service_request(enb_id, msg, nas)
             return
         if not isinstance(nas, nas_msgs.AttachRequest):
@@ -206,7 +237,15 @@ class Mme:
         ue = self.ues.get(msg.mme_ue_id)
         if ue is None:
             return
-        nas = codec.decode(msg.nas_pdu)
+        nas_pdu = msg.nas_pdu
+        sec = ue.get("nas_sec")
+        if sec is not None:
+            nas_pdu, ok = sec.unprotect(nas_pdu, downlink=False)
+            if not ok:
+                self.metrics["nas_mac_fail"] = \
+                    self.metrics.get("nas_mac_fail", 0) + 1
+                return
+        nas = nas_wire.decode(nas_pdu)
         if isinstance(nas, nas_msgs.AuthenticationResponse) and ue["state"] == "AUTH":
             if nas.res != ue["vec"]["xres"]:
                 self.metrics["auth_fail"] += 1
@@ -214,6 +253,9 @@ class Mme:
                              nas_msgs.AuthenticationReject())
                 return
             ue["state"] = "SMC"
+            # EPS security context: K_NAS_int from KASME; the SMC itself
+            # goes integrity-protected with the new context (§4.4.4)
+            ue["nas_sec"] = nas_wire.NasSecurity(ue["vec"]["kasme"], eia=2)
             self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
                          nas_msgs.NasSecurityModeCommand(eea=0, eia=2))
         elif isinstance(nas, nas_msgs.AuthenticationFailure) \
@@ -255,7 +297,8 @@ class Mme:
                 mme_ue_id=msg.mme_ue_id, enb_ue_id=msg.enb_ue_id, kenb=kenb,
                 ue_ip=sess["ue_ip"], teid_spgw=sess["teid_in"],
                 teid_enb=sess["teid_out"], eps_bearer_id=5,
-                nas_pdu=codec.encode(accept)))
+                nas_pdu=ue["nas_sec"].protect(
+                    nas_wire.encode(accept), downlink=True)))
         elif isinstance(nas, nas_msgs.AttachComplete) and ue["state"] == "CTX":
             ue["state"] = "ATTACHED"
             self.metrics["attach_ok"] += 1
@@ -359,7 +402,7 @@ class Mme:
             mme_ue_id=nas.guti, enb_ue_id=msg.enb_ue_id, kenb=kenb,
             ue_ip=ue["ue_ip"], teid_spgw=ue["teid_spgw"],
             teid_enb=ue["teid_enb"], eps_bearer_id=5,
-            nas_pdu=codec.encode(nas_msgs.ServiceAccept())))
+            nas_pdu=nas_wire.encode(nas_msgs.ServiceAccept())))
         self.metrics["service_ok"] = self.metrics.get("service_ok", 0) + 1
 
     def activate_dedicated_bearer(self, mme_ue_id: int, tft_bytes: bytes,
@@ -376,7 +419,9 @@ class Mme:
         self.enbs[ue["enb_id"]].erab_setup(ERabSetupRequest(
             mme_ue_id=mme_ue_id, enb_ue_id=ue["enb_ue_id"],
             eps_bearer_id=eps_bearer_id, qci=qci,
-            nas_pdu=codec.encode(nas)))
+            nas_pdu=ue["nas_sec"].protect(
+                nas_wire.encode(nas), downlink=True)
+            if ue.get("nas_sec") else nas_wire.encode(nas)))
         self.metrics["ded_bearer_req"] = self.metrics.get("ded_bearer_req", 0) + 1
         return True
 
@@ -392,6 +437,11 @@ class Mme:
         self.metrics["paging"] = self.metrics.get("paging", 0) + 1
 
     def _dl_nas(self, enb_id, mme_ue_id, enb_ue_id, nas_msg):
+        data = nas_wire.encode(nas_msg)
+        ue = self.ues.get(mme_ue_id)
+        sec = ue.get("nas_sec") if ue is not None else None
+        if sec is not None:
+            data = sec.protect(data, downlink=True, new_ctx=isinstance(
+                nas_msg, nas_msgs.NasSecurityModeCommand))
         self.enbs[enb_id].dl_nas(DownlinkNASTransport(
-            mme_ue_id=mme_ue_id, enb_ue_id=enb_ue_id,
-            nas_pdu=codec.encode(nas_msg)))
+            mme_ue_id=mme_ue_id, enb_ue_id=enb_ue_id, nas_pdu=data))

@@ -48,14 +48,19 @@ _CAUSE_FROM_WIRE = {v: k for k, v in _CAUSE_TO_WIRE.items()}
 
 
 def _enc_initial_ue(msg: mme_mod.InitialUEMessage) -> bytes:
+    s_tmsi = None
+    if msg.s_tmsi is not None:
+        s_tmsi = dict(mmec=1, m_tmsi=msg.s_tmsi)
     return s1.encode_pdu(s1.initial_ue_message(
-        msg.enb_ue_id, msg.nas_pdu, TAI, _cgi()))
+        msg.enb_ue_id, msg.nas_pdu, TAI, _cgi(), s_tmsi=s_tmsi))
 
 
 def _dec_initial_ue(data: bytes) -> mme_mod.InitialUEMessage:
     ies = _ies(s1.decode_pdu(data))
+    st = ies.get(s1.ID_S_TMSI)
     return mme_mod.InitialUEMessage(
-        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID], nas_pdu=ies[s1.ID_NAS_PDU])
+        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID], nas_pdu=ies[s1.ID_NAS_PDU],
+        s_tmsi=st["m_tmsi"] if st is not None else None)
 
 
 def _enc_ul_nas(msg: mme_mod.UplinkNASTransport) -> bytes:

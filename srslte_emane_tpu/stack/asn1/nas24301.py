@@ -32,6 +32,7 @@ TAU_COMPLETE = 0x4A
 TAU_REJECT = 0x4B
 EXTENDED_SERVICE_REQUEST = 0x4C
 SERVICE_REJECT = 0x4E
+SERVICE_ACCEPT = 0x4F
 GUTI_REALLOCATION_COMMAND = 0x50
 GUTI_REALLOCATION_COMPLETE = 0x51
 AUTHENTICATION_REQUEST = 0x52
@@ -335,6 +336,10 @@ SERVICE_REJECT_FIELDS = (
     ("t3346", "tlv", 0x5F),
 )
 
+SERVICE_ACCEPT_FIELDS = (  # 24.301 §8.2.24
+    ("eps_bearer_context_status", "tlv", 0x57),
+)
+
 GUTI_REALLOCATION_COMMAND_FIELDS = (
     ("guti", "lv"),
     ("tai_list", "tlv", 0x54),
@@ -481,6 +486,7 @@ _EMM_MSGS = {
     EXTENDED_SERVICE_REQUEST: ("extended_service_request",
                                EXTENDED_SERVICE_REQUEST_FIELDS),
     SERVICE_REJECT: ("service_reject", SERVICE_REJECT_FIELDS),
+    SERVICE_ACCEPT: ("service_accept", SERVICE_ACCEPT_FIELDS),
     GUTI_REALLOCATION_COMMAND: ("guti_reallocation_command",
                                 GUTI_REALLOCATION_COMMAND_FIELDS),
     GUTI_REALLOCATION_COMPLETE: ("guti_reallocation_complete",

@@ -7,8 +7,10 @@ ALIGNED-PER rules live in `aper.py`; this module adds the
 S1SetupRequest/Response message schemas over them — decoding that capture
 byte-exact and generating valid wire messages of its own.
 
-The in-simulator S1AP transport stays `apps/rpc.py` typed messages; this
-codec is the interop surface."""
+Beyond the capture interop surface, this codec is LIVE on the
+inter-process S1-MME wire: epc/s1ap_wire.py encodes the NAS-transport,
+UE-context-release, paging, and InitialContextSetup procedures (incl. the
+E-RAB-to-be-setup list) as these APER PDUs over the apps/rpc.py framing."""
 
 from __future__ import annotations
 
@@ -58,6 +60,7 @@ ID_UE_AGGREGATE_MAX_BITRATE = 66
 ID_EMU_DL_TEID = 59999
 ID_RELATIVE_MME_CAPACITY = 87
 ID_UE_S1AP_IDS = 99
+ID_S_TMSI = 96
 ID_EUTRAN_CGI = 100
 ID_SERVED_GUMMEIS = 105
 ID_UE_SECURITY_CAPABILITIES = 107
@@ -289,6 +292,24 @@ def _read_security_key(r: BitReader) -> bytes:
     return bytes((r.read_bits(8)) for _ in range(32))
 
 
+def _read_s_tmsi(r: BitReader) -> dict:
+    """S-TMSI ::= SEQUENCE { mMEC OCTET STRING(1), m-TMSI OCTET
+    STRING(4) } (liblte_s1ap.cc pack_s_tmsi).  MMEC is a <=2-octet
+    string so it stays UNALIGNED (X.691 §16.6); m-TMSI SIZE(4) aligns."""
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext or opt:
+        raise AperError("S-TMSI extensions")
+    mmec = r.read_bits(8)
+    m_tmsi = int.from_bytes(r.read_octets(4), "big")
+    return dict(mmec=mmec, m_tmsi=m_tmsi)
+
+
+def _write_s_tmsi(w: BitWriter, v: dict):
+    w.write_bits(0, 2)
+    w.write_bits(v["mmec"], 8)  # <=2-octet string: unaligned
+    w.write_octets(int(v["m_tmsi"]).to_bytes(4, "big"))
+
+
 def _read_bitrate(r: BitReader) -> int:
     """BitRate ::= INTEGER (0..10000000000): range > 64K encodes a 3-bit
     octet-count-1, aligns, then the value octets (liblte_s1ap.cc
@@ -436,6 +457,7 @@ _IE_DECODERS = {
     ID_SECURITY_KEY: _read_security_key,
     ID_UE_AGGREGATE_MAX_BITRATE: _read_ue_ambr,
     ID_ERAB_TO_BE_SETUP_LIST_CTXT: _read_erab_setup_list,
+    ID_S_TMSI: _read_s_tmsi,
 }
 
 
@@ -485,6 +507,8 @@ def _encode_ie_value(ie: ProtocolIE) -> bytes:
         _write_ue_ambr(w, ie.value)
     elif ie.id == ID_ERAB_TO_BE_SETUP_LIST_CTXT:
         _write_erab_setup_list(w, ie.value)
+    elif ie.id == ID_S_TMSI:
+        _write_s_tmsi(w, ie.value)
     elif isinstance(ie.value, (bytes, bytearray)):
         w.write_octets(bytes(ie.value))  # raw passthrough
     else:
@@ -532,14 +556,19 @@ def _ie(id_, crit, value):
 
 
 def initial_ue_message(enb_ue_id: int, nas_pdu: bytes, tai: dict, cgi: dict,
-                       cause: str = "mo-Signalling") -> S1apPdu:
-    return S1apPdu("initiatingMessage", PROC_INITIAL_UE_MESSAGE, "ignore", [
+                       cause: str = "mo-Signalling",
+                       s_tmsi: dict = None) -> S1apPdu:
+    ies = [
         _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
         _ie(ID_NAS_PDU, "reject", bytes(nas_pdu)),
         _ie(ID_TAI, "reject", tai),
         _ie(ID_EUTRAN_CGI, "ignore", cgi),
         _ie(ID_RRC_ESTABLISHMENT_CAUSE, "ignore", cause),
-    ])
+    ]
+    if s_tmsi is not None:
+        ies.insert(2, _ie(ID_S_TMSI, "reject", s_tmsi))
+    return S1apPdu("initiatingMessage", PROC_INITIAL_UE_MESSAGE, "ignore",
+                   ies)
 
 
 def downlink_nas_transport(mme_ue_id: int, enb_ue_id: int,

@@ -14,7 +14,7 @@ import struct
 from ..epc import spgw as spgw_mod
 from ..phch import grid as grid_mod, pdcch as pdcch_mod, ra
 from ..runtime.phy_adapter import DlGrant, UlGrant
-from . import cb, codec, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security, x2_msgs
+from . import cb, codec, nas_wire, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security, x2_msgs
 from ..epc import mme as mme_mod
 
 SRB0, SRB1, SRB2 = 0, 1, 2
@@ -934,6 +934,9 @@ class EnbStack:
                 self.metrics["contention_lost"] += 1
                 return
             ue.state = "RRC_CONNECTED"
+            # a registered UE presents its S-TMSI: forwarded to the MME in
+            # the InitialUEMessage (s1ap.cc includes the s-TMSI IE)
+            ue.s_tmsi = msg.ue_identity if msg.is_s_tmsi else None
             ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup(
                 con_res_id=msg.ue_identity))
             self.metrics["rrc_setup"] += 1
@@ -947,7 +950,8 @@ class EnbStack:
         msg = codec.decode(sdu)
         if isinstance(msg, rrc_msgs.RrcConnectionSetupComplete):
             self.mme.initial_ue_message(self.enb_id, mme_mod.InitialUEMessage(
-                enb_ue_id=ue.enb_ue_id, nas_pdu=msg.nas_pdu))
+                enb_ue_id=ue.enb_ue_id, nas_pdu=msg.nas_pdu,
+                s_tmsi=getattr(ue, "s_tmsi", None)))
         elif isinstance(msg, rrc_msgs.UlInformationTransfer):
             self.mme.uplink_nas(self.enb_id, mme_mod.UplinkNASTransport(
                 mme_ue_id=ue.mme_ue_id, enb_ue_id=ue.enb_ue_id,
@@ -1119,7 +1123,7 @@ class EnbStack:
 
         ue = self._by_enb_ue_id(msg.enb_ue_id)
         lcid = DRB1_LCID + (msg.eps_bearer_id - 5)
-        nas = codec.decode(msg.nas_pdu)
+        nas = nas_wire.decode(msg.nas_pdu)
         try:
             filters = []
             data = nas.tft

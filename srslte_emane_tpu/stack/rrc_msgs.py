@@ -15,11 +15,16 @@ from . import codec, per
 @codec.register
 @per.schema(("ue_identity", "int"),
             ("cause", "enum", ("emergency", "highPriorityAccess",
-                               "mt-Access", "mo-Signalling", "mo-Data")))
+                               "mt-Access", "mo-Signalling", "mo-Data")),
+            ("is_s_tmsi", "bool"))
 @dataclasses.dataclass
 class RrcConnectionRequest:
-    ue_identity: int  # s-TMSI or random
+    # 36.331 ue-Identity CHOICE: a registered UE presents its S-TMSI so
+    # the network can route idle-resume NAS by identity; otherwise a
+    # 40-bit random value
+    ue_identity: int  # s-TMSI (m-TMSI part) or random
     cause: str = "mo-Data"
+    is_s_tmsi: bool = False
 
 
 @codec.register

@@ -13,7 +13,7 @@ import zlib
 
 import numpy as np
 
-from . import cb, codec, nas_msgs, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
+from . import cb, codec, nas_msgs, nas_wire, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
 from ..runtime.phy_adapter import UlGrant
 
 SRB0, SRB1 = 0, 1
@@ -578,8 +578,13 @@ class UeStack:
         self._setup_srb1()
         self.rrc_state = "CONNECTING"
         self.t300.run()
+        if self.emm_state == "REGISTERED" and self.guti:
+            ident, is_s_tmsi = self.guti, True  # 36.331 s-TMSI choice
+        else:
+            ident, is_s_tmsi = self._salt & 0xFFFF, False
         self.ul_ccch.append(codec.encode(
-            rrc_msgs.RrcConnectionRequest(ue_identity=self._salt & 0xFFFF)))
+            rrc_msgs.RrcConnectionRequest(ue_identity=ident,
+                                          is_s_tmsi=is_s_tmsi)))
 
     def _rx_ccch(self, sdu):
         msg = codec.decode(sdu)
@@ -598,7 +603,12 @@ class UeStack:
                 self.rrc_state = "CONNECTED"
                 self.metrics["reest_ok"] += 1
                 return
-            my_id = self._salt & 0xFFFF
+            # the identity we sent in the request: S-TMSI when registered
+            # (36.331 ue-Identity choice), otherwise the random value
+            if self.emm_state == "REGISTERED" and self.guti:
+                my_id = self.guti
+            else:
+                my_id = self._salt & 0xFFFF
             if msg.con_res_id not in (0, my_id):
                 # contention resolution lost (36.321 §5.1.5): another UE's
                 # Msg3 won this C-RNTI — back to idle, new random access
@@ -632,12 +642,25 @@ class UeStack:
                 else:
                     req = nas_msgs.ServiceRequest(guti=self.guti)
                     self.metrics["service_req"] += 1
+                if isinstance(req, nas_msgs.ServiceRequest) \
+                        and self.nas_sec is not None:
+                    # real 4-byte format with a genuine short MAC; the
+                    # network finds us from the RRC S-TMSI (§9.3.1)
+                    data = self.nas_sec.service_request()
+                else:
+                    data = nas_wire.encode(req)
+                    if self.nas_sec is not None and not isinstance(
+                            req, nas_msgs.ServiceRequest):
+                        # integrity-protect with the existing EPS security
+                        # context (24.301 §4.4.4)
+                        data = self.nas_sec.protect(data, downlink=False)
                 self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
-                    nas_pdu=codec.encode(req)))
+                    nas_pdu=data))
                 return
             attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
+            self.nas_sec = None  # fresh registration: new security context
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
-                nas_pdu=codec.encode(attach)))
+                nas_pdu=nas_wire.encode(attach)))
             self.emm_state = "ATTACHING"
             self.t3410.run()
         elif isinstance(msg, rrc_msgs.Paging):
@@ -659,7 +682,7 @@ class UeStack:
     def _rx_rrc_srb1(self, sdu):
         msg = codec.decode(sdu)
         if isinstance(msg, rrc_msgs.DlInformationTransfer):
-            self._rx_nas(codec.decode(msg.nas_pdu))
+            self._rx_nas_pdu(msg.nas_pdu)
         elif isinstance(msg, rrc_msgs.SecurityModeCommand):
             self._send_srb1(rrc_msgs.SecurityModeComplete())
             k_rrc_enc = security.kdf_rrc_up_key(self.kenb, security.EEA2, 0x03)
@@ -689,7 +712,7 @@ class UeStack:
                 self.metrics["sps_configured"] += 1
             self._send_srb1(rrc_msgs.RrcConnectionReconfigurationComplete())
             if msg.nas_pdu:
-                self._rx_nas(codec.decode(msg.nas_pdu))
+                self._rx_nas_pdu(msg.nas_pdu)
         elif isinstance(msg, rrc_msgs.RrcConnectionRelease):
             self.rrc_state = "IDLE"
             self.mac_state = "IDLE"  # C-RNTI released with the connection
@@ -733,6 +756,27 @@ class UeStack:
         self.metrics["ho_exec"] += 1
 
     # ================= NAS (nas.cc EMM) =================
+    nas_sec = None  # EPS NAS security context (set at SMC)
+
+    def _rx_nas_pdu(self, data):
+        """Verify-then-dispatch a DL NAS PDU (nas.cc integrity_check):
+        the protected Security Mode Command (sec-hdr 3, new context)
+        activates the context derived from KASME; thereafter bad-MAC
+        messages are dropped."""
+        data = bytes(data)
+        if (self.nas_sec is None and data and (data[0] & 0x0F) == 7
+                and data[0] >> 4 == 3 and self.kasme):
+            peek = nas_wire.decode(data)
+            if isinstance(peek, nas_msgs.NasSecurityModeCommand):
+                self.nas_sec = nas_wire.NasSecurity(self.kasme,
+                                                    eia=peek.eia)
+        if self.nas_sec is not None:
+            data, ok = self.nas_sec.unprotect(data, downlink=True)
+            if not ok:
+                self.metrics["nas_mac_fail"] += 1
+                return
+        self._rx_nas(nas_wire.decode(data))
+
     def _rx_nas(self, msg):
         if isinstance(msg, nas_msgs.AuthenticationRequest):
             try:
@@ -872,7 +916,12 @@ class UeStack:
         self._connect_pending = True
 
     def _send_nas(self, msg):
-        self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=codec.encode(msg)))
+        data = nas_wire.encode(msg)
+        if self.nas_sec is not None:
+            data = self.nas_sec.protect(
+                data, downlink=False,
+                new_ctx=isinstance(msg, nas_msgs.NasSecurityModeComplete))
+        self._send_srb1(rrc_msgs.UlInformationTransfer(nas_pdu=data))
 
     def aperiodic_cqi(self, n_prb: int) -> dict:
         """Aperiodic HL-subband CQI for a DCI-0 CSI request (cqi.c

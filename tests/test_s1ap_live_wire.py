@@ -52,6 +52,18 @@ def test_nas_transport_pdus_are_real_aper():
         assert ies[s1.ID_NAS_PDU] == nas
 
 
+def test_initial_ue_message_carries_s_tmsi():
+    """An idle-resume InitialUEMessage carries the RRC S-TMSI as the real
+    36.413 IE 96 and it round-trips to the typed message."""
+    msg = mme_mod.InitialUEMessage(enb_ue_id=4, nas_pdu=b"\xc7\x25\xab\xcd",
+                                   s_tmsi=3021)
+    out, enc, _ = _roundtrip("initial_ue_message", (1, msg))
+    assert out == (1, msg)
+    pdu = s1.decode_pdu(enc[1]["__s1ap__"])
+    ies = {ie.id: ie.value for ie in pdu.ies}
+    assert ies[s1.ID_S_TMSI] == dict(mmec=1, m_tmsi=3021)
+
+
 def test_release_and_paging_pdus():
     rel = mme_mod.UEContextReleaseCommand(mme_ue_id=9, enb_ue_id=4,
                                           cause="user-inactivity")

@@ -22,9 +22,11 @@ def test_connection_establishment_procedure():
     ss.dl_ccch(rrc_msgs.RrcConnectionSetup())
     ss.step(2)
     done = ss.expect_rrc(rrc_msgs.RrcConnectionSetupComplete)
-    from srslte_emane_tpu.stack import codec
+    from srslte_emane_tpu.stack import nas_wire
 
-    attach = codec.decode(done.nas_pdu)
+    # the NAS PDU is real 24.301 wire bytes (plain EMM attach request)
+    assert done.nas_pdu[:2] == b"\x07\x41"
+    attach = nas_wire.decode(done.nas_pdu)
     assert isinstance(attach, nas_msgs.AttachRequest)
     assert attach.imsi == "001019876543210"
     assert ue.rrc_state == "CONNECTED"
