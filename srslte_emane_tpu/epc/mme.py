@@ -69,17 +69,22 @@ class InitialContextSetupRequest:
 @codec.register
 @per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"),
             ("eps_bearer_id", "cint", 0, 15), ("qci", "cint", 0, 255),
-            ("nas_pdu", "bytes"))
+            ("nas_pdu", "bytes"), ("tft", "bytes", "?"))
 @dataclasses.dataclass
 class ERabSetupRequest:
     """S1AP E-RAB Setup (s1ap_ctx_mngmt_proc.cc): dedicated bearer toward
-    the eNB with the piggybacked NAS activate-dedicated-bearer PDU."""
+    the eNB with the piggybacked NAS activate-dedicated-bearer PDU.
+    The TFT rides as an explicit field for the eNB's DL classifier (a
+    beyond-reference feature: srsepc has no dedicated bearers and its
+    DL routing is single-bearer) — the NAS PDU is ciphered for the UE,
+    so the eNB cannot peek it."""
 
     mme_ue_id: int
     enb_ue_id: int
     eps_bearer_id: int
     qci: int
     nas_pdu: bytes = b""
+    tft: bytes = b""
 
 
 @codec.register
@@ -253,11 +258,14 @@ class Mme:
                              nas_msgs.AuthenticationReject())
                 return
             ue["state"] = "SMC"
-            # EPS security context: K_NAS_int from KASME; the SMC itself
-            # goes integrity-protected with the new context (§4.4.4)
-            ue["nas_sec"] = nas_wire.NasSecurity(ue["vec"]["kasme"], eia=2)
+            # EPS security context: K_NAS_int/K_NAS_enc from KASME; the
+            # SMC itself goes integrity-protected-only with the new
+            # context (§4.4.4 — the UE has no keys until it reads it);
+            # everything after is ciphered EEA2 + integrity EIA2
+            ue["nas_sec"] = nas_wire.NasSecurity(ue["vec"]["kasme"],
+                                                 eia=2, eea=2)
             self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
-                         nas_msgs.NasSecurityModeCommand(eea=0, eia=2))
+                         nas_msgs.NasSecurityModeCommand(eea=2, eia=2))
         elif isinstance(nas, nas_msgs.AuthenticationFailure) \
                 and ue["state"] == "AUTH":
             # SQN resynchronisation (nas.cc handle_authentication_failure):
@@ -421,7 +429,8 @@ class Mme:
             eps_bearer_id=eps_bearer_id, qci=qci,
             nas_pdu=ue["nas_sec"].protect(
                 nas_wire.encode(nas), downlink=True)
-            if ue.get("nas_sec") else nas_wire.encode(nas)))
+            if ue.get("nas_sec") else nas_wire.encode(nas),
+            tft=tft_bytes))
         self.metrics["ded_bearer_req"] = self.metrics.get("ded_bearer_req", 0) + 1
         return True
 
@@ -441,7 +450,8 @@ class Mme:
         ue = self.ues.get(mme_ue_id)
         sec = ue.get("nas_sec") if ue is not None else None
         if sec is not None:
-            data = sec.protect(data, downlink=True, new_ctx=isinstance(
-                nas_msg, nas_msgs.NasSecurityModeCommand))
+            is_smc = isinstance(nas_msg, nas_msgs.NasSecurityModeCommand)
+            data = sec.protect(data, downlink=True, new_ctx=is_smc,
+                               cipher=not is_smc)
         self.enbs[enb_id].dl_nas(DownlinkNASTransport(
             mme_ue_id=mme_ue_id, enb_ue_id=enb_ue_id, nas_pdu=data))

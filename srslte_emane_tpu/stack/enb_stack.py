@@ -1123,10 +1123,9 @@ class EnbStack:
 
         ue = self._by_enb_ue_id(msg.enb_ue_id)
         lcid = DRB1_LCID + (msg.eps_bearer_id - 5)
-        nas = nas_wire.decode(msg.nas_pdu)
         try:
             filters = []
-            data = nas.tft
+            data = msg.tft
             while data:
                 f, data = tft_mod.PacketFilter.unpack(data)
                 filters.append(f)

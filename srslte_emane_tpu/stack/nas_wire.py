@@ -27,37 +27,55 @@ from . import nas_msgs, security, snow3g, zuc
 from .asn1 import nas24301 as w
 
 _EIA_FUNCS = {1: snow3g.eia1, 2: security.eia2, 3: zuc.eia3}
+_EEA_FUNCS = {1: snow3g.eea1, 2: security.eea2, 3: zuc.eea3}
 
 
 class NasSecurity:
-    """NAS integrity protection (24.301 §4.4.3): the security-protected
-    NAS header (sec-hdr | MAC | seq | plain message) with the EIA MAC
-    computed over seq||plain under the KASME-derived K_NAS_int, matching
-    srsue `nas.cc integrity_generate/integrity_check` and srsepc
-    `nas.cc` behavior.  One instance per EPS security context; separate
-    per-direction NAS COUNTs."""
+    """NAS security (24.301 §4.4): the security-protected NAS header
+    (sec-hdr | MAC | seq | message) with the EIA MAC computed over
+    seq||message under the KASME-derived K_NAS_int, and EEA ciphering of
+    the inner message under K_NAS_enc — matching srsue
+    `nas.cc integrity_generate/integrity_check/cipher_*` and srsepc
+    `nas.cc`.  One instance per EPS security context; separate
+    per-direction NAS COUNTs.  Header types: 1 integrity only,
+    2 integrity+ciphered, 3 integrity w/ new context (the SMC itself),
+    4 integrity+ciphered w/ new context (the SMC complete)."""
 
-    def __init__(self, kasme: bytes, eia: int = 2):
+    def __init__(self, kasme: bytes, eia: int = 2, eea: int = 0):
         self.eia = eia
+        self.eea = eea
         self.k_int = security.kdf_nas_key(kasme, eia, is_enc=False)
+        self.k_enc = security.kdf_nas_key(kasme, eea, is_enc=True)
         self.count = [0, 0]  # [uplink, downlink]
 
     def _mac(self, count: int, direction: int, seq: int,
-             plain: bytes) -> bytes:
+             body: bytes) -> bytes:
         if self.eia == 0:
             return b"\x00" * 4
         return _EIA_FUNCS[self.eia](self.k_int, count, 0, direction,
-                                    bytes([seq]) + plain)[:4]
+                                    bytes([seq]) + body)[:4]
 
-    def protect(self, plain: bytes, downlink: bool,
-                new_ctx: bool = False) -> bytes:
+    def _cipher(self, count: int, direction: int, data: bytes) -> bytes:
+        if self.eea == 0:
+            return data
+        return _EEA_FUNCS[self.eea](self.k_enc, count, 0, direction, data)
+
+    def protect(self, plain: bytes, downlink: bool, new_ctx: bool = False,
+                cipher: bool = True) -> bytes:
         d = 1 if downlink else 0
         count = self.count[d]
         seq = count & 0xFF
-        mac = self._mac(count, d, seq, plain)
-        hdr = ((3 if new_ctx else 1) << 4) | w.PD_EMM
+        ciphered = self.eea != 0 and cipher
+        body = self._cipher(count, d, plain) if ciphered else plain
+        # MAC over SQN || (ciphered) message (24.301 §4.4.3.3)
+        mac = self._mac(count, d, seq, body)
+        if new_ctx:
+            hdr_type = 4 if ciphered else 3
+        else:
+            hdr_type = 2 if ciphered else 1
         self.count[d] = count + 1
-        return bytes([hdr]) + mac + bytes([seq]) + plain
+        return bytes([(hdr_type << 4) | w.PD_EMM]) + mac \
+            + bytes([seq]) + body
 
     def service_request(self, ksi: int = 0) -> bytes:
         """Real 24.301 §9.3.1 Service Request: KSI+SQN octet, then the
@@ -92,32 +110,42 @@ class NasSecurity:
 
     def unprotect(self, data: bytes, downlink: bool):
         """-> (plain bytes, mac_ok).  Plain input passes through with
-        mac_ok=True; a bad MAC returns the inner plain with mac_ok=False
-        (callers drop it, `nas.cc integrity_check` behavior)."""
+        mac_ok=True; a bad MAC returns the body undeciphered with
+        mac_ok=False (callers drop it, `nas.cc integrity_check`
+        behavior); a good MAC deciphers headers 2/4."""
         data = bytes(data)
         first = data[0]
-        if (first & 0x0F) != w.PD_EMM or first >> 4 in (
+        hdr_type = first >> 4
+        if (first & 0x0F) != w.PD_EMM or hdr_type in (
                 w.SEC_PLAIN, w.SEC_SERVICE_REQUEST):
             return data, True
-        mac, seq, plain = data[1:5], data[5], data[6:]
+        mac, seq, body = data[1:5], data[5], data[6:]
         d = 1 if downlink else 0
         # resync the low COUNT byte from the received SQN (24.301 §4.4.3.3)
         count = (self.count[d] & ~0xFF) | seq
         if count < self.count[d]:
             count += 0x100
-        ok = self._mac(count, d, seq, plain) == mac
-        if ok:
-            self.count[d] = count + 1
-        return plain, ok
+        ok = self._mac(count, d, seq, body) == mac
+        if not ok:
+            return body, False
+        self.count[d] = count + 1
+        if hdr_type in (2, 4):
+            body = self._cipher(count, d, body)
+        return body, True
 
 
 def strip_security(data: bytes) -> bytes:
-    """Drop a security-protected header without verifying (the eNB's
-    TFT peek; ciphering here is EEA0 so the inner message is readable)."""
+    """Drop a security-protected header without verifying.  Only valid
+    for integrity-only headers (1/3) — a ciphered body (headers 2/4)
+    cannot be read without the context, so that raises."""
     data = bytes(data)
     first = data[0]
-    if (first & 0x0F) == w.PD_EMM and first >> 4 not in (
+    hdr_type = first >> 4
+    if (first & 0x0F) == w.PD_EMM and hdr_type not in (
             w.SEC_PLAIN, w.SEC_SERVICE_REQUEST):
+        if hdr_type in (2, 4):
+            raise w.NasDecodeError(
+                "ciphered NAS: unprotect with the security context first")
         return data[6:]
     return data
 

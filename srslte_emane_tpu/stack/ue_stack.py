@@ -652,8 +652,11 @@ class UeStack:
                     if self.nas_sec is not None and not isinstance(
                             req, nas_msgs.ServiceRequest):
                         # integrity-protect with the existing EPS security
-                        # context (24.301 §4.4.4)
-                        data = self.nas_sec.protect(data, downlink=False)
+                        # context; NOT ciphered (24.301 §4.4.5: initial
+                        # NAS like the TAU request stays readable so the
+                        # network can route it before context lookup)
+                        data = self.nas_sec.protect(data, downlink=False,
+                                                    cipher=False)
                 self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                     nas_pdu=data))
                 return
@@ -769,7 +772,8 @@ class UeStack:
             peek = nas_wire.decode(data)
             if isinstance(peek, nas_msgs.NasSecurityModeCommand):
                 self.nas_sec = nas_wire.NasSecurity(self.kasme,
-                                                    eia=peek.eia)
+                                                    eia=peek.eia,
+                                                    eea=peek.eea)
         if self.nas_sec is not None:
             data, ok = self.nas_sec.unprotect(data, downlink=True)
             if not ok:

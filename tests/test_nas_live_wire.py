@@ -94,6 +94,32 @@ def test_nas_integrity_protection():
     assert ok and ue.count[1] == 2
 
 
+def test_nas_ciphering_eea2():
+    """With EEA2 the inner NAS message is actually encrypted on the wire
+    (header 2), the MAC covers the ciphertext, and only the peer context
+    can read it — transparent decode refuses ciphered bytes."""
+    kasme = bytes(range(32))
+    mme = nas_wire.NasSecurity(kasme, eia=2, eea=2)
+    ue = nas_wire.NasSecurity(kasme, eia=2, eea=2)
+    msg = nas_msgs.AttachAccept(ip_addr="172.16.0.5", guti=9)
+    plain = nas_wire.encode(msg)
+    prot = mme.protect(plain, downlink=True)
+    assert prot[0] == 0x27  # sec-hdr 2 (integrity + ciphered) | PD EMM
+    assert plain not in prot  # body actually encrypted
+    with pytest.raises(Exception):
+        nas_wire.decode(prot)  # no peeking without the context
+    out, ok = ue.unprotect(prot, downlink=True)
+    assert ok and out == plain
+    assert nas_wire.decode(out) == msg
+    # SMC stays integrity-only (header 3) so the UE can read it pre-keys
+    smc = mme.protect(nas_wire.encode(
+        nas_msgs.NasSecurityModeCommand(eea=2, eia=2)),
+        downlink=True, new_ctx=True, cipher=False)
+    assert smc[0] == 0x37
+    assert nas_wire.decode(smc) == nas_msgs.NasSecurityModeCommand(
+        eea=2, eia=2)
+
+
 def test_service_request_short_mac():
     """The 4-byte Service Request carries a genuine short MAC (nas.cc
     gen_service_request layout: EIA MAC bytes [2:4] over the first two
