@@ -68,14 +68,76 @@ class M2SessionStartResponse:
     ok: bool = True
 
 
+def _m2_encode_request(msg: "M2SessionStartRequest") -> bytes:
+    """Typed request -> real 36.443 Session Start Request PDU (same IE
+    set as the srslte_asn1_m2ap_test.cc capture: MCE-MBMS-M2AP-ID, TMGI,
+    MBMS-Service-Area, TNL-Information); the emulation's GBR rides a
+    private raw IE (59998) the spec's unknown-IE rule skips."""
+    from ..stack.asn1 import m2ap36443 as m2
+    from ..stack.asn1.aper import Pdu, ProtocolIE
+
+    ies = [
+        ProtocolIE(m2.ID_MCE_MBMS_M2AP_ID, "reject",
+                   msg.mbms_service_id & 0xFFFFFF),
+        ProtocolIE(m2.ID_TMGI, "reject",
+                   dict(plmn=bytes(msg.tmgi[:3]),
+                        service_id=bytes(msg.tmgi[3:6]))),
+        ProtocolIE(m2.ID_MBMS_SERVICE_AREA, "reject",
+                   int(msg.area_id).to_bytes(2, "big")),
+        ProtocolIE(m2.ID_TNL_INFORMATION, "reject",
+                   dict(ipmc=bytes([239, 255, 0, msg.area_id & 0xFF]),
+                        ipsource=bytes([127, 0, 0, 1]),
+                        gtp_teid=msg.mbms_service_id.to_bytes(4, "big"))),
+        ProtocolIE(59998, "ignore", int(msg.gbr_bps).to_bytes(4, "big")),
+    ]
+    return m2.encode_pdu(Pdu("initiatingMessage", m2.PROC_SESSION_START,
+                             "reject", ies))
+
+
+def _m2_decode_request(data: bytes) -> "M2SessionStartRequest":
+    from ..stack.asn1 import m2ap36443 as m2
+
+    ies = {ie.id: ie.value for ie in m2.decode_pdu(data).ies}
+    tmgi = ies[m2.ID_TMGI]
+    gbr = int.from_bytes(ies.get(59998, b"\x00\x0fB@"), "big")
+    return M2SessionStartRequest(
+        mbms_service_id=ies[m2.ID_MCE_MBMS_M2AP_ID],
+        area_id=int.from_bytes(ies[m2.ID_MBMS_SERVICE_AREA], "big"),
+        tmgi=bytes(tmgi["plmn"]) + bytes(tmgi["service_id"]),
+        gbr_bps=gbr)
+
+
+def _m2_encode_response(msg: "M2SessionStartResponse") -> bytes:
+    from ..stack.asn1 import m2ap36443 as m2
+    from ..stack.asn1.aper import Pdu, ProtocolIE
+
+    pdu_type = "successfulOutcome" if msg.ok else "unsuccessfulOutcome"
+    ies = [ProtocolIE(m2.ID_MCE_MBMS_M2AP_ID, "ignore",
+                      msg.mbms_service_id & 0xFFFFFF),
+           ProtocolIE(m2.ID_ENB_MBMS_M2AP_ID, "ignore", 0)]
+    return m2.encode_pdu(Pdu(pdu_type, m2.PROC_SESSION_START, "reject",
+                             ies))
+
+
+def _m2_decode_response(data: bytes) -> "M2SessionStartResponse":
+    from ..stack.asn1 import m2ap36443 as m2
+
+    pdu = m2.decode_pdu(data)
+    ies = {ie.id: ie.value for ie in pdu.ies}
+    return M2SessionStartResponse(
+        mbms_service_id=ies[m2.ID_MCE_MBMS_M2AP_ID],
+        ok=pdu.pdu_type == "successfulOutcome")
+
+
 def _session_start(self, service_id: int, tmgi: bytes = b"\x00\xf1\x10\x00\x00\x01"):
     """Announce an MBMS session over M2 to every attached eNB; data flows
-    only after all eNBs acknowledge (mbms-gw/m2ap session setup)."""
-    req = codec.encode(M2SessionStartRequest(
+    only after all eNBs acknowledge (mbms-gw/m2ap session setup).  The
+    request/response cross the control channel as real 36.443 APER PDUs."""
+    req = _m2_encode_request(M2SessionStartRequest(
         mbms_service_id=service_id, area_id=self.area_id, tmgi=tmgi))
     acks = []
     for ctl in getattr(self, "m2_endpoints", []):
-        resp = codec.decode(ctl(req))
+        resp = _m2_decode_response(ctl(req))
         acks.append(resp.ok)
     self.sessions = getattr(self, "sessions", set())
     if all(acks):
@@ -97,9 +159,9 @@ def enb_m2_endpoint(state: dict):
     """eNB-side M2 control endpoint: records announced sessions."""
 
     def endpoint(req_bytes: bytes) -> bytes:
-        req = codec.decode(req_bytes)
+        req = _m2_decode_request(req_bytes)
         state.setdefault("sessions", {})[req.mbms_service_id] = req
-        return codec.encode(M2SessionStartResponse(
+        return _m2_encode_response(M2SessionStartResponse(
             mbms_service_id=req.mbms_service_id, ok=True))
 
     return endpoint

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import collections
 
-from ..stack import codec, pdu, rrc_msgs
+from ..stack import codec, nas_wire, pdu, rrc_msgs, rrc_wire
 from ..stack.ue_stack import UeStack
 
 
@@ -40,21 +40,29 @@ class SysSim:
         self._pdcp.write_pdu(sdu)
 
     def _srb1_rrc(self, sdu):
-        msg = codec.decode(sdu)
+        msg = rrc_wire.decode_ul_dcch(sdu)
         if isinstance(msg, rrc_msgs.UlInformationTransfer):
-            self.ul_nas.append(codec.decode(msg.nas_pdu))
+            self.ul_nas.append(nas_wire.decode(msg.nas_pdu))
         else:
             self.ul_rrc.append(msg)
 
     def dl_rrc(self, msg):
         """Deliver a DL RRC message to the UE on SRB1 (ideal PHY)."""
-        data = self._pdcp.write_sdu(codec.encode(msg))
+        data = self._pdcp.write_sdu(rrc_wire.encode_dl_dcch(msg))
         self._rlc.write_sdu(data)
         self._pump_dl()
 
     def dl_ccch(self, msg):
-        mac_pdu = pdu.pack([(pdu.LCID_CCCH, codec.encode(msg))])
-        self.ue.tb_decoded(self.tti, mac_pdu, 30.0)
+        # route by logical channel, like the real MAC: SI-RNTI for BCCH,
+        # P-RNTI for PCCH, C-RNTI-less DL-CCCH otherwise
+        if isinstance(msg, (rrc_msgs.Sib1, rrc_msgs.Sib2)):
+            data, rnti = rrc_wire.encode_bcch(msg), self.ue.SI_RNTI
+        elif isinstance(msg, rrc_msgs.Paging):
+            data, rnti = rrc_wire.encode_pcch(msg), self.ue.P_RNTI
+        else:
+            data, rnti = rrc_wire.encode_dl_ccch(msg), None
+        mac_pdu = pdu.pack([(pdu.LCID_CCCH, data)])
+        self.ue.tb_decoded(self.tti, mac_pdu, 30.0, rnti=rnti)
 
     def _pump_dl(self):
         while self._rlc.has_data():
@@ -82,7 +90,7 @@ class SysSim:
             for g, payload in self.ue.get_pusch(self.tti):
                 for lcid, sdu in pdu.unpack(payload):
                     if lcid == pdu.LCID_CCCH:
-                        self.ul_rrc.append(codec.decode(sdu))
+                        self.ul_rrc.append(rrc_wire.decode_ul_ccch(sdu))
                     elif lcid == 1:
                         self._to_ue_srb1_rlc(sdu)
             self._pump_dl()

@@ -1475,7 +1475,20 @@ DL_DCCH_MSG = Seq([
                                             "rrc_suspend_v1320"))),
                     ("redirected_carrier_info", Choice([
                         ("eutra", ARFCN_EUTRA),
-                        ("geran", OctStr()),
+                        ("geran", Seq([  # CarrierFreqsGERAN (36.331)
+                            ("starting_arfcn", Int(0, 1023)),
+                            ("band_ind", Enum(("dcs1800", "pcs1900"))),
+                            ("following_arfcns", Choice([
+                                ("explicit_list_of_arfcns",
+                                 SeqOf(Int(0, 1023), 0, 31)),
+                                ("equally_spaced_arfcns", Seq([
+                                    ("arfcn_spacing", Int(1, 8)),
+                                    ("nof_following_arfcns", Int(0, 30)),
+                                ])),
+                                ("variable_bit_map_of_arfcns",
+                                 OctStr()),
+                            ])),
+                        ])),
                         ("utra_fdd", Int(0, 16383)),
                         ("utra_tdd", Int(0, 16383)),
                         ("cdma2000_hrpd", OctStr()),
@@ -1622,6 +1635,62 @@ PAGING = Seq([
     ("sys_info_mod", Enum(("true",)), "?"),
     ("etws_ind", Enum(("true",)), "?"),
     ("non_crit_ext", OctStr(), "?"),
+])
+
+# ---------------- UL-CCCH (36.331 §6.2.1) ----------------
+
+S_TMSI_36331 = Seq([
+    ("mmec", BitStr(8)),
+    ("m_tmsi", BitStr(32)),
+])
+
+INITIAL_UE_IDENTITY = Choice([
+    ("s_tmsi", S_TMSI_36331),
+    ("random_value", BitStr(40)),
+])
+
+ESTABLISHMENT_CAUSE = Enum((
+    "emergency", "high_prio_access", "mt_access", "mo_sig", "mo_data",
+    "delay_tolerant_access_v1020", "mo_voice_call_v1280", "spare1"))
+
+RRC_CONN_REQUEST = Seq([
+    ("crit_exts", Choice([
+        ("rrc_conn_request_r8", Seq([
+            ("ue_id", INITIAL_UE_IDENTITY),
+            ("establishment_cause", ESTABLISHMENT_CAUSE),
+            ("spare", BitStr(1)),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+REEST_UE_IDENTITY = Seq([
+    ("c_rnti", BitStr(16)),
+    ("pci", PHYS_CELL_ID),
+    ("short_mac_i", BitStr(16)),
+])
+
+REEST_CAUSE = Enum(("recfg_fail", "ho_fail", "other_fail", "spare1"))
+
+RRC_CONN_REEST_REQUEST = Seq([
+    ("crit_exts", Choice([
+        ("rrc_conn_reest_request_r8", Seq([
+            ("ue_id", REEST_UE_IDENTITY),
+            ("reest_cause", REEST_CAUSE),
+            ("spare", BitStr(2)),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+UL_CCCH_MSG = Seq([
+    ("msg", Choice([
+        ("c1", Choice([
+            ("rrc_conn_reest_request", RRC_CONN_REEST_REQUEST),
+            ("rrc_conn_request", RRC_CONN_REQUEST),
+        ])),
+        ("msg_class_ext", Seq([])),
+    ])),
 ])
 
 PCCH_MSG = Seq([

@@ -14,7 +14,8 @@ import struct
 from ..epc import spgw as spgw_mod
 from ..phch import grid as grid_mod, pdcch as pdcch_mod, ra
 from ..runtime.phy_adapter import DlGrant, UlGrant
-from . import cb, codec, nas_wire, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security, x2_msgs
+from . import (cb, codec, nas_wire, pdcp as pdcp_mod, pdu,
+               rlc as rlc_mod, rrc_msgs, rrc_wire, security, x2_msgs)
 from ..epc import mme as mme_mod
 
 SRB0, SRB1, SRB2 = 0, 1, 2
@@ -130,10 +131,14 @@ class UeContext:
             is_ue=False)
 
     def send_rrc(self, lcid, msg):
-        data = codec.encode(msg)
         if lcid == SRB0:
-            self.stack.ccch_dl.append((self.rnti, data))
+            # DL-CCCH + the 36.321 Contention Resolution Identity CE
+            # echoing the UE's Msg3 UL-CCCH SDU prefix
+            self.stack.ccch_dl.append(
+                (self.rnti, rrc_wire.encode_dl_ccch(msg),
+                 getattr(self, "msg3_prefix", None)))
         else:
+            data = rrc_wire.encode_dl_dcch(msg)
             self.rlc[lcid].write_sdu(self.pdcp[lcid].write_sdu(data))
             self.stack._dl_hint.add(self.rnti)
 
@@ -391,7 +396,8 @@ class EnbStack:
             la = cce.alloc_common(l_pref=8) or (4, 0)  # SI pre-reserved
             grants.append(DlGrant(
                 rnti=self.SI_RNTI, prb_mask=alloc(3), mcs=0,
-                payload=pdu.pack([(pdu.LCID_CCCH, codec.encode(msg))]),
+                payload=pdu.pack([(pdu.LCID_CCCH,
+                                   rrc_wire.encode_bcch(msg))]),
                 l_aggr=la[0], cce_start=la[1]))
             self.metrics["si_tx"] += 1
 
@@ -444,8 +450,10 @@ class EnbStack:
             if la is None:
                 self.metrics["cce_defer"] += 1
                 break
-            rnti, data = self.ccch_dl.popleft()
-            mac_pdu = pdu.pack([(pdu.LCID_CCCH, data)])
+            rnti, data, ce = self.ccch_dl.popleft()
+            subs = [(pdu.LCID_CON_RES, ce)] if ce else []
+            subs.append((pdu.LCID_CCCH, data))
+            mac_pdu = pdu.pack(subs)
             grants.append(DlGrant(rnti=rnti, prb_mask=alloc(4),
                                   mcs=self.mcs, payload=mac_pdu,
                                   l_aggr=la[0], cce_start=la[1]))
@@ -925,7 +933,10 @@ class EnbStack:
 
     # ================= RRC (rrc.cc) =================
     def _rx_ccch(self, ue: UeContext, sdu: bytes):
-        msg = codec.decode(sdu)
+        msg = rrc_wire.decode_ul_ccch(sdu)
+        # first 6 octets of the Msg3 UL-CCCH SDU: echoed back as the
+        # 36.321 Contention Resolution Identity CE with the setup
+        ue.msg3_prefix = (bytes(sdu) + b"\x00" * 6)[:6]
         if isinstance(msg, rrc_msgs.RrcConnectionRequest):
             if ue.state == "RRC_CONNECTED":
                 # contention: a second Msg3 on an already-resolved C-RNTI
@@ -937,8 +948,9 @@ class EnbStack:
             # a registered UE presents its S-TMSI: forwarded to the MME in
             # the InitialUEMessage (s1ap.cc includes the s-TMSI IE)
             ue.s_tmsi = msg.ue_identity if msg.is_s_tmsi else None
-            ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup(
-                con_res_id=msg.ue_identity))
+            # contention resolution rides the MAC CE (ue.msg3_prefix),
+            # not the RRC message
+            ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())
             self.metrics["rrc_setup"] += 1
         elif isinstance(msg, rrc_msgs.RrcConnectionReestablishmentRequest):
             self.handle_reestablishment(ue, msg)
@@ -947,7 +959,7 @@ class EnbStack:
         ue.pdcp[lcid].write_pdu(rlc_sdu)
 
     def _rx_rrc(self, ue: UeContext, lcid: int, sdu: bytes):
-        msg = codec.decode(sdu)
+        msg = rrc_wire.decode_ul_dcch(sdu)
         if isinstance(msg, rrc_msgs.RrcConnectionSetupComplete):
             self.mme.initial_ue_message(self.enb_id, mme_mod.InitialUEMessage(
                 enb_ue_id=ue.enb_ue_id, nas_pdu=msg.nas_pdu,
@@ -1008,7 +1020,11 @@ class EnbStack:
             # X2 HO when a direct neighbor relation exists, else S1 via MME
             if msg.neigh:
                 pci, snr = max(msg.neigh, key=lambda x: x[1])
-                if snr > msg.rsrp_dbm + 1.0 and pci != self.cell_pci:
+                # >= : RSRP rides the wire in 1 dB steps (36.133 range),
+                # so a UE-side margin of just over 1 dB can quantize to
+                # exactly 1 — the UE already applied A3 offset +
+                # hysteresis + timeToTrigger before reporting
+                if snr >= msg.rsrp_dbm + 1.0 and pci != self.cell_pci:
                     if pci in self.x2_neighbors and ue.kenb is not None:
                         self._x2_handover(ue, pci)
                     else:
@@ -1041,8 +1057,8 @@ class EnbStack:
         rest = []
         for ident, dom in q:
             if sfn % self.PAGING_T == self.paging_frame(ident):
-                self.ccch_dl.append((0xFFFE, codec.encode(
-                    rrc_msgs.Paging(ident, cn_domain=dom))))
+                self.ccch_dl.append((0xFFFE, rrc_wire.encode_pcch(
+                    rrc_msgs.Paging(ident, cn_domain=dom)), None))
                 self.metrics["paging_tx"] += 1
             else:
                 rest.append((ident, dom))
@@ -1063,6 +1079,9 @@ class EnbStack:
             return  # reject: no context -> UE will fall back to full attach
         del self.ues[msg.c_rnti]
         old.rnti = ue.rnti
+        # the contention-resolution CE must echo THIS RA's Msg3 (the
+        # reestablishment request), not the adopted context's original
+        old.msg3_prefix = getattr(ue, "msg3_prefix", None)
         self.ues[ue.rnti] = old
         old.state = "RRC_CONNECTED"
         old.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())

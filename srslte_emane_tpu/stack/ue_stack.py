@@ -13,7 +13,8 @@ import zlib
 
 import numpy as np
 
-from . import cb, codec, nas_msgs, nas_wire, pdcp as pdcp_mod, pdu, rlc as rlc_mod, rrc_msgs, security
+from . import (cb, codec, nas_msgs, nas_wire, pdcp as pdcp_mod, pdu,
+               rlc as rlc_mod, rrc_msgs, rrc_wire, security)
 from ..runtime.phy_adapter import UlGrant
 
 SRB0, SRB1 = 0, 1
@@ -197,8 +198,12 @@ class UeStack:
                 and tti - self._last_report_tti > cfg.report_interval):
             self._last_report_tti = tti
             self._a3_count = 0
+            # report true RSRP dBm (the 36.133 0..97 wire range): the
+            # message-level medium measures SNR, so reference it to the
+            # noise floor — relative A3 comparisons are unchanged
             self._send_srb1(rrc_msgs.MeasurementReport(
-                rsrp_dbm=serving, neigh=[[best[0], best[1]]]))
+                rsrp_dbm=serving - 110.0,
+                neigh=[[best[0], best[1] - 110.0]]))
             self.metrics["meas_reports"] += 1
 
     # ---- MIMO channel feedback (precoding.h:45-129 PMI selection /
@@ -351,7 +356,17 @@ class UeStack:
             return
         for lcid, sdu in pdu.unpack(payload):
             if lcid == pdu.LCID_CCCH:
-                self._rx_ccch(sdu)
+                self._rx_ccch(sdu, rnti)
+            elif lcid == pdu.LCID_CON_RES and len(sdu) == 6:
+                # 36.321 §5.1.5 UE Contention Resolution Identity CE:
+                # must echo our Msg3 UL-CCCH SDU prefix, else another
+                # UE won this C-RNTI
+                sent = getattr(self, "_msg3_prefix", None)
+                if sent is not None and sdu != sent \
+                        and self.rrc_state in ("CONNECTING",
+                                               "REESTABLISHING"):
+                    self._contention_lost()
+                    return
             elif lcid == pdu.LCID_SCELL_ACT and len(sdu) == 1:
                 # Activation/Deactivation CE (36.321 §6.1.3.8)
                 bitmap = sdu[0]
@@ -570,10 +585,12 @@ class UeStack:
         if self.rrc_state == "REESTABLISHING":
             self.t311.stop()  # a cell answered: recovery window met
             self.t301.run()
-            self.ul_ccch.append(codec.encode(
+            data = rrc_wire.encode_ul_ccch(
                 rrc_msgs.RrcConnectionReestablishmentRequest(
                     c_rnti=getattr(self, "_old_crnti", 0) or 0,
-                    cause="otherFailure")))
+                    cause="otherFailure"))
+            self._msg3_prefix = (data + b"\x00" * 6)[:6]
+            self.ul_ccch.append(data)
             return
         self._setup_srb1()
         self.rrc_state = "CONNECTING"
@@ -582,12 +599,34 @@ class UeStack:
             ident, is_s_tmsi = self.guti, True  # 36.331 s-TMSI choice
         else:
             ident, is_s_tmsi = self._salt & 0xFFFF, False
-        self.ul_ccch.append(codec.encode(
+        data = rrc_wire.encode_ul_ccch(
             rrc_msgs.RrcConnectionRequest(ue_identity=ident,
-                                          is_s_tmsi=is_s_tmsi)))
+                                          is_s_tmsi=is_s_tmsi))
+        # first 6 octets of the UL-CCCH SDU = the identity the eNB echoes
+        # in the 36.321 Contention Resolution CE
+        self._msg3_prefix = (data + b"\x00" * 6)[:6]
+        self.ul_ccch.append(data)
 
-    def _rx_ccch(self, sdu):
-        msg = codec.decode(sdu)
+    def _contention_lost(self):
+        """36.321 §5.1.5: another UE's Msg3 won this C-RNTI — back to
+        idle, new random access after backoff."""
+        self.metrics["contention_lost"] += 1
+        self.t300.stop()
+        self.rrc_state = "IDLE"
+        self.mac_state = "IDLE"
+        self.crnti = None
+        self._ra_backoff = (self._salt // 7 + 11) % 40
+        self._connect_pending = True
+
+    def _rx_ccch(self, sdu, rnti=None):
+        # logical channel by addressed RNTI: BCCH (SI-RNTI), PCCH
+        # (P-RNTI), else DL-CCCH — each with its real 36.331 schema
+        if rnti == self.SI_RNTI:
+            msg = rrc_wire.decode_bcch(sdu)
+        elif rnti == self.P_RNTI:
+            msg = rrc_wire.decode_pcch(sdu)
+        else:
+            msg = rrc_wire.decode_dl_ccch(sdu)
         if isinstance(msg, rrc_msgs.Sib1):
             self.sib1 = msg
             self.metrics["sib1_rx"] += 1
@@ -603,22 +642,9 @@ class UeStack:
                 self.rrc_state = "CONNECTED"
                 self.metrics["reest_ok"] += 1
                 return
-            # the identity we sent in the request: S-TMSI when registered
-            # (36.331 ue-Identity choice), otherwise the random value
-            if self.emm_state == "REGISTERED" and self.guti:
-                my_id = self.guti
-            else:
-                my_id = self._salt & 0xFFFF
-            if msg.con_res_id not in (0, my_id):
-                # contention resolution lost (36.321 §5.1.5): another UE's
-                # Msg3 won this C-RNTI — back to idle, new random access
-                self.metrics["contention_lost"] += 1
-                self.t300.stop()
-                self.rrc_state = "IDLE"
-                self.mac_state = "IDLE"
-                self.crnti = None
-                self._ra_backoff = (self._salt // 7 + 11) % 40
-                return
+            # contention resolution happens via the 36.321 MAC CE in the
+            # demux loop (LCID_CON_RES); reaching here means we won (or
+            # an ideal-PHY driver sent no CE)
             self.t300.stop()
             self.rrc_state = "CONNECTED"
             if self.emm_state == "REGISTERED" and getattr(self, "guti", None) is not None:
@@ -680,10 +706,11 @@ class UeStack:
                     self._connect_pending = True
 
     def _send_srb1(self, msg):
-        self.rlc[SRB1].write_sdu(self.pdcp[SRB1].write_sdu(codec.encode(msg)))
+        self.rlc[SRB1].write_sdu(
+            self.pdcp[SRB1].write_sdu(rrc_wire.encode_ul_dcch(msg)))
 
     def _rx_rrc_srb1(self, sdu):
-        msg = codec.decode(sdu)
+        msg = rrc_wire.decode_dl_dcch(sdu)
         if isinstance(msg, rrc_msgs.DlInformationTransfer):
             self._rx_nas_pdu(msg.nas_pdu)
         elif isinstance(msg, rrc_msgs.SecurityModeCommand):

@@ -147,12 +147,13 @@ def test_idle_mode_cell_reselection():
 
 def test_network_pushed_meas_config_controls_a3():
     """The A3 parameters come from the network's measConfig (36.331
-    §5.5.2), not UE hardcoding: with a 20 dB a3-offset pushed in the
-    reconfiguration, a neighbor 6 dB above serving must NOT trigger a
-    measurement report; with the default 1 dB offset it must."""
+    §5.5.2), not UE hardcoding: with a 14 dB a3-offset pushed in the
+    reconfiguration (the 36.331 a3-Offset field tops out at 15 dB), a
+    neighbor 6 dB above serving must NOT trigger a measurement report;
+    with the default 1 dB offset it must."""
     from srslte_emane_tpu.stack import rrc_msgs
 
-    for offset, expect_reports in ((20.0, False), (1.0, True)):
+    for offset, expect_reports in ((14.0, False), (1.0, True)):
         # UE camps on A (stronger at attach); B gets 6 dB better afterward
         pl = np.array([[0, 100, 74], [100, 0, 95], [74, 95, 0]], np.float32)
         prop = sinr.Propagation(pathloss_db=pl)

@@ -118,3 +118,23 @@ def test_generated_m2_setup_roundtrip():
     assert ies[m2ap.ID_ENB_NAME] == "tpu-enb"
     assert ies[m2ap.ID_CONFIG_DATA_LIST][0]["cell_id"] == 0x19B01
     assert m2ap.encode_pdu(back) == wire
+
+
+def test_live_m2_session_start_rides_real_pdus():
+    """The MBMS-GW <-> eNB session-start exchange crosses the M2 control
+    channel as real 36.443 APER PDUs (same IE set as the capture)."""
+    from srslte_emane_tpu.epc import mbms_gw as gw
+
+    req = gw._m2_encode_request(gw.M2SessionStartRequest(
+        mbms_service_id=1, area_id=1))
+    pdu = m2ap.decode_pdu(req)
+    assert pdu.procedure_code == m2ap.PROC_SESSION_START
+    assert pdu.pdu_type == "initiatingMessage"
+    ies = {ie.id: ie.value for ie in pdu.ies}
+    assert ies[m2ap.ID_TMGI]["plmn"] == bytes([0x00, 0xF1, 0x10])
+    assert gw._m2_decode_request(req) == gw.M2SessionStartRequest(
+        mbms_service_id=1, area_id=1)
+    resp = gw._m2_encode_response(gw.M2SessionStartResponse(
+        mbms_service_id=1, ok=True))
+    assert m2ap.decode_pdu(resp).pdu_type == "successfulOutcome"
+    assert gw._m2_decode_response(resp).ok
