@@ -276,9 +276,34 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None,
             for f, rcv in zip(group, rcv_of)))
         by_t = cache.get(key)
         if by_t is None:
-            by_t = _adjudicate_group(group, prop, n_prb, rx_ids,
-                                     node_ids, recv=recv)
-            if len(cache) >= 1024:
+            # per-receiver assembly: one receiver's SINR is independent
+            # of the rest of the set, so the rotating awake-set of the
+            # DRX wake schedule (a different handful of UEs every TTI)
+            # reuses each receiver's testers computed on an earlier TTI
+            # with the same transmitter/occupancy signature — only
+            # receivers never seen under this signature compute anything
+            fkey = (dom, n_prb, tuple(
+                (f.src, f.txc.reference_signal_power_mw,
+                 f.txc.phy_cell_id, not f.txc.channels,
+                 _frame_occ(f).tobytes()) for f in group))
+            per_rx = cache.get(fkey)
+            if per_rx is None:
+                if len(cache) >= 4096:
+                    cache.clear()
+                per_rx = cache[fkey] = {}
+            missing = [rid for rid in rx_ids if rid not in per_rx]
+            if missing:
+                new_by_t = _adjudicate_group(group, prop, n_prb,
+                                             missing, node_ids)
+                for rid in missing:
+                    per_rx[rid] = [new_by_t[t].get(rid)
+                                   for t in range(len(group))]
+            by_t = []
+            for t in range(len(group)):
+                rids = rcv_of[t] if rcv_of[t] is not None else rx_ids
+                by_t.append({rid: per_rx[rid][t] for rid in rids
+                             if per_rx[rid][t] is not None})
+            if len(cache) >= 4096:
                 cache.clear()
             cache[key] = by_t
         for t, fr in enumerate(group):

@@ -210,6 +210,24 @@ def _snap_enum(values, x, fmt):
 
 
 def encode_bcch(msg) -> bytes:
+    """SI content is static per cell but broadcast every SI period: cache
+    the UPER encoding by message value (deployment-scale hot path)."""
+    import dataclasses as _dc
+
+    key = (type(msg).__name__, _dc.astuple(msg))
+    hit = _BCCH_ENC_CACHE.get(key)
+    if hit is None:
+        hit = _encode_bcch(msg)
+        if len(_BCCH_ENC_CACHE) > 64:
+            _BCCH_ENC_CACHE.clear()
+        _BCCH_ENC_CACHE[key] = hit
+    return hit
+
+
+_BCCH_ENC_CACHE: dict = {}
+
+
+def _encode_bcch(msg) -> bytes:
     if isinstance(msg, rrc_msgs.Sib1):
         sib1 = dict(
             cell_access_related_info=dict(
@@ -285,6 +303,22 @@ def encode_bcch(msg) -> bytes:
 
 
 def decode_bcch(data: bytes):
+    """Every idle UE re-reads the same broadcast SI bytes each SI cycle:
+    memoize by the wire bytes (decoded dataclasses are read-only)."""
+    data = bytes(data)
+    hit = _BCCH_DEC_CACHE.get(data)
+    if hit is None:
+        hit = _decode_bcch(data)
+        if len(_BCCH_DEC_CACHE) > 64:
+            _BCCH_DEC_CACHE.clear()
+        _BCCH_DEC_CACHE[data] = hit
+    return hit
+
+
+_BCCH_DEC_CACHE: dict = {}
+
+
+def _decode_bcch(data: bytes):
     _alt, (name, val) = _dec(r.BCCH_DL_SCH_MSG, data)["msg"]
     if name == "sib_type1":
         acc = val["cell_access_related_info"]
