@@ -1282,6 +1282,12 @@ class EnbStack:
         self.metrics["ho_command"] += 1
 
     def _by_enb_ue_id(self, enb_ue_id):
+        # fast path: enb_ue_id == the creation rnti for every context
+        # that never went through reestablishment or handover (O(1) at
+        # mass-attach scale); linear fallback stays correct for the rest
+        u = self.ues.get(enb_ue_id)
+        if u is not None and u.enb_ue_id == enb_ue_id:
+            return u
         for u in self.ues.values():
             if u.enb_ue_id == enb_ue_id:
                 return u
