@@ -1531,6 +1531,86 @@ DL_DCCH_MSG = Seq([
 
 # ---------------- UL-DCCH ----------------
 
+# ---------------- UE-EUTRA-Capability (36.331 §6.3.6, rel-8 root) -------
+
+ROHC_PROFILES = Seq([
+    (f"profile{p}", Bool()) for p in
+    ("0x0001", "0x0002", "0x0003", "0x0004", "0x0006",
+     "0x0101", "0x0102", "0x0103", "0x0104")
+])
+
+PDCP_PARAMS_CAP = Seq([
+    ("supported_rohc_profiles", ROHC_PROFILES),
+    ("max_num_rohc_context_sessions",
+     Enum(("cs2", "cs4", "cs8", "cs12", "cs16", "cs24", "cs32", "cs48",
+           "cs64", "cs128", "cs256", "cs512", "cs1024", "cs16384",
+           "spare2", "spare1")), ("=", "cs16")),
+], ext=True)
+
+PHY_LAYER_PARAMS_CAP = Seq([
+    ("ue_tx_ant_sel_supported", Bool()),
+    ("ue_specific_ref_sigs_supported", Bool()),
+])
+
+RF_PARAMS_CAP = Seq([
+    ("supported_band_list_eutra", SeqOf(Seq([
+        ("band_eutra", Int(1, 64)),
+        ("half_duplex", Bool()),
+    ]), 1, 64)),
+])
+
+MEAS_PARAMS_CAP = Seq([
+    ("band_list_eutra", SeqOf(Seq([
+        ("inter_freq_band_list", SeqOf(Seq([
+            ("inter_freq_need_for_gaps", Bool()),
+        ]), 1, 64)),
+        ("inter_rat_band_list", SeqOf(Seq([
+            ("inter_rat_need_for_gaps", Bool()),
+        ]), 1, 64), "?"),
+    ]), 1, 64)),
+])
+
+UE_EUTRA_CAPABILITY = Seq([
+    ("access_stratum_release",
+     Enum(("rel8", "rel9", "rel10", "rel11", "rel12", "spare3", "spare2",
+           "spare1"), ext=True)),
+    ("ue_category", Int(1, 5)),
+    ("pdcp_params", PDCP_PARAMS_CAP),
+    ("phy_layer_params", PHY_LAYER_PARAMS_CAP),
+    ("rf_params", RF_PARAMS_CAP),
+    ("meas_params", MEAS_PARAMS_CAP),
+    ("feature_group_inds", BitStr(32), "?"),
+    ("inter_rat_params", Seq([
+        ("utra_fdd", OctStr(), "?"),
+        ("utra_tdd128", OctStr(), "?"),
+        ("utra_tdd384", OctStr(), "?"),
+        ("utra_tdd768", OctStr(), "?"),
+        ("geran", OctStr(), "?"),
+        ("cdma2000_hrpd", OctStr(), "?"),
+        ("cdma2000_1xrtt", OctStr(), "?"),
+    ])),
+    ("non_crit_ext", OctStr(), "?"),
+])
+
+UE_CAP_RAT_CONTAINER = Seq([
+    ("rat_type", Enum(("eutra", "utra", "geran_cs", "geran_ps",
+                       "cdma2000_1xrtt"), ext=True)),
+    ("ue_cap_rat_container", OctStr()),
+])
+
+UE_CAP_INFO = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", Choice([
+        ("c1", Choice([("ue_cap_info_r8", Seq([
+            ("ue_cap_rat_container_list",
+             SeqOf(UE_CAP_RAT_CONTAINER, 0, 8)),
+            ("non_crit_ext", OctStr(), "?"),
+         ]))] + [(f"spare{i}", Null()) for i in range(7, 0, -1)])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+
 def _crit_ext_flat(inner: Seq) -> Choice:
     """`criticalExtensions CHOICE {x-r8, criticalExtensionsFuture}` — the
     two-alternative form the *Complete messages use (no c1 wrapper)."""
@@ -1601,7 +1681,7 @@ UL_DCCH_MSG = Seq([
             ("rrc_conn_setup_complete", RRC_CONN_SETUP_COMPLETE),
             ("security_mode_complete", SECURITY_MODE_COMPLETE),
             ("security_mode_fail", SECURITY_MODE_COMPLETE),
-            ("ue_cap_info", OctStr()),
+            ("ue_cap_info", UE_CAP_INFO),
             ("ul_ho_prep_transfer", OctStr()),
             ("ul_info_transfer", UL_INFO_TRANSFER),
             ("counter_check_resp", OctStr()),

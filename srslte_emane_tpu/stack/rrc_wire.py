@@ -599,11 +599,29 @@ def encode_ul_dcch(msg) -> bytes:
                 meas_results=res)))))))
         return uper_encode(r.UL_DCCH_MSG, tree)
     if isinstance(msg, rrc_msgs.UECapabilityInformation):
-        # the UL-DCCH schema keeps ue_cap_info as an opaque container
-        # (the nested UE-EUTRA-Capability UPER blob); pack our two fields
-        # as that blob's first octets
-        blob = bytes([msg.category, 1 if msg.supports_64qam_ul else 0])
-        tree = dict(msg=("c1", ("ue_cap_info", blob)))
+        # real nested container: a standalone-UPER UE-EUTRA-Capability
+        # inside the rat-container octet string, exactly how
+        # rrc_asn1_test.cc's rrc_ue_cap_info_test builds it
+        cap = dict(
+            access_stratum_release="rel8",
+            ue_category=max(1, min(5, msg.category)),
+            pdcp_params=dict(supported_rohc_profiles={
+                f[0]: False for f in r.ROHC_PROFILES.fields}),
+            phy_layer_params=dict(ue_tx_ant_sel_supported=False,
+                                  ue_specific_ref_sigs_supported=False),
+            rf_params=dict(supported_band_list_eutra=[dict(
+                band_eutra=8, half_duplex=False)]),
+            meas_params=dict(band_list_eutra=[dict(
+                inter_freq_band_list=[dict(
+                    inter_freq_need_for_gaps=True)])]),
+            feature_group_inds=_bits(0xE6041C00, 32),
+            inter_rat_params={})
+        blob = uper_encode(r.UE_EUTRA_CAPABILITY, cap)
+        tree = dict(msg=("c1", ("ue_cap_info", dict(
+            rrc_transaction_id=0,
+            crit_exts=("c1", ("ue_cap_info_r8", dict(
+                ue_cap_rat_container_list=[dict(
+                    rat_type="eutra", ue_cap_rat_container=blob)])))))))
         return uper_encode(r.UL_DCCH_MSG, tree)
     raise TypeError(f"no UL-DCCH mapping for {type(msg).__name__}")
 
@@ -639,8 +657,15 @@ def decode_ul_dcch(data: bytes):
             rsrq_db=pcell["rsrq_result"] / 2.0 - 19.5,
             neigh=neigh)
     if name == "ue_cap_info":
-        blob = bytes(val)
+        _c1, (_r8, body) = val["crit_exts"]
+        cat = 4
+        for item in body["ue_cap_rat_container_list"]:
+            if item["rat_type"] != "eutra":
+                continue
+            cap = _dec(r.UE_EUTRA_CAPABILITY,
+                       item["ue_cap_rat_container"])
+            cat = cap["ue_category"]
+        # 36.306: UL 64QAM support is a category property (cat 5)
         return rrc_msgs.UECapabilityInformation(
-            category=blob[0] if blob else 4,
-            supports_64qam_ul=bool(blob[1]) if len(blob) > 1 else False)
+            category=cat, supports_64qam_ul=cat >= 5)
     raise DecodeError(f"unhandled UL-DCCH {name}")

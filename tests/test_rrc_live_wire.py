@@ -35,7 +35,7 @@ UL_DCCH = [
     rrc_msgs.UlInformationTransfer(nas_pdu=b"\x27" + bytes(12)),
     rrc_msgs.MeasurementReport(rsrp_dbm=-90.0, rsrq_db=-10.0,
                                neigh=[(101, -95.0), (205, -99.0)]),
-    rrc_msgs.UECapabilityInformation(category=4, supports_64qam_ul=True),
+    rrc_msgs.UECapabilityInformation(category=5, supports_64qam_ul=True),
 ]
 
 DL_DCCH = [
@@ -121,6 +121,30 @@ def test_bcch_sibs_roundtrip():
     _c1, (name, _v) = tree["msg"]
     assert name == "sys_info"
     assert rrc_wire.decode_bcch(data) == s2
+
+
+def test_ue_capability_nested_container():
+    """UECapabilityInformation carries a genuine standalone-UPER
+    UE-EUTRA-Capability in its rat-container octet string (the structure
+    rrc_asn1_test.cc's rrc_ue_cap_info_test builds), and the category is
+    read back from INSIDE the container."""
+    data = rrc_wire.encode_ul_dcch(rrc_msgs.UECapabilityInformation(
+        category=4, supports_64qam_ul=False))
+    tree = _parse(r.UL_DCCH_MSG, data)
+    _c1, (name, val) = tree["msg"]
+    assert name == "ue_cap_info"
+    _c1b, (_r8, body) = val["crit_exts"]
+    item = body["ue_cap_rat_container_list"][0]
+    assert item["rat_type"] == "eutra"
+    cap = r.UE_EUTRA_CAPABILITY.dec(
+        __import__("srslte_emane_tpu.stack.asn1.runtime",
+                   fromlist=["BitReader"]).BitReader(
+            item["ue_cap_rat_container"]))
+    assert cap["ue_category"] == 4
+    assert cap["access_stratum_release"] == "rel8"
+    assert len(cap["feature_group_inds"]) == 32
+    out = rrc_wire.decode_ul_dcch(data)
+    assert out.category == 4 and out.supports_64qam_ul is False
 
 
 def test_meas_report_quantizes_to_spec_ranges():
