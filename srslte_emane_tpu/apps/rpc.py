@@ -73,12 +73,15 @@ class RpcServer:
         try:
             while not self._stop:
                 req = _recv(conn)
-                target = self.obj
-                for part in req["path"].split("."):
-                    target = getattr(target, part)
-                args = s1ap_wire.decode_args(req["path"], req["args"])
                 with self.lock:
                     try:
+                        target = self.obj
+                        for part in req["path"].split("."):
+                            target = getattr(target, part)
+                        # malformed APER payloads error back to the
+                        # caller instead of killing the server thread
+                        args = s1ap_wire.decode_args(req["path"],
+                                                     req["args"])
                         result = target(*args, **req.get("kwargs", {}))
                         _send(conn, dict(ok=True, result=result))
                     except Exception as e:  # propagate to caller
