@@ -197,6 +197,8 @@ class EnbStack:
         # rntis whose RLC entities may hold timer state (rx state or
         # unacked AM data): the only UEs tick() visits per TTI
         self._tick_set = set()
+        # SIB3 reselection hysteresis broadcast to idle UEs (36.304 Qhyst)
+        self.q_hyst_db = 2
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
@@ -417,6 +419,8 @@ class EnbStack:
                              plmn=1))
         if tti % 80 == 16:
             si(rrc_msgs.Sib2())
+        if tti % 160 == 48:
+            si(rrc_msgs.Sib3(q_hyst_db=self.q_hyst_db))
         while self.rar_pending and cursor < self.n_prb:
             la = cce.alloc_common(l_pref=4)
             if la is None:

@@ -239,6 +239,18 @@ class Sib1:
 
 
 @codec.register
+@per.schema(("q_hyst_db", "cint", 0, 24), ("t_resel_s", "cint", 0, 7))
+@dataclasses.dataclass
+class Sib3:
+    """SystemInformationBlockType3 content (36.331 §6.3.1): idle-mode
+    cell reselection parameters — Qhyst and TreselectionEUTRA (36.304
+    §5.2); the UE applies them instead of hardcoded defaults
+    (srsue rrc.cc handle_sib3)."""
+    q_hyst_db: int = 2
+    t_resel_s: int = 1
+
+
+@codec.register
 @per.schema(("n_preambles", "cint", 4, 64), ("ra_response_window", "cint", 2, 10),
             ("mac_con_res_timer", "cint", 8, 64), ("prach_config_index", "cint", 0, 63),
             ("prach_freq_offset", "cint", 0, 94))

@@ -299,6 +299,21 @@ def _encode_bcch(msg) -> bytes:
             crit_exts=("sys_info_r8", dict(
                 sib_type_and_info=[("sib2", sib2)]))))))
         return uper_encode(r.BCCH_DL_SCH_MSG, tree)
+    if isinstance(msg, rrc_msgs.Sib3):
+        q_vals = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24)
+        sib3 = dict(
+            cell_resel_info_common=dict(
+                q_hyst=f"db{q_vals[_nearest(q_vals, msg.q_hyst_db)]}"),
+            cell_resel_serving_freq_info=dict(
+                thresh_serving_low=0, cell_resel_prio=4),
+            intra_freq_cell_resel_info=dict(
+                q_rx_lev_min=-65, presence_ant_port1=False,
+                neigh_cell_cfg="01",
+                t_resel_eutra=max(0, min(7, msg.t_resel_s))))
+        tree = dict(msg=("c1", ("sys_info", dict(
+            crit_exts=("sys_info_r8", dict(
+                sib_type_and_info=[("sib3", sib3)]))))))
+        return uper_encode(r.BCCH_DL_SCH_MSG, tree)
     raise TypeError(f"no BCCH mapping for {type(msg).__name__}")
 
 
@@ -330,6 +345,12 @@ def _decode_bcch(data: bytes):
     if name == "sys_info":
         _r8, body = val["crit_exts"]
         for kind, sib in body["sib_type_and_info"]:
+            if kind == "sib3":
+                return rrc_msgs.Sib3(
+                    q_hyst_db=int(
+                        sib["cell_resel_info_common"]["q_hyst"][2:]),
+                    t_resel_s=sib["intra_freq_cell_resel_info"]
+                    ["t_resel_eutra"])
             if kind != "sib2":
                 continue
             rr = sib["rr_cfg_common"]

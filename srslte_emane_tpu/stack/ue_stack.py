@@ -635,6 +635,11 @@ class UeStack:
             self.sib2 = msg
             self.metrics["sib2_rx"] += 1
             return
+        if isinstance(msg, rrc_msgs.Sib3):
+            # network-configured reselection parameters (36.304 §5.2)
+            self.RESEL_HYST_DB = float(msg.q_hyst_db)
+            self.metrics["sib3_rx"] += 1
+            return
         if isinstance(msg, rrc_msgs.RrcConnectionSetup):
             self._connect_pending = False
             if self.rrc_state == "REESTABLISHING":

@@ -185,3 +185,44 @@ def test_network_pushed_meas_config_controls_a3():
             net.run(30)
         got = ue.metrics.get("meas_reports", 0) >= 1
         assert got == expect_reports, (offset, dict(ue.metrics))
+
+
+def test_sib3_q_hyst_controls_reselection():
+    """Reselection hysteresis comes from the broadcast SIB3 (36.304
+    Qhyst via rrc.cc handle_sib3), not UE hardcoding: with Qhyst=24 dB
+    on the air a ~12 dB-better (in SINR) neighbor stays unselected; the
+    metric proves the UE applied the broadcast value."""
+    pl = np.array([[0, 100, 70], [100, 0, 95], [70, 95, 0]], np.float32)
+    prop = sinr.Propagation(pathloss_db=pl)
+    bus = otabus.OtaBus(prop, node_ids=[0, 1, 2], n_prb=25)
+    net = ttiloop.Network(bus)
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb_a = enb_stack.EnbStack(mme, enb_id=1, n_prb=25, pci=1)
+    enb_a.q_hyst_db = 24
+    enb_b = enb_stack.EnbStack(mme, enb_id=2, n_prb=25, pci=2)
+    enb_b.q_hyst_db = 24
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25, mac=enb_a))
+    net.add(phy_adapter.EnbPhyAdapter(bus, 1, cell_id=2, n_prb=25, mac=enb_b))
+    imsi, key = "001010000000001", bytes(range(16))
+    hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+    ue = ue_stack.UeStack(ue_stack.Usim(
+        imsi, key, security.milenage_opc(key, b"\x00" * 16)))
+    net.add(phy_adapter.UePhyAdapter(bus, 2, cell_id=1, n_prb=25, stack=ue))
+    net.run(80)
+    assert ue.emm_state == "REGISTERED"
+    enb_a.release_ue(ue.crnti)
+    # camp long enough to cross a SIB3 occasion (every 160 TTIs): a
+    # just-released UE still runs the old Qhyst until it reads SI
+    net.run(200)
+    assert ue.rrc_state == "IDLE"
+    assert ue.metrics.get("sib3_rx", 0) >= 1
+    assert ue.RESEL_HYST_DB == 24.0
+    prop.pathloss_db[0, 2] = prop.pathloss_db[2, 0] = 90.0
+    prop.pathloss_db[1, 2] = prop.pathloss_db[2, 1] = 84.0
+    net.run(200)
+    assert ue.metrics.get("sib3_rx", 0) >= 1
+    assert ue.RESEL_HYST_DB == 24.0
+    assert ue.metrics.get("reselection", 0) == 0
+    assert ue.serving_pci == 1

@@ -123,6 +123,21 @@ def test_bcch_sibs_roundtrip():
     assert rrc_wire.decode_bcch(data) == s2
 
 
+def test_sib3_reselection_parameters():
+    """SIB3 broadcasts real cell-reselection parameters (Qhyst,
+    TreselectionEUTRA) as a BCCH SystemInformation message."""
+    s3 = rrc_msgs.Sib3(q_hyst_db=6, t_resel_s=2)
+    data = rrc_wire.encode_bcch(s3)
+    tree = _parse(r.BCCH_DL_SCH_MSG, data)
+    _c1, (name, _v) = tree["msg"]
+    assert name == "sys_info"
+    assert rrc_wire.decode_bcch(data) == s3
+    # off-grid Qhyst snaps to the 36.331 enumeration (no db7)
+    out = rrc_wire.decode_bcch(rrc_wire.encode_bcch(
+        rrc_msgs.Sib3(q_hyst_db=7)))
+    assert out.q_hyst_db in (6, 8)
+
+
 def test_ue_capability_nested_container():
     """UECapabilityInformation carries a genuine standalone-UPER
     UE-EUTRA-Capability in its rat-container octet string (the structure
