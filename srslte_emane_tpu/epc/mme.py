@@ -310,6 +310,10 @@ class Mme:
         elif isinstance(nas, nas_msgs.AttachComplete) and ue["state"] == "CTX":
             ue["state"] = "ATTACHED"
             self.metrics["attach_ok"] += 1
+            # network name push (srsepc nas.cc sends EMM Information
+            # right after the attach completes)
+            self._dl_nas(enb_id, msg.mme_ue_id, msg.enb_ue_id,
+                         nas_msgs.EmmInformation())
         elif isinstance(nas, nas_msgs.ActivateDedicatedEpsBearerAccept):
             ue.setdefault("dedicated_bearers", []).append(nas.eps_bearer_id)
             self.metrics["ded_bearer_ok"] = self.metrics.get("ded_bearer_ok", 0) + 1

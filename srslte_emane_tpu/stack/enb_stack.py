@@ -199,6 +199,9 @@ class EnbStack:
         self._tick_set = set()
         # SIB3 reselection hysteresis broadcast to idle UEs (36.304 Qhyst)
         self.q_hyst_db = 2
+        # admission control: None = unlimited; else RRCConnectionReject
+        # once this many RRC_CONNECTED users exist (rrc.cc max_users)
+        self.max_rrc_users = None
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
@@ -948,6 +951,16 @@ class EnbStack:
                 # loser sees the foreign con_res_id and re-runs RA
                 self.metrics["contention_lost"] += 1
                 return
+            if self.max_rrc_users is not None:
+                n_conn = sum(1 for u in self.ues.values()
+                             if u.state == "RRC_CONNECTED")
+                if n_conn >= self.max_rrc_users:
+                    # admission control (rrc.cc rejects at max users):
+                    # waitTime starts the UE's T302 back-off
+                    ue.send_rrc(SRB0, rrc_msgs.RrcConnectionReject(
+                        wait_time_s=2))
+                    self.metrics["rrc_reject"] += 1
+                    return
             ue.state = "RRC_CONNECTED"
             # a registered UE presents its S-TMSI: forwarded to the MME in
             # the InitialUEMessage (s1ap.cc includes the s-TMSI IE)

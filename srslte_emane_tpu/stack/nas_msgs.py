@@ -88,6 +88,16 @@ class AttachComplete:
 
 
 @codec.register
+@per.schema(("full_name", "str"), ("short_name", "str"))
+@dataclasses.dataclass
+class EmmInformation:
+    """24.301 §8.2.13 EMM Information: network names pushed after attach
+    (srsepc nas.cc pack_emm_information sends these very strings)."""
+    full_name: str = "Software Radio Systems LTE"
+    short_name: str = "srsLTE"
+
+
+@codec.register
 @per.schema(("switch_off", "bool"))
 @dataclasses.dataclass
 class DetachRequest:

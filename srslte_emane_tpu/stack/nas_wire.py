@@ -248,6 +248,45 @@ def _parse_bcd_number(b: bytes) -> str:
 _UE_CAPS = bytes([0xE0, 0xE0])  # EEA0-2 / EIA1-2 supported
 
 
+def _gsm7_pack(text: str) -> bytes:
+    """GSM 7-bit default-alphabet septet packing (23.038; ASCII subset —
+    letters/digits/space share code points)."""
+    acc = shift = 0
+    out = bytearray()
+    for ch in text:
+        sept = ord(ch) & 0x7F
+        acc |= sept << shift
+        shift += 7
+        while shift >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            shift -= 8
+    if shift:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gsm7_unpack(data: bytes, n_spare: int) -> str:
+    bits = 8 * len(data) - n_spare
+    acc = int.from_bytes(data, "little")
+    out = []
+    for i in range(bits // 7):
+        out.append(chr((acc >> (7 * i)) & 0x7F))
+    return "".join(out)
+
+
+def _network_name(text: str) -> bytes:
+    """NetworkName IE value (24.008 §10.5.3.5a): ext=1, coding scheme 0
+    (GSM 7-bit), add-CI 0, 3-bit spare-bit count, then the septets."""
+    packed = _gsm7_pack(text)
+    n_spare = (8 * len(packed) - 7 * len(text)) % 8
+    return bytes([0x80 | (n_spare & 0x07)]) + packed
+
+
+def _parse_network_name(b: bytes) -> str:
+    return _gsm7_unpack(b[1:], b[0] & 0x07)
+
+
 def _esm(ebi: int, pti: int, msg_type: int, **fields) -> dict:
     return dict(protocol_discriminator=w.PD_ESM, eps_bearer_id=ebi,
                 pti=pti, msg_type=msg_type, **fields)
@@ -334,6 +373,11 @@ def encode(msg) -> bytes:
             ksi=(0, 0), replayed_ue_capabilities=_UE_CAPS))
     if t is nas_msgs.NasSecurityModeComplete:
         return w.encode(_emm(w.SECURITY_MODE_COMPLETE))
+    if t is nas_msgs.EmmInformation:
+        return w.encode(_emm(
+            w.EMM_INFORMATION,
+            full_network_name=_network_name(msg.full_name),
+            short_network_name=_network_name(msg.short_name)))
     if t is nas_msgs.DetachRequest:
         dt = (0x08 if msg.switch_off else 0) | 0x01  # EPS detach
         return w.encode(_emm(w.DETACH_REQUEST, ksi_detach_type=(0, dt),
@@ -420,6 +464,12 @@ def decode(data: bytes):
                                                eia=algs & 0x0F)
     if mt == w.SECURITY_MODE_COMPLETE:
         return nas_msgs.NasSecurityModeComplete()
+    if mt == w.EMM_INFORMATION:
+        return nas_msgs.EmmInformation(
+            full_name=_parse_network_name(d["full_network_name"])
+            if "full_network_name" in d else "",
+            short_name=_parse_network_name(d["short_network_name"])
+            if "short_network_name" in d else "")
     if mt == w.DETACH_REQUEST:
         return nas_msgs.DetachRequest(
             switch_off=bool(d["ksi_detach_type"][1] & 0x08))

@@ -28,6 +28,16 @@ class RrcConnectionRequest:
 
 
 @codec.register
+@per.schema(("wait_time_s", "cint", 1, 16))
+@dataclasses.dataclass
+class RrcConnectionReject:
+    """36.331 RRCConnectionReject: admission control under overload —
+    the UE backs off waitTime seconds (T302) before retrying
+    (srsenb rrc.cc rejects when at max users)."""
+    wait_time_s: int = 2
+
+
+@codec.register
 @per.schema(("con_res_id", "int"))
 @dataclasses.dataclass
 class RrcConnectionSetup:

@@ -169,6 +169,11 @@ def encode_dl_ccch(msg) -> bytes:
             rrc_transaction_id=0,
             crit_exts=("c1", ("r8", dict(rr_cfg_ded=rr)))))))
         return uper_encode(r.DL_CCCH_MSG, tree)
+    if isinstance(msg, rrc_msgs.RrcConnectionReject):
+        tree = dict(msg=("c1", ("rrc_conn_reject", dict(
+            crit_exts=("c1", ("r8", dict(
+                wait_time=max(1, min(16, msg.wait_time_s)))))))))
+        return uper_encode(r.DL_CCCH_MSG, tree)
     raise TypeError(f"no DL-CCCH mapping for {type(msg).__name__}")
 
 
@@ -178,6 +183,9 @@ def decode_dl_ccch(data: bytes):
         # the contention-resolution identity rides the 36.321 MAC CE,
         # not this message: 0 = resolved by CE (or wildcard)
         return rrc_msgs.RrcConnectionSetup(con_res_id=0)
+    if name == "rrc_conn_reject":
+        _c1, (_r8, body) = val["crit_exts"]
+        return rrc_msgs.RrcConnectionReject(wait_time_s=body["wait_time"])
     raise DecodeError(f"unhandled DL-CCCH {name}")
 
 

@@ -640,6 +640,18 @@ class UeStack:
             self.RESEL_HYST_DB = float(msg.q_hyst_db)
             self.metrics["sib3_rx"] += 1
             return
+        if isinstance(msg, rrc_msgs.RrcConnectionReject):
+            # 36.331 §5.3.3.8: start T302 = waitTime; no connection
+            # attempts until it expires (the barring counter reuses the
+            # access-barring back-off machinery)
+            self.metrics["rrc_rejected"] += 1
+            self.t300.stop()
+            self.rrc_state = "IDLE"
+            self.mac_state = "IDLE"
+            self.crnti = None
+            self._conn_barred = msg.wait_time_s * 1000  # T302 in TTIs
+            self._connect_pending = True
+            return
         if isinstance(msg, rrc_msgs.RrcConnectionSetup):
             self._connect_pending = False
             if self.rrc_state == "REESTABLISHING":
@@ -837,6 +849,9 @@ class UeStack:
             self.t3410.stop()
             self._send_nas(nas_msgs.AttachComplete())
             self.metrics["attach_ok"] += 1
+        elif isinstance(msg, nas_msgs.EmmInformation):
+            self.network_name = msg.full_name
+            self.metrics["emm_info_rx"] += 1
         elif isinstance(msg, nas_msgs.ServiceAccept):
             self.metrics["service_ok"] += 1
         elif isinstance(msg, nas_msgs.TrackingAreaUpdateAccept):

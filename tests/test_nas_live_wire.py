@@ -31,6 +31,8 @@ MESSAGES = [
     nas_msgs.AuthenticationReject(),
     nas_msgs.NasSecurityModeCommand(eea=0, eia=2),
     nas_msgs.NasSecurityModeComplete(),
+    nas_msgs.EmmInformation(),
+    nas_msgs.EmmInformation(full_name="TPU Native LTE", short_name="tpuLTE"),
     nas_msgs.DetachRequest(switch_off=True),
     nas_msgs.DetachRequest(switch_off=False),
     nas_msgs.ServiceRequest(guti=77),
@@ -151,6 +153,10 @@ def test_e2e_attach_activates_nas_security():
     # SMC + Attach Accept downlink; SMC complete + Attach Complete uplink
     assert sec.count[1] >= 2 and sec.count[0] >= 2
     assert ue.metrics.get("nas_mac_fail", 0) == 0
+    # the post-attach EMM Information arrived (ciphered) with the
+    # srsepc network names
+    assert ue.metrics.get("emm_info_rx", 0) == 1
+    assert ue.network_name == "Software Radio Systems LTE"
 
 
 def test_attach_request_is_liblte_layout():

@@ -172,3 +172,50 @@ def test_service_request_resumes_session_with_buffered_data():
     net.run(600)
     assert ue.metrics.get("service_reject") == 1
     assert ue.emm_state == "REGISTERED" and ue.ip_addr != ip0
+
+
+def test_rrc_connection_reject_admission_control():
+    """36.331 RRCConnectionReject: at max_rrc_users the eNB rejects new
+    connections with waitTime; the UE backs off T302 and succeeds after
+    capacity frees up."""
+    import numpy as np
+
+    from srslte_emane_tpu.epc import hss as hss_mod, mme as mme_mod
+    from srslte_emane_tpu.epc import spgw as spgw_mod
+    from srslte_emane_tpu.runtime import otabus, phy_adapter, sinr, ttiloop
+    from srslte_emane_tpu.stack import enb_stack, security, ue_stack
+
+    n = 3
+    pl = np.full((n + 1, n + 1), 80.0, np.float32)
+    prop = sinr.Propagation(pathloss_db=pl)
+    bus = otabus.OtaBus(prop, node_ids=list(range(n + 1)), n_prb=25)
+    net = ttiloop.Network(bus)
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=25)
+    enb.max_rrc_users = 2
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=25, mac=enb))
+    ues = []
+    for i in range(n):
+        imsi = f"0010100000000{i:02d}"
+        key = bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        ue = ue_stack.UeStack(ue_stack.Usim(
+            imsi, key, security.milenage_opc(key, b"\x00" * 16)),
+            preamble=5 + i)
+        net.add(phy_adapter.UePhyAdapter(bus, 1 + i, cell_id=1, n_prb=25,
+                                         stack=ue))
+        ues.append(ue)
+    net.run(600)
+    assert enb.metrics.get("rrc_reject", 0) >= 1
+    rejected = [u for u in ues if u.metrics.get("rrc_rejected", 0)]
+    assert rejected
+    registered = [u for u in ues if u.emm_state == "REGISTERED"]
+    assert len(registered) == 2
+    # capacity frees up: the registered UEs go idle -> the rejected UE's
+    # T302 expires and its retry succeeds
+    for u in registered:
+        enb.release_ue(u.crnti)
+    net.run(2500)  # past the 2 s waitTime
+    assert all(u.emm_state == "REGISTERED" for u in ues)
