@@ -223,20 +223,45 @@ class Mme:
             return
         if not isinstance(nas, nas_msgs.AttachRequest):
             return
+        imsi = nas.imsi
+        if not imsi and nas.guti is not None:
+            # GUTI attach (24.301 §5.5.1.2.2): resolve from the stored
+            # context; an unknown GUTI triggers the identity procedure
+            old = self.ues.get(nas.guti)
+            if old is not None and old.get("imsi"):
+                imsi = old["imsi"]
         mme_ue_id = self.next_mme_ue_id
         self.next_mme_ue_id += 1
-        vec = self.hss.get_auth_vector(nas.imsi)
-        if vec is None:
-            self.metrics["auth_fail"] += 1
+        if not imsi:
+            self.ues[mme_ue_id] = dict(
+                imsi=None, enb_id=enb_id, enb_ue_id=msg.enb_ue_id,
+                vec=None, state="IDENTITY", ul_nas_count=0,
+            )
             self._dl_nas(enb_id, mme_ue_id, msg.enb_ue_id,
-                         nas_msgs.AuthenticationReject())
+                         nas_msgs.IdentityRequest())
+            self.metrics["identity_req"] = \
+                self.metrics.get("identity_req", 0) + 1
             return
         self.ues[mme_ue_id] = dict(
-            imsi=nas.imsi, enb_id=enb_id, enb_ue_id=msg.enb_ue_id,
-            vec=vec, state="AUTH", ul_nas_count=0,
+            imsi=imsi, enb_id=enb_id, enb_ue_id=msg.enb_ue_id,
+            vec=None, state="AUTH", ul_nas_count=0,
         )
-        self._dl_nas(enb_id, mme_ue_id, msg.enb_ue_id,
-                     nas_msgs.AuthenticationRequest(rand=vec["rand"], autn=vec["autn"]))
+        self._start_auth(enb_id, mme_ue_id, msg.enb_ue_id)
+
+    def _start_auth(self, enb_id, mme_ue_id, enb_ue_id):
+        """HSS vector fetch + Authentication Request (nas.cc attach)."""
+        ue = self.ues[mme_ue_id]
+        vec = self.hss.get_auth_vector(ue["imsi"])
+        if vec is None:
+            self.metrics["auth_fail"] += 1
+            self._dl_nas(enb_id, mme_ue_id, enb_ue_id,
+                         nas_msgs.AuthenticationReject())
+            return
+        ue["vec"] = vec
+        ue["state"] = "AUTH"
+        self._dl_nas(enb_id, mme_ue_id, enb_ue_id,
+                     nas_msgs.AuthenticationRequest(rand=vec["rand"],
+                                                    autn=vec["autn"]))
 
     def uplink_nas(self, enb_id: int, msg: UplinkNASTransport):
         ue = self.ues.get(msg.mme_ue_id)
@@ -321,6 +346,10 @@ class Mme:
             ue["state"] = "DETACHED"
             self.enbs[ue["enb_id"]].release(UEContextReleaseCommand(
                 msg.mme_ue_id, msg.enb_ue_id, "detach"))
+        elif isinstance(nas, nas_msgs.IdentityResponse) \
+                and ue["state"] == "IDENTITY":
+            ue["imsi"] = nas.imsi
+            self._start_auth(enb_id, msg.mme_ue_id, msg.enb_ue_id)
         elif isinstance(nas, nas_msgs.ExtendedServiceRequest):
             # connected UE starting (MO) or answering (MT) a CS voice call
             self._csfb(msg.mme_ue_id)

@@ -13,12 +13,32 @@ from . import codec, per
 
 @codec.register
 @per.schema(("imsi", "str"), ("pdn_type", "enum", ("ipv4", "ipv6", "ipv4v6")),
-            ("esm_pdn_connectivity", "bool"))
+            ("esm_pdn_connectivity", "bool"), ("guti", "int", "?"))
 @dataclasses.dataclass
 class AttachRequest:
+    """imsi XOR guti: a previously-registered UE attaches with its GUTI
+    (24.301 §5.5.1.2.2); the MME asks for the IMSI via the identity
+    procedure when the GUTI maps to no stored context."""
     imsi: str
     pdn_type: str = "ipv4"
     esm_pdn_connectivity: bool = True
+    guti: int = None
+
+
+@codec.register
+@per.schema(("identity_type", "enum", ("imsi", "imei")))
+@dataclasses.dataclass
+class IdentityRequest:
+    """24.301 §8.2.18: the network asks for a permanent identity when an
+    attach GUTI is unknown (srsepc nas.cc identity procedure)."""
+    identity_type: str = "imsi"
+
+
+@codec.register
+@per.schema(("imsi", "str"))
+@dataclasses.dataclass
+class IdentityResponse:
+    imsi: str = ""
 
 
 @codec.register

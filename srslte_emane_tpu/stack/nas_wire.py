@@ -305,8 +305,12 @@ def _enc_attach_request(m: nas_msgs.AttachRequest) -> dict:
         esm = w.encode(_esm(0, 1, w.PDN_CONNECTIVITY_REQUEST,
                             pdn_request_type=(
                                 _PDN_TYPES.index(m.pdn_type) + 1, 1)))
+    if m.guti is not None and not m.imsi:
+        ident = _guti_identity(m.guti)  # GUTI attach (§5.5.1.2.2)
+    else:
+        ident = _imsi_identity(m.imsi)
     return _emm(w.ATTACH_REQUEST, ksi_attach_type=(0, 1),
-                eps_mobile_identity=_imsi_identity(m.imsi),
+                eps_mobile_identity=ident,
                 ue_network_capability=_UE_CAPS, esm_container=esm)
 
 
@@ -315,9 +319,14 @@ def _dec_attach_request(d: dict) -> nas_msgs.AttachRequest:
     pdn = "ipv4"
     if esm is not None:
         pdn = _PDN_TYPES[esm["pdn_request_type"][0] - 1]
+    ident = d["eps_mobile_identity"]
+    if ident[0] & 0x07 == 0x06:  # GUTI flavor
+        imsi, guti = "", w.parse_guti(ident)["m_tmsi"]
+    else:
+        imsi, guti = _parse_imsi_identity(ident), None
     return nas_msgs.AttachRequest(
-        imsi=_parse_imsi_identity(d["eps_mobile_identity"]),
-        pdn_type=pdn, esm_pdn_connectivity=bool(d["esm_container"]))
+        imsi=imsi, pdn_type=pdn,
+        esm_pdn_connectivity=bool(d["esm_container"]), guti=guti)
 
 
 def _enc_attach_accept(m: nas_msgs.AttachAccept) -> dict:
@@ -373,6 +382,13 @@ def encode(msg) -> bytes:
             ksi=(0, 0), replayed_ue_capabilities=_UE_CAPS))
     if t is nas_msgs.NasSecurityModeComplete:
         return w.encode(_emm(w.SECURITY_MODE_COMPLETE))
+    if t is nas_msgs.IdentityRequest:
+        return w.encode(_emm(
+            w.IDENTITY_REQUEST,
+            identity_type=(0, 1 if msg.identity_type == "imsi" else 2)))
+    if t is nas_msgs.IdentityResponse:
+        return w.encode(_emm(w.IDENTITY_RESPONSE,
+                             mobile_identity=_imsi_identity(msg.imsi)))
     if t is nas_msgs.EmmInformation:
         return w.encode(_emm(
             w.EMM_INFORMATION,
@@ -464,6 +480,12 @@ def decode(data: bytes):
                                                eia=algs & 0x0F)
     if mt == w.SECURITY_MODE_COMPLETE:
         return nas_msgs.NasSecurityModeComplete()
+    if mt == w.IDENTITY_REQUEST:
+        return nas_msgs.IdentityRequest(
+            identity_type="imsi" if d["identity_type"][1] == 1 else "imei")
+    if mt == w.IDENTITY_RESPONSE:
+        return nas_msgs.IdentityResponse(
+            imsi=_parse_imsi_identity(d["mobile_identity"]))
     if mt == w.EMM_INFORMATION:
         return nas_msgs.EmmInformation(
             full_name=_parse_network_name(d["full_network_name"])

@@ -703,7 +703,13 @@ class UeStack:
                 self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                     nas_pdu=data))
                 return
-            attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
+            if getattr(self, "guti", None):
+                # previously registered: attach with the stored GUTI
+                # (24.301 §5.5.1.2.2); the network asks for the IMSI via
+                # the identity procedure if it lost our context
+                attach = nas_msgs.AttachRequest(imsi="", guti=self.guti)
+            else:
+                attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
             self.nas_sec = None  # fresh registration: new security context
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                 nas_pdu=nas_wire.encode(attach)))
@@ -849,6 +855,9 @@ class UeStack:
             self.t3410.stop()
             self._send_nas(nas_msgs.AttachComplete())
             self.metrics["attach_ok"] += 1
+        elif isinstance(msg, nas_msgs.IdentityRequest):
+            self._send_nas(nas_msgs.IdentityResponse(imsi=self.usim.imsi))
+            self.metrics["identity_resp"] += 1
         elif isinstance(msg, nas_msgs.EmmInformation):
             self.network_name = msg.full_name
             self.metrics["emm_info_rx"] += 1

@@ -170,3 +170,44 @@ def test_attach_request_is_liblte_layout():
     # identity: odd 15-digit IMSI, type 1
     ident = d["eps_mobile_identity"]
     assert ident[0] & 0x0F == 0x09  # odd flag + IMSI type
+
+
+def test_guti_attach_and_identity_procedure():
+    """GUTI re-attach (24.301 §5.5.1.2.2): after detach the UE attaches
+    with its stored GUTI.  A known GUTI resolves straight to the stored
+    IMSI; after an MME context wipe the identity procedure (Identity
+    Request -> IMSI Identity Response) recovers it — both end REGISTERED."""
+    from tests import test_e2e_attach as h
+
+    # --- known GUTI: no identity procedure
+    net, mme, spgw, enb, (ue,) = h._build()
+    net.run(60)
+    assert ue.emm_state == "REGISTERED"
+    old_guti = ue.guti
+    ue.switch_off()
+    net.run(20)
+    assert ue.emm_state == "DEREGISTERED" and ue.guti == old_guti
+    ue.rrc_state = "IDLE"
+    ue.mac_state = "IDLE"
+    ue.crnti = None
+    ue._connect_pending = True
+    net.run(120)
+    assert ue.emm_state == "REGISTERED"
+    assert mme.metrics.get("identity_req", 0) == 0
+    assert mme.metrics["attach_ok"] == 2
+
+    # --- unknown GUTI (MME restart): identity procedure runs
+    net, mme, spgw, enb, (ue,) = h._build()
+    net.run(60)
+    assert ue.emm_state == "REGISTERED"
+    ue.switch_off()
+    net.run(20)
+    mme.ues.clear()  # MME lost all contexts
+    ue.rrc_state = "IDLE"
+    ue.mac_state = "IDLE"
+    ue.crnti = None
+    ue._connect_pending = True
+    net.run(200)
+    assert mme.metrics.get("identity_req", 0) == 1
+    assert ue.metrics.get("identity_resp", 0) == 1
+    assert ue.emm_state == "REGISTERED"
