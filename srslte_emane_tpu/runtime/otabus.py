@@ -30,6 +30,7 @@ def frame_rnti_set(fr) -> set:
         rset = {d.rnti for d in getattr(msg, "pdcch_dl", ())}
         rset.update(d.rnti for d in getattr(msg, "pdcch_ul", ()))
         rset.update(d.refid for d in getattr(msg, "pdsch", ()))
+        rset.update(ph["rnti"] for ph in getattr(msg, "phich", ()))
         fr._rnti_set = rset
     return rset
 

@@ -273,6 +273,7 @@ class UePhyAdapter:
                     rset = {d.rnti for d in msg.pdcch_dl}
                     rset.update(d.rnti for d in msg.pdcch_ul)
                     rset.update(d.refid for d in msg.pdsch)
+                    rset.update(ph["rnti"] for ph in msg.phich)
                     frame._rnti_set = rset
                 if rset & listen:
                     return False
@@ -339,8 +340,8 @@ class UePhyAdapter:
         # dormancy re-checked every TTI (cheap attribute test); the listen
         # set is cached per stride window, revalidated on C-RNTI change so
         # a mid-window RA completion can't leave a stale set
-        dormant = (self._dormant_cb is not None
-                   and (tti + self.node_id) % self.LITE_STRIDE != 0
+        stride_tti = (tti + self.node_id) % self.LITE_STRIDE == 0
+        dormant = (self._dormant_cb is not None and not stride_tti
                    and self._dormant_cb())
         if dormant:
             w = (tti + self.node_id) // self.LITE_STRIDE
@@ -350,12 +351,21 @@ class UePhyAdapter:
                 self._dorm_w = w
                 self._listen_crnti = crnti
                 self._listen_cache = self.stack.listen_rntis(tti)
-        listen = self._listen_cache
+            listen = self._listen_cache
+        else:
+            listen = self.stack.listen_rntis(tti)
+        # non-connected UEs (mass-attach phase, RA backoff, SI camping)
+        # also skip unaddressed serving-cell subframes off the sync
+        # stride: all their protocol triggers (RAR, setup, SI, grants)
+        # arrive on listened RNTIs.  CONNECTED UEs keep per-TTI
+        # processing — in-sync/out-of-sync RLF sampling needs it.
+        lite = (dormant or (self._dormant_cb is not None and not stride_tti
+                            and self.stack.rrc_state != "CONNECTED"))
         for frame, tester in self.bus.get_messages(self.node_id):
             msg = frame.msg
             if not isinstance(msg, otamsg.EnbDlMessage):
                 continue
-            if dormant and msg.phy_cell_id == self.serving_cell:
+            if lite and msg.phy_cell_id == self.serving_cell:
                 # serving-cell frame not addressing any of our RNTIs:
                 # skip (sync sampling happens on the stride TTIs);
                 # neighbor-cell frames always measure below
@@ -364,6 +374,7 @@ class UePhyAdapter:
                     rset = {d.rnti for d in msg.pdcch_dl}
                     rset.update(d.rnti for d in msg.pdcch_ul)
                     rset.update(d.refid for d in msg.pdsch)
+                    rset.update(ph["rnti"] for ph in msg.phich)
                     frame._rnti_set = rset
                 if not (rset & listen):
                     continue  # nothing for this UE in this subframe
@@ -399,7 +410,8 @@ class UePhyAdapter:
                     if passed:
                         self.stack.mib_received(msg.tti, msg.pbch)
             # DCI search gated by sinrCheck2(CHAN_PDCCH, rnti) (:306-366)
-            listen = self.stack.listen_rntis(tti)
+            if dormant:
+                listen = self.stack.listen_rntis(tti)
             for dci in msg.pdcch_dl:
                 if dci.rnti not in listen:
                     continue
