@@ -102,7 +102,7 @@ class RpcClient:
         self.lock = threading.Lock()
 
     def call(self, path: str, *args, **kwargs):
-        args = s1ap_wire.encode_args(path, args)
+        args = s1ap_wire.encode_args(path, args, kwargs)
         with self.lock:
             _send(self.sock, dict(path=path, args=args, kwargs=kwargs))
             resp = _recv(self.sock)

@@ -200,6 +200,10 @@ class Mme:
                 return
             ue["enb_id"] = enb_id
             ue["enb_ue_id"] = msg.enb_ue_id
+            # the UE advances its NAS uplink count (KeNB input) on EVERY
+            # idle-resume, TAU included — mirror it or the next service
+            # request derives a mismatched KeNB and the UE loses all DL
+            ue["ul_nas_count"] += 1
             self._dl_nas(enb_id, nas.guti, msg.enb_ue_id,
                          nas_msgs.TrackingAreaUpdateAccept(t3412=500))
             self.enbs[enb_id].release(UEContextReleaseCommand(
@@ -443,7 +447,10 @@ class Mme:
             mme_ue_id=nas.guti, enb_ue_id=msg.enb_ue_id, kenb=kenb,
             ue_ip=ue["ue_ip"], teid_spgw=ue["teid_spgw"],
             teid_enb=ue["teid_enb"], eps_bearer_id=5,
-            nas_pdu=nas_wire.encode(nas_msgs.ServiceAccept())))
+            nas_pdu=ue["nas_sec"].protect(
+                nas_wire.encode(nas_msgs.ServiceAccept()), downlink=True)
+            if ue.get("nas_sec") else
+            nas_wire.encode(nas_msgs.ServiceAccept())))
         self.metrics["service_ok"] = self.metrics.get("service_ok", 0) + 1
 
     def activate_dedicated_bearer(self, mme_ue_id: int, tft_bytes: bytes,

@@ -158,11 +158,18 @@ _TABLE = {
 }
 
 
-def encode_args(path: str, args: tuple):
-    """Client side: swap the typed S1AP message for its APER wire bytes."""
+def encode_args(path: str, args: tuple, kwargs: dict = None):
+    """Client side: swap the typed S1AP message for its APER wire bytes.
+    For `page` the cn_domain may arrive as a keyword — it is folded into
+    the PDU and must not also ride the frame (the server re-expands the
+    PDU positionally)."""
     leaf = path.rsplit(".", 1)[-1]
     if leaf == "page" and args and isinstance(args[0], int):
-        return ({"__s1ap__": _enc_page(*args)},)
+        kw = dict(kwargs) if kwargs else {}
+        data = _enc_page(*args, **kw)
+        if kwargs is not None:
+            kwargs.pop("cn_domain", None)
+        return ({"__s1ap__": data},)
     ent = _TABLE.get(leaf)
     if ent is None:
         return args

@@ -55,7 +55,7 @@ class SysSim:
     def dl_ccch(self, msg):
         # route by logical channel, like the real MAC: SI-RNTI for BCCH,
         # P-RNTI for PCCH, C-RNTI-less DL-CCCH otherwise
-        if isinstance(msg, (rrc_msgs.Sib1, rrc_msgs.Sib2)):
+        if isinstance(msg, (rrc_msgs.Sib1, rrc_msgs.Sib2, rrc_msgs.Sib3)):
             data, rnti = rrc_wire.encode_bcch(msg), self.ue.SI_RNTI
         elif isinstance(msg, rrc_msgs.Paging):
             data, rnti = rrc_wire.encode_pcch(msg), self.ue.P_RNTI

@@ -952,9 +952,15 @@ class EnbStack:
                 self.metrics["contention_lost"] += 1
                 return
             if self.max_rrc_users is not None:
-                n_conn = sum(1 for u in self.ues.values()
-                             if u.state == "RRC_CONNECTED")
-                if n_conn >= self.max_rrc_users:
+                # one O(n) recount per TTI, shared by every Msg3 that
+                # TTI (overload bursts are exactly when this path is hot)
+                cc = getattr(self, "_conn_count", None)
+                tti = getattr(self, "_tick_count", 0)
+                if cc is None or cc[0] != tti:
+                    cc = (tti, sum(1 for u in self.ues.values()
+                                   if u.state == "RRC_CONNECTED"))
+                    self._conn_count = cc
+                if cc[1] >= self.max_rrc_users:
                     # admission control (rrc.cc rejects at max users):
                     # waitTime starts the UE's T302 back-off
                     ue.send_rrc(SRB0, rrc_msgs.RrcConnectionReject(

@@ -109,16 +109,22 @@ class NasSecurity:
         return ok
 
     def unprotect(self, data: bytes, downlink: bool):
-        """-> (plain bytes, mac_ok).  Plain input passes through with
-        mac_ok=True; a bad MAC returns the body undeciphered with
-        mac_ok=False (callers drop it, `nas.cc integrity_check`
-        behavior); a good MAC deciphers headers 2/4."""
+        """-> (plain bytes, mac_ok).  Once this security context exists,
+        a PLAIN EMM message is a downgrade and fails verification
+        (24.301 §4.4.4.2: after activation the receiver discards
+        unprotected NAS) — callers without a context never reach here;
+        a bad MAC returns the body undeciphered with mac_ok=False
+        (`nas.cc integrity_check` behavior); a good MAC deciphers
+        headers 2/4."""
         data = bytes(data)
         first = data[0]
         hdr_type = first >> 4
-        if (first & 0x0F) != w.PD_EMM or hdr_type in (
-                w.SEC_PLAIN, w.SEC_SERVICE_REQUEST):
-            return data, True
+        if (first & 0x0F) != w.PD_EMM:
+            return data, True  # ESM header (ebi nibble): not EMM-protected
+        if hdr_type == w.SEC_SERVICE_REQUEST:
+            return data, True  # own format; verify_service_request covers
+        if hdr_type == w.SEC_PLAIN:
+            return data, False
         mac, seq, body = data[1:5], data[5], data[6:]
         d = 1 if downlink else 0
         # resync the low COUNT byte from the received SQN (24.301 §4.4.3.3)
@@ -214,8 +220,8 @@ def _gprs_timer(seconds: int) -> bytes:
     Lossy to the spec granularity (2 s / 1 min / decihour)."""
     if seconds <= 0:
         return bytes([0xE0])  # deactivated
-    if seconds <= 62 and seconds % 2 == 0:
-        return bytes([seconds // 2])
+    if seconds <= 62:
+        return bytes([max(1, round(seconds / 2))])
     if seconds <= 31 * 60:
         return bytes([0x20 | min(31, round(seconds / 60))])
     return bytes([0x40 | min(31, round(seconds / 360))])

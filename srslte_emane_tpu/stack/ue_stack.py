@@ -825,10 +825,26 @@ class UeStack:
                                                     eia=peek.eia,
                                                     eea=peek.eea)
         if self.nas_sec is not None:
-            data, ok = self.nas_sec.unprotect(data, downlink=True)
+            plain, ok = self.nas_sec.unprotect(data, downlink=True)
             if not ok:
+                # 24.301 §4.4.4.3: a short list of messages is processed
+                # WITHOUT integrity protection even with a live context —
+                # the network may have lost ours (Service Reject, fresh
+                # authentication, identity, attach reject)
+                if data[0] >> 4 == 0:
+                    try:
+                        msg = nas_wire.decode(data)
+                    except Exception:
+                        msg = None
+                    if isinstance(msg, (nas_msgs.ServiceReject,
+                                        nas_msgs.AuthenticationRequest,
+                                        nas_msgs.AuthenticationReject,
+                                        nas_msgs.IdentityRequest)):
+                        self._rx_nas(msg)
+                        return
                 self.metrics["nas_mac_fail"] += 1
                 return
+            data = plain
         self._rx_nas(nas_wire.decode(data))
 
     def _rx_nas(self, msg):

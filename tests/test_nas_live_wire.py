@@ -159,6 +159,27 @@ def test_e2e_attach_activates_nas_security():
     assert ue.network_name == "Software Radio Systems LTE"
 
 
+def test_plain_nas_downgrade_rejected_after_security():
+    """24.301 §4.4.4.2: once the security context is active, a PLAIN NAS
+    message fails verification (downgrade protection) — except the
+    §4.4.4.3 exemption list (e.g. Service Reject from a context-less
+    network), which still processes."""
+    from tests import test_e2e_attach as h
+
+    net, mme, spgw, enb, (ue,) = h._build()
+    net.run(60)
+    assert ue.emm_state == "REGISTERED"
+    before = ue.metrics.get("nas_mac_fail", 0)
+    # spoofed plain detach: must be dropped, UE stays registered
+    ue._rx_nas_pdu(nas_wire.encode(nas_msgs.DetachRequest()))
+    assert ue.metrics.get("nas_mac_fail", 0) == before + 1
+    assert ue.emm_state == "REGISTERED"
+    # exempt message: plain ServiceReject still processes (context loss)
+    ue._rx_nas_pdu(nas_wire.encode(nas_msgs.ServiceReject(cause=9)))
+    assert ue.metrics.get("service_reject", 0) == 1
+    assert ue.emm_state == "DEREGISTERED"
+
+
 def test_attach_request_is_liblte_layout():
     """Spot-check the actual octets: PD/type header, BCD IMSI identity,
     ESM PDN connectivity container."""
