@@ -44,6 +44,9 @@ def main(argv=None):
     mme = rpc.RemoteMme(ehost, int(eport))  # S1AP over TCP to the MME process
     enb = enb_stack.EnbStack(mme, enb_id=cfg.enb_id, n_prb=cfg.n_prb,
                              mcs=cfg.mcs, pci=cfg.cell_id)
+    if cfg.max_rrc_users:
+        enb.max_rrc_users = cfg.max_rrc_users
+    enb.q_hyst_db = cfg.q_hyst_db
     node = phy_adapter.EnbPhyAdapter(bus, args.node_id, cell_id=cfg.cell_id,
                                      n_prb=cfg.n_prb, mac=enb,
                                      tx_power_mw=cfg.tx_power_mw)

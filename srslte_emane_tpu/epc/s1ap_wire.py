@@ -20,6 +20,8 @@ handover containers continue as typed RPC arguments.
 
 from __future__ import annotations
 
+import socket
+
 from ..stack.asn1 import s1ap36413 as s1
 from . import mme as mme_mod
 
@@ -107,10 +109,9 @@ def _dec_release(data: bytes) -> mme_mod.UEContextReleaseCommand:
 
 
 def _enc_ctx_setup(msg: mme_mod.InitialContextSetupRequest) -> bytes:
-    import socket as _socket
     item = dict(erab_id=msg.eps_bearer_id, qci=9, arp_priority=15,
                 pre_emption_capability=0, pre_emption_vulnerability=0,
-                addr=_socket.inet_aton(msg.ue_ip), addr_bits=32,
+                addr=socket.inet_aton(msg.ue_ip), addr_bits=32,
                 teid=msg.teid_spgw,
                 nas_pdu=msg.nas_pdu if msg.nas_pdu else None)
     return s1.encode_pdu(s1.initial_context_setup_request(
@@ -119,14 +120,13 @@ def _enc_ctx_setup(msg: mme_mod.InitialContextSetupRequest) -> bytes:
 
 
 def _dec_ctx_setup(data: bytes) -> mme_mod.InitialContextSetupRequest:
-    import socket as _socket
     ies = _ies(s1.decode_pdu(data))
     item = ies[s1.ID_ERAB_TO_BE_SETUP_LIST_CTXT][0]
     return mme_mod.InitialContextSetupRequest(
         mme_ue_id=ies[s1.ID_MME_UE_S1AP_ID],
         enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID],
         kenb=ies[s1.ID_SECURITY_KEY],
-        ue_ip=_socket.inet_ntoa(item["addr"]),
+        ue_ip=socket.inet_ntoa(item["addr"]),
         teid_spgw=item["teid"],
         teid_enb=int.from_bytes(ies[s1.ID_EMU_DL_TEID], "big"),
         eps_bearer_id=item["erab_id"],

@@ -32,6 +32,11 @@ class EnbConfig:
     log_level: str = "info"
     metrics_period_ttis: int = 1000
     metrics_csv: str = ""
+    # RRC admission control: 0 = unlimited, else RRCConnectionReject
+    # once this many RRC_CONNECTED users exist (srsenb rrc max_users)
+    max_rrc_users: int = 0
+    # SIB3 cell-reselection hysteresis broadcast to idle UEs (dB)
+    q_hyst_db: int = 2
 
 
 @dataclasses.dataclass

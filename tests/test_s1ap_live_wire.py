@@ -99,14 +99,10 @@ def test_initial_context_setup_rides_as_real_erab_pdu():
     assert ies[s1.ID_SECURITY_KEY] == bytes(range(32))
     assert ies[s1.ID_UE_AGGREGATE_MAX_BITRATE]["dl"] == 1_000_000_000
     # empty NAS -> absent in the PDU, restored as b""
-    msg2 = dataclasses_replace_nas(msg)
+    import dataclasses
+    msg2 = dataclasses.replace(msg, nas_pdu=b"")
     out2, _, _ = _roundtrip("ctx_setup", (msg2,))
     assert out2[0] == msg2
-
-
-def dataclasses_replace_nas(msg):
-    import dataclasses
-    return dataclasses.replace(msg, nas_pdu=b"")
 
 
 def test_unbridged_paths_pass_through():
