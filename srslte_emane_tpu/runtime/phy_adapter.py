@@ -87,12 +87,19 @@ class EnbPhyAdapter:
             if msg.phy_cell_id != self.cell_id:
                 continue
             chans = {c.channel_type: c for c in frame.txc.channels}
+            # one UL message may carry several PUSCH grants on distinct
+            # PRB allocations: the UE appends one ChannelMessage per
+            # grant in msg.pusch order, so match them positionally —
+            # keying by type alone would adjudicate grant A against
+            # grant B's PRBs
+            pusch_cms = [c for c in frame.txc.channels
+                         if c.channel_type == otamsg.Chan.PUSCH]
             if msg.prach is not None and otamsg.Chan.PRACH in chans:
                 passed, _ = tester.check(chans[otamsg.Chan.PRACH])
                 if passed:
                     self.mac.rach_detected(tti, msg.prach["preamble_index"])
-            for g in msg.pusch:
-                passed, sinr = tester.check(chans[otamsg.Chan.PUSCH])
+            for g, cm in zip(msg.pusch, pusch_cms):
+                passed, sinr = tester.check(cm)
                 self.mac.ul_crc_info(tti, g["rnti"], passed)
                 if passed:
                     self.mac.ul_pdu(tti, g["rnti"], g["payload"], sinr)
@@ -248,44 +255,14 @@ class UePhyAdapter:
     def crnti(self):
         return self.stack.crnti
 
-    def skip_tti(self, tti: int) -> bool:
-        """ttiloop probe: True when this UE can sleep through the TTI —
-        it is inside its scheduled sleep window AND no delivered frame is
-        anything but a serving-cell subframe addressing none of its
-        RNTIs.  Skipped frames are drained (their SINR outcome for an
-        unaddressed dormant UE is irrelevant); timers catch up on the
-        next real run via tick_n."""
-        if tti >= self._sleep_until:
-            return False
-        if self.stack.gw_tx:  # app enqueued uplink data mid-sleep
-            return False
-        msgs = self.bus._delivered.get(self.node_id)
-        if msgs:
-            listen = self._listen_cache
-            serving = self.serving_cell
-            for frame, _tester in msgs:
-                msg = frame.msg
-                if (not isinstance(msg, otamsg.EnbDlMessage)
-                        or msg.phy_cell_id != serving):
-                    return False  # neighbor frame / UL capture: full run
-                rset = getattr(frame, "_rnti_set", None)
-                if rset is None:
-                    rset = {d.rnti for d in msg.pdcch_dl}
-                    rset.update(d.rnti for d in msg.pdcch_ul)
-                    rset.update(d.refid for d in msg.pdsch)
-                    rset.update(ph["rnti"] for ph in msg.phich)
-                    frame._rnti_set = rset
-                if rset & listen:
-                    return False
-            self.bus._delivered[self.node_id] = []
-        return True
-
     def run_tti(self, tti: int):
         self._rx(tti)
         if self._tick_n is not None:
             last = self._last_tick_tti
             self._last_tick_tti = tti
-            self._tick_n(tti - last if last is not None else 1)
+            # bus TTIs wrap at 10240: a sleep window spanning the wrap
+            # must still deliver its full catch-up tick count
+            self._tick_n((tti - last) % 10240 if last is not None else 1)
         elif self._stack_tick is not None:
             self._stack_tick()
         self._tx(tti)
@@ -328,7 +305,8 @@ class UePhyAdapter:
 
     @property
     def serving_cell(self):
-        return getattr(self.stack, "serving_pci", None) or self.cell_id
+        pci = getattr(self.stack, "serving_pci", None)
+        return self.cell_id if pci is None else pci  # PCI 0 is valid
 
     # dormant-UE receive stride: a UE with no protocol activity samples
     # sync/measurements every Nth TTI and otherwise only reacts to frames
@@ -369,14 +347,7 @@ class UePhyAdapter:
                 # serving-cell frame not addressing any of our RNTIs:
                 # skip (sync sampling happens on the stride TTIs);
                 # neighbor-cell frames always measure below
-                rset = getattr(frame, "_rnti_set", None)
-                if rset is None:
-                    rset = {d.rnti for d in msg.pdcch_dl}
-                    rset.update(d.rnti for d in msg.pdcch_ul)
-                    rset.update(d.refid for d in msg.pdsch)
-                    rset.update(ph["rnti"] for ph in msg.phich)
-                    frame._rnti_set = rset
-                if not (rset & listen):
+                if not (otabus.frame_rnti_set(frame) & listen):
                     continue  # nothing for this UE in this subframe
             if msg.phy_cell_id != self.serving_cell:
                 # activated SCell carrier? (scell_recv / cc_worker role)

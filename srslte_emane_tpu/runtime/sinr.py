@@ -215,7 +215,8 @@ def adjudicate(frames, prop: Propagation, n_prb: int, node_ids, roles=None,
     pathloss edit (mobility, RLF tests) is caught by snapshot compare and
     flushes the cache."""
     cache = getattr(prop, "_adj_cache", None)
-    sig = (id(prop.pathloss_db), getattr(prop, "_version", 0))
+    sig = (id(prop.pathloss_db), getattr(prop, "_version", 0),
+           prop.noise_floor_dbm)
     if cache is None or prop._adj_sig != sig:
         cache = {}
         prop._adj_cache = cache

@@ -102,14 +102,18 @@ class SysSim:
     # ---- expectations ----
     def expect_rrc(self, cls, within: int = 20):
         for _ in range(within):
-            if any(isinstance(m, cls) for m in self.ul_rrc):
-                return next(m for m in self.ul_rrc if isinstance(m, cls))
+            for m in self.ul_rrc:
+                if isinstance(m, cls):
+                    self.ul_rrc.remove(m)  # consume: a repeat expectation
+                    return m               # must see a FRESH message
             self.step()
         raise AssertionError(f"UE did not send {cls.__name__}")
 
     def expect_nas(self, cls, within: int = 20):
         for _ in range(within):
-            if any(isinstance(m, cls) for m in self.ul_nas):
-                return next(m for m in self.ul_nas if isinstance(m, cls))
+            for m in self.ul_nas:
+                if isinstance(m, cls):
+                    self.ul_nas.remove(m)  # consume (see expect_rrc)
+                    return m
             self.step()
         raise AssertionError(f"UE did not send {cls.__name__}")

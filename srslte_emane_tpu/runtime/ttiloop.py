@@ -39,9 +39,14 @@ class Network:
         sleepers = [n for n in self.nodes if hasattr(n, "_sleep_until")]
         by_id = {n.node_id: n for n in sleepers}
         # external events between run() calls (gw_send app traffic) must be
-        # seen: everyone starts awake and re-sleeps if still dormant
+        # seen: everyone starts awake and re-sleeps if still dormant.
+        # The BUS registry must agree — a stale sleep entry would keep
+        # suppressing deliveries (RARs, grants) to a now-running UE
+        clear_sleep = getattr(bus, "clear_sleep", None)
         active = list(sleepers)
         for n in active:
+            if n._sleep_until and clear_sleep is not None:
+                clear_sleep(n.node_id)
             n._sleep_until = 0
             n._asleep = False
         calendar = collections.defaultdict(list)

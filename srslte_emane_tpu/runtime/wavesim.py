@@ -56,8 +56,14 @@ class WaveformDataPlane:
 
     def add_ue(self, rnti: int, prb_mask: tuple, qm: int = 4,
                cce_start: int = 0, l_aggr: int = 1):
-        self.slots[rnti] = UeSlot(rnti, prb_mask, qm, l_aggr=l_aggr,
-                                  cce_start=cce_start)
+        slot = UeSlot(rnti, prb_mask, qm, l_aggr=l_aggr,
+                      cce_start=cce_start)
+        # reconfiguring an rnti invalidates the (sf_idx, rnti)-keyed
+        # compiled graphs — stale allocations would otherwise serve it
+        if self.slots.get(rnti) not in (None, slot):
+            self._cfg.cache_clear()
+            self._link_fn.cache_clear()
+        self.slots[rnti] = slot
 
     @functools.lru_cache(maxsize=None)
     def _cfg(self, sf_idx: int, rnti: int):
@@ -314,6 +320,8 @@ class UlSchPlane:
         self.metrics = {"pusch_tx": 0, "pusch_crc_ok": 0, "cqi_rx": 0}
 
     def add_ue(self, rnti: int, rb_start: int, l_prb: int, qm: int = 2):
+        if self.slots.get(rnti) not in (None, (rb_start, l_prb, qm)):
+            self._fn.cache_clear()  # reconfigured: drop compiled graphs
         self.slots[rnti] = (rb_start, l_prb, qm)
 
     def _dims(self, rnti: int):
@@ -403,7 +411,10 @@ class MimoDataPlane:
         self.metrics = {"sf_tx": 0, "crc_ok": 0, "crc_fail": 0}
 
     def add_ue(self, rnti: int, prb_mask: tuple, qm: int = 4):
-        self.slots[rnti] = UeSlot(rnti, prb_mask, qm)
+        slot = UeSlot(rnti, prb_mask, qm)
+        if self.slots.get(rnti) not in (None, slot):
+            self._link_fn.cache_clear()  # reconfigured: drop graphs
+        self.slots[rnti] = slot
 
     def _sch_cfgs(self, sf_idx: int, rnti: int):
         from ..phch import sch

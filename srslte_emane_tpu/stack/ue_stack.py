@@ -490,7 +490,8 @@ class UeStack:
         if self._cqi_timer is None:
             # wall-TTI based so sleeping TTIs still count toward the period
             self._cqi_timer = tti + self.preamble % 20
-        if (self.mac_state == "CONNECTED" and tti - self._cqi_timer >= 20
+        if (self.mac_state == "CONNECTED"
+                and (tti - self._cqi_timer) % 10240 >= 20
                 and getattr(self, "last_rsrp_snr", None) is not None):
             self._cqi_timer = tti
             cqi = min(15, max(1, int(round(float(self.last_rsrp_snr) / 2.0 + 2))))
