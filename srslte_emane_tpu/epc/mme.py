@@ -88,7 +88,8 @@ class ERabSetupRequest:
 
 
 @codec.register
-@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"), ("cause", "str"))
+@per.schema(("mme_ue_id", "int"), ("enb_ue_id", "int"),
+            ("csfb_indicator", "bool"))
 @dataclasses.dataclass
 class UEContextModificationRequest:
     """S1AP UE Context Modification (36.413 §8.3.4): the CS Fallback
@@ -206,6 +207,7 @@ class Mme:
             ue["ul_nas_count"] += 1
             self._dl_nas(enb_id, nas.guti, msg.enb_ue_id,
                          nas_msgs.TrackingAreaUpdateAccept(t3412=500))
+            ue["ecm_connected"] = False
             self.enbs[enb_id].release(UEContextReleaseCommand(
                 nas.guti, msg.enb_ue_id, "tau-complete"))
             self.metrics["tau_ok"] = self.metrics.get("tau_ok", 0) + 1
@@ -228,12 +230,21 @@ class Mme:
         if not isinstance(nas, nas_msgs.AttachRequest):
             return
         imsi = nas.imsi
+        old_guti = None
         if not imsi and nas.guti is not None:
             # GUTI attach (24.301 §5.5.1.2.2): resolve from the stored
             # context; an unknown GUTI triggers the identity procedure
             old = self.ues.get(nas.guti)
             if old is not None and old.get("imsi"):
                 imsi = old["imsi"]
+                old_guti = nas.guti
+        if old_guti is not None:
+            # the fresh registration replaces the stored context: tear
+            # down the old SPGW session and drop the entry, else contexts
+            # and DL routes leak on every power cycle
+            stale = self.ues.pop(old_guti)
+            if stale.get("ue_ip"):
+                self.spgw.release_session(stale["ue_ip"])
         mme_ue_id = self.next_mme_ue_id
         self.next_mme_ue_id += 1
         if not imsi:
@@ -323,7 +334,12 @@ class Mme:
                 gtpc.create_session_request(ue["imsi"], msg.mme_ue_id),
                 enb.gtpu_dl)
             sess = gtpc.parse_create_session_response(resp)
-            assert sess["cause"] == gtpc.CAUSE_ACCEPTED
+            if sess["cause"] != gtpc.CAUSE_ACCEPTED:
+                # session rejected: fail the attach cleanly (UE retries
+                # under T3410) instead of crashing the rx path
+                self.metrics["session_reject"] = \
+                    self.metrics.get("session_reject", 0) + 1
+                return
             kenb = security.kdf_kenb(ue["vec"]["kasme"], ue["ul_nas_count"])
             accept = nas_msgs.AttachAccept(ip_addr=sess["ue_ip"], guti=msg.mme_ue_id)
             ue["state"] = "CTX"
@@ -348,6 +364,9 @@ class Mme:
             self.metrics["ded_bearer_ok"] = self.metrics.get("ded_bearer_ok", 0) + 1
         elif isinstance(nas, nas_msgs.DetachRequest):
             ue["state"] = "DETACHED"
+            ue["ecm_connected"] = False
+            if ue.get("ue_ip"):
+                self.spgw.release_session(ue["ue_ip"])
             self.enbs[ue["enb_id"]].release(UEContextReleaseCommand(
                 msg.mme_ue_id, msg.enb_ue_id, "detach"))
         elif isinstance(nas, nas_msgs.IdentityResponse) \
@@ -378,17 +397,18 @@ class Mme:
         ue = self.ues.get(mme_ue_id)
         if ue is None or ue["state"] != "ATTACHED":
             return
-        enb = self.enbs.get(ue["enb_id"])
-        connected = any(
-            u.mme_ue_id == mme_ue_id and u.state == "RRC_CONNECTED"
-            for u in getattr(enb, "ues", {}).values())
-        if connected:
+        # ECM state is MME-local (the eNB may be a cross-process RPC
+        # proxy that cannot be introspected): a UE that resumed since its
+        # last release has ecm_connected set by _service_request
+        if ue.get("ecm_connected", True):
             self._dl_nas(ue["enb_id"], mme_ue_id, ue["enb_ue_id"],
                          nas_msgs.CsServiceNotification(caller_id=caller_id))
         else:
+            # CS page TARGETS the UE's S-TMSI: a wildcard CS page would
+            # drag every idle UE off LTE via MT-CSFB
             for e in self.enbs.values():
                 if hasattr(e, "page"):
-                    e.page(0, cn_domain="cs")
+                    e.page(mme_ue_id, cn_domain="cs")
             self.metrics["cs_paging"] = self.metrics.get("cs_paging", 0) + 1
 
     # ---- S1 handover (s1ap_ctx_mngmt_proc.cc / intra-MME HO) ----
@@ -409,7 +429,6 @@ class Mme:
                               teid_spgw=sess.get("teid_in", 0),
                               teid_enb=sess.get("teid_out", 0))
         cmd = target[1].ho_request(req)
-        ue["ho_target_enb"] = target[0]
         self.enbs[ue["enb_id"]].ho_command(HandoverCommand(
             mme_ue_id=msg.mme_ue_id, enb_ue_id=msg.enb_ue_id,
             target_pci=msg.target_pci, new_rnti=cmd["new_rnti"],
@@ -440,6 +459,7 @@ class Mme:
         prev_enb = ue["enb_id"]
         ue["enb_id"] = enb_id
         ue["enb_ue_id"] = msg.enb_ue_id
+        ue["ecm_connected"] = True
         enb = self.enbs[enb_id]
         if prev_enb != enb_id:
             self.spgw.path_switch(ue["ue_ip"], enb.gtpu_dl)
@@ -474,6 +494,13 @@ class Mme:
         self.metrics["ded_bearer_req"] = self.metrics.get("ded_bearer_req", 0) + 1
         return True
 
+    def ue_ctx_released(self, mme_ue_id: int):
+        """S1AP UE Context Release notification from the eNB: the UE is
+        ECM-IDLE — reach it by paging from now on."""
+        ue = self.ues.get(mme_ue_id)
+        if ue is not None:
+            ue["ecm_connected"] = False
+
     def page_ue(self, mme_ue_id: int):
         """S1AP Paging: broadcast to every attached eNB (s1ap paging proc);
         triggered e.g. by DL data arriving for an idle UE."""
@@ -482,7 +509,7 @@ class Mme:
             return
         for enb in self.enbs.values():
             if hasattr(enb, "page"):
-                enb.page(0)  # broadcast identity (s-TMSI matching simplified)
+                enb.page(mme_ue_id)  # s-TMSI-targeted paging record
         self.metrics["paging"] = self.metrics.get("paging", 0) + 1
 
     def _dl_nas(self, enb_id, mme_ue_id, enb_ue_id, nas_msg):

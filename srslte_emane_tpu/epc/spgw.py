@@ -77,6 +77,13 @@ class Spgw:
         return True
 
     # ---- user plane (spgw.cc:114-158 select loop bodies) ----
+    def release_session(self, ue_ip: str):
+        """Delete-session (gtpc role): drop the bearer so DL routing to a
+        stale tunnel stops and the address mappings do not leak."""
+        sess = self.by_ip.pop(ue_ip, None)
+        if sess is not None:
+            self.by_teid_in.pop(sess["teid_in"], None)
+
     def handle_sgi_pdu(self, ip_pkt: bytes):
         """Downlink: IP packet from SGi -> lookup by dst IP -> GTP-U to eNB."""
         dst = ".".join(str(b) for b in ip_pkt[16:20])

@@ -1093,6 +1093,11 @@ class EnbStack:
             ue.send_rrc(SRB1, rrc_msgs.RrcConnectionRelease(cause=cause))
             ue.state = "RRC_IDLE"
             self.metrics["rrc_release"] += 1
+            # S1AP UE Context Release notification: the MME tracks ECM
+            # state itself (the eNB may live in another process)
+            notify = getattr(self.mme, "ue_ctx_released", None)
+            if notify is not None and ue.mme_ue_id is not None:
+                notify(ue.mme_ue_id)
 
     def handle_reestablishment(self, ue, msg):
         """Reestablishment after RLF (rrc.cc): adopt the old UE context —

@@ -120,7 +120,10 @@ class NasSecurity:
         first = data[0]
         hdr_type = first >> 4
         if (first & 0x0F) != w.PD_EMM:
-            return data, True  # ESM header (ebi nibble): not EMM-protected
+            # a bare ESM header (ebi nibble) or garbage: with a live
+            # context every legitimate peer wraps ESM inside the EMM
+            # security header, so plain ESM is a downgrade too
+            return data, False
         if hdr_type == w.SEC_SERVICE_REQUEST:
             return data, True  # own format; verify_service_request covers
         if hdr_type == w.SEC_PLAIN:

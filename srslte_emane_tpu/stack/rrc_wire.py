@@ -74,7 +74,6 @@ _SPS_IVL = (10, 20, 32, 40, 64, 80, 128, 160, 320, 640)
 _TTT_MS = (0, 40, 64, 80, 100, 128, 160, 256, 320, 480, 512, 640, 1024,
            1280, 2560, 5120)
 _REPORT_IVL_MS = (120, 240, 480, 640, 1024, 2048, 5120, 10240)
-_T304_MS = (50, 100, 150, 200, 500, 1000, 2000)
 
 
 def _nearest(values, x):
@@ -327,7 +326,11 @@ def _encode_bcch(msg) -> bytes:
 
 def decode_bcch(data: bytes):
     """Every idle UE re-reads the same broadcast SI bytes each SI cycle:
-    memoize by the wire bytes (decoded dataclasses are read-only)."""
+    memoize by the wire bytes.  Each caller gets its OWN shallow copy —
+    the dataclasses are mutable, and one UE tweaking 'its' SIB must not
+    corrupt the SI every other UE decoded."""
+    import dataclasses as _dc
+
     data = bytes(data)
     hit = _BCCH_DEC_CACHE.get(data)
     if hit is None:
@@ -335,7 +338,7 @@ def decode_bcch(data: bytes):
         if len(_BCCH_DEC_CACHE) > 64:
             _BCCH_DEC_CACHE.clear()
         _BCCH_DEC_CACHE[data] = hit
-    return hit
+    return _dc.replace(hit)
 
 
 _BCCH_DEC_CACHE: dict = {}
@@ -549,8 +552,7 @@ def encode_dl_dcch(msg) -> bytes:
         tree = dict(msg=("c1", ("ue_cap_enquiry", dict(
             rrc_transaction_id=0,
             crit_exts=("c1", ("r8", dict(
-                ue_cap_request=["eutra" if t == "eutra" else t
-                                for t in msg.rat_types])))))))
+                ue_cap_request=list(msg.rat_types))))))))
         return uper_encode(r.DL_DCCH_MSG, tree)
     raise TypeError(f"no DL-DCCH mapping for {type(msg).__name__}")
 

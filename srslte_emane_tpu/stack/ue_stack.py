@@ -717,7 +717,12 @@ class UeStack:
             self.emm_state = "ATTACHING"
             self.t3410.run()
         elif isinstance(msg, rrc_msgs.Paging):
-            if msg.ue_identity in (0, self._salt & 0xFFFF):
+            # identity match: our S-TMSI (GUTI) when registered, the
+            # random access identity otherwise; 0 = broadcast wildcard
+            my_ids = {0, self._salt & 0xFFFF}
+            if getattr(self, "guti", None):
+                my_ids.add(self.guti)
+            if msg.ue_identity in my_ids:
                 self.metrics["paged"] += 1
                 if msg.cn_domain == "cs":
                     # CS-domain page = incoming voice call: answer with an
