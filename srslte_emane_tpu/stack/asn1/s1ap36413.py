@@ -250,13 +250,22 @@ def _read_security_caps(r: BitReader) -> dict:
     ext, opt = r.read_bits(1), r.read_bits(1)
     if ext or opt:
         raise AperError("UESecurityCapabilities extensions")
-    # BIT STRING SIZE(16) <= 16 bits: unaligned (X.691 §15.8)
-    return dict(eea=r.read_bits(16), eia=r.read_bits(16))
+    # Encryption/IntegrityProtectionAlgorithms are EXTENSIBLE BIT
+    # STRINGs (SIZE(16), ...): each carries its own extension bit
+    # before the 16 value bits (liblte_s1ap.cc pack_encryptionalgorithms)
+    if r.read_bits(1):
+        raise AperError("EncryptionAlgorithms extension")
+    eea = r.read_bits(16)
+    if r.read_bits(1):
+        raise AperError("IntegrityProtectionAlgorithms extension")
+    return dict(eea=eea, eia=r.read_bits(16))
 
 
 def _write_security_caps(w: BitWriter, v: dict):
     w.write_bits(0, 2)
+    w.write_bits(0, 1)  # EncryptionAlgorithms ext
     w.write_bits(v["eea"], 16)
+    w.write_bits(0, 1)  # IntegrityProtectionAlgorithms ext
     w.write_bits(v["eia"], 16)
 
 

@@ -176,3 +176,31 @@ def test_attach_through_live_s1ap_wire():
         assert mme.metrics["attach_ok"] == 1
     finally:
         srv.stop()
+
+
+def test_ics_byte_exact_through_reference_codec():
+    """The full InitialContextSetup encoding (E-RAB list, UE security
+    capabilities with their EXTENSIBLE bit strings, SecurityKey) was
+    round-tripped byte-exact through the reference's liblte_s1ap codec
+    (unpack + repack identity via scripts/s1ap_interop harness,
+    verified 2026-08-18) — this pins those bytes.  The cross-harness
+    also caught that Encryption/IntegrityProtectionAlgorithms carry
+    their own extension bit (fixed in _write_security_caps)."""
+    import socket
+
+    item = dict(erab_id=5, qci=9, arp_priority=15,
+                pre_emption_capability=0, pre_emption_vulnerability=0,
+                addr=socket.inet_aton("172.16.0.9"), addr_bits=32,
+                teid=0xA1B2C3D4, nas_pdu=b"\x07\x42\x01")
+    data = s1.encode_pdu(s1.initial_context_setup_request(
+        11, 3, bytes(range(32)), [item]))
+    assert data.hex() == (
+        "0009006500000600000002000b0008000200030042000a183b9aca00603b9a"
+        "ca000018001700003400124500093c0f80ac100009a1b2c3d403074201006b"
+        "00051c0006000000490020000102030405060708090a0b0c0d0e0f10111213"
+        "1415161718191a1b1c1d1e1f")
+    # and our decoder parses it back
+    ies = {ie.id: ie.value for ie in s1.decode_pdu(data).ies}
+    assert ies[s1.ID_UE_SECURITY_CAPABILITIES] == dict(eea=0xE000,
+                                                       eia=0x6000)
+    assert ies[s1.ID_ERAB_TO_BE_SETUP_LIST_CTXT][0]["teid"] == 0xA1B2C3D4
