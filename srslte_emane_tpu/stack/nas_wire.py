@@ -198,8 +198,10 @@ def _guti_identity(m_tmsi: int, group: int = 1, code: int = 1) -> bytes:
 
 
 def _tai_list() -> bytes:
-    """Partial TAI list, type 0, one entry (24.301 §9.9.3.33)."""
-    return bytes([0x00]) + PLMN + TAC.to_bytes(2, "big")
+    """TAI list, one entry, list type 01 = one PLMN with non-consecutive
+    TACs (24.301 §9.9.3.33) — the type srsepc's liblte_mme packs and the
+    only one its unpack supports."""
+    return bytes([0x20]) + PLMN + TAC.to_bytes(2, "big")
 
 
 def _tai() -> bytes:
