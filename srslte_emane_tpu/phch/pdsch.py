@@ -211,17 +211,37 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     else:
         raise ValueError(tm)
 
-    outs, oks, sbs = [], [], []
     if softbufs is None:
         softbufs = [None] * n_cw
+    llr_list = []
     for q, cfg in enumerate(cfg_list):
         llr = modem.demod_soft(streams[q], modem.MOD_FROM_QM[cfg.Qm])
         w = jnp.repeat(csi_streams[q], cfg.Qm, axis=-1)
         llr = llr * w
         c_init = scrambling.pdsch_cinit(rnti, q, sf_idx, cell.cell_id)
-        llr = scrambling.scramble_llrs(llr, c_init)
-        payload, ok, sb, _ = sch.decode_tb(llr, cfg, softbufs[q], max_iter,
-                                           use_pallas=use_pallas)
+        llr_list.append(scrambling.scramble_llrs(llr, c_init))
+    # At small batch the MAP recursions are latency-bound, so two equal-shaped
+    # codewords share one decode_tb call (2B batch) — the same reasoning as the
+    # per-K merge inside decode_tb (the reference instead spawns a coworker
+    # thread per codeword, pdsch.c:333-390).  At large batch the decoder is
+    # already throughput-bound and the concat only costs, so gate on B (static
+    # at trace time): +14% at B=32, -2% at B=128 unmerged.
+    if n_cw == 2 and cfg_list[0] == cfg_list[1] and B <= 64:
+        stacked = jnp.concatenate(llr_list, axis=0)
+        sb_in = None
+        if softbufs[0] is not None and softbufs[1] is not None:
+            sb_in = [jnp.concatenate([a, b], axis=0)
+                     for a, b in zip(softbufs[0], softbufs[1])]
+        payload, ok, sb, _ = sch.decode_tb(stacked, cfg_list[0], sb_in,
+                                           max_iter, use_pallas=use_pallas)
+        outs = [payload[:B], payload[B:]]
+        oks = [ok[:B], ok[B:]]
+        sbs = [[w_[:B] for w_ in sb], [w_[B:] for w_ in sb]]
+        return outs, oks, sbs
+    outs, oks, sbs = [], [], []
+    for q, cfg in enumerate(cfg_list):
+        payload, ok, sb, _ = sch.decode_tb(llr_list[q], cfg, softbufs[q],
+                                           max_iter, use_pallas=use_pallas)
         outs.append(payload)
         oks.append(ok)
         sbs.append(sb)
