@@ -87,11 +87,21 @@ def main():
     assert ok_h.all()
     sf_per_s = batch * iters / dt
 
-    # secondary: encode throughput
+    # secondary: encode throughput.  The timing variant reduces the waveform
+    # to a scalar ON DEVICE: returning the full (B, 30720, 2) waveform makes
+    # the loop measure the ~31 MB/iter tunnel readback (~5k sf/s) instead of
+    # compute (~50k).  The scalar readback of the last iteration still forces
+    # the whole in-order queue, same as the decode loop's `ok`.
+    import jax.numpy as jnp
+
+    txs_fn = jax.jit(
+        lambda p: jnp.sum(jnp.abs(pdsch_link.tx_subframe(p, cfg))))
+    s = txs_fn(payload)
+    assert np.isfinite(float(s)) and float(s) > 0.0
     t0 = time.time()
     for _ in range(iters):
-        tx = tx_fn(payload)
-    np.asarray(tx[0, 0])
+        s = txs_fn(payload)
+    float(s)
     enc_sf_per_s = batch * iters / (time.time() - t0)
 
     mbps = sf_per_s * cfg.tbs / 1e6
