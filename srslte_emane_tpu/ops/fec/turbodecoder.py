@@ -291,10 +291,15 @@ def turbo_decode(
     if use_pallas:
         # v2 kernel: whole half-iteration in-kernel, states in registers,
         # radix-2 (2.5x v1 at the 20 MHz bench shape); falls back to v1
-        # internally for odd window lengths
+        # internally for odd window lengths.  llr_bits<=16 selects bf16
+        # STORAGE inside the kernel (inputs + beta scratch; recursions stay
+        # f32 in registers) — the TPU analog of the reference's narrow SIMD
+        # modes: half the VMEM doubles the tile width, halving the
+        # sequential grid depth.
         from . import turbodecoder_pallas2
 
-        map_fn = turbodecoder_pallas2.map_decode_pallas2
+        map_fn = functools.partial(turbodecoder_pallas2.map_decode_pallas2,
+                                   narrow=llr_bits <= 16)
     else:
         map_fn = _map_decode
 

@@ -55,13 +55,15 @@ def _tables():
 
 def _g4(ls_row, lp_row):
     """(G,128) ls/lp rows -> list of 4 branch metrics, combo = u*2+z."""
+    ls_row = ls_row.astype(jnp.float32)
+    lp_row = lp_row.astype(jnp.float32)
     a = 0.5 * (ls_row + lp_row)
     b = 0.5 * (ls_row - lp_row)
     return [a, b, -b, -a]
 
 
 def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
-                beta_scratch, *, L, H):
+                beta_scratch, *, L, H, narrow=False):
     """One tile: ls/lp (H+L+H, G, 128); ab_exact (16, G, 128) = exact
     alpha0 rows 0:8 + exact betaK rows 8:16; ab_mask same split (1.0 where
     the exact init applies to this column).  States are tuples of 8
@@ -88,7 +90,8 @@ def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
 
     # ---- backward: halo warm-up from uniform over [H+L, H+2L) ----
     beta = jax.lax.fori_loop(
-        0, H, lambda i, b: bwd_step(b, H + L + (H - 1 - i)), zeros8)
+        0, H, lambda i, b: bwd_step(b, H + L + (H - 1 - i)), zeros8,
+        unroll=H)
     beta = tuple(
         jnp.where(ab_mask_ref[8 + s] > 0, ab_exact_ref[8 + s], beta[s])
         for s in range(8))
@@ -96,18 +99,29 @@ def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
     beta = tuple(b - bmax for b in beta)
 
     # ---- backward over the window, storing beta at node tt+1, radix-2 ----
+    sdt = beta_scratch.dtype
+
     def bwd(i, beta):
         tt = L - 1 - 2 * i
-        beta_scratch[tt] = jnp.stack(beta)
+        beta_scratch[tt] = jnp.stack(beta).astype(sdt)
         beta = bwd_step(beta, H + tt)
-        beta_scratch[tt - 1] = jnp.stack(beta)
-        return bwd_step(beta, H + tt - 1)
+        beta_scratch[tt - 1] = jnp.stack(beta).astype(sdt)
+        beta = bwd_step(beta, H + tt - 1)
+        if narrow:
+            # bf16 scratch: renormalize every radix-2 pair so the stored
+            # magnitudes stay inside bf16's useful resolution (the common
+            # offset cancels in the m0 - m1 combine, so this is free of
+            # algorithmic effect; the f32 path skips it and drifts)
+            bm = functools.reduce(jnp.maximum, beta)
+            beta = tuple(b - bm for b in beta)
+        return beta
 
-    jax.lax.fori_loop(0, L // 2, bwd, beta)
+    jax.lax.fori_loop(0, L // 2, bwd, beta, unroll=1)
 
     # ---- forward: halo warm-up over [0, H) ----
     alpha = jax.lax.fori_loop(
-        0, H, lambda i, a: fwd_step(a, _g4(ls_ref[i], lp_ref[i])), zeros8)
+        0, H, lambda i, a: fwd_step(a, _g4(ls_ref[i], lp_ref[i])), zeros8,
+        unroll=H)
     alpha = tuple(
         jnp.where(ab_mask_ref[s] > 0, ab_exact_ref[s], alpha[s])
         for s in range(8))
@@ -133,16 +147,17 @@ def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
         llr_ref[tt + 1] = combine(alpha, g, bn)
         return fwd_step(alpha, g)
 
-    jax.lax.fori_loop(0, L // 2, fwd, alpha)
+    jax.lax.fori_loop(0, L // 2, fwd, alpha, unroll=1)
 
 
 def map_window_tiles(ls_t, lp_t, ab_exact, ab_mask, L, H,
-                     interpret: bool = False):
+                     interpret: bool = False, narrow: bool = False):
     """ls_t/lp_t: (n_tiles, H+L+H, G, 128); ab_exact/ab_mask:
     (n_tiles, 16, G, 128).  Returns llr (n_tiles, L, G, 128)."""
     n_tiles, Text, G, _ = ls_t.shape
+    sdt = jnp.bfloat16 if narrow else jnp.float32
     return pl.pallas_call(
-        functools.partial(_map_kernel, L=L, H=H),
+        functools.partial(_map_kernel, L=L, H=H, narrow=narrow),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((None, Text, G, LANES), lambda i: (i, 0, 0, 0),
@@ -157,20 +172,22 @@ def map_window_tiles(ls_t, lp_t, ab_exact, ab_mask, L, H,
         out_specs=pl.BlockSpec((None, L, G, LANES), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, L, G, LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((L, 8, G, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((L, 8, G, LANES), sdt)],
         interpret=interpret,
     )(ls_t, lp_t, ab_exact, ab_mask)
 
 
-def _pick_subs(n_lanes: int, L: int, H: int) -> int:
+def _pick_subs(n_lanes: int, L: int, H: int, narrow: bool = False) -> int:
     """Sublane batching G per tile: widest that fits VMEM.  The grid is
     sequential, so fewer/fatter tiles win; padding up to one tile is cheaper
-    than running extra tiles."""
+    than running extra tiles.  bf16 storage (narrow) halves the inputs and
+    the beta scratch, so G can double — half the sequential grid steps."""
+    nb = 2 if narrow else 4
     best = 1
-    for g in (2, 4, 8, 16):
-        # VMEM f32: 2 inputs (L+2H, g, 128) + scratch (L, 8, g, 128)
-        #           + llr (L, g, 128) + 2 masks (16, g, 128)
-        vmem = 4 * 128 * g * ((L + 2 * H) * 2 + L * 8 + L + 32)
+    for g in (2, 4, 8, 16, 32):
+        # VMEM: 2 inputs (L+2H, g, 128) + scratch (L, 8, g, 128) at nb bytes
+        #       + llr f32 (L, g, 128) + 2 masks f32 (16, g, 128)
+        vmem = 128 * g * (nb * ((L + 2 * H) * 2 + L * 8) + 4 * (L + 32))
         if vmem > 12 * 1024 * 1024:
             break
         if -(-n_lanes // (g * LANES)) * g * LANES \
@@ -180,10 +197,14 @@ def _pick_subs(n_lanes: int, L: int, H: int) -> int:
 
 
 def map_decode_pallas2(ls_eff, lp, tail_x, tail_z,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, narrow: bool = False):
     """Drop-in for turbodecoder._map_decode: whole half-iteration in-kernel.
 
     ls_eff/lp: (B, K); tail_x/tail_z: (B, 3).  Returns posterior LLR (B, K).
+    narrow: bf16 storage for the LLR inputs and the beta scratch (the
+    recursions stay f32 in registers) — the TPU analog of the reference's
+    16-bit SIMD mode (`turbodecoder.h:50-66`): half the VMEM per column
+    doubles the tile width G, halving the sequential grid depth.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -222,7 +243,7 @@ def map_decode_pallas2(ls_eff, lp, tail_x, tail_z,
 
     # tile (B*W) columns into (n_tiles, G, 128)
     n_lanes = B * W
-    G = _pick_subs(n_lanes, L, H)
+    G = _pick_subs(n_lanes, L, H, narrow)
     per_tile = G * LANES
     n_tiles = -(-n_lanes // per_tile)
     pad = n_tiles * per_tile - n_lanes
@@ -233,10 +254,12 @@ def map_decode_pallas2(ls_eff, lp, tail_x, tail_z,
         flat = flat.reshape((n_tiles, G, LANES) + inner)
         return jnp.moveaxis(flat, (1, 2), (-2, -1))
 
+    idt = jnp.bfloat16 if narrow else jnp.float32
     llr_t = map_window_tiles(
-        to_tiles(lsx, (L + 2 * H,)), to_tiles(lpx, (L + 2 * H,)),
+        to_tiles(lsx.astype(idt), (L + 2 * H,)),
+        to_tiles(lpx.astype(idt), (L + 2 * H,)),
         to_tiles(ab_exact, (16,)), to_tiles(ab_mask, (16,)),
-        L, H, interpret=interpret)
+        L, H, interpret=interpret, narrow=narrow)
     llr = jnp.moveaxis(llr_t, (-2, -1), (1, 2))
     llr = llr.reshape(n_tiles * per_tile, L)[:n_lanes]
     return llr.reshape(B, W, L).reshape(B, K)

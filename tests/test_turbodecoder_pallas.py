@@ -39,6 +39,22 @@ def test_pallas2_map_matches_xla(k):
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.parametrize("k", [512, 5504])
+def test_pallas2_narrow_mode(k):
+    """bf16-storage mode (llr_bits<=16 on TPU): recursions stay f32, so the
+    posteriors track the f32 kernel to bf16 rounding; hard decisions must
+    agree wherever the f32 LLR is non-marginal."""
+    ls, lp, tail_x, tail_z = _map_inputs(k, B=2)
+    ref = np.asarray(turbodecoder_pallas2.map_decode_pallas2(
+        ls, lp, tail_x, tail_z, interpret=True))
+    got = np.asarray(turbodecoder_pallas2.map_decode_pallas2(
+        ls, lp, tail_x, tail_z, interpret=True, narrow=True))
+    # bf16 has ~2-3 decimal digits: allow |err| ~ 1% of the LLR range
+    np.testing.assert_allclose(got, ref, atol=0.3, rtol=0.02)
+    strong = np.abs(ref) > 0.5
+    assert (np.sign(got[strong]) == np.sign(ref[strong])).all()
+
+
 def test_turbo_decode_use_pallas_flag():
     """Full turbo_decode with the Pallas MAP (interpreter on CPU), tiny CB."""
     import numpy as np
