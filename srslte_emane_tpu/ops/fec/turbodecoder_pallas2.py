@@ -49,16 +49,21 @@ def _tables():
     combo_bwd = (np.arange(2)[None, :] * 2 + pz).astype(np.int32)  # (8, 2)
     combo_all = (np.arange(2)[:, None] * 2 + pz.T).astype(np.int32)  # (2, 8)
     return dict(ns=ns.astype(np.int32), ps=ps.astype(np.int32),
+                pu=pu.astype(np.int32),
                 combo_fwd=combo_fwd, combo_bwd=combo_bwd,
                 combo_all=combo_all, ns_t=ns.T.astype(np.int32))
 
 
 def _g4(ls_row, lp_row):
-    """(G,128) ls/lp rows -> list of 4 branch metrics, combo = u*2+z."""
+    """(G,128) PRE-HALVED ls/lp rows -> 4 branch metrics, combo = u*2+z.
+
+    Inputs arrive already scaled by 0.5 (done once outside the kernel;
+    exact in fp, so bit-identical to scaling here) — the kernel's branch
+    metrics are then plain add/sub."""
     ls_row = ls_row.astype(jnp.float32)
     lp_row = lp_row.astype(jnp.float32)
-    a = 0.5 * (ls_row + lp_row)
-    b = 0.5 * (ls_row - lp_row)
+    a = ls_row + lp_row
+    b = ls_row - lp_row
     return [a, b, -b, -a]
 
 
@@ -69,8 +74,8 @@ def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
     the exact init applies to this column).  States are tuples of 8
     (G, 128) arrays throughout."""
     t = _tables()
-    ps, ns = t["ps"], t["ns"]
-    cf, cb, ca, nst = t["combo_fwd"], t["combo_bwd"], t["combo_all"], t["ns_t"]
+    ps, ns, pu = t["ps"], t["ns"], t["pu"]
+    cf, cb = t["combo_fwd"], t["combo_bwd"]
 
     def bwd_step(beta, tt):
         g = _g4(ls_ref[tt], lp_ref[tt])
@@ -129,23 +134,31 @@ def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
     alpha = tuple(a - amax for a in alpha)
 
     # ---- forward with fused posterior combine, radix-2 ----
-    def combine(alpha, g, beta_next):
+    # t[s][u] = alpha[s] + g[u*2+pz[s,u]] is SHARED between the posterior
+    # combine (m_u = max_s t[s][u] + beta_next[ns[s,u]]) and the alpha
+    # recursion (alpha'[s'] = max over its two predecessor transitions).
+    # Bit-exact: identical terms, identical association order.  Measured
+    # neutral on TPU — Mosaic's CSE already merged the duplicate adds —
+    # but the sharing is now explicit rather than compiler-dependent.
+    # With it, the kernel sits at the VPU issue-rate bound (~85 vector
+    # ops/trellis step ~= 128 cycles measured).
+    def fwd_emit(alpha, tt):
+        g = _g4(ls_ref[H + tt], lp_ref[H + tt])
+        tsu = [[alpha[s] + g[cb[s, u]] for u in range(2)] for s in range(8)]
+        bn = beta_scratch[tt]
         m0 = functools.reduce(jnp.maximum, (
-            alpha[s] + g[ca[0, s]] + beta_next[nst[0, s]] for s in range(8)))
+            tsu[s][0] + bn[ns[s, 0]] for s in range(8)))
         m1 = functools.reduce(jnp.maximum, (
-            alpha[s] + g[ca[1, s]] + beta_next[nst[1, s]] for s in range(8)))
-        return m0 - m1
+            tsu[s][1] + bn[ns[s, 1]] for s in range(8)))
+        llr_ref[tt] = m0 - m1
+        return tuple(
+            jnp.maximum(tsu[ps[s, 0]][pu[s, 0]], tsu[ps[s, 1]][pu[s, 1]])
+            for s in range(8))
 
     def fwd(i, alpha):
         tt = 2 * i
-        bn = beta_scratch[tt]
-        g = _g4(ls_ref[H + tt], lp_ref[H + tt])
-        llr_ref[tt] = combine(alpha, g, bn)
-        alpha = fwd_step(alpha, g)
-        bn = beta_scratch[tt + 1]
-        g = _g4(ls_ref[H + tt + 1], lp_ref[H + tt + 1])
-        llr_ref[tt + 1] = combine(alpha, g, bn)
-        return fwd_step(alpha, g)
+        alpha = fwd_emit(alpha, tt)
+        return fwd_emit(alpha, tt + 1)
 
     jax.lax.fori_loop(0, L // 2, fwd, alpha, unroll=1)
 
@@ -218,6 +231,11 @@ def map_decode_pallas2(ls_eff, lp, tail_x, tail_z,
 
         return v1.map_decode_pallas(ls_eff, lp, tail_x, tail_z,
                                     interpret=interpret)
+
+    # pre-halve once here (exact: power-of-2 scale) so the kernel's branch
+    # metrics are plain add/sub — see _g4
+    ls_eff = ls_eff * 0.5
+    lp = lp * 0.5
 
     # per-window extended spans [wL-H, wL+L+H) gathered from zero-padded K
     pos = (np.arange(W)[:, None] * L + np.arange(-H, L + H)[None, :]) + H
