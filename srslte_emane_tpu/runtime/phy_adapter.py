@@ -295,6 +295,34 @@ class UePhyAdapter:
             if set_sleep is not None:
                 set_sleep(self.node_id, self._sleep_until, listen,
                           self.serving_cell)
+        elif (self._dormant_cb is not None
+              and st.mac_state == "IDLE" and st.rrc_state == "IDLE"
+              and max(getattr(st, "_ra_backoff", 0) or 0,
+                      getattr(st, "_conn_barred", 0)) > 1
+              and not st._acks and not st._ul_grants and not st.gw_tx
+              and not st.ul_ccch
+              and st.sib1 is not None and st.sib2 is not None):
+            # mass-attach wait window (RA backoff and/or T302 barring):
+            # the UE has no RNTI yet, so no DL frame can address it, and
+            # its only pending event is the window expiry -> sleep exactly
+            # through it.  tick_n catch-up burns the countdown on wake and
+            # get_prach fires on that TTI.  SI_RNTI is deliberately not
+            # listened for: the SIBs are in hand (RA eligibility requires
+            # them) and periodic SI broadcasts would otherwise wake every
+            # backoff sleeper.  This is where the 500-UE attach storm's
+            # time went: 75% of awake UE-TTIs were backoff countdowns.
+            self._quiet = 0
+            win = max(getattr(st, "_ra_backoff", 0) or 0,
+                      getattr(st, "_conn_barred", 0))
+            self._sleep_until = tti + win
+            set_sleep = getattr(self.bus, "set_sleep", None)
+            if set_sleep is not None:
+                listen = {r for r in self.stack.listen_rntis(tti)
+                          if r != st.SI_RNTI}
+                self._listen_cache = listen
+                self._listen_crnti = self.stack.crnti
+                set_sleep(self.node_id, self._sleep_until, listen,
+                          self.serving_cell)
         else:
             self._quiet = 0
             if self._sleep_until:

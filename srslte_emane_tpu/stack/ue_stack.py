@@ -256,7 +256,8 @@ class UeStack:
                 # still transmit PRACH in different TTIs
                 self._ra_backoff = self._salt % 8
             if self._ra_backoff > 0:
-                self._ra_backoff -= 1
+                # counts down in tick() so a backoff-sleeping UE's tick_n
+                # catch-up burns the window correctly on wake
                 return None
             self._ra_backoff = None
             # NOTE: _connect_pending persists until the connection SUCCEEDS
@@ -524,6 +525,9 @@ class UeStack:
             self.timers.step(k - 1)
             if getattr(self, "_conn_barred", 0) > 0:
                 self._conn_barred = max(0, self._conn_barred - (k - 1))
+            bo = getattr(self, "_ra_backoff", None)
+            if bo is not None and bo > 0:
+                self._ra_backoff = max(0, bo - (k - 1))
         self.tick()
 
     def tick(self):
@@ -532,6 +536,11 @@ class UeStack:
             e.timer_tick()
         if getattr(self, "_conn_barred", 0) > 0:
             self._conn_barred -= 1
+        # RA backoff countdown (here, not in get_prach, so the countdown is
+        # tick_n-catch-up safe for the adapter's backoff sleep window)
+        bo = getattr(self, "_ra_backoff", None)
+        if bo is not None and bo > 0:
+            self._ra_backoff = bo - 1
         # idle-mode cell reselection (36.304 §5.2 R-criterion, simplified):
         # a neighbor consistently above serving + Qhyst becomes serving
         if (self.rrc_state == "IDLE" and self.mac_state == "IDLE"

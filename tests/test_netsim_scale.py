@@ -38,6 +38,22 @@ def test_preamble_contention_resolution():
     assert len(set(rntis)) == 10, rntis
 
 
+def test_backoff_sleep_burns_full_window():
+    """A UE sleeping through its RA backoff must burn the whole window via
+    the tick_n catch-up (the countdown lives in tick(), not get_prach, so
+    sleeping is equivalent to running every TTI — regression for the bulk
+    branch in tick_n that the barring counter already had)."""
+    sysd = netsim.build_network(1, 80.0, n_prb=25)
+    ue = sysd["ues"][0]
+    ue._ra_backoff = 100
+    ue.tick_n(60)
+    assert ue._ra_backoff == 40, ue._ra_backoff
+    ue.tick_n(1)
+    assert ue._ra_backoff == 39, ue._ra_backoff
+    ue.tick_n(500)  # overshoot clamps at 0
+    assert ue._ra_backoff == 0, ue._ra_backoff
+
+
 def test_mass_attach_200_ues():
     """EMANE-deployment scale: 200 UEs on one 20 MHz cell all attach and
     all receive user-plane data.  Exercises the role-filtered OTA delivery
