@@ -97,7 +97,10 @@ class EnbPhyAdapter:
             if msg.prach is not None and otamsg.Chan.PRACH in chans:
                 passed, _ = tester.check(chans[otamsg.Chan.PRACH])
                 if passed:
-                    self.mac.rach_detected(tti, msg.prach["preamble_index"])
+                    # msg.tti = the PRACH OCCASION tti (not the detection
+                    # tti, one later): the RA-RNTI is derived from it, so
+                    # both sides must use the same epoch (prach.c ra_rnti)
+                    self.mac.rach_detected(msg.tti, msg.prach["preamble_index"])
             for g, cm in zip(msg.pusch, pusch_cms):
                 passed, sinr = tester.check(cm)
                 self.mac.ul_crc_info(tti, g["rnti"], passed)
@@ -270,7 +273,14 @@ class UePhyAdapter:
         # sleeps to the next sync-sampling stride boundary
         st = self.stack
         if (self._dormant_cb is not None and self._dormant_cb()
-                and st.emm_state == "REGISTERED"  # else it wants to attach
+                # REGISTERED, or mid-attach but already RRC-connected: the
+                # remaining NAS steps are network-driven and every DL
+                # message addresses the C-RNTI, so wake-on-delivery covers
+                # them.  A DEREGISTERED *idle* UE must stay awake (it
+                # initiates RA itself).
+                and (st.emm_state == "REGISTERED"
+                     or (st.mac_state == "CONNECTED"
+                         and st.rrc_state == "CONNECTED"))
                 and not st._acks and not st._ul_grants
                 and not st.gw_tx and not st.ul_ccch
                 and (st.mac_state != "CONNECTED"
@@ -319,6 +329,24 @@ class UePhyAdapter:
             if set_sleep is not None:
                 listen = {r for r in self.stack.listen_rntis(tti)
                           if r != st.SI_RNTI}
+                self._listen_cache = listen
+                self._listen_crnti = self.stack.crnti
+                set_sleep(self.node_id, self._sleep_until, listen,
+                          self.serving_cell)
+        elif (self._dormant_cb is not None
+              and st.mac_state == "PRACH_SENT"
+              and not st._acks and not st._ul_grants and not st.ul_ccch
+              and getattr(st, "_ra_timer", 0) < 19):
+            # RAR wait: the UE listens on the RA-RNTIs (listen_rntis
+            # returns them in this state), so any RAR frame wakes it
+            # through the bus index; otherwise sleep to the RA-window
+            # supervision deadline (tick_n advances _ra_timer in bulk and
+            # tick() fires the retry/backoff exactly once on wake).
+            self._quiet = 0
+            self._sleep_until = tti + (20 - getattr(st, "_ra_timer", 0))
+            set_sleep = getattr(self.bus, "set_sleep", None)
+            if set_sleep is not None:
+                listen = self.stack.listen_rntis(tti)
                 self._listen_cache = listen
                 self._listen_crnti = self.stack.crnti
                 set_sleep(self.node_id, self._sleep_until, listen,

@@ -429,7 +429,7 @@ class EnbStack:
             if la is None:
                 self.metrics["cce_defer"] += 1
                 break  # control region full: RARs wait a TTI
-            _, preamble, rnti = self.rar_pending.pop(0)
+            prach_tti, preamble, rnti = self.rar_pending.pop(0)
             u = self.ues.get(rnti)
             if u is None:
                 # context expired while the RAR sat in a congested queue
@@ -446,7 +446,10 @@ class EnbStack:
             m = alloc(2)
             if m is None:
                 break
-            grants.append(DlGrant(rnti=1 + tti % 10, prb_mask=m, mcs=0,
+            # RA-RNTI from the PRACH OCCASION tti (36.321 §5.1.4 / prach.c
+            # ra_rnti role), not the RAR's own TX tti: the UE predicts it
+            # and listens for exactly this RNTI during the response window
+            grants.append(DlGrant(rnti=1 + prach_tti % 10, prb_mask=m, mcs=0,
                                   payload=rar, l_aggr=la[0], cce_start=la[1]))
             # RAR includes an UL grant for Msg3 (proc_ra contention)
             u.msg3_grant = True

@@ -140,7 +140,10 @@ class UeStack:
 
     def listen_rntis(self, tti):
         if self.mac_state == "PRACH_SENT":
-            return set(range(1, 11))
+            # RA-RNTI of OUR prach occasion (36.321 §5.1.4): the RAR-wait
+            # sleep only wakes for RARs that can actually answer us
+            pt = getattr(self, "_prach_tti", None)
+            return {1 + pt % 10} if pt is not None else set(range(1, 11))
         out = {self.crnti} if self.crnti else set()
         if self.sps_cfg is not None and self.crnti:
             out.add(self.sps_cfg.sps_crnti)  # SPS activation/release DCIs
@@ -231,6 +234,7 @@ class UeStack:
     def get_prach(self, tti):
         if self.mac_state == "HO_PRACH":
             self.mac_state = "PRACH_SENT"
+            self._prach_tti = tti  # RA-RNTI epoch (36.321 §5.1.4)
             self._ho_pending = True
             return self._ho_preamble
         if self.mac_state == "IDLE":
@@ -264,6 +268,7 @@ class UeStack:
             # (cleared on RrcConnectionSetup) — a PRACH the eNB never heard
             # must not consume the NAS trigger (nas.cc T3417 retry role)
             self.mac_state = "PRACH_SENT"
+            self._prach_tti = tti  # RA-RNTI epoch (36.321 §5.1.4)
             # the index actually transmitted (preambles above the cell's
             # contention pool wrap); RAR matching must use this value
             self._sent_preamble = self.preamble % self.sib2.n_preambles
@@ -528,6 +533,10 @@ class UeStack:
             bo = getattr(self, "_ra_backoff", None)
             if bo is not None and bo > 0:
                 self._ra_backoff = max(0, bo - (k - 1))
+            if self.mac_state == "PRACH_SENT":
+                # RAR-window supervision advances through sleep; tick()'s
+                # >20 check below then fires the retry exactly once
+                self._ra_timer += k - 1
         self.tick()
 
     def tick(self):
