@@ -38,6 +38,9 @@ def main():
         code_rate=0.55,
         snr_db=20.0,
         sf_idx=1,
+        # the reference's default decoder width (SRSLTE_TDEC_16BIT):
+        # quantized LLRs + bf16 kernel storage -> widest Pallas tiles
+        llr_bits=16,
     )
     rng = np.random.default_rng(0)
     # device-resident input: a host numpy arg would re-upload ~6 MB per

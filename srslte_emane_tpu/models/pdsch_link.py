@@ -30,6 +30,9 @@ class LinkConfig:
     code_rate: float = 0.5  # target rate -> tbs derived from G
     snr_db: float = 10.0
     max_iter: int = 8
+    # 32 = f32 LLRs end-to-end; 16 = the reference's default decoder width
+    # (SRSLTE_TDEC_16BIT): quantized inputs + bf16 kernel storage on TPU
+    llr_bits: int = 32
 
     def __post_init__(self):
         if self.prb_mask is None:
@@ -65,6 +68,7 @@ def rx_subframe(samples, cfg: LinkConfig, softbuf=None, use_pallas: bool = False
     return pdsch.decode(
         g, cfg.sch_cfg, cfg.cell, cfg.sf_idx, cfg.rnti, cfg.prb_mask,
         softbuf=softbuf, max_iter=cfg.max_iter, use_pallas=use_pallas,
+        llr_bits=cfg.llr_bits,
     )
 
 

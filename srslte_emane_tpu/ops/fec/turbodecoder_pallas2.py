@@ -224,6 +224,18 @@ def map_decode_pallas2(ls_eff, lp, tail_x, tail_z,
     T = _trellis()
     B, K = ls_eff.shape
     W = _pick_windows(K)
+    # kernel-aware refinement: the measured optimum is the LONGEST window
+    # whose tile width still fills a whole vreg (G >= 8) — fewer windows
+    # mean less halo work, and G < 8 wastes sublanes.  bf16 storage
+    # (narrow) halves VMEM so the same G fits twice the window length.
+    for w_c in (2, 4, 8, 16, 32):
+        if K % w_c:
+            continue
+        l_c = K // w_c
+        if l_c % 2 == 0 and l_c >= 128 and \
+                _pick_subs(B * w_c, l_c, min(HALO, l_c), narrow) >= 8:
+            W = w_c
+            break
     L = K // W
     H = min(HALO, L)
     if L % 2:  # radix-2 needs even window length; fall back to v1

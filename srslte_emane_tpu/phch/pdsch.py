@@ -252,7 +252,7 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, softbuf=None, max_iter: int = 8,
            codeword_q: int = 0, use_csi: bool = True,
            max_sym: int = 0, use_pallas: bool = False,
-           equalizer: str = "zf"):
+           equalizer: str = "zf", llr_bits: int = 32):
     """Decode one PDSCH grant from a received subframe grid (B, 14, NRE, 2).
 
     Returns (payload bits (B, tbs), crc ok (B,), softbuf', ChestResult)."""
@@ -274,7 +274,8 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     c_init = scrambling.pdsch_cinit(rnti, codeword_q, sf_idx, cell.cell_id)
     llr = scrambling.scramble_llrs(llr, c_init)
     payload, ok, softbuf, n_it = sch.decode_tb(llr, cfg, softbuf, max_iter,
-                                               use_pallas=use_pallas)
+                                               use_pallas=use_pallas,
+                                               llr_bits=llr_bits)
     return payload, ok, softbuf, ch
 
 

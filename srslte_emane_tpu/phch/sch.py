@@ -125,7 +125,7 @@ def init_softbuffer(batch: int, cfg: SchConfig):
 
 
 def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8,
-              use_pallas: bool = False):
+              use_pallas: bool = False, llr_bits: int = 32):
     """(B, G) codeword LLRs (positive = bit 0) -> (tb_bits (B, tbs), ok (B,),
     softbuf', n_iter).
 
@@ -165,7 +165,7 @@ def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8,
         nB = len(rs_all) * B
         bits, ok, it = turbodecoder.turbo_decode(
             l0, l1, l2, jnp.ones((nB,), bool), kr, max_iter, check,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, llr_bits=llr_bits,
         )
         total_iters += it
         for i, r in enumerate(rs_all):
