@@ -35,7 +35,8 @@ def main():
     for snr in snrs:
         cfg = pdsch_link.LinkConfig(
             cell=grid_mod.CellConfig(n_prb=100, cell_id=1, cfi=1),
-            qm=6, code_rate=0.55, snr_db=snr, sf_idx=1)
+            qm=6, code_rate=0.55, snr_db=snr, sf_idx=1,
+            llr_bits=16)  # the shipping bench decoder width
         payload = jax.device_put(
             rng.integers(0, 2, size=(batch, cfg.tbs), dtype=np.int8))
         tx_fn = jax.jit(lambda p, c=cfg: pdsch_link.tx_subframe(p, c))
