@@ -74,7 +74,8 @@ def main():
     rg2 = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx2)
     use_pallas2 = jax.default_backend() == "tpu"
     dec2 = jax.jit(lambda r: pdsch.decode_tm(r, cfgs, cell2, 1, 0x46, prb_mask,
-                                             "tm3", use_pallas=use_pallas2)[:2])
+                                             "tm3", use_pallas=use_pallas2,
+                                             llr_bits=16)[:2])
     dt = timed("mimo_tm3_decode", dec2, rg2,
                check=lambda o: all(np.asarray(x).all() for x in o[1]) or (_ for _ in ()).throw(AssertionError("mimo crc")))
     total_bits = sum(c.tbs for c in cfgs)
@@ -93,7 +94,8 @@ def main():
     rg = jax.jit(lambda s: ofdm.demodulate(s, 100))(rx)
     use_pallas = jax.default_backend() == "tpu"
     dec = jax.jit(lambda r: pusch.decode(r, cfg, cell, 2, 0x5A, 0, l_prb,
-                                         use_pallas=use_pallas)[:2])
+                                         use_pallas=use_pallas,
+                                         llr_bits=16)[:2])
     dt = timed("pusch_decode", dec, rg,
                check=lambda o: np.asarray(o[1]).all() or (_ for _ in ()).throw(AssertionError("UL crc")))
     print(f"# UL 20MHz 16QAM: {batch/dt:.0f} sf/s ({batch/dt*tbs/1e6:.0f} Mb/s)", file=sys.stderr)

@@ -139,7 +139,8 @@ def estimate_mimo(rx_grids, cell: grid_mod.CellConfig, sf_idx: int, n_tx: int = 
 
 def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
               rnti: int, prb_mask: tuple, tm: str, pmi: int = 0,
-              softbufs=None, max_iter: int = 8, use_pallas: bool = False):
+              softbufs=None, max_iter: int = 8, use_pallas: bool = False,
+              llr_bits: int = 32):
     """Multi-antenna PDSCH decode.  rx_grids: (B, n_rx, 14, NRE, 2).
 
     Returns (payload list, ok list, softbuf list)."""
@@ -233,7 +234,8 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
             sb_in = [jnp.concatenate([a, b], axis=0)
                      for a, b in zip(softbufs[0], softbufs[1])]
         payload, ok, sb, _ = sch.decode_tb(stacked, cfg_list[0], sb_in,
-                                           max_iter, use_pallas=use_pallas)
+                                           max_iter, use_pallas=use_pallas,
+                                           llr_bits=llr_bits)
         outs = [payload[:B], payload[B:]]
         oks = [ok[:B], ok[B:]]
         sbs = [[w_[:B] for w_ in sb], [w_[B:] for w_ in sb]]
@@ -241,7 +243,8 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     outs, oks, sbs = [], [], []
     for q, cfg in enumerate(cfg_list):
         payload, ok, sb, _ = sch.decode_tb(llr_list[q], cfg, softbufs[q],
-                                           max_iter, use_pallas=use_pallas)
+                                           max_iter, use_pallas=use_pallas,
+                                           llr_bits=llr_bits)
         outs.append(payload)
         oks.append(ok)
         sbs.append(sb)

@@ -160,7 +160,7 @@ def estimate_ul(rx_grid, cell: grid_mod.CellConfig, sf_idx: int,
 
 def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, rb_start: int, l_prb: int, softbuf=None, max_iter: int = 8,
-           uci_dims_in=None, use_pallas: bool = False):
+           uci_dims_in=None, use_pallas: bool = False, llr_bits: int = 32):
     """eNB-side PUSCH decode.  Returns (payload, ok, softbuf, noise_est)
     or, with uci_dims_in=(q_ack, q_ri, q_cqi, n_ack, n_ri, n_cqi), a dict
     also carrying decoded ack/ri/cqi."""
@@ -191,7 +191,8 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
             cqi_llr, data = data[..., :q_cqi], data[..., q_cqi:]
             cqi_bits, _ = uci_codes.decode_cqi_pusch(cqi_llr, n_cqi)
         payload, ok, softbuf, _ = sch.decode_tb(data, cfg, softbuf, max_iter,
-                                                use_pallas=use_pallas)
+                                                use_pallas=use_pallas,
+                                                llr_bits=llr_bits)
         out = dict(payload=payload, ok=ok, softbuf=softbuf, noise=noise,
                    cqi=cqi_bits)
         out["ri"] = pusch_uci.decode_ack_ri(ri_llr, n_ri, cfg.Qm) if q_ri else None
@@ -199,5 +200,6 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
         return out
     llr = deinterleave(llr, cfg.Qm)
     payload, ok, softbuf, _ = sch.decode_tb(llr, cfg, softbuf, max_iter,
-                                            use_pallas=use_pallas)
+                                            use_pallas=use_pallas,
+                                            llr_bits=llr_bits)
     return payload, ok, softbuf, noise
