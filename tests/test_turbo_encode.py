@@ -20,6 +20,23 @@ def test_turbo_encode_matches_serial(k):
         np.testing.assert_array_equal(d2[b], r2)
 
 
+def test_turbo_encode_all_188_cb_sizes():
+    """Every 36.212 Table 5.1.3-3 CB size encodes identically to the
+    bit-serial oracle — the `turbocoder_test_all` sweep
+    (`lib/src/phy/fec/test/CMakeLists.txt:51`).  One random block per K
+    checks the QPP (f1, f2) row, the chunked matmul tables at K's divisor
+    structure, and the tail packing."""
+    rng = np.random.default_rng(7)
+    sizes = cbsegm.TC_CB_SIZES
+    assert len(sizes) == 188
+    for k in sizes:
+        u = rng.integers(0, 2, size=(1, int(k)), dtype=np.int8)
+        d0, d1, d2 = (np.asarray(x) for x in turbo.turbo_encode(u))
+        r0, r1, r2 = turbo.turbo_encode_host(u[0])
+        assert (d0[0] == r0).all() and (d1[0] == r1).all() \
+            and (d2[0] == r2).all(), f"K={k}"
+
+
 def test_turbo_encode_zero_input():
     u = np.zeros((1, 40), dtype=np.int8)
     d0, d1, d2 = (np.asarray(x) for x in turbo.turbo_encode(u))
