@@ -31,6 +31,9 @@ def frame_rnti_set(fr) -> set:
         rset.update(d.rnti for d in getattr(msg, "pdcch_ul", ()))
         rset.update(d.refid for d in getattr(msg, "pdsch", ()))
         rset.update(ph["rnti"] for ph in getattr(msg, "phich", ()))
+        pm = getattr(msg, "pmch", None)
+        if pm is not None:
+            rset.add(pm.get("rnti", 0xFFFD))  # M-RNTI wakes MBMS listeners
         fr._rnti_set = rset
     return rset
 

@@ -29,6 +29,7 @@ def _prbs_of_mask(prb_mask) -> tuple:
 # SinrTester fast path); shared — building per-call tuples dominated the
 # 100-UE receive loop
 _WB_PROBE = otamsg.ChannelMessage(otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 0)
+M_RNTI = 0xFFFD  # MBMS RNTI (36.321 Table 7.1-1): addresses MCCH/MTCH
 
 
 @dataclasses.dataclass
@@ -185,6 +186,18 @@ class EnbPhyAdapter:
             txc.channels.append(otamsg.ChannelMessage(
                 otamsg.Chan.PHICH, otamsg.Mod.BPSK, 1, rnti=ph["rnti"],
                 prb_slot0=all_prbs, prb_slot1=all_prbs))
+        # eMBMS: MCCH/MTCH on PMCH over the whole MBSFN region
+        # (enb phy_adapter.cc PMCH path; addressed to the M-RNTI so
+        # MBMS-interested sleepers wake through the listen index)
+        mbsfn = getattr(self.mac, "get_mbsfn_tx", None)
+        pm = mbsfn(tti) if mbsfn else None
+        if pm is not None:
+            msg.pmch = dict(area_id=pm["area_id"], kind=pm["kind"],
+                            lcid=pm["lcid"], tbs=len(pm["data"]) * 8,
+                            rnti=M_RNTI, data=pm["data"])
+            txc.channels.append(otamsg.ChannelMessage(
+                otamsg.Chan.PMCH, otamsg.Mod.QPSK, len(pm["data"]) * 8,
+                rnti=M_RNTI, prb_slot0=all_prbs, prb_slot1=all_prbs))
         self.bus.send_msg(otamsg.OtaFrame(self.node_id, msg, txc))
         # carrier aggregation: one ENB_DL_Message per SCell component
         # carrier (srsenb runs one cc_worker per carrier); SCells carry
@@ -239,6 +252,7 @@ class UePhyAdapter:
         self._sync_cb = getattr(stack, "sync_indication", None)
         self._neigh_cb = getattr(stack, "neighbor_meas", None)
         self._scells_cb = getattr(stack, "active_scell_pcis", None)
+        self._mbsfn_cb = getattr(stack, "mbsfn_received", None)
         self._dormant_cb = getattr(stack, "is_dormant", None)
         self._dorm_w = -1  # stride window of the cached dormancy state
         self._dorm = False
@@ -436,6 +450,13 @@ class UePhyAdapter:
                     passed, snr = tester.check(cm)
                     if passed:
                         self.stack.mib_received(msg.tti, msg.pbch)
+            pm = msg.pmch
+            if pm is not None and self._mbsfn_cb is not None:
+                # MCCH/MTCH reception (ue phy_adapter.cc PMCH path): SINR
+                # adjudicated like any channel, payload copied on pass
+                cm = chans.get((otamsg.Chan.PMCH, pm.get("rnti", M_RNTI)))
+                if cm and tester.check(cm)[0]:
+                    self._mbsfn_cb(msg.tti, pm)
             # DCI search gated by sinrCheck2(CHAN_PDCCH, rnti) (:306-366)
             if dormant:
                 listen = self.stack.listen_rntis(tti)

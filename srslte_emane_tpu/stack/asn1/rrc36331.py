@@ -367,6 +367,31 @@ SIB3 = Seq([
 
 # ---------------- BCCH-DL-SCH ----------------
 
+# SystemInformationBlockType13-r9 (36.331 §6.3.1): MBSFN area info + MCCH
+# config — what srsue rrc.cc handle_sib13 consumes to find the MCCH
+MBSFN_AREA_INFO_R9 = Seq([
+    ("mbsfn_area_id_r9", Int(0, 255)),
+    ("non_mbsfn_region_len", Enum(("s1", "s2"))),
+    ("notif_ind_r9", Int(0, 7)),
+    ("mcch_cfg_r9", Seq([
+        ("mcch_repeat_period_r9", Enum(("rf32", "rf64", "rf128", "rf256"))),
+        ("mcch_offset_r9", Int(0, 10)),
+        ("mcch_mod_period_r9", Enum(("rf512", "rf1024"))),
+        ("sf_alloc_info_r9", BitStr(6, 6)),
+        ("sig_mcs_r9", Enum(("n2", "n7", "n13", "n19"))),
+    ])),
+], ext=True)
+
+SIB13_R9 = Seq([
+    ("mbsfn_area_info_list_r9", SeqOf(MBSFN_AREA_INFO_R9, 1, 8)),
+    ("notif_cfg_r9", Seq([
+        ("notif_repeat_coeff_r9", Enum(("n2", "n4"))),
+        ("notif_offset_r9", Int(0, 10)),
+        ("notif_sf_idx_r9", Int(1, 6)),
+    ])),
+    ("late_non_crit_ext", OctStr(), "?"),
+], ext=True)
+
 SIB_INFO_ITEM = Choice([
     ("sib2", SIB2),
     ("sib3", SIB3),
@@ -378,7 +403,10 @@ SIB_INFO_ITEM = Choice([
     ("sib9", OctStr()),
     ("sib10", OctStr()),
     ("sib11", OctStr()),
-], ext=True)
+    # extension alternatives (encoded as open types past the ext marker)
+    ("sib12_v920", OctStr()),
+    ("sib13_v920", SIB13_R9),
+], ext=True, n_root=10)
 
 SYS_INFO_R8 = Seq([
     ("sib_type_and_info", SeqOf(SIB_INFO_ITEM, 1, 32)),

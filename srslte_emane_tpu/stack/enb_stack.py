@@ -197,6 +197,13 @@ class EnbStack:
         # rntis whose RLC entities may hold timer state (rx state or
         # unacked AM data): the only UEs tick() visits per TTI
         self._tick_set = set()
+        # eMBMS (rrc.cc SIB13/MCCH + MAC PMCH scheduling role):
+        # service_id -> lcid, announced by M2AP Session Start; the M1-U
+        # sink (epc.mbms_gw.enb_pmch_sink) fills mbms_queue with
+        # (area_id, ip_packet) for MTCH transmission on MBSFN subframes
+        self.mbms_sessions = {}
+        self.mbms_area_id = 1
+        self.mbms_queue = []
         # SIB3 reselection hysteresis broadcast to idle UEs (36.304 Qhyst)
         self.q_hyst_db = 2
         # admission control: None = unlimited; else RRCConnectionReject
@@ -424,6 +431,13 @@ class EnbStack:
             si(rrc_msgs.Sib2())
         if tti % 160 == 48:
             si(rrc_msgs.Sib3(q_hyst_db=self.q_hyst_db))
+        if self.mbms_sessions and tti % 160 == 88:
+            # SIB13: MBSFN area + MCCH config (rrc.cc SIB13 broadcast).
+            # Offset 88 keeps the SI occasions disjoint (sib1 %20==5,
+            # sib2 %80==16, sib3 %160==48): two SI messages in one TTI
+            # would alias on the shared SI-RNTI in the UE's pdsch lookup.
+            si(rrc_msgs.Sib13(area_id=self.mbms_area_id,
+                              mcch_offset=1, mcch_rep_rf=32))
         while self.rar_pending and cursor < self.n_prb:
             la = cce.alloc_common(l_pref=4)
             if la is None:
@@ -835,6 +849,52 @@ class EnbStack:
                     or (ent is not None and ent.get("retx_due"))):
                 self._ul_hint.discard(rnti)
         return grants
+
+    # ---------------- eMBMS (srsenb rrc.cc SIB13/MCCH + MAC PMCH) --------
+    MBSFN_SFS = (1, 2, 3, 6, 7, 8)  # FDD MBSFN-able subframes (36.211)
+
+    def m2_endpoint(self):
+        """M2AP control endpoint for `epc.mbms_gw.add_enb_m2`: decodes the
+        real 36.443 Session Start Request bytes, records the session, and
+        assigns its MTCH logical channel (announced on the MCCH)."""
+        from ..epc import mbms_gw as gw_mod
+
+        def endpoint(req_bytes: bytes) -> bytes:
+            req = gw_mod._m2_decode_request(req_bytes)
+            if req.mbms_service_id not in self.mbms_sessions:
+                self.mbms_sessions[req.mbms_service_id] = \
+                    1 + len(self.mbms_sessions)
+            self.mbms_area_id = req.area_id
+            self.metrics["m2_sessions"] += 1
+            return gw_mod._m2_encode_response(gw_mod.M2SessionStartResponse(
+                mbms_service_id=req.mbms_service_id, ok=True))
+
+        return endpoint
+
+    def get_mbsfn_tx(self, tti):
+        """One PMCH emission for this tti, or None: the MCCH area config
+        (true 36.331 MBSFNAreaConfiguration UPER bytes) on its repetition
+        occasion, else one queued M1-U packet as MTCH on an MBSFN subframe
+        (sf_worker PMCH role).  With several announced sessions the MTCH
+        data rides the lowest LCID — the M1-U sink carries no per-service
+        tag (one service per area in this runtime, like the GW's
+        area-scoped multicast)."""
+        if not self.mbms_sessions:
+            return None
+        if tti % 320 == 11:  # MCCH occasion (SIB13 advertises rf32, sf 1)
+            cfg = rrc_msgs.MbsfnAreaConfig(
+                area_id=self.mbms_area_id, data_mcs=2,
+                sessions=sorted((sid, lcid) for sid, lcid
+                                in self.mbms_sessions.items()))
+            self.metrics["mcch_tx"] += 1
+            return dict(kind="mcch", area_id=self.mbms_area_id, lcid=0,
+                        data=rrc_wire.encode_mcch(cfg))
+        if self.mbms_queue and tti % 10 in self.MBSFN_SFS:
+            area_id, pkt = self.mbms_queue.pop(0)
+            self.metrics["mtch_tx"] += 1
+            return dict(kind="mtch", area_id=area_id,
+                        lcid=min(self.mbms_sessions.values()), data=pkt)
+        return None
 
     def get_phich(self, tti):
         out = self.phich_queue

@@ -261,6 +261,34 @@ class Sib3:
 
 
 @codec.register
+@per.schema(("area_id", "cint", 0, 255), ("mcch_offset", "cint", 0, 10),
+            ("mcch_rep_rf", "cint", 32, 256), ("sig_mcs", "cint", 0, 28))
+@dataclasses.dataclass
+class Sib13:
+    """SystemInformationBlockType13-r9 content: MBSFN area + MCCH config
+    (srsue rrc.cc handle_sib13 role).  The UE uses it to locate the MCCH
+    and learn the MBSFN region before any MBMS service can start."""
+    area_id: int = 1
+    mcch_offset: int = 0  # subframe offset of the MCCH occasion
+    mcch_rep_rf: int = 32  # repetition period in radio frames
+    sig_mcs: int = 2
+
+
+@codec.register
+@per.schema(("area_id", "cint", 0, 255), ("sf_alloc_end", "cint", 0, 1535),
+            ("data_mcs", "cint", 0, 28), ("sessions", "pairs"))
+@dataclasses.dataclass
+class MbsfnAreaConfig:
+    """MCCH MBSFNAreaConfiguration-r9 content: the PMCH info list mapping
+    each announced session (TMGI service id) to its MTCH logical channel
+    (srsue rrc.cc parse_pdu_mch / mbms_service_start role)."""
+    area_id: int = 1
+    sf_alloc_end: int = 64
+    data_mcs: int = 2
+    sessions: list = dataclasses.field(default_factory=list)  # [(service_id, lcid)]
+
+
+@codec.register
 @per.schema(("n_preambles", "cint", 4, 64), ("ra_response_window", "cint", 2, 10),
             ("mac_con_res_timer", "cint", 8, 64), ("prach_config_index", "cint", 0, 63),
             ("prach_freq_offset", "cint", 0, 94))

@@ -321,7 +321,66 @@ def _encode_bcch(msg) -> bytes:
             crit_exts=("sys_info_r8", dict(
                 sib_type_and_info=[("sib3", sib3)]))))))
         return uper_encode(r.BCCH_DL_SCH_MSG, tree)
+    if isinstance(msg, rrc_msgs.Sib13):
+        rep = {32: "rf32", 64: "rf64", 128: "rf128", 256: "rf256"}
+        mcs = {2: "n2", 7: "n7", 13: "n13", 19: "n19"}
+        sib13 = dict(
+            mbsfn_area_info_list_r9=[dict(
+                mbsfn_area_id_r9=msg.area_id,
+                non_mbsfn_region_len="s2",
+                notif_ind_r9=0,
+                mcch_cfg_r9=dict(
+                    mcch_repeat_period_r9=rep.get(msg.mcch_rep_rf, "rf32"),
+                    mcch_offset_r9=msg.mcch_offset,
+                    mcch_mod_period_r9="rf512",
+                    sf_alloc_info_r9="100000",
+                    sig_mcs_r9=mcs.get(msg.sig_mcs, "n2")))],
+            notif_cfg_r9=dict(notif_repeat_coeff_r9="n2",
+                              notif_offset_r9=0, notif_sf_idx_r9=1))
+        tree = dict(msg=("c1", ("sys_info", dict(
+            crit_exts=("sys_info_r8", dict(
+                sib_type_and_info=[("sib13_v920", sib13)]))))))
+        return uper_encode(r.BCCH_DL_SCH_MSG, tree)
     raise TypeError(f"no BCCH mapping for {type(msg).__name__}")
+
+
+def encode_mcch(cfg) -> bytes:
+    """MbsfnAreaConfig -> true 36.331 MCCH-Message UPER bytes
+    (MBSFNAreaConfiguration-r9; schema stack/asn1/rrc36331.py MCCH_MSG)."""
+    sessions = [dict(
+        tmgi_r9=dict(plmn_id_r9=("plmn_idx_r9", 1),
+                     service_id_r9=int(sid).to_bytes(3, "big")),
+        lc_ch_id_r9=int(lcid),
+    ) for sid, lcid in cfg.sessions]
+    tree = dict(msg=("c1", ("mbsfn_area_cfg_r9", dict(
+        common_sf_alloc_r9=[dict(
+            radioframe_alloc_period="n1", radioframe_alloc_offset=0,
+            sf_alloc=("one_frame", "100110"))],
+        common_sf_alloc_period_r9="rf8",
+        pmch_info_list_r9=[dict(
+            pmch_cfg_r9=dict(
+                sf_alloc_end_r9=cfg.sf_alloc_end,
+                data_mcs_r9=cfg.data_mcs,
+                mch_sched_period_r9="rf8"),
+            mbms_session_info_list_r9=sessions)]))))
+    return uper_encode(r.MCCH_MSG, tree)
+
+
+def decode_mcch(data: bytes):
+    """MCCH-Message UPER bytes -> MbsfnAreaConfig."""
+    _name, cfg = _dec(r.MCCH_MSG, data)["msg"][1]
+    pmchs = cfg["pmch_info_list_r9"]
+    sessions = []
+    data_mcs, sf_alloc_end = 2, 64
+    for p in pmchs:
+        data_mcs = p["pmch_cfg_r9"]["data_mcs_r9"]
+        sf_alloc_end = p["pmch_cfg_r9"]["sf_alloc_end_r9"]
+        for s in p["mbms_session_info_list_r9"]:
+            sid = int.from_bytes(s["tmgi_r9"]["service_id_r9"], "big")
+            sessions.append((sid, int(s["lc_ch_id_r9"])))
+    return rrc_msgs.MbsfnAreaConfig(
+        area_id=0, sf_alloc_end=sf_alloc_end, data_mcs=data_mcs,
+        sessions=sessions)
 
 
 def decode_bcch(data: bytes):
@@ -356,6 +415,14 @@ def _decode_bcch(data: bytes):
     if name == "sys_info":
         _r8, body = val["crit_exts"]
         for kind, sib in body["sib_type_and_info"]:
+            if kind == "sib13_v920":
+                ai = sib["mbsfn_area_info_list_r9"][0]
+                mc = ai["mcch_cfg_r9"]
+                return rrc_msgs.Sib13(
+                    area_id=ai["mbsfn_area_id_r9"],
+                    mcch_offset=mc["mcch_offset_r9"],
+                    mcch_rep_rf=int(mc["mcch_repeat_period_r9"][2:]),
+                    sig_mcs=int(mc["sig_mcs_r9"][1:]))
             if kind == "sib3":
                 return rrc_msgs.Sib3(
                     q_hyst_db=int(

@@ -151,10 +151,48 @@ class UeStack:
             out.add(self.SI_RNTI)  # system information acquisition
         if self.rrc_state == "IDLE" and self.emm_state == "REGISTERED":
             out.add(self.P_RNTI)  # paging occasions while registered-idle
+        if getattr(self, "mbms_services", None):
+            if self.sib13 is None:
+                out.add(self.SI_RNTI)  # must still acquire SIB13
+            else:
+                out.add(self.M_RNTI)  # MCCH/MTCH on PMCH (MBMS interest)
         return out
 
     def mib_received(self, tti, pbch):
         self.mib = pbch
+
+    # ---------------- eMBMS reception (rrc.cc mbms_service_start /
+    # parse_pdu_mch / add_mrb + gw.cc mbms port) ----------------
+    M_RNTI = 0xFFFD
+    sib13 = None
+    mbsfn_cfg = None  # MbsfnAreaConfig from the MCCH
+
+    def mbms_service_start(self, service_id: int, port: int = 0):
+        """Subscribe to an MBMS service by TMGI service id: once the MCCH
+        announces it, MTCH payloads on its LCID deliver to mbms_rx."""
+        if not hasattr(self, "mbms_services"):
+            self.mbms_services = {}
+            self.mbms_rx = []
+        self.mbms_services[int(service_id)] = port
+        self.metrics["mbms_service_start"] += 1
+
+    def mbsfn_received(self, tti, pm: dict):
+        """PMCH delivery from the PHY adapter: MCCH (area config, true
+        36.331 UPER bytes) or MTCH (one M1-U IP packet)."""
+        if pm.get("kind") == "mcch":
+            self.mbsfn_cfg = rrc_wire.decode_mcch(pm["data"])
+            self.metrics["mcch_rx"] += 1
+            return
+        cfg = self.mbsfn_cfg
+        subs = getattr(self, "mbms_services", None)
+        if cfg is None or not subs:
+            return  # MTCH before MCCH/subscription: nothing bound yet
+        lcid = int(pm.get("lcid", 0))
+        for sid, s_lcid in cfg.sessions:
+            if int(s_lcid) == lcid and int(sid) in subs:
+                self.mbms_rx.append(pm["data"])
+                self.metrics["mtch_rx"] += 1
+                return
 
     def is_dormant(self) -> bool:
         """No RECEIVE-side protocol activity in flight: the PHY adapter
@@ -658,6 +696,12 @@ class UeStack:
             # network-configured reselection parameters (36.304 §5.2)
             self.RESEL_HYST_DB = float(msg.q_hyst_db)
             self.metrics["sib3_rx"] += 1
+            return
+        if isinstance(msg, rrc_msgs.Sib13):
+            # MBSFN area + MCCH location (rrc.cc handle_sib13): once known,
+            # the UE monitors the M-RNTI for MCCH/MTCH on PMCH
+            self.sib13 = msg
+            self.metrics["sib13_rx"] += 1
             return
         if isinstance(msg, rrc_msgs.RrcConnectionReject):
             # 36.331 §5.3.3.8: start T302 = waitTime; no connection
