@@ -205,3 +205,30 @@ def test_refpacked_dl_info_transfer():
     assert m["rrc_transaction_id"] == 3
     assert m["crit_exts"][1][1]["ded_info_type"] == (
         "ded_info_nas", b"\x07\x55\x01\xab\xcd")
+
+
+def test_mcch_mbsfn_area_configuration():
+    """srslte_asn1_rrc_mcch_test.cc basic_test: the reference's captured
+    MCCH message (MBSFNAreaConfiguration-r9 with two common-SF
+    allocations and two PMCH info entries, explicit-PLMN TMGIs)."""
+    v = roundtrip(rrc.MCCH_MSG,
+                  "0d8fdfffffffe22ffc385e61eca80000020210002005e61eca80000"
+                  "04042")
+    name, cfg = v["msg"][1]
+    assert name == "mbsfn_area_cfg_r9"
+    sf = cfg["common_sf_alloc_r9"]
+    assert sf[0]["radioframe_alloc_period"] == "n32"
+    assert sf[0]["radioframe_alloc_offset"] == 4
+    assert sf[0]["sf_alloc"] == ("one_frame", "111111")
+    assert sf[1]["sf_alloc"] == ("four_frames", "1" * 24)
+    assert cfg["common_sf_alloc_period_r9"] == "rf256"
+    p0, p1 = cfg["pmch_info_list_r9"]
+    assert p0["pmch_cfg_r9"] == dict(sf_alloc_end_r9=1535, data_mcs_r9=16,
+                                     mch_sched_period_r9="rf1024")
+    s0 = p0["mbms_session_info_list_r9"][0]
+    assert s0["tmgi_r9"]["plmn_id_r9"] == (
+        "explicit_value_r9", {"mcc": [9, 8, 7], "mnc": [6, 5, 4]})
+    assert s0["tmgi_r9"]["service_id_r9"] == b"\x00\x00\x01"
+    assert s0["session_id_r9"] == b"\x01" and s0["lc_ch_id_r9"] == 1
+    assert p1["pmch_cfg_r9"]["data_mcs_r9"] == 8
+    assert p1["mbms_session_info_list_r9"][0]["lc_ch_id_r9"] == 2
