@@ -206,6 +206,98 @@ class WaveformDataPlane:
         return results
 
 
+class MbsfnPlane:
+    """Waveform-mode eMBMS: MTCH payloads through the real PMCH pipeline.
+
+    One broadcast waveform per burst (pmch.encode: area scrambling +
+    MBSFN-RS in the hybrid-CP subframe, `lib/src/phy/phch/pmch.c` role)
+    is heard by every receiver through its own pathloss+AWGN channel —
+    one encode, N independent decodes, batched over the burst (the
+    multicast analogue of WaveformDataPlane.send_tti's per-UE grants)."""
+
+    def __init__(self, cell: grid_mod.CellConfig, area_id: int = 1,
+                 qm: int = 2, code_rate: float = 0.4,
+                 tx_power_dbm: float = 30.0,
+                 noise_floor_dbm: float = -104.0, seed: int = 5):
+        from ..phch import pmch as pmch_mod, sch as sch_mod
+
+        self.cell = cell
+        self.area_id = area_id
+        n_re = pmch_mod.nof_re(cell.n_prb)
+        g = n_re * qm
+        tbs = max(8, (int(g * code_rate) - 24) // 8 * 8)
+        self.cfg = sch_mod.SchConfig(tbs=tbs, G=g, Qm=qm, Nl=1)
+        self.tx_power_dbm = tx_power_dbm
+        self.noise_floor_dbm = noise_floor_dbm
+        self._key = jax.random.PRNGKey(seed)
+        self.metrics = {"sf_tx": 0, "crc_ok": 0, "crc_fail": 0}
+
+    @functools.lru_cache(maxsize=None)
+    def _fn(self, sf_idx: int, n_rx: int):
+        from ..phch import pmch as pmch_mod
+
+        cell, cfg, area = self.cell, self.cfg, self.area_id
+        nre = 12 * cell.n_prb
+
+        def run(payload_bits, key, snrs_db):
+            b = payload_bits.shape[0]
+            mb = pmch_mod.encode(payload_bits, cfg, cell.n_prb, area, sf_idx)
+            ctrl = cplx.zeros((b, 2, nre))
+            t = ofdm.modulate_mbsfn(ctrl, mb, cell.n_prb)
+            keys = jax.random.split(key, n_rx)
+            outs, oks = [], []
+            for r in range(n_rx):
+                rx = channel.awgn(keys[r], t, snrs_db[r])
+                _, mb_rx = ofdm.demodulate_mbsfn(rx, cell.n_prb)
+                out, ok = pmch_mod.decode(mb_rx, cfg, cell.n_prb, area,
+                                          sf_idx)
+                outs.append(out)
+                oks.append(ok)
+            return jnp.stack(outs), jnp.stack(oks)
+
+        return jax.jit(run)
+
+    def send(self, pdus: list, pathloss_db: dict, sf_idx: int = 3):
+        """Broadcast a burst of MTCH byte-PDUs to every listed receiver.
+
+        pathloss_db: {receiver_id: pathloss}.  Returns {receiver_id:
+        [delivered bytes | None per PDU]} — None where that receiver's
+        channel failed the PMCH CRC."""
+        rx_ids = sorted(pathloss_db)
+        nbytes = self.cfg.tbs // 8
+        b = len(pdus)
+        buf = np.zeros((b, nbytes), dtype=np.uint8)
+        for i, p in enumerate(pdus):
+            assert len(p) + 2 <= nbytes, (len(p), nbytes)
+            buf[i, 0] = len(p) >> 8
+            buf[i, 1] = len(p) & 0xFF
+            buf[i, 2 : 2 + len(p)] = np.frombuffer(p, np.uint8)
+        bits = bits_mod.unpack_bits(jnp.asarray(buf))[:, : self.cfg.tbs]
+        snrs = np.asarray([self.tx_power_dbm - pathloss_db[r]
+                           - self.noise_floor_dbm for r in rx_ids],
+                          np.float32)
+        self._key, sub = jax.random.split(self._key)
+        outs, oks = self._fn(sf_idx, len(rx_ids))(bits, sub,
+                                                  jnp.asarray(snrs))
+        oks = np.asarray(oks)
+        out_bytes = np.asarray(bits_mod.pack_bits(outs.reshape(-1, self.cfg.tbs)))
+        out_bytes = out_bytes.reshape(len(rx_ids), b, -1)
+        self.metrics["sf_tx"] += b
+        results = {}
+        for u, rid in enumerate(rx_ids):
+            res = []
+            for i in range(b):
+                if oks[u, i]:
+                    n = (int(out_bytes[u, i, 0]) << 8) | int(out_bytes[u, i, 1])
+                    res.append(bytes(out_bytes[u, i, 2 : 2 + n]))
+                    self.metrics["crc_ok"] += 1
+                else:
+                    res.append(None)
+                    self.metrics["crc_fail"] += 1
+            results[rid] = res
+        return results
+
+
 class UlControlPlane:
     """Waveform-mode PUCCH: each attached UE transmits HARQ-ACK/SR on its
     own format-1/1a resource; the eNB receives the SUPERPOSITION of every

@@ -41,3 +41,20 @@ def test_mbms_end_to_end():
     assert len(ues[1].mbms_rx) == 4
     assert not getattr(ues[2], "mbms_rx", [])  # never subscribed
     assert enb.metrics["mtch_tx"] == 4 and enb.metrics["mcch_tx"] >= 2
+
+
+def test_mbsfn_waveform_plane():
+    """MTCH bytes through the REAL PMCH pipeline (hybrid-CP subframe,
+    MBSFN-RS, area scrambling): one broadcast encode, per-receiver
+    channels — the near receiver decodes every packet, a receiver 60 dB
+    deeper fails CRC on all of them."""
+    from srslte_emane_tpu.phch import grid as grid_mod
+    from srslte_emane_tpu.runtime import wavesim
+
+    cell = grid_mod.CellConfig(n_prb=6, cell_id=1)
+    mp = wavesim.MbsfnPlane(cell, area_id=2)
+    pkts = [b"mbms-%d" % i * 3 for i in range(3)]
+    out = mp.send(pkts, {10: 80.0, 11: 140.0}, sf_idx=3)
+    assert out[10] == pkts
+    assert out[11] == [None, None, None]
+    assert mp.metrics["crc_ok"] == 3 and mp.metrics["crc_fail"] == 3
