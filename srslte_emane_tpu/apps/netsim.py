@@ -75,6 +75,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the JAX CPU backend (this image's"
                          " sitecustomize otherwise pins the remote TPU)")
+    ap.add_argument("--mbms", action="store_true",
+                    help="start an eMBMS session (M2AP -> SIB13 -> MCCH),"
+                         " subscribe every UE, and multicast 5 packets;"
+                         " the summary reports per-UE MTCH delivery")
     ap.add_argument("--waveform", action="store_true",
                     help="after attach, carry each UE's DL burst through the"
                          " real device PHY (runtime/wavesim) and report"
@@ -102,6 +106,17 @@ def main(argv=None):
 
     mac_pcap = pcap_mod.MacPcap(args.pcap) if args.pcap else None
 
+    mbms_gw_obj = None
+    if args.mbms:
+        from ..epc import mbms_gw as mbms_mod
+
+        mbms_gw_obj = mbms_mod.MbmsGw(area_id=1)
+        mbms_gw_obj.add_enb_m2(enb.m2_endpoint())
+        mbms_gw_obj.add_enb(mbms_mod.enb_pmch_sink(enb.mbms_queue))
+        assert mbms_gw_obj.session_start(1)
+        for u in ues:
+            u.mbms_service_start(1)
+
     t0 = time.time()
     # phase 1: attach
     net.run(min(args.ttis, 100 + 20 * args.ues))
@@ -113,6 +128,16 @@ def main(argv=None):
             spgw.handle_sgi_pdu(pkt)
         u.gw_send(spgw_mod.make_ipv4(u.ip_addr, "8.8.8.8", b"u" * 400))
     remaining = max(0, args.ttis - (100 + 20 * args.ues))
+    if mbms_gw_obj is not None:
+        # let an MCCH repetition occasion (every 320 TTIs) pass first so
+        # every UE has the area config — MTCH sent before a UE catches
+        # the MCCH is lost to it, as for any late joiner in real eMBMS
+        warm = min(remaining, 340)
+        net.run(warm)
+        remaining -= warm
+        mpkt = spgw_mod.make_ipv4("10.0.0.1", "239.0.0.1", b"mb" * 50)
+        for _ in range(5):
+            mbms_gw_obj.handle_sgi_mb_pdu(mpkt)
     net.run(remaining)
     wall = time.time() - t0
     hub.poll()
@@ -199,6 +224,10 @@ def main(argv=None):
         dl_ip_bytes=sum(u.metrics.get("dl_ip_bytes", 0) for u in ues),
         ul_ip_bytes=spgw.metrics["ul_bytes"],
     )
+    if mbms_gw_obj is not None:
+        got = [len(getattr(u, "mbms_rx", ())) for u in ues]
+        summary["mbms"] = dict(sent=5, ues_all5=sum(1 for g in got if g == 5),
+                               min_rx=min(got), max_rx=max(got))
     if wf_summary is not None:
         summary["waveform"] = wf_summary
     print(json.dumps(summary))
