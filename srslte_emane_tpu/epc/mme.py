@@ -439,6 +439,14 @@ class Mme:
         if ue is None:
             return
         target = self.enbs[enb_id]
+        if "ue_ip" not in ue:
+            # handover completed before the EMM session was established
+            # (no ERAB yet): record the new serving eNB, nothing to switch
+            ue["enb_id"] = enb_id
+            ue["enb_ue_id"] = msg.target_enb_ue_id
+            self.metrics["ho_no_session"] = \
+                self.metrics.get("ho_no_session", 0) + 1
+            return
         self.spgw.path_switch(ue["ue_ip"], target.gtpu_dl)
         ue["enb_id"] = enb_id
         ue["enb_ue_id"] = msg.target_enb_ue_id

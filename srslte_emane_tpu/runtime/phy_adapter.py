@@ -65,13 +65,18 @@ class EnbPhyAdapter:
     """eNB-side message-level PHY (enb_dl_* / enb_ul_* of phy_adapter.cc)."""
 
     def __init__(self, bus: otabus.OtaBus, node_id: int, cell_id: int,
-                 n_prb: int, mac, tx_power_mw: float = 1.0):
+                 n_prb: int, mac, tx_power_mw: float = 1.0,
+                 freq_idx: int = 0):
         self.bus = bus
         self.node_id = node_id
         self.cell_id = cell_id
         self.n_prb = n_prb
         self.mac = mac  # stack_interface_phy_lte equivalent
         self.tx_power_mw = tx_power_mw
+        # carrier slot (EARFCN role): cells on different carriers are
+        # independent SINR domains — no co-channel interference between
+        # them (sinr.py adjudicates per (is_downlink, freq_idx))
+        self.freq_idx = freq_idx
         self._seq = 0
 
     def run_tti(self, tti: int):
@@ -144,6 +149,7 @@ class EnbPhyAdapter:
             tti_tx=tti, phy_cell_id=self.cell_id, is_downlink=True,
             tx_seqnum=self._seq, num_resource_blocks=self.n_prb, cfi=1,
             reference_signal_power_mw=self.tx_power_mw,
+            freq_idx=self.freq_idx,
         )
         self._seq += 1
         sf = tti % 10

@@ -149,9 +149,11 @@ class EnbStack:
 
     def __init__(self, mme: mme_mod.Mme, enb_id: int = 1, n_prb: int = 25,
                  mcs: int = 9, pci: int = 1, sched_policy: str = "rr",
-                 n_carriers: int = 1, scell_pcis: tuple = ()):
+                 n_carriers: int = 1, scell_pcis: tuple = (),
+                 plmn: int = 1):
         assert sched_policy in ("rr", "pf")
         self.sched_policy = sched_policy
+        self.plmn = plmn  # broadcast in SIB1 (UE PLMN selection, 36.304)
         self.enb_id = enb_id
         self.cell_pci = pci
         self.n_prb = n_prb
@@ -426,7 +428,7 @@ class EnbStack:
         self._drain_paging(tti)
         if tti % 20 == 5:
             si(rrc_msgs.Sib1(tac=self.enb_id, cell_identity=self.enb_id << 8,
-                             plmn=1))
+                             plmn=self.plmn))
         if tti % 80 == 16:
             si(rrc_msgs.Sib2())
         if tti % 160 == 48:

@@ -239,7 +239,9 @@ def _encode_bcch(msg) -> bytes:
         sib1 = dict(
             cell_access_related_info=dict(
                 plmn_id_list=[dict(
-                    plmn_id=dict(mcc=[0, 0, 1], mnc=[0, 1]),
+                    # simplified PLMN int rides the MNC digits (mcc 001)
+                    plmn_id=dict(mcc=[0, 0, 1],
+                                 mnc=[(msg.plmn // 10) % 10, msg.plmn % 10]),
                     cell_reserved_for_oper="not_reserved")],
                 tac=_bits(msg.tac, 16),
                 cell_id=_bits(msg.cell_identity, 28),
@@ -407,8 +409,9 @@ def _decode_bcch(data: bytes):
     _alt, (name, val) = _dec(r.BCCH_DL_SCH_MSG, data)["msg"]
     if name == "sib_type1":
         acc = val["cell_access_related_info"]
+        mnc = acc["plmn_id_list"][0]["plmn_id"]["mnc"]
         return rrc_msgs.Sib1(
-            plmn=1, tac=_unbits(acc["tac"]),
+            plmn=mnc[-2] * 10 + mnc[-1], tac=_unbits(acc["tac"]),
             cell_identity=_unbits(acc["cell_id"]),
             q_rx_lev_min_dbm=2.0 * val["cell_sel_info"]["q_rx_lev_min"],
             si_window_ms=int(val["si_win_len"][2:]))

@@ -63,9 +63,13 @@ class UeStack:
     """ue_stack_lte.cc equivalent; exposes the MAC pulls/pushes used by
     runtime.phy_adapter.UePhyAdapter."""
 
-    def __init__(self, usim: Usim, preamble: int = 7):
+    def __init__(self, usim: Usim, preamble: int = 7, hplmn: int = 1):
         self.usim = usim
         self.preamble = preamble
+        # home PLMN + cells barred by PLMN mismatch (rrc.cc plmn_select /
+        # nas.cc PLMN selection role; 36.304 suitable-cell criterion)
+        self.hplmn = hplmn
+        self.forbidden_pcis = set()
         # deterministic per-UE salt for backoff randomization (python hash()
         # is per-process seeded, which would make runs irreproducible)
         self._salt = zlib.crc32(usim.imsi.encode())
@@ -228,7 +232,14 @@ class UeStack:
         if serving is None:
             return
         cfg = self.meas_cfg
-        best = max(self._neigh_snr.items(), key=lambda kv: kv[1])
+        # forbidden-PLMN cells are not reportable (36.331 blacklisted
+        # cells / 36.304 suitable-cell criterion): never steer a handover
+        # toward a PCI this UE barred at PLMN selection
+        cands = {p: v for p, v in self._neigh_snr.items()
+                 if p not in self.forbidden_pcis}
+        if not cands:
+            return
+        best = max(cands.items(), key=lambda kv: kv[1])
         # A3 entering condition: Mn > Ms + offset + hysteresis (36.331
         # §5.5.4.4), sustained for timeToTrigger measurement periods
         if best[1] > serving + cfg.a3_offset_db + cfg.hysteresis_db:
@@ -594,7 +605,8 @@ class UeStack:
                 and self._neigh_snr and self.serving_pci is not None):
             serving = getattr(self, "last_rsrp_snr", None)
             others = {p: v for p, v in self._neigh_snr.items()
-                      if p != self.serving_pci}
+                      if p != self.serving_pci
+                      and p not in self.forbidden_pcis}
             if serving is not None and others:
                 best = max(others.items(), key=lambda kv: kv[1])
                 if best[1] > serving + self.RESEL_HYST_DB:
@@ -685,6 +697,21 @@ class UeStack:
         else:
             msg = rrc_wire.decode_dl_ccch(sdu)
         if isinstance(msg, rrc_msgs.Sib1):
+            if msg.plmn != self.hplmn:
+                # PLMN mismatch: this cell is not suitable (36.304 §4.3) —
+                # bar its PCI and reselect to the best measured neighbor
+                # (rrc.cc plmn_select / cell_selection_criteria role)
+                self.metrics["plmn_barred"] += 1
+                if self.serving_pci is not None:
+                    self.forbidden_pcis.add(self.serving_pci)
+                self.sib1 = self.sib2 = None
+                alts = {p: v for p, v in (self._neigh_snr or {}).items()
+                        if p not in self.forbidden_pcis}
+                if alts:
+                    self.serving_pci = max(alts.items(),
+                                           key=lambda kv: kv[1])[0]
+                    self.metrics["plmn_reselect"] += 1
+                return
             self.sib1 = msg
             self.metrics["sib1_rx"] += 1
             return
