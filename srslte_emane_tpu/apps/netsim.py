@@ -116,6 +116,9 @@ def main(argv=None):
         assert mbms_gw_obj.session_start(1)
         for u in ues:
             u.mbms_service_start(1)
+        # the demo needs attach + one MCCH repetition occasion (320 TTIs)
+        # + a few MBSFN subframes of MTCH drain — extend short runs
+        args.ttis = max(args.ttis, 100 + 20 * args.ues + 400)
 
     t0 = time.time()
     # phase 1: attach

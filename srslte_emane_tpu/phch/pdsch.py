@@ -227,7 +227,10 @@ def decode_tm(rx_grids, cfg_list, cell: grid_mod.CellConfig, sf_idx: int,
     # thread per codeword, pdsch.c:333-390).  At large batch the decoder is
     # already throughput-bound and the concat only costs, so gate on B (static
     # at trace time): +14% at B=32, -2% at B=128 unmerged.
-    if n_cw == 2 and cfg_list[0] == cfg_list[1] and B <= 64:
+    if (n_cw == 2 and cfg_list[0] == cfg_list[1] and B <= 64
+            and (softbufs[0] is None) == (softbufs[1] is None)):
+        # (mixed None/non-None softbufs take the per-codeword path below:
+        # merging would silently drop the one accumulated HARQ buffer)
         stacked = jnp.concatenate(llr_list, axis=0)
         sb_in = None
         if softbufs[0] is not None and softbufs[1] is not None:

@@ -78,6 +78,20 @@ class EnbPhyAdapter:
         # them (sinr.py adjudicates per (is_downlink, freq_idx))
         self.freq_idx = freq_idx
         self._seq = 0
+        # publish pci -> carrier so UEs can tag their UPLINK with the
+        # serving cell's domain (an untagged UL would interfere across
+        # carriers that are supposed to be isolated)
+        fmap = getattr(bus, "freq_of_cell", None)
+        if fmap is None:
+            fmap = {}
+            try:
+                bus.freq_of_cell = fmap
+            except AttributeError:
+                fmap = None
+        if fmap is not None:
+            fmap[cell_id] = freq_idx
+            for cc_i, pci in enumerate(getattr(mac, "scell_pcis", ()), 1):
+                fmap[pci] = cc_i
 
     def run_tti(self, tti: int):
         self._rx(tti)
@@ -549,6 +563,9 @@ class UePhyAdapter:
             tti_tx=tti, phy_cell_id=serving, is_downlink=False,
             tx_seqnum=self._seq, num_resource_blocks=self.n_prb,
             reference_signal_power_mw=self.tx_power_mw,
+            # uplink rides the serving cell's carrier (EARFCN role): UL of
+            # different-carrier cells must not pool as interference
+            freq_idx=getattr(self.bus, "freq_of_cell", {}).get(serving, 0),
         )
         self._seq += 1
         any_tx = False

@@ -153,7 +153,10 @@ class EnbStack:
                  plmn: int = 1):
         assert sched_policy in ("rr", "pf")
         self.sched_policy = sched_policy
-        self.plmn = plmn  # broadcast in SIB1 (UE PLMN selection, 36.304)
+        # broadcast in SIB1 (UE PLMN selection, 36.304); the simplified
+        # int rides the SIB1 MNC digits, so only 0..99 encode faithfully
+        assert 0 <= plmn <= 99, f"plmn {plmn} does not fit the MNC digits"
+        self.plmn = plmn
         self.enb_id = enb_id
         self.cell_pci = pci
         self.n_prb = n_prb

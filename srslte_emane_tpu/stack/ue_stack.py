@@ -68,6 +68,7 @@ class UeStack:
         self.preamble = preamble
         # home PLMN + cells barred by PLMN mismatch (rrc.cc plmn_select /
         # nas.cc PLMN selection role; 36.304 suitable-cell criterion)
+        assert 0 <= hplmn <= 99, f"hplmn {hplmn} does not fit the MNC digits"
         self.hplmn = hplmn
         self.forbidden_pcis = set()
         # deterministic per-UE salt for backoff randomization (python hash()
