@@ -43,10 +43,15 @@ def main(argv=None):
     ehost, eport = args.epc.rsplit(":", 1)
     mme = rpc.RemoteMme(ehost, int(eport))  # S1AP over TCP to the MME process
     enb = enb_stack.EnbStack(mme, enb_id=cfg.enb_id, n_prb=cfg.n_prb,
-                             mcs=cfg.mcs, pci=cfg.cell_id)
+                             mcs=cfg.mcs, pci=cfg.cell_id, plmn=cfg.plmn)
     if cfg.max_rrc_users:
         enb.max_rrc_users = cfg.max_rrc_users
     enb.q_hyst_db = cfg.q_hyst_db
+    if cfg.embms_enable:
+        # config-enabled eMBMS (enb.conf [embms] role): announce the
+        # configured session as if an M2AP Session Start had arrived
+        enb.mbms_area_id = cfg.embms_area_id
+        enb.mbms_sessions[cfg.embms_service_id] = 1
     node = phy_adapter.EnbPhyAdapter(bus, args.node_id, cell_id=cfg.cell_id,
                                      n_prb=cfg.n_prb, mac=enb,
                                      tx_power_mw=cfg.tx_power_mw)

@@ -42,7 +42,10 @@ def main(argv=None):
     key = bytes.fromhex(cfg.key_hex)
     op = bytes.fromhex(cfg.op_hex)
     usim = ue_stack.Usim(cfg.imsi, key, security.milenage_opc(key, op))
-    ue = ue_stack.UeStack(usim, preamble=cfg.preamble)
+    ue = ue_stack.UeStack(usim, preamble=cfg.preamble, hplmn=cfg.hplmn)
+    if cfg.mbms_service_id >= 0:
+        # autostart MBMS reception (ue.conf mbms_service_id/port role)
+        ue.mbms_service_start(cfg.mbms_service_id, cfg.mbms_service_port)
     node = phy_adapter.UePhyAdapter(bus, args.node_id, cell_id=args.cell,
                                     n_prb=args.prb, stack=ue,
                                     tx_power_mw=cfg.tx_power_mw)

@@ -37,6 +37,13 @@ class EnbConfig:
     max_rrc_users: int = 0
     # SIB3 cell-reselection hysteresis broadcast to idle UEs (dB)
     q_hyst_db: int = 2
+    # PLMN broadcast in SIB1 (simplified int riding the MNC digits, 0..99)
+    plmn: int = 1
+    # eMBMS (enb.conf.example [embms] role): enable starts SIB13 + MCCH
+    # broadcasting for the configured area without waiting for M2AP
+    embms_enable: bool = False
+    embms_area_id: int = 1
+    embms_service_id: int = 1
 
 
 @dataclasses.dataclass
@@ -46,6 +53,12 @@ class UeConfig:
     op_hex: str = "00000000000000000000000000000000"
     preamble: int = 7
     tx_power_mw: float = 1.0
+    # home PLMN for cell suitability (36.304; simplified int, 0..99)
+    hplmn: int = 1
+    # autostart MBMS reception (ue.conf.example mbms_service_id/port):
+    # -1 = disabled
+    mbms_service_id: int = -1
+    mbms_service_port: int = 4321
     pcap_enable: bool = False
     pcap_filename: str = "/tmp/ue_mac.pcap"
     log_level: str = "info"
@@ -59,15 +72,16 @@ class EpcConfig:
 
 
 _SECTION = {
-    "enb": {"enb_id", "cell_id", "n_prb", "n_ports", "cfi", "mcs"},
+    "enb": {"enb_id", "cell_id", "n_prb", "n_ports", "cfi", "mcs", "plmn"},
+    "embms": {"embms_enable", "embms_area_id", "embms_service_id"},
     "rf": {"tx_power_mw"},
     "expert": {"phich_resources", "metrics_period_ttis", "metrics_csv"},
     "mhal": {"mhal_statistic_endpoint"},
     "runtime": {"daemonize"},
     "pcap": {"pcap_enable", "pcap_filename"},
     "log": {"log_level"},
-    "usim": {"imsi", "key_hex", "op_hex"},
-    "rrc": {"preamble"},
+    "usim": {"imsi", "key_hex", "op_hex", "hplmn"},
+    "rrc": {"preamble", "mbms_service_id", "mbms_service_port"},
     "mme": {"mme_code"},
     "spgw": {"ip_pool"},
     "hss": {"user_db"},
