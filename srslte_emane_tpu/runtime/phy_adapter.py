@@ -6,9 +6,10 @@ gated by SINRTester.sinrCheck, :1366-1497) and `srsue/src/phy/phy_adapter.cc`
 (mirror; "PDSCH decode = payload copy when SINR test passes; CRC always true;
 SNR injected into chest results", :1283-1323).
 
-The adapters talk upward through the FAPI-like stack interfaces
-(stack/interfaces.py), exactly the layering of the reference's
-stack_interface_phy_lte / phy_interface_stack_lte.
+The adapters talk upward through FAPI-like duck-typed stack callbacks
+(get_dl_sched/get_ul_sched/rach_detected/ul_pdu/... on the MAC objects in
+stack/enb_stack.py and stack/ue_stack.py), exactly the layering of the
+reference's stack_interface_phy_lte / phy_interface_stack_lte.
 """
 
 from __future__ import annotations
@@ -16,13 +17,91 @@ from __future__ import annotations
 import dataclasses
 import typing
 
+import numpy as np
 
-from ..phch import ra
+from ..phch import dci as dci_mod, ra
 from . import otabus, otamsg
 
 
 def _prbs_of_mask(prb_mask) -> tuple:
     return tuple(int(i) for i, on in enumerate(prb_mask) if on)
+
+
+# ---- true DCI payload bits on the wire (phy_adapter.cc:384-431 packs the
+# real dci_msg into the protobuf and the UE runs dci unpack on it; SURVEY §8
+# calls for explicit schema fields instead of raw side-band blobs) ----
+
+def _bits_to_bytes(bits) -> bytes:
+    return np.packbits(np.asarray(bits, dtype=np.uint8)).tobytes()
+
+
+def _bytes_to_bits(data: bytes, n: int) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(data, np.uint8))[:n]
+
+
+def _mask_is_contiguous(prbs: tuple) -> bool:
+    return bool(prbs) and prbs[-1] - prbs[0] + 1 == len(prbs)
+
+
+def _rbg_bitmap_of_prbs(prbs: tuple, n_prb: int) -> int:
+    """Type-0 RBG bitmap (36.213 §7.1.6.1), RBG0 at the MSB of the
+    n_rbg-bit field — matching pack_dl's MSB-first bit packing."""
+    p = ra.rbg_size(n_prb)
+    n_rbg = -(-n_prb // p)
+    bitmap = 0
+    for prb in prbs:
+        bitmap |= 1 << (n_rbg - 1 - prb // p)
+    return bitmap
+
+
+def pack_dl_grant_dci(g: "DlGrant", n_prb: int) -> otamsg.DciMsg:
+    """DlGrant -> DciMsg with real packed 36.212 payload bits.
+
+    Contiguous allocations ride format 1A (type-2 RIV — the reference uses
+    1A for SI/RAR/paging and compact C-RNTI grants); scattered masks ride
+    format 1 (type-0 RBG bitmap)."""
+    prbs = _prbs_of_mask(g.prb_mask)
+    if _mask_is_contiguous(prbs):
+        d = dci_mod.DciDl("1A", mcs=g.mcs & 0x1F, harq_pid=g.harq_pid & 7,
+                          ndi=g.ndi & 1, rv=g.rv & 3,
+                          rb_start=prbs[0], l_crbs=len(prbs))
+    else:
+        d = dci_mod.DciDl("1", mcs=g.mcs & 0x1F, harq_pid=g.harq_pid & 7,
+                          ndi=g.ndi & 1, rv=g.rv & 3,
+                          rbg_bitmap=_rbg_bitmap_of_prbs(prbs, n_prb))
+    bits = dci_mod.pack_dl(d, n_prb)
+    return otamsg.DciMsg(rnti=g.rnti, format=d.format, l_level=g.l_aggr,
+                         l_ncce=g.cce_start, num_bits=len(bits),
+                         data=_bits_to_bytes(bits))
+
+
+def pack_ul_grant_dci(g: "UlGrant", n_prb: int) -> otamsg.DciMsg:
+    """UlGrant -> format-0 DciMsg with real packed bits.  Per 36.213
+    Table 8.6.1-1 an explicit I_MCS 0-28 implies RV 0 (this scheduler's
+    adaptive retransmissions re-signal a lowered MCS); I_MCS 29-31 keeps
+    the previous modulation and signals RV 1/2/3."""
+    mcs = 28 + min(g.rv, 3) if g.rv and g.mcs > 28 else g.mcs & 0x1F
+    d = dci_mod.DciUl(mcs=mcs, ndi=g.ndi & 1, rb_start=g.rb_start,
+                      l_crbs=max(1, g.l_prb), cqi_req=g.cqi_request & 1)
+    bits = dci_mod.pack_ul(d, n_prb)
+    return otamsg.DciMsg(rnti=g.rnti, format="0", l_level=4, l_ncce=0,
+                         num_bits=len(bits), data=_bits_to_bytes(bits))
+
+
+def unpack_ul_grant_dci(dci: otamsg.DciMsg, n_prb: int) -> "UlGrant":
+    """Recover the UL grant ENTIRELY from the packed format-0 bits (the
+    rnti addresses the search space, as in the reference's dci_msg)."""
+    bits = _bytes_to_bits(dci.data, dci.num_bits)
+    u = dci_mod.unpack_ul(bits, n_prb)
+    rv = u.mcs - 28 if u.mcs >= 29 else 0
+    return UlGrant(dci.rnti, u.rb_start, u.l_crbs,
+                   0 if u.mcs >= 29 else u.mcs, u.ndi, rv,
+                   cqi_request=u.cqi_req)
+
+
+def unpack_dl_grant_dci(dci: otamsg.DciMsg, n_prb: int) -> "dci_mod.DciDl":
+    bits = _bytes_to_bits(dci.data, dci.num_bits)
+    return dci_mod.unpack_dl(bits, n_prb, dci.format)
 
 
 # wideband QPSK reference probe: empty PRB list = full-band mean (the
@@ -179,13 +258,10 @@ class EnbPhyAdapter:
         for g in dl_grants:
             prbs = _prbs_of_mask(g.prb_mask)
             if not g.sps_no_dci:
-                dci = otamsg.DciMsg(rnti=g.rnti, format="1A",
-                                    l_level=g.l_aggr, l_ncce=g.cce_start,
-                                    num_bits=0, data=b"")
-                msg.pdcch_dl.append(dci)
+                msg.pdcch_dl.append(pack_dl_grant_dci(g, self.n_prb))
                 txc.channels.append(otamsg.ChannelMessage(
-                    otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
-                    prb_slot0=all_prbs, prb_slot1=all_prbs))
+                    otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * g.l_aggr,
+                    rnti=g.rnti, prb_slot0=all_prbs, prb_slot1=all_prbs))
             msg.pdsch.append(otamsg.PdschData(
                 refid=g.rnti, tb=0, tbs=len(g.payload) * 8, data=g.payload))
             qm = {2: otamsg.Mod.QPSK, 4: otamsg.Mod.QAM16, 6: otamsg.Mod.QAM64}[
@@ -194,10 +270,7 @@ class EnbPhyAdapter:
                 otamsg.Chan.PDSCH, qm, len(g.payload) * 8, rnti=g.rnti,
                 prb_slot0=prbs, prb_slot1=prbs))
         for g in ul_grants:
-            msg.pdcch_ul.append(otamsg.DciMsg(
-                rnti=g.rnti, format="0", l_level=4, l_ncce=0, num_bits=0,
-                data=bytes([g.rb_start, g.l_prb, g.mcs, g.ndi, g.rv,
-                            g.cqi_request])))
+            msg.pdcch_ul.append(pack_ul_grant_dci(g, self.n_prb))
             txc.channels.append(otamsg.ChannelMessage(
                 otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
                 prb_slot0=all_prbs, prb_slot1=all_prbs))
@@ -236,9 +309,7 @@ class EnbPhyAdapter:
             self._seq += 1
             for g in cc_grants:
                 prbs = _prbs_of_mask(g.prb_mask)
-                cmsg.pdcch_dl.append(otamsg.DciMsg(
-                    rnti=g.rnti, format="1A", l_level=4, l_ncce=0,
-                    num_bits=0, data=b""))
+                cmsg.pdcch_dl.append(pack_dl_grant_dci(g, self.n_prb))
                 ctxc.channels.append(otamsg.ChannelMessage(
                     otamsg.Chan.PDCCH, otamsg.Mod.QPSK, 72 * 4, rnti=g.rnti,
                     prb_slot0=all_prbs, prb_slot1=all_prbs))
@@ -486,6 +557,14 @@ class UePhyAdapter:
                 cm = chans.get((otamsg.Chan.PDCCH, dci.rnti))
                 if not cm or not tester.check(cm)[0]:
                     continue
+                # decode the grant from the packed DCI bits (the reference
+                # UE runs dci unpack on the protobuf payload,
+                # srsue phy_adapter.cc:306-366) — an unparseable payload is
+                # a blind-search miss, not a delivered grant
+                try:
+                    unpack_dl_grant_dci(dci, frame.txc.num_resource_blocks)
+                except (ValueError, IndexError):
+                    continue
                 data = next((d for d in msg.pdsch if d.refid == dci.rnti), None)
                 if data is None:
                     continue
@@ -517,11 +596,9 @@ class UePhyAdapter:
                 cm = chans.get((otamsg.Chan.PDCCH, dci.rnti))
                 if not cm or not tester.check(cm)[0]:
                     continue
-                rb_start, l_prb, mcs, ndi, rv = dci.data[:5]
-                cqi_req = dci.data[5] if len(dci.data) > 5 else 0
-                self.stack.ul_grant(msg.tti, UlGrant(
-                    dci.rnti, rb_start, l_prb, mcs, ndi, rv,
-                    cqi_request=cqi_req))
+                # the grant content comes ENTIRELY from the format-0 bits
+                self.stack.ul_grant(msg.tti, unpack_ul_grant_dci(
+                    dci, frame.txc.num_resource_blocks))
             for ph in msg.phich:
                 if ph["rnti"] == self.crnti:
                     self.stack.harq_ack(msg.tti, bool(ph["ack"]))
@@ -541,6 +618,10 @@ class UePhyAdapter:
                 continue
             cm = chans.get((otamsg.Chan.PDCCH, dci.rnti))
             if not cm or not tester.check(cm)[0]:
+                continue
+            try:
+                unpack_dl_grant_dci(dci, frame.txc.num_resource_blocks)
+            except (ValueError, IndexError):
                 continue
             data = next((d for d in msg.pdsch if d.refid == dci.rnti), None)
             if data is None:
