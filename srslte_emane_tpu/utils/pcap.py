@@ -78,19 +78,43 @@ DLT_USER3 = 150  # S1AP
 
 
 class RlcPcap:
-    """RLC-LTE capture (rlc_pcap.cc equivalent): mode/bearer context header
-    ahead of each RLC PDU."""
+    """RLC-LTE capture (rlc_pcap.cc equivalent): the Wireshark rlc-lte
+    UDP-framed context header (packet-rlc-lte.h; pcap.h:355-420) ahead of
+    each RLC PDU — a dummy UDP header, the "rlc-lte" magic, the rlcMode
+    byte, tagged fields, then the PAYLOAD tag.  Dissects directly in
+    Wireshark with DLT_USER2 (149) mapped to the udp protocol."""
 
+    # packet-rlc-lte.h mode values (pcap.h RLC_*_MODE)
     MODE_TM, MODE_UM, MODE_AM = 1, 2, 4
+    # channel types (pcap.h CHANNEL_TYPE_*)
+    CH_CCCH, CH_BCCH_BCH, CH_PCCH, CH_SRB, CH_DRB = 1, 2, 3, 4, 5
+    _MAGIC = b"rlc-lte"
+    _TAG_SN_LENGTH, _TAG_DIRECTION, _TAG_PRIORITY = 0x02, 0x03, 0x04
+    _TAG_UEID, _TAG_CHANNEL_TYPE, _TAG_CHANNEL_ID = 0x05, 0x06, 0x07
+    _TAG_PAYLOAD = 0x01
 
     def __init__(self, path: str):
         self.w = PcapWriter(path, DLT_USER2)
 
     def write_pdu(self, pdu: bytes, rnti: int, lcid: int, is_dl: bool,
-                  mode: int = MODE_AM, sn_bits: int = 10):
-        ctx = bytes([mode, sn_bits, DIR_DL if is_dl else DIR_UL, lcid & 0xFF])
-        ctx += struct.pack("!H", rnti)
-        self.w.write(ctx + pdu)
+                  mode: int = MODE_AM, sn_bits: int = 10,
+                  channel_type: int = None):
+        if channel_type is None:
+            channel_type = self.CH_SRB if lcid <= 2 else self.CH_DRB
+        ctx = self._MAGIC + bytes([mode])
+        if mode == self.MODE_UM:
+            ctx += bytes([self._TAG_SN_LENGTH, sn_bits])
+        ctx += bytes([self._TAG_DIRECTION, DIR_DL if is_dl else DIR_UL])
+        ctx += bytes([self._TAG_PRIORITY, 0])
+        ctx += bytes([self._TAG_UEID]) + struct.pack("!H", rnti)
+        ctx += bytes([self._TAG_CHANNEL_TYPE]) + struct.pack("!H",
+                                                             channel_type)
+        ctx += bytes([self._TAG_CHANNEL_ID]) + struct.pack("!H", lcid & 0xFF)
+        ctx += bytes([self._TAG_PAYLOAD])
+        # dummy UDP header ahead of the framing (ports 0xdead/0xbeef)
+        udp = struct.pack("!HHHH", 0xDEAD, 0xBEEF,
+                          8 + len(ctx) + len(pdu), 0xDEAD)
+        self.w.write(udp + ctx + pdu)
 
     def close(self):
         self.w.close()

@@ -71,6 +71,14 @@ def test_rlc_and_s1ap_pcap(tmp_path):
     data = p1.read_bytes()
     assert data[:4] == b"\xa1\xb2\xc3\xd4"  # pcap magic (big endian)
     assert len(data) > 24 + 2 * 16
+    # Wireshark rlc-lte UDP framing: dummy UDP ports + "rlc-lte" magic
+    assert data.count(b"rlc-lte") == 2
+    first = data.index(b"rlc-lte")
+    assert data[first - 8 : first - 4] == b"\xde\xad\xbe\xef"
+    # UM record carries the SN-length tag (0x02) right after the mode byte
+    second = data.index(b"rlc-lte", first + 1)
+    assert data[second + 7] == pcap.RlcPcap.MODE_UM
+    assert data[second + 8 : second + 10] == bytes([0x02, 5])
 
     p2 = tmp_path / "s1ap.pcap"
     s = pcap.S1apPcap(str(p2))

@@ -91,10 +91,17 @@ def test_am_max_retx_callback():
                   on_max_retx=lambda: flagged.append(1))
     a.write_sdu(b"x" * 10)
     a.read_pdu(100)
-    # fake repeated NACKs
-    import struct
+    # fake repeated NACKs: spec STATUS (ACK_SN=1, one plain NACK_SN=0)
+    w = rlc._BitWriter()
+    w.put(0, 1)   # D/C
+    w.put(0, 3)   # CPT
+    w.put(1, 10)  # ACK_SN
+    w.put(1, 1)   # E1
+    w.put(0, 10)  # NACK_SN
+    w.put(0, 1)   # E1
+    w.put(0, 1)   # E2
+    status = w.to_bytes()
     for _ in range(8):
-        status = bytes([0]) + struct.pack("!H", 1) + bytes([1]) + struct.pack("!H", 0)
         a.write_pdu(status)
         a.read_pdu(100)
     assert flagged
