@@ -182,9 +182,15 @@ class EnbStack:
         self._next_fwd_teid = 0x8000_0000 + enb_id * 0x1000
         self.dedicated_preambles = {}  # preamble -> rnti (contention-free HO)
         self._next_ded_preamble = 60
-        # A3 event parameters pushed to UEs in their first reconfiguration
-        # (36.331 measConfig reportConfigEUTRA: offset/hysteresis/TTT)
+        # measurement parameters pushed to UEs in their first
+        # reconfiguration (36.331 measConfig reportConfigEUTRA; the flat
+        # fields are the legacy single-A3 shorthand, .reports carries
+        # multi-event configs)
         self.meas_config = rrc_msgs.MeasConfig()
+        # reportConfig pushed when a UE reports A2 (serving degraded):
+        # rrc.cc's "A2 -> configure neighbour/inter-freq measurement" step.
+        # None disables the follow-up.
+        self.a2_followup = None
         self._rr = 0
         self._page_buf = {}  # teid -> DL packets buffered while UE idle
         self.metrics = collections.Counter()
@@ -1095,6 +1101,11 @@ class EnbStack:
                 ue.scells_ready = True
             if getattr(ue, "is_ho", False):
                 ue.is_ho = False
+                # the UE reset its measConfig at HO execution; the TARGET
+                # owns measurement policy now — push ours (rrc.cc puts the
+                # target's measConfig in the handover command container)
+                ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
+                    meas_config=self.meas_config))
                 # X2: deliver forwarded DL data first, then switch the S1-U
                 # path — preserves in-order delivery across the handover
                 for ip_pkt in getattr(ue, "fwd_buffer", None) or []:
@@ -1107,15 +1118,44 @@ class EnbStack:
                 self.metrics["ho_complete"] += 1
         elif isinstance(msg, rrc_msgs.MeasurementReport):
             self.metrics["meas_reports"] += 1
-            # A3-style decision: neighbor sufficiently above serving ->
-            # X2 HO when a direct neighbor relation exists, else S1 via MME
-            if msg.neigh:
+            # which configured event fired? (rrc.cc keys its actions off
+            # the measId it configured)
+            event = "a3"
+            for e in self.meas_config.entries():
+                if e.meas_id == getattr(msg, "meas_id", 1):
+                    event = e.event
+                    break
+            else:
+                pushed = getattr(ue, "meas_followup", None)
+                if pushed is not None \
+                        and pushed.meas_id == getattr(msg, "meas_id", 1):
+                    event = pushed.event
+            self.metrics[f"meas_report_{event}"] += 1
+            if event == "a2" and self.a2_followup is not None \
+                    and getattr(ue, "meas_followup", None) is None:
+                # serving degraded below threshold: configure the follow-up
+                # measurement (rrc.cc: A2 -> set up inter-freq/neighbour
+                # measurement, typically an A4/A5 reportConfig)
+                ue.meas_followup = self.a2_followup
+                full = rrc_msgs.MeasConfig(
+                    reports=self.meas_config.entries() + [self.a2_followup],
+                    s_measure=self.meas_config.s_measure)
+                ue.send_rrc(SRB1, rrc_msgs.RrcConnectionReconfiguration(
+                    meas_config=full))
+                self.metrics["meas_followup_cfg"] += 1
+            elif event in ("a3", "a4", "a5") and msg.neigh:
+                # coverage/quality-triggered HO decision: neighbor
+                # sufficiently above serving -> X2 HO when a direct
+                # neighbor relation exists, else S1 via MME
                 pci, snr = max(msg.neigh, key=lambda x: x[1])
                 # >= : RSRP rides the wire in 1 dB steps (36.133 range),
                 # so a UE-side margin of just over 1 dB can quantize to
-                # exactly 1 — the UE already applied A3 offset +
-                # hysteresis + timeToTrigger before reporting
-                if snr >= msg.rsrp_dbm + 1.0 and pci != self.cell_pci:
+                # exactly 1 — the UE already applied the event's offset +
+                # hysteresis + timeToTrigger before reporting.  A4/A5 are
+                # threshold events: the UE vetted the neighbor against the
+                # configured threshold, so no serving margin applies.
+                good = (snr >= msg.rsrp_dbm + 1.0) if event == "a3" else True
+                if good and pci != self.cell_pci:
                     if pci in self.x2_neighbors and ue.kenb is not None:
                         self._x2_handover(ue, pci)
                     else:

@@ -140,20 +140,80 @@ class ScellToAdd:
     earfcn: int = 0
 
 
+def rsrp_range(dbm: float) -> int:
+    """36.133 §9.1.4 RSRP_range: -140 dBm -> 0, -44 dBm -> 97."""
+    return max(0, min(97, int(round(dbm + 140.0))))
+
+
+def rsrp_dbm(rng: int) -> float:
+    return float(rng) - 140.0
+
+
+@codec.register
+@per.schema(("meas_id", "cint", 1, 32),
+            ("event", "enum", ("a1", "a2", "a3", "a4", "a5", "periodical")),
+            ("threshold", "cint", 0, 97), ("threshold2", "cint", 0, 97),
+            ("offset_db", "float"), ("hysteresis_db", "float"),
+            ("time_to_trigger", "cint", 0, 255),
+            ("report_interval", "cint", 0, 65535),
+            ("report_amount", "cint", 0, 64))
+@dataclasses.dataclass
+class ReportConfigEutra:
+    """One measId's reportConfigEUTRA (36.331 §5.5.4 events + periodical;
+    rrc.cc measurement section):
+      a1: serving > threshold        a2: serving < threshold
+      a3: neigh > serving + offset   a4: neigh > threshold
+      a5: serving < threshold AND neigh > threshold2
+      periodical: every report_interval, report_amount times
+    Thresholds ride as 36.133 RSRP_range (0..97 = -140..-44 dBm);
+    report_amount 0 = infinity."""
+    meas_id: int = 1
+    event: str = "a3"
+    threshold: int = 40  # RSRP_range units
+    threshold2: int = 40
+    offset_db: float = 1.0
+    hysteresis_db: float = 0.0
+    time_to_trigger: int = 3
+    report_interval: int = 120  # ms/TTIs; wire-exact reportInterval value
+    report_amount: int = 0
+
+
 @codec.register
 @per.schema(("a3_offset_db", "float"), ("hysteresis_db", "float"),
             ("time_to_trigger", "cint", 0, 255),
-            ("report_interval", "cint", 0, 65535))
-@dataclasses.dataclass
+            ("report_interval", "cint", 0, 65535),
+            ("reports", "seqof", ("msg",), "?"),
+            ("s_measure", "cint", 0, 97))
+@dataclasses.dataclass(eq=False)
 class MeasConfig:
-    """36.331 measConfig subset (reportConfigEUTRA A3 event parameters):
-    the network configures the UE's measurement reporting — offsets and
-    hysteresis in dB, timeToTrigger and reportInterval in measurement
-    periods/TTIs (rrc.cc meas_cfg handling)."""
+    """36.331 measConfig (rrc.cc meas_cfg handling): a list of
+    reportConfigEUTRA entries plus s-Measure.  The flat A3 fields remain
+    as the legacy single-event shorthand — when `reports` is empty the UE
+    synthesizes one A3 entry from them."""
     a3_offset_db: float = 1.0
     hysteresis_db: float = 0.0
     time_to_trigger: int = 3
     report_interval: int = 50
+    reports: list = dataclasses.field(default_factory=list)
+    # s-Measure as RSRP_range; 0 = disabled (measure neighbors always)
+    s_measure: int = 0
+
+    def entries(self):
+        if self.reports:
+            return self.reports
+        return [ReportConfigEutra(
+            meas_id=1, event="a3", offset_db=self.a3_offset_db,
+            hysteresis_db=self.hysteresis_db,
+            time_to_trigger=self.time_to_trigger,
+            report_interval=self.report_interval)]
+
+    def __eq__(self, other):
+        """Two configs are equal iff they configure the same measurements
+        (the flat-A3 shorthand equals its explicit single-entry form)."""
+        if not isinstance(other, MeasConfig):
+            return NotImplemented
+        return (self.entries() == other.entries()
+                and self.s_measure == other.s_measure)
 
 
 @codec.register
@@ -207,12 +267,14 @@ class RrcConnectionRelease:
 
 
 @codec.register
-@per.schema(("rsrp_dbm", "float"), ("rsrq_db", "float"), ("neigh", "pairs"))
+@per.schema(("rsrp_dbm", "float"), ("rsrq_db", "float"), ("neigh", "pairs"),
+            ("meas_id", "cint", 1, 32))
 @dataclasses.dataclass
 class MeasurementReport:
     rsrp_dbm: float = -100.0
     rsrq_db: float = -12.0
     neigh: list = dataclasses.field(default_factory=list)
+    meas_id: int = 1  # which configured measId triggered (36.331 measId)
 
 
 @codec.register

@@ -74,6 +74,7 @@ _SPS_IVL = (10, 20, 32, 40, 64, 80, 128, 160, 320, 640)
 _TTT_MS = (0, 40, 64, 80, 100, 128, 160, 256, 320, 480, 512, 640, 1024,
            1280, 2560, 5120)
 _REPORT_IVL_MS = (120, 240, 480, 640, 1024, 2048, 5120, 10240)
+_AMOUNTS = (1, 2, 4, 8, 16, 32, 64)  # reportAmount enum r1..r64
 
 
 def _nearest(values, x):
@@ -486,31 +487,52 @@ def _enc_reconfig(msg: rrc_msgs.RrcConnectionReconfiguration) -> bytes:
             next_hop_chaining_count=0)))
     if msg.meas_config is not None:
         c = msg.meas_config
-        ttt = _TTT_MS[_nearest(_TTT_MS, c.time_to_trigger * 40)]
-        ivl = _REPORT_IVL_MS[_nearest(_REPORT_IVL_MS, c.report_interval)]
-        r8["meas_cfg"] = dict(
+        rcfgs, mids = [], []
+        for e in c.entries():
+            ttt = _TTT_MS[_nearest(_TTT_MS, e.time_to_trigger * 40)]
+            ivl = _REPORT_IVL_MS[_nearest(_REPORT_IVL_MS,
+                                          e.report_interval)]
+            hy = max(0, min(30, int(round(2 * e.hysteresis_db))))
+            if e.event == "periodical":
+                trig = ("periodical",
+                        dict(purpose="report_strongest_cells"))
+            else:
+                if e.event == "a3":
+                    ev = ("event_a3", dict(
+                        a3_offset=max(-30, min(30, int(round(
+                            2 * e.offset_db)))),
+                        report_on_leave=False))
+                elif e.event == "a5":
+                    ev = ("event_a5", dict(
+                        a5_thres1=("thres_rsrp", e.threshold),
+                        a5_thres2=("thres_rsrp", e.threshold2)))
+                else:  # a1 / a2 / a4: one RSRP threshold
+                    ev = (f"event_{e.event}", {
+                        f"{e.event}_thres": ("thres_rsrp", e.threshold)})
+                trig = ("event", dict(event_id=ev, hysteresis=hy,
+                                      time_to_trigger=f"ms{ttt}"))
+            amount = "infinity" if e.report_amount == 0 else \
+                f"r{_AMOUNTS[_nearest(_AMOUNTS, e.report_amount)]}"
+            rcfgs.append(dict(
+                report_cfg_id=e.meas_id,
+                report_cfg=("report_cfg_eutra", dict(
+                    trigger_type=trig, trigger_quant="rsrp",
+                    report_quant="both", max_report_cells=8,
+                    report_interv=f"ms{ivl}", report_amount=amount))))
+            mids.append(dict(meas_id=e.meas_id, meas_obj_id=1,
+                             report_cfg_id=e.meas_id))
+        mc = dict(
             meas_obj_to_add_mod_list=[dict(
                 meas_obj_id=1,
                 meas_obj=("meas_obj_eutra", dict(
                     carrier_freq=0, allowed_meas_bw="mbw100",
                     presence_ant_port1=False,
                     neigh_cell_cfg="01")))],
-            report_cfg_to_add_mod_list=[dict(
-                report_cfg_id=1,
-                report_cfg=("report_cfg_eutra", dict(
-                    trigger_type=("event", dict(
-                        event_id=("event_a3", dict(
-                            a3_offset=max(-30, min(30, int(round(
-                                2 * c.a3_offset_db)))),
-                            report_on_leave=False)),
-                        hysteresis=max(0, min(30, int(round(
-                            2 * c.hysteresis_db)))),
-                        time_to_trigger=f"ms{ttt}")),
-                    trigger_quant="rsrp", report_quant="both",
-                    max_report_cells=8, report_interv=f"ms{ivl}",
-                    report_amount="infinity")))],
-            meas_id_to_add_mod_list=[dict(meas_id=1, meas_obj_id=1,
-                                          report_cfg_id=1)])
+            report_cfg_to_add_mod_list=rcfgs,
+            meas_id_to_add_mod_list=mids)
+        if getattr(c, "s_measure", 0):
+            mc["s_measure"] = c.s_measure
+        r8["meas_cfg"] = mc
     if msg.scells_to_add:
         r8["non_crit_ext"] = dict(non_crit_ext=dict(non_crit_ext=dict(
             scell_to_add_mod_list_r10=[dict(
@@ -561,21 +583,43 @@ def _dec_reconfig(val) -> rrc_msgs.RrcConnectionReconfiguration:
             key_change=kind)
     mc = body.get("meas_cfg")
     if mc is not None:
+        entries = []
         for rc in mc.get("report_cfg_to_add_mod_list") or []:
             kind, cfg = rc["report_cfg"]
             if kind != "report_cfg_eutra":
                 continue
-            tkind, trig = cfg["trigger_type"]
-            if tkind != "event":
-                continue
-            ekind, ev = trig["event_id"]
-            if ekind != "event_a3":
-                continue
-            out.meas_config = rrc_msgs.MeasConfig(
-                a3_offset_db=ev["a3_offset"] / 2.0,
-                hysteresis_db=trig["hysteresis"] / 2.0,
-                time_to_trigger=int(trig["time_to_trigger"][2:]) // 40,
+            e = rrc_msgs.ReportConfigEutra(
+                meas_id=rc["report_cfg_id"],
                 report_interval=int(cfg["report_interv"][2:]))
+            am = cfg.get("report_amount", "infinity")
+            e.report_amount = 0 if am == "infinity" else int(am[1:])
+            tkind, trig = cfg["trigger_type"]
+            if tkind == "periodical":
+                e.event = "periodical"
+                e.time_to_trigger = 0
+            else:
+                e.hysteresis_db = trig["hysteresis"] / 2.0
+                e.time_to_trigger = int(trig["time_to_trigger"][2:]) // 40
+                ekind, ev = trig["event_id"]
+                e.event = ekind.replace("event_", "").replace("_r10", "")
+                if e.event == "a3":
+                    e.offset_db = ev["a3_offset"] / 2.0
+                elif e.event == "a5":
+                    e.threshold = ev["a5_thres1"][1]
+                    e.threshold2 = ev["a5_thres2"][1]
+                elif e.event in ("a1", "a2", "a4"):
+                    e.threshold = ev[f"{e.event}_thres"][1]
+            entries.append(e)
+        if entries:
+            # keep the legacy flat A3 fields mirroring the first A3 entry
+            first_a3 = next((e for e in entries if e.event == "a3"),
+                            entries[0])
+            out.meas_config = rrc_msgs.MeasConfig(
+                a3_offset_db=first_a3.offset_db,
+                hysteresis_db=first_a3.hysteresis_db,
+                time_to_trigger=first_a3.time_to_trigger,
+                report_interval=first_a3.report_interval,
+                reports=entries, s_measure=mc.get("s_measure", 0))
     ext = body.get("non_crit_ext") or {}
     v1020 = (ext.get("non_crit_ext") or {}).get("non_crit_ext") or {}
     for s in v1020.get("scell_to_add_mod_list_r10") or []:
@@ -687,7 +731,7 @@ def encode_ul_dcch(msg) -> bytes:
         return uper_encode(r.UL_DCCH_MSG, tree)
     if isinstance(msg, rrc_msgs.MeasurementReport):
         res = dict(
-            meas_id=1,
+            meas_id=max(1, getattr(msg, "meas_id", 1)),
             meas_result_pcell=dict(rsrp_result=_rsrp_range(msg.rsrp_dbm),
                                    rsrq_result=_rsrq_range(msg.rsrq_db)))
         if msg.neigh:
@@ -756,7 +800,7 @@ def decode_ul_dcch(data: bytes):
         return rrc_msgs.MeasurementReport(
             rsrp_dbm=float(pcell["rsrp_result"] - 140),
             rsrq_db=pcell["rsrq_result"] / 2.0 - 19.5,
-            neigh=neigh)
+            neigh=neigh, meas_id=res["meas_id"])
     if name == "ue_cap_info":
         _c1, (_r8, body) = val["crit_exts"]
         cat = 4

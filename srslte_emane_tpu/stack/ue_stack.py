@@ -213,51 +213,94 @@ class UeStack:
                 and not getattr(self, "_csfb_pending", None)
                 and self.sib1 is not None and self.sib2 is not None)
 
-    # ---- neighbor measurement + A3 reporting (rrc measurements) ----
+    # ---- measurements + event reporting (rrc.cc measurement section) ----
     serving_pci = None
     _neigh_snr = None
-    _a3_count = 0
-    _last_report_tti = -100
+    _meas_state = None  # meas_id -> dict(count, last_tti, sent)
     # defaults until the network pushes measConfig in a reconfiguration
     # (36.331 reportConfigEUTRA; rrc.cc applies it the same way)
     meas_cfg = rrc_msgs.MeasConfig()
+
+    # message-level medium measures SNR; reports carry true RSRP dBm by
+    # referencing it to the noise floor (relative comparisons unchanged)
+    _RSRP_REF_DB = -110.0
 
     def neighbor_meas(self, tti, pci, snr_db):
         if self._neigh_snr is None:
             self._neigh_snr = {}
         prev = self._neigh_snr.get(pci, snr_db)
         self._neigh_snr[pci] = 0.8 * prev + 0.2 * snr_db
-        if self.rrc_state != "CONNECTED":
+        self._eval_measurements(tti)
+
+    def _eval_measurements(self, tti):
+        """Evaluate every configured reportConfigEUTRA entry (36.331
+        §5.5.4 events A1-A5 + periodical) against the current serving and
+        neighbor measurements; entering conditions must hold for
+        timeToTrigger evaluations before a report fires."""
+        # mac_state gate: no report generation while a handover's RA is in
+        # flight (36.331 resets measId state at HO; a report built against
+        # the old geometry would steer the target straight back); meas_cfg
+        # None = post-HO, awaiting the target's measConfig push
+        if self.meas_cfg is None or self.rrc_state != "CONNECTED" \
+                or self.mac_state != "CONNECTED":
             return
         serving = getattr(self, "last_rsrp_snr", None)
         if serving is None:
             return
         cfg = self.meas_cfg
+        serving_dbm = serving + self._RSRP_REF_DB
         # forbidden-PLMN cells are not reportable (36.331 blacklisted
         # cells / 36.304 suitable-cell criterion): never steer a handover
         # toward a PCI this UE barred at PLMN selection
-        cands = {p: v for p, v in self._neigh_snr.items()
+        cands = {p: v for p, v in (self._neigh_snr or {}).items()
                  if p not in self.forbidden_pcis}
-        if not cands:
-            return
-        best = max(cands.items(), key=lambda kv: kv[1])
-        # A3 entering condition: Mn > Ms + offset + hysteresis (36.331
-        # §5.5.4.4), sustained for timeToTrigger measurement periods
-        if best[1] > serving + cfg.a3_offset_db + cfg.hysteresis_db:
-            self._a3_count += 1
-        else:
-            self._a3_count = 0
-        if (self._a3_count >= cfg.time_to_trigger
-                and tti - self._last_report_tti > cfg.report_interval):
-            self._last_report_tti = tti
-            self._a3_count = 0
-            # report true RSRP dBm (the 36.133 0..97 wire range): the
-            # message-level medium measures SNR, so reference it to the
-            # noise floor — relative A3 comparisons are unchanged
-            self._send_srb1(rrc_msgs.MeasurementReport(
-                rsrp_dbm=serving - 110.0,
-                neigh=[[best[0], best[1] - 110.0]]))
-            self.metrics["meas_reports"] += 1
+        best = max(cands.items(), key=lambda kv: kv[1]) if cands else None
+        # s-Measure (36.331 §5.5.3.1): neighbour measurements are only
+        # performed while serving RSRP is below s-Measure
+        s_meas = getattr(cfg, "s_measure", 0)
+        neigh_ok = not s_meas or serving_dbm < rrc_msgs.rsrp_dbm(s_meas)
+        if self._meas_state is None:
+            self._meas_state = {}
+        for e in cfg.entries():
+            st = self._meas_state.setdefault(
+                e.meas_id, dict(count=0, last_tti=-(1 << 30), sent=0))
+            hy = e.hysteresis_db
+            thr = rrc_msgs.rsrp_dbm(e.threshold)
+            ev = e.event
+            if ev == "a1":
+                cond = serving_dbm > thr + hy
+            elif ev == "a2":
+                cond = serving_dbm < thr - hy
+            elif ev == "periodical":
+                cond = True
+            elif best is None or not neigh_ok:
+                cond = False
+            elif ev == "a3":
+                cond = best[1] > serving + e.offset_db + hy
+            elif ev == "a4":
+                cond = best[1] + self._RSRP_REF_DB > thr + hy
+            elif ev == "a5":
+                cond = (serving_dbm < thr - hy
+                        and best[1] + self._RSRP_REF_DB
+                        > rrc_msgs.rsrp_dbm(e.threshold2) + hy)
+            else:
+                cond = False
+            st["count"] = st["count"] + 1 if cond else 0
+            if (st["count"] >= e.time_to_trigger
+                    and tti - st["last_tti"] > e.report_interval
+                    and (e.report_amount == 0
+                         or st["sent"] < e.report_amount)):
+                st["last_tti"] = tti
+                st["count"] = 0 if ev != "periodical" else st["count"]
+                st["sent"] += 1
+                neigh = []
+                if best is not None and neigh_ok \
+                        and ev in ("a3", "a4", "a5", "periodical"):
+                    neigh = [[best[0], best[1] + self._RSRP_REF_DB]]
+                self._send_srb1(rrc_msgs.MeasurementReport(
+                    rsrp_dbm=serving_dbm, neigh=neigh, meas_id=e.meas_id))
+                self.metrics["meas_reports"] += 1
+                self.metrics[f"meas_report_{ev}"] += 1
 
     # ---- MIMO channel feedback (precoding.h:45-129 PMI selection /
     # condition number; cqi.c RI/PMI reporting) ----
@@ -331,6 +374,10 @@ class UeStack:
     def sync_indication(self, tti, in_sync: bool, snr_db: float):
         """Per-TTI serving-cell quality indication from the PHY adapter."""
         self.last_rsrp_snr = snr_db
+        # serving-quality events (A1/A2) and periodical reports evaluate on
+        # every serving measurement, not only when a neighbor frame arrives
+        if self.meas_cfg is not None and self.meas_cfg.reports:
+            self._eval_measurements(tti)
         if in_sync:
             self._consec_err = 0
             return
@@ -852,8 +899,10 @@ class UeStack:
                 self.metrics["scell_configured"] += 1
             if getattr(msg, "meas_config", None) is not None:
                 # apply the network's measurement configuration (36.331
-                # §5.5.2); replaces the defaults wholesale
+                # §5.5.2); replaces the defaults wholesale, resetting the
+                # per-measId TTT/report state
                 self.meas_cfg = msg.meas_config
+                self._meas_state = None
                 self.metrics["meas_config_applied"] += 1
             if getattr(msg, "sps_config", None) is not None:
                 self.sps_cfg = msg.sps_config
@@ -898,7 +947,12 @@ class UeStack:
                                         k_rrc_enc, k_rrc_int)
         self._setup_drb(DRB1_LCID)
         self._neigh_snr = {}
-        self._a3_count = 0
+        # measurement config + TTT/report state reset at HO: NO reporting
+        # until the target pushes its measConfig (the reference target puts
+        # it in the handover command container) — keeping the source's
+        # config would ping-pong straight back from the cell edge
+        self._meas_state = None
+        self.meas_cfg = None
         self.crnti = mob.new_rnti
         self.mac_state = "HO_PRACH"
         self.t304.run()  # 36.331 §5.3.5.6 handover supervision
