@@ -26,8 +26,41 @@ IE_PAA = 79
 IE_EBI = 73
 IE_FTEID = 87
 IE_BEARER_CONTEXT = 93
+IE_PDN_TYPE = 99
 
 CAUSE_ACCEPTED = 16
+
+# 29.274 §8.14/§8.34 PDN type values
+PDN_TYPES = {"ipv4": 1, "ipv6": 2, "ipv4v6": 3}
+PDN_NAMES = {v: k for k, v in PDN_TYPES.items()}
+
+
+def _paa(pdn_type: str, ue_ip: str, ue_ip6: str = None) -> bytes:
+    """PDN Address Allocation IE value (29.274 §8.14): v6 carries prefix
+    length + 16 bytes; v4v6 = prefix len + v6 + v4."""
+    import socket as _s
+
+    v4 = bytes(int(x) for x in ue_ip.split(".")) if ue_ip else b""
+    if pdn_type == "ipv4":
+        return b"\x01" + v4
+    v6 = bytes([64]) + _s.inet_pton(_s.AF_INET6, ue_ip6)
+    if pdn_type == "ipv6":
+        return b"\x02" + v6
+    return b"\x03" + v6 + v4
+
+
+def parse_paa(val: bytes) -> dict:
+    import socket as _s
+
+    typ = PDN_NAMES.get(val[0] & 0x07, "ipv4")
+    out = dict(pdn_type=typ)
+    if typ == "ipv4":
+        out["ue_ip"] = ".".join(str(b) for b in val[1:5])
+        return out
+    out["ue_ip6"] = _s.inet_ntop(_s.AF_INET6, val[2:18])
+    if typ == "ipv4v6":
+        out["ue_ip"] = ".".join(str(b) for b in val[18:22])
+    return out
 
 
 def _tbcd(digits: str) -> bytes:
@@ -88,17 +121,20 @@ def find_ie(ies, t: int, instance: int = 0):
 
 
 def create_session_request(imsi: str, mme_fteid_teid: int,
-                           mme_ip: str = "127.0.1.1", seq: int = 1) -> bytes:
+                           mme_ip: str = "127.0.1.1", seq: int = 1,
+                           pdn_type: str = "ipv4") -> bytes:
     body = ie(IE_IMSI, _tbcd(imsi))
     body += fteid(10, mme_fteid_teid, mme_ip)  # S11 MME GTP-C
+    body += ie(IE_PDN_TYPE, bytes([PDN_TYPES.get(pdn_type, 1)]))
     return header(CREATE_SESSION_REQUEST, 0, seq, body)
 
 
 def create_session_response(ue_ip: str, spgw_teid: int, enb_rx_teid: int,
                             spgw_ip: str = "127.0.1.2", ebi: int = 5,
-                            seq: int = 1) -> bytes:
+                            seq: int = 1, pdn_type: str = "ipv4",
+                            ue_ip6: str = None) -> bytes:
     body = ie(IE_CAUSE, bytes([CAUSE_ACCEPTED, 0]))
-    body += ie(IE_PAA, b"\x01" + bytes(int(x) for x in ue_ip.split(".")))
+    body += ie(IE_PAA, _paa(pdn_type, ue_ip, ue_ip6))
     # grouped bearer context: EBI + S1-U SPGW F-TEID (UL) + eNB rx TEID (DL)
     bc = ie(IE_EBI, bytes([ebi]))
     bc += fteid(1, spgw_teid, spgw_ip)  # S1-U SGW
@@ -113,8 +149,8 @@ def parse_create_session_response(pkt: bytes) -> dict:
     assert p["msg_type"] == CREATE_SESSION_RESPONSE
     ies = p["ies"]
     cause = find_ie(ies, IE_CAUSE)[0]
-    paa = find_ie(ies, IE_PAA)
-    ue_ip = ".".join(str(b) for b in paa[1:5])
+    paa = parse_paa(find_ie(ies, IE_PAA))
+    ue_ip = paa.get("ue_ip", "")
     bc = find_ie(ies, IE_BEARER_CONTEXT)
     # parse the grouped IEs
     sub_ies = []
@@ -128,7 +164,8 @@ def parse_create_session_response(pkt: bytes) -> dict:
     enb_ft = find_ie(sub_ies, IE_FTEID, 1)
     return dict(cause=cause, ue_ip=ue_ip, eps_bearer_id=ebi,
                 teid_in=struct.unpack("!I", spgw_ft[1:5])[0],
-                teid_out=struct.unpack("!I", enb_ft[1:5])[0])
+                teid_out=struct.unpack("!I", enb_ft[1:5])[0],
+                pdn_type=paa["pdn_type"], ue_ip6=paa.get("ue_ip6"))
 
 
 def parse_create_session_request(pkt: bytes) -> dict:
@@ -136,5 +173,7 @@ def parse_create_session_request(pkt: bytes) -> dict:
     assert p["msg_type"] == CREATE_SESSION_REQUEST
     imsi = _tbcd_decode(find_ie(p["ies"], IE_IMSI))
     ft = find_ie(p["ies"], IE_FTEID)
+    pt = find_ie(p["ies"], IE_PDN_TYPE)
     return dict(imsi=imsi, mme_teid=struct.unpack("!I", ft[1:5])[0],
-                seq=p["seq"])
+                seq=p["seq"],
+                pdn_type=PDN_NAMES.get(pt[0] & 7, "ipv4") if pt else "ipv4")

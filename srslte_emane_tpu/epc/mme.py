@@ -251,6 +251,7 @@ class Mme:
             self.ues[mme_ue_id] = dict(
                 imsi=None, enb_id=enb_id, enb_ue_id=msg.enb_ue_id,
                 vec=None, state="IDENTITY", ul_nas_count=0,
+                pdn_type=nas.pdn_type,
             )
             self._dl_nas(enb_id, mme_ue_id, msg.enb_ue_id,
                          nas_msgs.IdentityRequest())
@@ -260,6 +261,7 @@ class Mme:
         self.ues[mme_ue_id] = dict(
             imsi=imsi, enb_id=enb_id, enb_ue_id=msg.enb_ue_id,
             vec=None, state="AUTH", ul_nas_count=0,
+            pdn_type=nas.pdn_type,
         )
         self._start_auth(enb_id, mme_ue_id, msg.enb_ue_id)
 
@@ -331,7 +333,9 @@ class Mme:
             from . import gtpc
 
             resp = self.spgw.handle_gtpc(
-                gtpc.create_session_request(ue["imsi"], msg.mme_ue_id),
+                gtpc.create_session_request(
+                    ue["imsi"], msg.mme_ue_id,
+                    pdn_type=ue.get("pdn_type", "ipv4")),
                 enb.gtpu_dl)
             sess = gtpc.parse_create_session_response(resp)
             if sess["cause"] != gtpc.CAUSE_ACCEPTED:
@@ -341,7 +345,17 @@ class Mme:
                     self.metrics.get("session_reject", 0) + 1
                 return
             kenb = security.kdf_kenb(ue["vec"]["kasme"], ue["ul_nas_count"])
-            accept = nas_msgs.AttachAccept(ip_addr=sess["ue_ip"], guti=msg.mme_ue_id)
+            # ipv6/ipv4v6 PDNs: the NAS PDN address carries the 8-byte
+            # interface identifier of the allocated address (24.301
+            # §9.9.4.9); the UE composes prefix + IID (gw.cc IPv6 path)
+            iid = b""
+            if sess.get("ue_ip6"):
+                import socket as _s
+
+                iid = _s.inet_pton(_s.AF_INET6, sess["ue_ip6"])[8:]
+            accept = nas_msgs.AttachAccept(
+                ip_addr=sess["ue_ip"], guti=msg.mme_ue_id,
+                pdn_type=sess.get("pdn_type", "ipv4"), ip6_iid=iid)
             ue["state"] = "CTX"
             ue["ue_ip"] = sess["ue_ip"]
             ue["teid_spgw"] = sess["teid_in"]

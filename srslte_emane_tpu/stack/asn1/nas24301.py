@@ -666,11 +666,18 @@ def parse_apn(b: bytes) -> str:
 
 
 def parse_pdn_address(b: bytes) -> dict:
+    """24.301 §9.9.4.9: ipv4 = 4 octets; ipv6 = 8-octet interface
+    identifier; ipv4v6 = IID then IPv4."""
     typ = b[0] & 0x07
     names = {1: "ipv4", 2: "ipv6", 3: "ipv4v6"}
     out = dict(type=names.get(typ, typ))
     if typ == 1:
         out["ipv4"] = ".".join(str(x) for x in b[1:5])
+    elif typ == 2:
+        out["ip6_iid"] = bytes(b[1:9])
+    elif typ == 3:
+        out["ip6_iid"] = bytes(b[1:9])
+        out["ipv4"] = ".".join(str(x) for x in b[9:13])
     return out
 
 

@@ -91,13 +91,19 @@ class NasSecurityModeComplete:
 
 @codec.register
 @per.schema(("ip_addr", "str"), ("guti", "int"),
-            ("eps_bearer_id", "cint", 0, 15))
+            ("eps_bearer_id", "cint", 0, 15),
+            ("pdn_type", "enum", ("ipv4", "ipv6", "ipv4v6")),
+            ("ip6_iid", "bytes", "?"))
 @dataclasses.dataclass
 class AttachAccept:
     ip_addr: str = "172.16.0.2"
     guti: int = 0
     eps_bearer_id: int = 5
     # activate default EPS bearer context request is piggybacked
+    pdn_type: str = "ipv4"
+    # IPv6 interface identifier (24.301 §9.9.4.9: the PDN address carries
+    # the 8-byte IID; the UE composes prefix + IID — gw.cc IPv6 path)
+    ip6_iid: bytes = b""
 
 
 @codec.register

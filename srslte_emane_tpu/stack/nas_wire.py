@@ -216,8 +216,16 @@ def _apn_bytes(apn: str = APN) -> bytes:
     return bytes(out)
 
 
-def _pdn_address(ip: str) -> bytes:
-    return bytes([0x01]) + bytes(int(x) for x in ip.split("."))
+def _pdn_address(ip: str, pdn_type: str = "ipv4",
+                 ip6_iid: bytes = b"") -> bytes:
+    """24.301 §9.9.4.9 PDN address: ipv4 = 4 octets; ipv6 = 8-octet
+    interface identifier; ipv4v6 = IID then IPv4."""
+    v4 = bytes(int(x) for x in ip.split(".")) if ip else b""
+    if pdn_type == "ipv6":
+        return bytes([0x02]) + bytes(ip6_iid[:8])
+    if pdn_type == "ipv4v6":
+        return bytes([0x03]) + bytes(ip6_iid[:8]) + v4
+    return bytes([0x01]) + v4
 
 
 def _gprs_timer(seconds: int) -> bytes:
@@ -343,7 +351,8 @@ def _dec_attach_request(d: dict) -> nas_msgs.AttachRequest:
 def _enc_attach_accept(m: nas_msgs.AttachAccept) -> dict:
     esm = w.encode(_esm(m.eps_bearer_id, 1, w.ACT_DEFAULT_BEARER_REQ,
                         eps_qos=bytes([9]), apn=_apn_bytes(),
-                        pdn_address=_pdn_address(m.ip_addr)))
+                        pdn_address=_pdn_address(m.ip_addr, m.pdn_type,
+                                                 m.ip6_iid)))
     return _emm(w.ATTACH_ACCEPT, attach_result=(0, 1),
                 t3412=_gprs_timer(500), tai_list=_tai_list(),
                 esm_container=esm, guti=_guti_identity(m.guti))
@@ -353,8 +362,10 @@ def _dec_attach_accept(d: dict) -> nas_msgs.AttachAccept:
     esm = d["esm"]
     addr = w.parse_pdn_address(esm["pdn_address"])
     return nas_msgs.AttachAccept(
-        ip_addr=addr["ipv4"], guti=w.parse_guti(d["guti"])["m_tmsi"],
-        eps_bearer_id=esm["eps_bearer_id"])
+        ip_addr=addr.get("ipv4", ""),
+        guti=w.parse_guti(d["guti"])["m_tmsi"],
+        eps_bearer_id=esm["eps_bearer_id"], pdn_type=addr["type"],
+        ip6_iid=addr.get("ip6_iid", b""))
 
 
 _CAUSE_NAMES = {20: "mac-failure", 21: "synch-failure"}

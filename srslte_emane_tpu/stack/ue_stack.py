@@ -81,6 +81,8 @@ class UeStack:
         self.kasme = None
         self.kenb = None
         self.ip_addr = None
+        self.ip6_addr = None  # composed prefix + IID (gw.cc IPv6 path)
+        self.pdn_type = "ipv4"  # requested PDN type (ipv4 / ipv6 / ipv4v6)
         self.rlc = {}
         self.pdcp = {}
         self.ul_ccch = collections.deque()
@@ -845,9 +847,11 @@ class UeStack:
                 # previously registered: attach with the stored GUTI
                 # (24.301 §5.5.1.2.2); the network asks for the IMSI via
                 # the identity procedure if it lost our context
-                attach = nas_msgs.AttachRequest(imsi="", guti=self.guti)
+                attach = nas_msgs.AttachRequest(imsi="", guti=self.guti,
+                                                pdn_type=self.pdn_type)
             else:
-                attach = nas_msgs.AttachRequest(imsi=self.usim.imsi)
+                attach = nas_msgs.AttachRequest(imsi=self.usim.imsi,
+                                                pdn_type=self.pdn_type)
             self.nas_sec = None  # fresh registration: new security context
             self._send_srb1(rrc_msgs.RrcConnectionSetupComplete(
                 nas_pdu=nas_wire.encode(attach)))
@@ -1014,7 +1018,19 @@ class UeStack:
             self.kenb = security.kdf_kenb(self.kasme, 0)
             self._send_nas(nas_msgs.NasSecurityModeComplete())
         elif isinstance(msg, nas_msgs.AttachAccept):
-            self.ip_addr = msg.ip_addr
+            self.ip_addr = msg.ip_addr or None
+            if msg.ip6_iid:
+                # compose the global address: shared /64 prefix + the
+                # network-assigned interface identifier (the RA step of
+                # gw.cc collapsed into the emulation's known prefix)
+                import socket as _s
+
+                from ..epc import spgw as _spgw
+
+                self.ip6_addr = _s.inet_ntop(
+                    _s.AF_INET6,
+                    _s.inet_pton(_s.AF_INET6, _spgw.IP6_PREFIX)[:8]
+                    + bytes(msg.ip6_iid))
             self.guti = msg.guti
             self._nas_count = 0
             self.emm_state = "REGISTERED"

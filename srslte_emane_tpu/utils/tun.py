@@ -22,13 +22,18 @@ def available() -> bool:
 
 
 class TunDevice:
-    def __init__(self, name: str, ip_cidr: str = None):
+    def __init__(self, name: str, ip_cidr: str = None,
+                 ip6_cidr: str = None):
         self.fd = os.open("/dev/net/tun", os.O_RDWR)
         ifr = struct.pack("16sH", name.encode()[:15], IFF_TUN | IFF_NO_PI)
         fcntl.ioctl(self.fd, TUNSETIFF, ifr)
         self.name = name
         if ip_cidr:
             subprocess.run(["ip", "addr", "add", ip_cidr, "dev", name], check=True)
+        if ip6_cidr:
+            # dual-stack (gw.cc IPv6 path): add the composed global address
+            subprocess.run(["ip", "-6", "addr", "add", ip6_cidr,
+                            "dev", name], check=True)
         subprocess.run(["ip", "link", "set", name, "up"], check=True)
         os.set_blocking(self.fd, False)
 
