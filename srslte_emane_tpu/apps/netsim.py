@@ -58,6 +58,72 @@ def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
     return dict(net=net, bus=bus, mme=mme, spgw=spgw, enb=enb, ues=ues, hss=hss)
 
 
+def run_waveform_full(args):
+    """--waveform-full: the whole UE life cycle through the device PHY.
+
+    No message bus below L2 anywhere — `runtime/wavenet.WaveformNetwork`
+    carries cell search -> MIB -> PRACH -> RA -> RRC/NAS attach -> IP
+    traffic as OFDM waveforms over per-link AWGN channels, the posture of
+    the reference's ZMQ IQ mode (lib/src/phy/rf/rf_zmq_imp.c)."""
+    from ..runtime import wavenet
+
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=args.prb)
+    ues = []
+    for i in range(args.ues):
+        imsi = f"0010100000000{i:02d}"
+        key = bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        opc = security.milenage_opc(key, b"\x00" * 16)
+        ues.append(ue_stack.UeStack(ue_stack.Usim(imsi, key, opc),
+                                    preamble=(7 + i) % 64))
+    net = wavenet.WaveformNetwork(
+        enb, ues, pathloss_db=np.full(args.ues, args.pathloss),
+        n_prb=args.prb)
+
+    t0 = time.time()
+    attach_tti = {}
+    limit = max(args.ttis, 200 + 100 * args.ues)
+    while net.tti < limit:
+        net.run(10)
+        for i, u in enumerate(ues):
+            if i not in attach_tti and u.emm_state == "REGISTERED":
+                attach_tti[i] = net.tti
+        if len(attach_tti) == args.ues:
+            break
+    attach_wall = time.time() - t0
+    attached = [u for u in ues if u.emm_state == "REGISTERED"]
+
+    # IP traffic over the waveform PDSCH/PUSCH
+    for u in attached:
+        pkt = spgw_mod.make_ipv4("8.8.8.8", u.ip_addr, b"d" * 120)
+        for _ in range(4):
+            spgw.handle_sgi_pdu(pkt)
+        u.gw_send(spgw_mod.make_ipv4(u.ip_addr, "8.8.8.8", b"u" * 120))
+    t1 = time.time()
+    steady = 60
+    net.run(steady)
+    steady_wall = time.time() - t1
+
+    summary = dict(
+        mode="waveform-full",
+        ttis=net.tti,
+        ues=args.ues,
+        attached=len(attached),
+        attach_tti=attach_tti,
+        attach_wall_s=round(attach_wall, 1),
+        steady_sf_per_sec=round(steady / steady_wall, 1),
+        dl_ip_bytes=sum(sum(len(p) for p in u.gw_rx) for u in ues),
+        ul_ip_bytes=spgw.metrics["ul_bytes"],
+        enb_phy=net.enb.metrics,
+        ue0_phy=net.ues[0].metrics,
+    )
+    print(json.dumps(summary))
+    return summary
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ues", type=int, default=2)
@@ -83,11 +149,20 @@ def main(argv=None):
                     help="after attach, carry each UE's DL burst through the"
                          " real device PHY (runtime/wavesim) and report"
                          " delivery + measured SNR")
+    ap.add_argument("--waveform-full", action="store_true",
+                    help="run the ENTIRE network over waveforms: no message"
+                         " bus below L2 — cell search, MIB, PRACH, RA, RRC,"
+                         " NAS and IP traffic all ride OFDM through AWGN"
+                         " links (runtime/wavenet, the reference's ZMQ IQ"
+                         " mode); reports attach latency + steady sf/s")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.waveform_full:
+        return run_waveform_full(args)
 
     sysd = build_network(args.ues, args.pathloss, args.prb, args.paced,
                          n_carriers=args.carriers)

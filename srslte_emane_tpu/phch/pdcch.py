@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,6 +68,97 @@ def encode(dci_bits, rnti: int, l_aggr: int, cce_start: int,
     flat = grid.reshape(grid.shape[0], -1, 2)
     flat = flat.at[:, jnp.asarray(idx), :].set(syms)
     return flat.reshape(grid.shape)
+
+
+def rnti_mask_bits(rnti) -> jnp.ndarray:
+    """(16,) int8 MSB-first CRC16 mask from a (possibly traced) rnti."""
+    r = jnp.asarray(rnti, jnp.uint32)
+    sh = jnp.arange(15, -1, -1, dtype=jnp.uint32)
+    return ((r[..., None] >> sh) & 1).astype(jnp.int8)
+
+
+def encode_dyn(dci_bits, rnti, l_aggr: int, cce_start,
+               cell: grid_mod.CellConfig, sf_idx: int, grid):
+    """encode() with rnti and cce_start as (possibly traced) scalars.
+
+    Semantics identical to encode() (pdcch.c), but ONE compiled kernel
+    serves every (rnti, CCE position) at a given aggregation level — the
+    waveform runtime's kernel-cache stays UE-count-independent."""
+    w = crc_mod.crc_attach(dci_bits, crc_mod.LTE_CRC16)
+    n = dci_bits.shape[-1]
+    bits_in = jnp.concatenate([w[:, :n], w[:, n:] ^ rnti_mask_bits(rnti)],
+                              axis=1)
+    coded = convcoder.conv_encode(bits_in)
+    e = CCE_BITS * l_aggr
+    bits = convcoder.rate_match_cc(coded, e)
+    c_init = scrambling.pdcch_cinit(sf_idx, cell.cell_id)
+    c_all = sequence.gold_sequence(c_init, CCE_BITS * n_cce(cell))
+    start = jnp.asarray(cce_start, jnp.int32)
+    c = jax.lax.dynamic_slice_in_dim(c_all, start * CCE_BITS, e, axis=0)
+    scr = (bits ^ c).astype(jnp.int8)
+    syms = modem.modulate(scr, modem.QPSK)
+    rows = jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(cce_re_indices(cell)), start, l_aggr, axis=0)
+    flat = grid.reshape(grid.shape[0], -1, 2)
+    flat = flat.at[:, rows.reshape(-1), :].set(syms)
+    return flat.reshape(grid.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def full_space(cell: grid_mod.CellConfig) -> tuple:
+    """Every l-aligned (l_aggr, cce_start) position — the superset of any
+    RNTI's 36.213 search space (common and UE-specific starts are both
+    multiples of l)."""
+    ncce = n_cce(cell)
+    return tuple((l, s) for l in (1, 2, 4, 8)
+                 for s in range(0, ncce - l + 1, l))
+
+
+def blind_search_all(rx_grid, ce, cell: grid_mod.CellConfig, sf_idx: int,
+                     dci_len: int):
+    """Decode EVERY aligned CCE position once per subframe.
+
+    Returns (bits (B, n_pos, dci_len), resid (B, n_pos) int32, positions):
+    a candidate decoded for RNTI r iff resid == r (the CRC16 residual IS
+    the scrambling RNTI).  One compiled kernel adjudicates all listeners:
+    the per-RNTI check is a host-side integer compare, so the waveform
+    UE's blind search costs the same whether it watches one RNTI or ten
+    (ue_dl.c:422-478 runs the candidate loop per RNTI instead)."""
+    cands = full_space(cell)
+    B = rx_grid.shape[0]
+    idx_all = cce_re_indices(cell)
+    flat_rx = rx_grid.reshape(B, -1, 2)
+    flat_ce = ce.reshape(B, -1, 2)
+    c_init = scrambling.pdcch_cinit(sf_idx, cell.cell_id)
+    c_all = sequence.gold_sequence_host(c_init, CCE_BITS * n_cce(cell))
+    weights = jnp.asarray([1 << (15 - i) for i in range(16)], jnp.int32)
+
+    bits_out, resid_out, pos_out = [], [], []
+    for l in (1, 2, 4, 8):
+        starts = [s for (ll, s) in cands if ll == l]
+        if not starts:
+            continue
+        idx = np.stack([idx_all[s : s + l].reshape(-1) for s in starts])
+        y = jnp.take(flat_rx, jnp.asarray(idx.reshape(-1)), axis=-2)
+        h = jnp.take(flat_ce, jnp.asarray(idx.reshape(-1)), axis=-2)
+        x_eq, csi = chest.equalize_zf(y, h)
+        llr = modem.demod_soft(x_eq, modem.QPSK) * jnp.repeat(csi, 2, axis=-1)
+        llr = llr.reshape(B, len(starts), l * CCE_BITS)
+        scr = np.stack(
+            [1.0 - 2.0 * c_all[CCE_BITS * s : CCE_BITS * (s + l)]
+             for s in starts]).astype(np.float32)
+        llr = llr * jnp.asarray(scr)[None]
+        flat = llr.reshape(B * len(starts), l * CCE_BITS)
+        streams = convcoder.rate_unmatch_cc(flat, dci_len + 16)
+        bits = viterbi.viterbi_decode(streams)  # (B*n, dci_len+16)
+        calc = crc_mod.crc_bits(bits[:, :dci_len], crc_mod.LTE_CRC16)
+        resid_bits = (calc ^ bits[:, dci_len:]).astype(jnp.int32)
+        resid = (resid_bits * weights).sum(-1)
+        bits_out.append(bits[:, :dci_len].reshape(B, len(starts), dci_len))
+        resid_out.append(resid.reshape(B, len(starts)))
+        pos_out.extend((l, s) for s in starts)
+    return (jnp.concatenate(bits_out, axis=1),
+            jnp.concatenate(resid_out, axis=1), pos_out)
 
 
 def ue_yk(rnti: int, sf_idx: int) -> int:

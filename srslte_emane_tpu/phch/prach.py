@@ -195,17 +195,21 @@ _CT_B = 24
 _CT_A = N_SEQ // _CT_B  # 1024
 
 
-def _ct_split(fmt: int):
-    """(n_seq, ct_b, ct_a) of one base-sequence repetition."""
+def _ct_split(fmt: int, srate_div: int = 1):
+    """(n_seq, ct_b, ct_a) of one base-sequence repetition.
+
+    srate_div scales the synthesis to the cell sample rate (prach.c sizes
+    its IFFT as N_ifft_prach = 24576 * srate / 30.72 Msps): 16 for a
+    1.92 Msps 6-PRB cell, 2 for 10 MHz, 1 for 20 MHz."""
     if fmt == 4:
-        return N_SEQ_F4, 16, N_SEQ_F4 // 16
-    return N_SEQ, _CT_B, _CT_A
+        return N_SEQ_F4 // srate_div, 16, N_SEQ_F4 // srate_div // 16
+    return N_SEQ // srate_div, _CT_B, _CT_A // srate_div
 
 
 @functools.lru_cache(maxsize=None)
-def _ct_tables(k0: int, fmt: int = 0):
+def _ct_tables(k0: int, fmt: int = 0, srate_div: int = 1):
     """Constants for the two-stage synthesis at bin offset k0."""
-    n_seq, ct_b, ct_a = _ct_split(fmt)
+    n_seq, ct_b, ct_a = _ct_split(fmt, srate_div)
     k = np.arange(nzc_for(fmt)) + k0
     b = np.arange(ct_b)
     a = np.arange(ct_a)
@@ -214,15 +218,15 @@ def _ct_tables(k0: int, fmt: int = 0):
     return (tw.astype(np.complex64), e.astype(np.complex64))
 
 
-def waveform_len(fmt: int = 0) -> int:
-    """CP + repeated sequence, in 30.72 Msps samples."""
-    n_seq, _, _ = _ct_split(fmt)
-    return FORMAT_CP[fmt] + FORMAT_REPS[fmt] * n_seq
+def waveform_len(fmt: int = 0, srate_div: int = 1) -> int:
+    """CP + repeated sequence, in (30.72 / srate_div) Msps samples."""
+    n_seq, _, _ = _ct_split(fmt, srate_div)
+    return FORMAT_CP[fmt] // srate_div + FORMAT_REPS[fmt] * n_seq
 
 
 def gen_waveform(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
                  hs: bool = False, k0: int = 12 * 12 + 7,
-                 fmt: int = 0) -> jnp.ndarray:
+                 fmt: int = 0, srate_div: int = 1) -> jnp.ndarray:
     """(B,) preamble indices -> (B, waveform_len(fmt), 2) time samples at
     30.72 Msps (prach.c srslte_prach_gen waveform path, formats 0-4).
 
@@ -230,8 +234,8 @@ def gen_waveform(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
     for format 4; default centers the 6-PRB region near
     prach_freq_offset=12 PRB)."""
     x = gen(preamble_idx, root_seq_idx, zczc, hs, fmt)  # (B, nzc, 2) freq
-    n_seq, ct_b, ct_a = _ct_split(fmt)
-    tw, e = _ct_tables(k0, fmt)
+    n_seq, ct_b, ct_a = _ct_split(fmt, srate_div)
+    tw, e = _ct_tables(k0, fmt, srate_div)
     twc = cplx.from_numpy(tw)  # (nzc, ct_b, 2)
     ec = cplx.from_numpy(e)  # (nzc, ct_a, 2)
     # stage 1: Y[k, b] = X[k] * tw[k, b]
@@ -246,24 +250,24 @@ def gen_waveform(preamble_idx, root_seq_idx: int = 0, zczc: int = 1,
     reps = FORMAT_REPS[fmt]
     if reps > 1:
         t = jnp.concatenate([t] * reps, axis=-2)
-    n_cp = FORMAT_CP[fmt]
+    n_cp = FORMAT_CP[fmt] // srate_div
     cp = t[:, t.shape[-2] - n_cp :, :]
     return jnp.concatenate([cp, t], axis=-2)
 
 
 def rx_waveform_to_freq(samples, k0: int = 12 * 12 + 7,
-                        fmt: int = 0) -> jnp.ndarray:
+                        fmt: int = 0, srate_div: int = 1) -> jnp.ndarray:
     """eNB side: (B, >= waveform_len(fmt), 2) -> (B, nzc, 2) PRACH bins.
 
     The analysis DFT over the same sparse bins, two-stage transposed;
     formats 2/3 average their two sequence repetitions coherently (the
     reference accumulates repetitions the same way, prach.c detection)."""
-    n_seq, ct_b, ct_a = _ct_split(fmt)
-    n_cp, reps = FORMAT_CP[fmt], FORMAT_REPS[fmt]
+    n_seq, ct_b, ct_a = _ct_split(fmt, srate_div)
+    n_cp, reps = FORMAT_CP[fmt] // srate_div, FORMAT_REPS[fmt]
     t = samples[:, n_cp : n_cp + reps * n_seq, :]
     B = t.shape[0]
     y = t.reshape(B, reps, ct_a, ct_b, 2).mean(axis=1)
-    tw, e = _ct_tables(k0, fmt)
+    tw, e = _ct_tables(k0, fmt, srate_div)
     ec = cplx.from_numpy(np.conj(e))
     twc = cplx.from_numpy(np.conj(tw))
     yr, yi = y[..., 0], y[..., 1]

@@ -138,6 +138,12 @@ class UlGrant:
     ndi: int = 0
     rv: int = 0
     cqi_request: int = 0  # DCI-0 CSI request: aperiodic CQI on this PUSCH
+    # PDCCH placement of the DCI-0 (allocated from the rnti's true 36.213
+    # search space by the MAC's shared per-TTI _CceAlloc; the message path
+    # carries them in the bus DciMsg, the waveform path maps them onto the
+    # physical CCEs so the UE's blind search can find the grant)
+    l_aggr: int = 4
+    cce_start: int = 0
 
 
 class EnbPhyAdapter:

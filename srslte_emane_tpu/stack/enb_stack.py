@@ -220,6 +220,10 @@ class EnbStack:
         # admission control: None = unlimited; else RRCConnectionReject
         # once this many RRC_CONNECTED users exist (rrc.cc max_users)
         self.max_rrc_users = None
+        # waveform mode pins the control region: the PHY grid is compiled
+        # at one CFI, so the CCE search spaces the allocator draws from
+        # must use the same CFI (message mode keeps demand escalation)
+        self.fixed_cfi = None
         mme.s1_setup(enb_id, self)
 
     # ================= MAC interface (stack_interface_phy_lte) =================
@@ -394,13 +398,17 @@ class EnbStack:
         # common search space plus the expected DCI load; the allocator
         # then enforces per-candidate CCE collisions
         demand = (len(self.rar_pending) + len(self.ccch_dl)
-                  + len(data_pending))
-        for cfi in (1, 2, 3):
+                  + len(data_pending) + len(self._ul_hint))
+        cfis = (1, 2, 3) if self.fixed_cfi is None else (self.fixed_cfi,)
+        for cfi in cfis:
             cell = grid_mod.CellConfig(n_prb=self.n_prb,
                                        cell_id=self.cell_pci, cfi=cfi)
             if pdcch_mod.n_cce(cell) >= 4 + 2 * demand:
                 break
         cce = _CceAlloc(cell, tti % 10)
+        # get_ul_sched(tti) draws its DCI-0 CCEs from this same allocator:
+        # DL and UL DCIs share one control region (scheduler_grid.cc)
+        self._cce_cache = (tti, cce)
 
         # expire zombie contexts: a RACH that never completed Msg3 (its UE
         # lost contention resolution or gave up) leaves an RRC_IDLE context
@@ -783,6 +791,18 @@ class EnbStack:
         SR/BSR grants."""
         grants = []
         cursor = 0
+        # DCI-0s share the TTI's control region with the DL DCIs: reuse
+        # get_dl_sched(tti)'s allocator so CCEs never collide across the
+        # two, and every placement is a true search-space candidate that
+        # the waveform UE's blind decoder will actually check
+        cached = getattr(self, "_cce_cache", None)
+        if cached is not None and cached[0] == tti:
+            cce = cached[1]
+        else:
+            cell = grid_mod.CellConfig(n_prb=self.n_prb,
+                                       cell_id=self.cell_pci,
+                                       cfi=self.fixed_cfi or 3)
+            cce = _CceAlloc(cell, tti % 10)
         if tti % 512 == 1:  # backstop for any hint site missed
             self._ul_hint.update(self.ues.keys())
         hinted = sorted(self._ul_hint)
@@ -799,12 +819,17 @@ class EnbStack:
                         ent["l_prb"] + (n_tx - 1) * max(1, ent["l_prb"] // 2))
             if l_prb <= 0:
                 break
+            la = cce.alloc(rnti, l_pref=4)
+            if la is None:
+                self.metrics["cce_defer_ul"] += 1
+                continue  # control region full: retx stays due
             mcs = max(0, ent["mcs"] - 2 * (n_tx - 1))
             u.ul_harq_ent = dict(l_prb=ent["l_prb"], mcs=ent["mcs"],
                                  n_tx=n_tx, retx_due=False)
             grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=l_prb,
                                   mcs=mcs, ndi=0,
-                                  rv=self.RV_SEQ_UL[(n_tx - 1) % 4]))
+                                  rv=self.RV_SEQ_UL[(n_tx - 1) % 4],
+                                  l_aggr=la[0], cce_start=la[1]))
             cursor += l_prb
             self.metrics["ul_harq_retx"] += 1
         for rnti in hinted:
@@ -814,17 +839,29 @@ class EnbStack:
             if cursor + 4 > self.n_prb:
                 break
             if getattr(u, "msg3_grant", False):
+                la = cce.alloc(rnti, l_pref=4)
+                if la is None:
+                    self.metrics["cce_defer_ul"] += 1
+                    continue  # msg3_grant stays set for a later TTI
                 u.msg3_grant = False
                 grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=4,
-                                      mcs=self.mcs))
+                                      mcs=self.mcs,
+                                      l_aggr=la[0], cce_start=la[1]))
                 cursor += 4
         for rnti in hinted:
             u = self.ues.get(rnti)
             if u is None:
                 continue
-            if cursor + 8 > self.n_prb:
+            # nominal 8-PRB SR/BSR grant, shrunk to what the cell has left
+            # (a 1.4 MHz cell only has 6 PRB total)
+            l_prb = min(8, self.n_prb - cursor)
+            if l_prb < 2:
                 break
             if getattr(u, "sr", False) or getattr(u, "bsr", 0) > 0:
+                la = cce.alloc(rnti, l_pref=4)
+                if la is None:
+                    self.metrics["cce_defer_ul"] += 1
+                    continue  # sr/bsr flags persist; retry next TTI
                 u.sr = False
                 u.bsr = 0
                 ul_mcs = max(0, min(20, self.mcs
@@ -840,12 +877,13 @@ class EnbStack:
                 if tti - getattr(u, "last_cqi_req", -100) >= 40:
                     u.last_cqi_req = tti
                     cqi_req = 1
-                grants.append(UlGrant(rnti=rnti, rb_start=cursor, l_prb=8,
-                                      mcs=ul_mcs, ndi=1,
-                                      cqi_request=cqi_req))
-                u.ul_harq_ent = dict(l_prb=8, mcs=ul_mcs, n_tx=1,
+                grants.append(UlGrant(rnti=rnti, rb_start=cursor,
+                                      l_prb=l_prb, mcs=ul_mcs, ndi=1,
+                                      cqi_request=cqi_req,
+                                      l_aggr=la[0], cce_start=la[1]))
+                u.ul_harq_ent = dict(l_prb=l_prb, mcs=ul_mcs, n_tx=1,
                                      retx_due=False)
-                cursor += 8
+                cursor += l_prb
         for rnti in hinted:
             u = self.ues.get(rnti)
             if u is None:

@@ -516,7 +516,13 @@ class UeStack:
                 self.metrics["ul_harq_retx"] += 1
                 continue
             subs = []
-            room = 1000
+            # mux to the grant's transport block size (36.321 mux.cc): the
+            # waveform path carries exactly TBS bits, and the message path
+            # should not pretend a small grant fits a kilobyte either
+            from ..phch import ra as _ra
+
+            room = max(8, min(1000, _ra.ul_tbs(min(g.mcs, 28),
+                                               max(1, g.l_prb)) // 8 - 8))
             if self.ul_ccch:
                 subs.append((pdu.LCID_CCCH, self.ul_ccch.popleft()))
             # periodic Power Headroom Report CE (36.321 §5.4.6 / proc_phr):

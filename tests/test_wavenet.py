@@ -1,0 +1,78 @@
+"""Waveform-native attach: the FULL UE life cycle through the device PHY.
+
+The message bus is absent below L2 — `runtime/wavenet.py` carries cell
+search, MIB, SIB, PRACH, RA, RRC, NAS and user data as OFDM waveforms
+through per-link AWGN channels, matching the reference's ZMQ IQ mode
+(`lib/src/phy/rf/rf_zmq_imp.c` + `srsue/src/phy/sync.cc:364-470`).
+"""
+
+import numpy as np
+import pytest
+
+from srslte_emane_tpu.epc import hss as hss_mod, mme as mme_mod
+from srslte_emane_tpu.epc import spgw as spgw_mod
+from srslte_emane_tpu.runtime import wavenet
+from srslte_emane_tpu.stack import enb_stack, security, ue_stack
+
+
+def build(n_ues=2, n_prb=6, pathloss=80.0, seed=0):
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=n_prb)
+    ues = []
+    for i in range(n_ues):
+        imsi = f"00101000000000{i:02d}"
+        key = bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        opc = security.milenage_opc(key, b"\x00" * 16)
+        ues.append(ue_stack.UeStack(ue_stack.Usim(imsi, key, opc),
+                                    preamble=7 + i))
+    net = wavenet.WaveformNetwork(
+        enb, ues, pathloss_db=np.full(n_ues, pathloss), n_prb=n_prb,
+        seed=seed)
+    return net, enb, ues, mme, spgw
+
+
+@pytest.mark.slow
+def test_waveform_native_attach_and_traffic():
+    """Two UEs power on, find the cell, RACH, attach, and pass IP traffic
+    entirely over waveforms (no bus message below RRC anywhere)."""
+    net, enb, ues, mme, spgw = build(n_ues=2)
+
+    for _ in range(8):  # up to 400 TTIs in 50-TTI slabs
+        net.run(50)
+        if all(u.emm_state == "REGISTERED" for u in ues):
+            break
+    assert all(u.emm_state == "REGISTERED" for u in ues), \
+        [(u.emm_state, u.rrc_state) for u in ues]
+    assert all(u.rrc_state == "CONNECTED" for u in ues)
+    assert all(u.ip_addr for u in ues)
+    # the PHY evidence: every control step really happened on waveforms
+    assert net.enb.metrics["prach_det"] >= 2
+    assert net.enb.metrics["pusch_ok"] >= 4   # Msg3 + NAS uplinks
+    assert net.enb.metrics["pucch_det"] >= 2  # ACKs and SRs
+    for ue in net.ues:
+        assert ue.metrics["prach_tx"] == 1
+        assert ue.metrics["tb_ok"] >= 4       # RAR, RRC setup, NAS DL
+        assert ue.state == "CAMP"
+
+    # downlink user-plane traffic: SPGW -> GTP -> PDSCH -> UE gw
+    u0 = ues[0]
+    pkt = spgw_mod.make_ipv4("8.8.8.8", u0.ip_addr, b"waveform-ip")
+    assert spgw.handle_sgi_pdu(pkt)
+    before = net.enb.metrics["dl_tx"]
+    net.run(30)
+    assert any(p == pkt for p in u0.gw_rx)
+    assert net.enb.metrics["dl_tx"] > before  # it rode a real PDSCH
+
+
+@pytest.mark.slow
+def test_waveform_native_low_snr_still_attaches():
+    """At 30 dB more pathloss the link still closes (AWGN, MCS floors)."""
+    net, enb, ues, mme, spgw = build(n_ues=1, pathloss=105.0, seed=3)
+    for _ in range(8):
+        net.run(50)
+        if ues[0].emm_state == "REGISTERED":
+            break
+    assert ues[0].emm_state == "REGISTERED"
