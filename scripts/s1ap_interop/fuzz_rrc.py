@@ -1,0 +1,124 @@
+"""Differential RRC codec fuzzer: randomized messages from the repo's
+36.331 schema, round-tripped through the REFERENCE's generated codec.
+
+Usage:
+    python fuzz_rrc.py [n_per_channel] [seed]        # emit harness lines
+    python fuzz_rrc.py [n] [seed] | ./unpack_rrc     # the differential run
+    python check_rrc.py < unpack_rrc_output          # verdict
+
+Every line is `<channel> <name> <hex>`; `unpack_rrc` (see README.md)
+unpacks with rrc_asn1.cc and echoes `REPACK <name> <hex>` — byte-equality
+with the input proves field-for-field agreement.  Names are
+`fz_<channel>_<i>`; the checker joins on them.
+
+The avoid-list excludes (a) schema nodes that stand in for structured
+types as opaque octets, (b) post-REL-8 extension arms outside the
+reference vintage's repack discipline — every exclusion is a known,
+listed subset boundary, not silent luck.
+"""
+
+import sys
+import zlib
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from srslte_emane_tpu.stack.asn1 import fuzz, rrc36331 as rrc
+from srslte_emane_tpu.stack.asn1.runtime import uper_decode, uper_encode
+
+# opaque stand-ins for structured types + inter-RAT containers the repo
+# does not model structurally (random octets are not valid contents)
+AVOID = {
+    "non_crit_ext",
+    # SIBs still modeled as octets (shrink as schemas land)
+    "sib4", "sib5", "sib6", "sib7", "sib8", "sib9", "sib10", "sib11", "sib12_v920",
+    # inter-RAT measurement machinery
+    "meas_result_list_utra", "meas_result_list_geran",
+    "meas_results_cdma2000", "meas_obj_utra", "meas_obj_geran",
+    "meas_obj_cdma2000", "report_cfg_inter_rat", "quant_cfg_utra",
+    "quant_cfg_geran", "quant_cfg_cdma2000",
+    # structured DL/UL message stand-ins
+    "csfb_params_resp_cdma2000", "ho_from_eutra_prep_request",
+    "mob_from_eutra_cmd", "counter_check", "ue_info_request_r9",
+    "logged_meas_cfg_r10", "rn_recfg_r10", "csfb_params_request_cdma2000",
+    "ul_ho_prep_transfer", "counter_check_resp", "ue_info_resp_r9",
+    "proximity_ind_r9", "rn_recfg_complete_r10", "mbms_count_resp_r10",
+    "inter_freq_rstd_meas_ind_r10", "idle_mode_mob_ctrl_info",
+    # structured r10+ SCell / sidelink / LWA stand-ins
+    "rr_cfg_common_scell_r10", "rr_cfg_ded_scell_r10",
+    "sl_v2x_cfg_ded_r14", "scell_to_add_mod_list_ext_v1430",
+    "scell_to_add_mod_list_ext_r13", "lwa_cfg_r13", "lwip_cfg_r13",
+    "rclwi_cfg_r13", "scg_cfg_r12", "sl_sync_tx_ctrl_r12",
+    "sl_disc_cfg_r12", "sl_comm_cfg_r12",
+    # inter-RAT capability containers (structured per-RAT syntax)
+    "utra_fdd", "utra_tdd128", "utra_tdd384", "utra_tdd768", "geran",
+    "cdma2000_hrpd", "cdma2000_1xrtt",
+    # CHOICE stand-ins inside redirectedCarrierInfo etc. share these names
+    # empty future-extension arms: legal but informationless
+    "msg_class_ext", "crit_exts_future",
+    # REFERENCE limitation: rrc_asn1.cc's generated pack/unpack for
+    # lateNonCriticalExtension carries ONLY the presence flag and drops
+    # the octet-string body (sib_type2_s::pack group_flags[0]) — a
+    # non-empty value can never repack byte-exact through the reference
+    "late_non_crit_ext",
+}
+
+CHANNELS = [
+    ("ul_ccch", rrc.UL_CCCH_MSG),
+    ("dl_ccch", rrc.DL_CCCH_MSG),
+    ("ul_dcch", rrc.UL_DCCH_MSG),
+    ("dl_dcch", rrc.DL_DCCH_MSG),
+    ("pcch", rrc.PCCH_MSG),
+    ("bcch_dl_sch", rrc.BCCH_DL_SCH_MSG),
+]
+
+
+def _c1_alts(schema, avoid):
+    """Names of the generatable messages under the channel's c1 CHOICE."""
+    msg = dict((n, t) for n, t, *_ in
+               [(f[0], f[1]) for f in schema.fields])["msg"]
+    c1 = dict(msg.alts)["c1"]
+    return [n for n, _ in c1.alts
+            if not n.startswith("spare") and n not in avoid]
+
+
+def corpus(n_per_channel: int, seed: int, avoid=frozenset()):
+    """[(channel, name, bytes)] — deterministic for (n, seed).  Spreads
+    each channel's corpus round-robin over its c1 message types so every
+    message schema gets equal fuzz pressure."""
+    cfg = fuzz.FuzzConfig(avoid=AVOID | set(avoid))
+    out = []
+    for chan, schema in CHANNELS:
+        rng = np.random.default_rng(seed ^ zlib.crc32(chan.encode()))
+        alts = _c1_alts(schema, cfg.avoid)
+        made = 0
+        tries = 0
+        while made < n_per_channel:
+            tries += 1
+            assert tries < 300 * n_per_channel, f"{chan}: generator stuck"
+            v = fuzz.rand_value(schema, rng, cfg)
+            alt, inner = v["msg"]
+            if alt != "c1" or inner[0] != alts[made % len(alts)]:
+                continue  # round-robin the message type
+            b = uper_encode(schema, v)
+            if len(b) > 1000:
+                continue  # harness line-length bound
+            # self round-trip must be byte-stable before we blame anyone
+            v2 = uper_decode(schema, b)
+            b2 = uper_encode(schema, v2)
+            assert b2 == b, (chan, v, b.hex(), b2.hex())
+            out.append((chan, f"fz_{chan}_{made}", b))
+            made += 1
+    return out
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    for chan, name, b in corpus(n, seed):
+        print(chan, name, b.hex())
+
+
+if __name__ == "__main__":
+    main()

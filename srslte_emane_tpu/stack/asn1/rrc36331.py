@@ -298,7 +298,7 @@ SIB2 = Seq([
     ("mbsfn_sf_cfg_list", SeqOf(MBSFN_SF_CONFIG, 1, 8), "?"),
     ("time_align_timer_common", TIME_ALIGN_TIMER),
 ], ext=True, ext_fields=[
-    ("late_non_crit_ext", OctStr()),
+    [("late_non_crit_ext", OctStr(), "?")],
     [("ssac_barr_for_mmtel_voice_r9", AC_BARRING_CONFIG, "?"),
      ("ssac_barr_for_mmtel_video_r9", AC_BARRING_CONFIG, "?")],
     [("ac_barr_for_csfb_r10", AC_BARRING_CONFIG, "?")],
@@ -352,7 +352,7 @@ SIB3 = Seq([
         ("t_resel_eutra_sf", SPEED_STATE_SCALE_FACTORS, "?"),
     ])),
 ], ext=True, ext_fields=[
-    ("late_non_crit_ext", OctStr()),
+    [("late_non_crit_ext", OctStr(), "?")],
     [("s_intra_search_v920", Seq([
         ("s_intra_search_p_r9", Int(0, 31)),
         ("s_intra_search_q_r9", Int(0, 31)),
@@ -519,7 +519,7 @@ LC_CH_CFG = Seq([
         ("lc_ch_group", Int(0, 3), "?"),
     ]), "?"),
 ], ext=True, ext_fields=[
-    ("lc_ch_sr_mask_r9", Enum(("setup",))),
+    [("lc_ch_sr_mask_r9", Enum(("setup",)), "?")],
     [("lc_ch_sr_prohibit_r12", Bool(), "?")],
 ])
 
@@ -589,7 +589,7 @@ MAC_MAIN_CFG = Seq([
         ])),
     ]), "?"),
 ], ext=True, ext_fields=[
-    ("sr_prohibit_timer_r9", Int(0, 7)),
+    [("sr_prohibit_timer_r9", Int(0, 7), "?")],
     [("mac_main_cfg_v1020", Seq([
         ("s_cell_deactivation_timer_r10",
          Enum(("rf2", "rf4", "rf8", "rf16", "rf32", "rf64", "rf128",
@@ -624,7 +624,7 @@ PDCP_CONFIG = Seq([
         ], ext=True)),
     ])),
 ], ext=True, ext_fields=[
-    ("rn_integrity_protection_r10", Enum(("enabled",))),
+    [("rn_integrity_protection_r10", Enum(("enabled",)), "?")],
     [("pdcp_sn_size_v1130", Enum(("len15bits",)), "?")],
     [("ul_data_split_drb_via_scg_r12", Bool(), "?"),
      ("t_reordering_r12", Enum(("ms0", "ms20", "ms40", "ms60", "ms80",
@@ -652,16 +652,24 @@ DRB_TO_ADD_MOD = Seq([
     [("rlc_cfg_v1310", Seq([("ul_extended_rlc_am_sn_r13", Bool()),
                             ("dl_extended_rlc_am_sn_r13", Bool()),
                             ("poll_pdu_v1310", Enum(("p512", "p1024",
-                                                     "p2048", "p4096")),
+                                                     "p2048", "p4096",
+                                                     "p6144", "p8192",
+                                                     "p12288", "p16384")),
                              "?")]), "?"),
      ("drb_type_lwa_r13", Bool(), "?"),
      ("drb_type_lwip_r13", Enum(("lwip", "lwip_dl_only", "lwip_ul_only",
                                  "eutran")), "?")],
-    [("rlc_cfg_v1430", Seq([("poll_byte_r14",
+    [("rlc_cfg_v1430", setup_release(Seq([("poll_byte_r14",
                              Enum(("kb1", "kb2", "kb5", "kb8", "kb10",
                                    "kb15", "kb3500", "kb4000", "kb4500",
                                    "kb5000", "kb5500", "kb6000", "kb6500",
-                                   "kb7000", "kb7500", "kb8000")))]), "?"),
+                                   "kb7000", "kb7500", "kb8000", "kb9000",
+                                   "kb10000", "kb11000", "kb12000",
+                                   "kb13000", "kb14000", "kb15000",
+                                   "kb16000", "kb17000", "kb18000",
+                                   "kb19000", "kb20000", "kb25000",
+                                   "kb30000", "kb35000", "kb40000")))])),
+      "?"),
      ("lwip_ul_aggregation_r14", Bool(), "?"),
      ("lwip_dl_aggregation_r14", Bool(), "?"),
      ("lwa_wlan_ac_r14", Enum(("ac_bk", "ac_be", "ac_vi", "ac_vo")), "?")],
@@ -880,8 +888,7 @@ PUCCH_CFG_DED_V1020 = Seq([
             ("two_ant_port_activ_pucch_format3_r10", Choice([
                 ("release", Null()),
                 ("setup", Seq([
-                    ("n3_pucch_an_list_p1_r13", SeqOf(Int(0, 549), 1, 4),
-                     "?"),
+                    ("n3_pucch_an_list_p1_r13", SeqOf(Int(0, 549), 1, 4)),
                 ])),
             ]), "?"),
         ])),
@@ -914,29 +921,27 @@ SRS_ANT_PORT = Enum(("an1", "an2", "an4", "spare1"))
 
 SRS_UL_CFG_DED_V1020 = Seq([("srs_ant_port_r10", SRS_ANT_PORT)])
 
+SRS_CONFIG_AP_R10 = Seq([
+    ("srs_ant_port_ap_r10", SRS_ANT_PORT),
+    ("srs_bw_ap_r10", Enum(("bw0", "bw1", "bw2", "bw3"))),
+    ("freq_domain_position_ap_r10", Int(0, 23)),
+    ("tx_comb_ap_r10", Int(0, 1)),
+    ("cyclic_shift_ap_r10", Enum(tuple(f"cs{i}" for i in range(8)))),
+])
+
 SRS_UL_CFG_DED_APERIODIC_R10 = Choice([
     ("release", Null()),
     ("setup", Seq([
         ("srs_cfg_idx_ap_r10", Int(0, 31)),
-        ("srs_cfg_ap_dci_format4_r10",
-         SeqOf(Seq([
-             ("srs_ant_port_ap_r10", SRS_ANT_PORT),
-             ("srs_bw_ap_r10", Enum(("bw0", "bw1", "bw2", "bw3"))),
-             ("freq_domain_position_ap_r10", Int(0, 23)),
-             ("tx_comb_ap_r10", Int(0, 1)),
-             ("cyclic_shift_ap_r10", Enum(tuple(f"cs{i}" for i in
-                                                range(8)))),
-         ]), 1, 3), "?"),
+        ("srs_cfg_ap_dci_format4_r10", SeqOf(SRS_CONFIG_AP_R10, 1, 3),
+         "?"),
+        # srs-ActivateAp-r10: one SRS-ConfigAp per triggering DCI family
         ("srs_activ_ap_r10", Choice([
             ("release", Null()),
             ("setup", Seq([
-                ("srs_ant_port_ap_r10", SRS_ANT_PORT),
-                ("srs_bw_ap_r10", Enum(("bw0", "bw1", "bw2", "bw3"))),
-                ("freq_domain_position_ap_r10", Int(0, 23)),
-                ("tx_comb_ap_r10", Int(0, 1)),
-                ("cyclic_shift_ap_r10", Enum(tuple(f"cs{i}" for i in
-                                                   range(8)))),
-            ])),
+                ("srs_cfg_ap_dci_format0_r10", SRS_CONFIG_AP_R10),
+                ("srs_cfg_ap_dci_format1a2b2c_r10", SRS_CONFIG_AP_R10),
+            ], ext=True)),
         ]), "?"),
     ])),
 ])
@@ -1069,7 +1074,7 @@ RR_CFG_DED = Seq([
         ("setup", SeqOf(Seq([
             ("pci_r11", PHYS_CELL_ID),
             ("crs_ports_count_r11", Enum(("n1", "n2", "n4", "spare1"))),
-            ("mbsfn_sf_cfg_list_r11", SeqOf(MBSFN_SF_CONFIG, 1, 8), "?"),
+            ("mbsfn_sf_cfg_list_r11", SeqOf(MBSFN_SF_CONFIG, 1, 8)),
         ], ext=True), 1, 8)),
      ]), "?")],
 ])
@@ -1358,6 +1363,16 @@ SECURITY_ALGORITHM_CFG = Seq([
                                        "spare2", "spare1"), ext=True)),
 ])
 
+BANDCLASS_CDMA2000 = Enum(
+    tuple(f"bc{i}" for i in range(18))
+    + tuple(f"bc{i}_v9a0" for i in range(18, 22))
+    + tuple(f"spare{i}" for i in range(10, 0, -1)), ext=True)
+
+CARRIER_FREQ_CDMA2000 = Seq([
+    ("band_class", BANDCLASS_CDMA2000),
+    ("arfcn", Int(0, 2047)),
+])
+
 SECURITY_CFG_HO = Seq([
     ("ho_type", Choice([
         ("intra_lte", Seq([
@@ -1369,7 +1384,7 @@ SECURITY_CFG_HO = Seq([
             ("security_algorithm_cfg", SECURITY_ALGORITHM_CFG),
             ("nas_security_param_to_eutra", OctStr(6, 6)),
         ])),
-    ], ext=True)),
+    ])),  # handoverType CHOICE carries no extension marker (36.331)
 ], ext=True)
 
 # ---------------- RRCConnectionReconfiguration + non-crit chain ----------------
@@ -1519,8 +1534,8 @@ DL_DCCH_MSG = Seq([
                         ])),
                         ("utra_fdd", Int(0, 16383)),
                         ("utra_tdd", Int(0, 16383)),
-                        ("cdma2000_hrpd", OctStr()),
-                        ("cdma2000_1x_rtt", OctStr()),
+                        ("cdma2000_hrpd", CARRIER_FREQ_CDMA2000),
+                        ("cdma2000_1x_rtt", CARRIER_FREQ_CDMA2000),
                     ], ext=True), "?"),
                     ("idle_mode_mob_ctrl_info", OctStr(), "?"),
                     ("non_crit_ext", OctStr(), "?"),
