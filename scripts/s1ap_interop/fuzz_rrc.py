@@ -31,8 +31,6 @@ from srslte_emane_tpu.stack.asn1.runtime import uper_decode, uper_encode
 # does not model structurally (random octets are not valid contents)
 AVOID = {
     "non_crit_ext",
-    # SIBs still modeled as octets (shrink as schemas land)
-    "sib4", "sib5", "sib6", "sib7", "sib8", "sib9", "sib10", "sib11", "sib12_v920",
     # inter-RAT measurement machinery
     "meas_result_list_utra", "meas_result_list_geran",
     "meas_results_cdma2000", "meas_obj_utra", "meas_obj_geran",

@@ -367,6 +367,241 @@ SIB3 = Seq([
 
 # ---------------- BCCH-DL-SCH ----------------
 
+# SIB4-SIB12 (36.331 §6.3.1), byte-layout verified against the reference's
+# generated codec (rrc_asn1.cc sib_type4_s..sib_type12_r9_s unpack):
+# neighbour/reselection SIBs, CDMA2000 interworking, HNB name, ETWS/CMAS.
+
+BANDCLASS_CDMA2000 = Enum(
+    tuple(f"bc{i}" for i in range(18))
+    + tuple(f"bc{i}_v9a0" for i in range(18, 22))
+    + tuple(f"spare{i}" for i in range(10, 0, -1)), ext=True)
+
+CARRIER_FREQ_CDMA2000 = Seq([
+    ("band_class", BANDCLASS_CDMA2000),
+    ("arfcn", Int(0, 2047)),
+])
+
+PCI_RANGE = Seq([
+    ("start", PHYS_CELL_ID),
+    ("range", Enum(("n4", "n8", "n12", "n16", "n24", "n32", "n48", "n64",
+                    "n84", "n96", "n128", "n168", "n252", "n504", "spare2",
+                    "spare1")), "?"),
+])
+
+INTRA_FREQ_NEIGH_CELL_INFO = Seq([
+    ("pci", PHYS_CELL_ID),
+    ("q_offset_cell", Q_OFFSET_RANGE),
+], ext=True)
+
+# InterFreqNeighCellInfo: same fields, but NOT extensible (36.331 /
+# inter_freq_neigh_cell_info_s — no leading ext bit)
+INTER_FREQ_NEIGH_CELL_INFO = Seq([
+    ("pci", PHYS_CELL_ID),
+    ("q_offset_cell", Q_OFFSET_RANGE),
+])
+
+SIB4 = Seq([
+    ("intra_freq_neigh_cell_list",
+     SeqOf(INTRA_FREQ_NEIGH_CELL_INFO, 1, 16), "?"),
+    ("intra_freq_black_cell_list", SeqOf(PCI_RANGE, 1, 16), "?"),
+    ("csg_pci_range", PCI_RANGE, "?"),
+], ext=True, ext_fields=[
+    [("late_non_crit_ext", OctStr(), "?")],
+])
+
+ALLOWED_MEAS_BW = Enum(("mbw6", "mbw15", "mbw25", "mbw50", "mbw75",
+                        "mbw100"))
+Q_OFFSET_FREQ = Q_OFFSET_RANGE  # same value set, DEFAULT dB0
+
+INTER_FREQ_CARRIER_FREQ_INFO = Seq([
+    ("dl_carrier_freq", ARFCN_EUTRA),
+    ("q_rx_lev_min", Int(-70, -22)),
+    ("p_max", Int(-30, 33), "?"),
+    ("t_resel_eutra", Int(0, 7)),
+    ("t_resel_eutra_sf", SPEED_STATE_SCALE_FACTORS, "?"),
+    ("thresh_x_high", Int(0, 31)),
+    ("thresh_x_low", Int(0, 31)),
+    ("allowed_meas_bw", ALLOWED_MEAS_BW),
+    ("presence_ant_port1", Bool()),
+    ("cell_resel_prio", Int(0, 7), "?"),
+    ("neigh_cell_cfg", BitStr(2)),
+    ("q_offset_freq", Q_OFFSET_FREQ, ("=", "dB0")),
+    ("inter_freq_neigh_cell_list",
+     SeqOf(INTER_FREQ_NEIGH_CELL_INFO, 1, 16), "?"),
+    ("inter_freq_black_cell_list", SeqOf(PCI_RANGE, 1, 16), "?"),
+], ext=True)
+
+SIB5 = Seq([
+    ("inter_freq_carrier_freq_list",
+     SeqOf(INTER_FREQ_CARRIER_FREQ_INFO, 1, 8)),
+], ext=True, ext_fields=[
+    [("late_non_crit_ext", OctStr(), "?")],
+])
+
+CARRIER_FREQ_UTRA_FDD = Seq([
+    ("carrier_freq", Int(0, 16383)),
+    ("cell_resel_prio", Int(0, 7), "?"),
+    ("thresh_x_high", Int(0, 31)),
+    ("thresh_x_low", Int(0, 31)),
+    ("q_rx_lev_min", Int(-60, -13)),
+    ("p_max_utra", Int(-50, 33)),
+    ("q_qual_min", Int(-24, 0)),
+], ext=True)
+
+CARRIER_FREQ_UTRA_TDD = Seq([
+    ("carrier_freq", Int(0, 16383)),
+    ("cell_resel_prio", Int(0, 7), "?"),
+    ("thresh_x_high", Int(0, 31)),
+    ("thresh_x_low", Int(0, 31)),
+    ("q_rx_lev_min", Int(-60, -13)),
+    ("p_max_utra", Int(-50, 33)),
+], ext=True)
+
+SIB6 = Seq([
+    ("carrier_freq_list_utra_fdd", SeqOf(CARRIER_FREQ_UTRA_FDD, 1, 16),
+     "?"),
+    ("carrier_freq_list_utra_tdd", SeqOf(CARRIER_FREQ_UTRA_TDD, 1, 16),
+     "?"),
+    ("t_resel_utra", Int(0, 7)),
+    ("t_resel_utra_sf", SPEED_STATE_SCALE_FACTORS, "?"),
+], ext=True, ext_fields=[
+    [("late_non_crit_ext", OctStr(), "?")],
+])
+
+CARRIER_FREQS_GERAN = Seq([
+    ("start_arfcn", Int(0, 1023)),
+    ("band_ind", Enum(("dcs1800", "pcs1900"))),
+    ("following_arfcns", Choice([
+        ("explicit_list_of_arfcns", SeqOf(Int(0, 1023), 0, 31)),
+        ("equally_spaced_arfcns", Seq([
+            ("arfcn_spacing", Int(1, 8)),
+            ("nof_following_arfcns", Int(0, 30)),
+        ])),
+        # OCTET STRING (SIZE(1..16)) in the spec, but the reference's
+        # codec reads a general length determinant (dyn_octstring)
+        ("variable_bit_map_of_arfcns", OctStr()),
+    ])),
+])
+
+CARRIER_FREQS_INFO_GERAN = Seq([
+    ("carrier_freqs", CARRIER_FREQS_GERAN),
+    ("common_info", Seq([
+        ("cell_resel_prio", Int(0, 7), "?"),
+        ("ncc_permitted", BitStr(8)),
+        ("q_rx_lev_min", Int(0, 45)),
+        ("p_max_geran", Int(0, 39), "?"),
+        ("thresh_x_high", Int(0, 31)),
+        ("thresh_x_low", Int(0, 31)),
+    ])),
+], ext=True)
+
+SIB7 = Seq([
+    ("t_resel_geran", Int(0, 7)),
+    ("t_resel_geran_sf", SPEED_STATE_SCALE_FACTORS, "?"),
+    ("carrier_freqs_info_list", SeqOf(CARRIER_FREQS_INFO_GERAN, 1, 16),
+     "?"),
+], ext=True)
+
+SYS_TIME_INFO_CDMA2000 = Seq([
+    ("cdma_eutra_synchronisation", Bool()),
+    ("cdma_sys_time", Choice([
+        ("sync_sys_time", BitStr(39)),
+        ("async_sys_time", BitStr(49)),
+    ])),
+])
+
+BAND_CLASS_INFO_CDMA2000 = Seq([
+    ("band_class", BANDCLASS_CDMA2000),
+    ("cell_resel_prio", Int(0, 7), "?"),
+    ("thresh_x_high", Int(0, 63)),
+    ("thresh_x_low", Int(0, 63)),
+], ext=True)
+
+NEIGH_CELL_CDMA2000 = Seq([
+    ("band_class", BANDCLASS_CDMA2000),
+    ("neigh_cells_per_freq_list", SeqOf(Seq([
+        ("arfcn", Int(0, 2047)),
+        ("pci_list", SeqOf(Int(0, 511), 1, 16)),
+    ]), 1, 16)),
+])
+
+CELL_RESEL_PARAMS_CDMA2000 = Seq([
+    ("band_class_list", SeqOf(BAND_CLASS_INFO_CDMA2000, 1, 32)),
+    ("neigh_cell_list", SeqOf(NEIGH_CELL_CDMA2000, 1, 16)),
+    ("t_resel_cdma2000", Int(0, 7)),
+    ("t_resel_cdma2000_sf", SPEED_STATE_SCALE_FACTORS, "?"),
+])
+
+CSFB_REGIST_PARAM1_XRTT = Seq([
+    ("sid", BitStr(15)),
+    ("nid", BitStr(16)),
+    ("multiple_sid", Bool()),
+    ("multiple_nid", Bool()),
+    ("home_reg", Bool()),
+    ("foreign_sid_reg", Bool()),
+    ("foreign_nid_reg", Bool()),
+    ("param_reg", Bool()),
+    ("pwr_up_reg", Bool()),
+    ("regist_period", BitStr(7)),
+    ("regist_zone", BitStr(12)),
+    ("total_zone", BitStr(3)),
+    ("zone_timer", BitStr(3)),
+])
+
+SIB8 = Seq([
+    ("sys_time_info", SYS_TIME_INFO_CDMA2000, "?"),
+    ("search_win_size", Int(0, 15), "?"),
+    ("params_hrpd", Seq([
+        ("pre_regist_info_hrpd", Seq([
+            ("pre_regist_allowed", Bool()),
+            ("pre_regist_zone_id", Int(0, 255), "?"),
+            ("secondary_pre_regist_zone_id_list", SeqOf(Int(0, 255), 1, 2),
+             "?"),
+        ])),
+        ("cell_resel_params_hrpd", CELL_RESEL_PARAMS_CDMA2000, "?"),
+    ]), "?"),
+    ("params1_xrtt", Seq([
+        ("csfb_regist_param1_xrtt", CSFB_REGIST_PARAM1_XRTT, "?"),
+        ("long_code_state1_xrtt", BitStr(42), "?"),
+        ("cell_resel_params1_xrtt", CELL_RESEL_PARAMS_CDMA2000, "?"),
+    ]), "?"),
+], ext=True, ext_fields=[
+    [("late_non_crit_ext", OctStr(), "?")],
+])
+
+SIB9 = Seq([
+    # SIZE(1..48) in the spec; dyn_octstring in the reference codec
+    ("hnb_name", OctStr(), "?"),
+], ext=True)
+
+SIB10 = Seq([
+    ("msg_id", BitStr(16)),
+    ("serial_num", BitStr(16)),
+    ("warning_type", OctStr(2, 2)),
+    ("dummy", OctStr(50, 50), "?"),  # warningSecurityInfo
+], ext=True)
+
+WARNING_SEGMENT_TYPE = Enum(("not_last_segment", "last_segment"))
+
+SIB11 = Seq([
+    ("msg_id", BitStr(16)),
+    ("serial_num", BitStr(16)),
+    ("warning_msg_segment_type", WARNING_SEGMENT_TYPE),
+    ("warning_msg_segment_num", Int(0, 63)),
+    ("warning_msg_segment", OctStr()),
+    ("data_coding_scheme", OctStr(1, 1), "?"),
+], ext=True)
+
+SIB12_R9 = Seq([
+    ("msg_id_r9", BitStr(16)),
+    ("serial_num_r9", BitStr(16)),
+    ("warning_msg_segment_type_r9", WARNING_SEGMENT_TYPE),
+    ("warning_msg_segment_num_r9", Int(0, 63)),
+    ("warning_msg_segment_r9", OctStr()),
+    ("data_coding_scheme_r9", OctStr(1, 1), "?"),
+    ("late_non_crit_ext", OctStr(), "?"),
+], ext=True)
+
 # SystemInformationBlockType13-r9 (36.331 §6.3.1): MBSFN area info + MCCH
 # config — what srsue rrc.cc handle_sib13 consumes to find the MCCH
 MBSFN_AREA_INFO_R9 = Seq([
@@ -395,16 +630,16 @@ SIB13_R9 = Seq([
 SIB_INFO_ITEM = Choice([
     ("sib2", SIB2),
     ("sib3", SIB3),
-    ("sib4", OctStr()),
-    ("sib5", OctStr()),
-    ("sib6", OctStr()),
-    ("sib7", OctStr()),
-    ("sib8", OctStr()),
-    ("sib9", OctStr()),
-    ("sib10", OctStr()),
-    ("sib11", OctStr()),
+    ("sib4", SIB4),
+    ("sib5", SIB5),
+    ("sib6", SIB6),
+    ("sib7", SIB7),
+    ("sib8", SIB8),
+    ("sib9", SIB9),
+    ("sib10", SIB10),
+    ("sib11", SIB11),
     # extension alternatives (encoded as open types past the ext marker)
-    ("sib12_v920", OctStr()),
+    ("sib12_v920", SIB12_R9),
     ("sib13_v920", SIB13_R9),
 ], ext=True, n_root=10)
 
@@ -1361,16 +1596,6 @@ SECURITY_ALGORITHM_CFG = Seq([
     ("integrity_prot_algorithm", Enum(("eia0_v920", "eia1", "eia2",
                                        "eia3_v1130", "spare4", "spare3",
                                        "spare2", "spare1"), ext=True)),
-])
-
-BANDCLASS_CDMA2000 = Enum(
-    tuple(f"bc{i}" for i in range(18))
-    + tuple(f"bc{i}_v9a0" for i in range(18, 22))
-    + tuple(f"spare{i}" for i in range(10, 0, -1)), ext=True)
-
-CARRIER_FREQ_CDMA2000 = Seq([
-    ("band_class", BANDCLASS_CDMA2000),
-    ("arfcn", Int(0, 2047)),
 ])
 
 SECURITY_CFG_HO = Seq([

@@ -32,7 +32,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "5b7ab693cfae32bec57c7bc233240a0bbf35cd6cac2a04368688646a82eacb09"
+PINNED_SHA = "4cb459cf39f72aa94fb132793974cb305b8b731c902535fe674ca0be9f5645ce"
 
 
 @pytest.fixture(scope="module")
