@@ -26,6 +26,7 @@ LLR convention: positive LLR <=> bit 0 (bipolar sign s_b = 1 - 2b).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -303,37 +304,109 @@ def turbo_decode(
     else:
         map_fn = _map_decode
 
-    def check(bits):
-        if crc is None:
-            return jnp.zeros((B,), dtype=bool)
-        return crc_mod.crc_ok(bits, crc)
+    def make_phase(ls_p, lp1_p, lp2_p, tx1, tz1, tx2, tz2):
+        """while_loop body/cond factory over one (possibly compacted) batch."""
+        nB = ls_p.shape[0]
 
-    def body(state):
-        it, apri1, done, bits_out, pass_out = state
-        post1 = map_fn(ls + apri1, lp1, tail_x1, tail_z1)
-        ext1 = (post1 - (ls + apri1)) * EXT_SCALE
-        apri2 = jnp.take(ext1, perm, axis=1)
-        ls2 = jnp.take(ls, perm, axis=1)
-        post2 = map_fn(ls2 + apri2, lp2, tail_x2, tail_z2)
-        ext2 = (post2 - (ls2 + apri2)) * EXT_SCALE
-        apri1_new = jnp.take(ext2, inv_perm, axis=1)
-        bits = (jnp.take(post2, inv_perm, axis=1) < 0).astype(jnp.int8)
-        ok = check(bits)
-        # latest hard decisions for unfinished CBs; freeze once passed
-        bits_out = jnp.where(done[:, None], bits_out, bits)
-        pass_out = pass_out | (ok & ~done)
-        done = done | ok
-        return it + 1, apri1_new, done, bits_out, pass_out
+        def check(bits):
+            if crc is None:
+                return jnp.zeros((nB,), dtype=bool)
+            return crc_mod.crc_ok(bits, crc)
 
-    def cond(state):
-        it, _, done, _, _ = state
-        return (it < max_iter) & ~jnp.all(done)
+        def body(state):
+            it, apri1, done, bits_out, pass_out = state
+            post1 = map_fn(ls_p + apri1, lp1_p, tx1, tz1)
+            ext1 = (post1 - (ls_p + apri1)) * EXT_SCALE
+            apri2 = jnp.take(ext1, perm, axis=1)
+            ls2 = jnp.take(ls_p, perm, axis=1)
+            post2 = map_fn(ls2 + apri2, lp2_p, tx2, tz2)
+            ext2 = (post2 - (ls2 + apri2)) * EXT_SCALE
+            apri1_new = jnp.take(ext2, inv_perm, axis=1)
+            bits = (jnp.take(post2, inv_perm, axis=1) < 0).astype(jnp.int8)
+            ok = check(bits)
+            # latest hard decisions for unfinished CBs; freeze once passed
+            bits_out = jnp.where(done[:, None], bits_out, bits)
+            pass_out = pass_out | (ok & ~done)
+            done = done | ok
+            return it + 1, apri1_new, done, bits_out, pass_out
+
+        def cond_until(stop_count):
+            def cond(state):
+                it, _, done, _, _ = state
+                return (it < max_iter) & (jnp.sum(~done) > stop_count)
+            return cond
+
+        return body, cond_until
 
     apri0 = jnp.zeros_like(ls)
     done0 = ~valid
     bits0 = jnp.zeros((B, k), dtype=jnp.int8)
     pass0 = jnp.zeros((B,), dtype=bool)
-    it, _, _, bits_out, pass_out = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), apri0, done0, bits0, pass0)
-    )
+
+    # SRSLTE_TPU_CASCADE=0 is the A/B escape hatch used to measure the
+    # compaction's contribution (docs/BENCHMARKS.md SNR table)
+    cascade_on = os.environ.get("SRSLTE_TPU_CASCADE", "1") != "0"
+    body, cond_until = make_phase(ls, lp1, lp2, tail_x1, tail_z1,
+                                  tail_x2, tail_z2)
+    if crc is None or B < 8 or not cascade_on:
+        it, _, _, bits_out, pass_out = jax.lax.while_loop(
+            cond_until(0), body, (jnp.int32(0), apri0, done0, bits0, pass0))
+        return bits_out, pass_out & valid, it
+
+    # CRC-gated BATCH COMPACTION cascade (the per-CB iteration scheduling
+    # of sch.c:350-383, restructured for static shapes): run the full
+    # batch only until <= B/2 code blocks remain unfinished, then gather
+    # the stragglers into a half-size batch, then a quarter-size one.
+    # Finished CBs stop COSTING, not just stop changing — at the BLER
+    # waterfall (where a few never-converging CBs used to drag every row
+    # through all 8 iterations) this cuts the MAP work ~2-3x.  The whole
+    # compaction rides inside a lax.cond so the converged-early case
+    # (high SNR, the 20 dB headline) pays ZERO gather/scatter traffic.
+    it, apri1, done, bits_out, pass_out = jax.lax.while_loop(
+        cond_until(B // 2), body,
+        (jnp.int32(0), apri0, done0, bits0, pass0))
+
+    arrs = (ls, lp1, lp2, tail_x1, tail_z1, tail_x2, tail_z2)
+
+    def sub_phase(state, sub_size, stop_count):
+        """Gather the unfinished rows into a sub_size batch, run until
+        <= stop_count remain, scatter results back full-size."""
+        it, apri, done, bits, pas = state
+        idx = jnp.argsort(done)[:sub_size]  # unfinished first (stable)
+        sub = tuple(a[idx] for a in arrs)
+        s_body, s_cond = make_phase(*sub)
+        st = (it, apri[idx], done[idx], bits[idx], pas[idx])
+        s_it, s_apri, s_done, s_bits, s_pass = jax.lax.while_loop(
+            s_cond(stop_count), s_body, st)
+        return (s_it, apri.at[idx].set(s_apri), done.at[idx].set(s_done),
+                bits.at[idx].set(s_bits), pas.at[idx].set(s_pass))
+
+    # two stages measured best on-chip: a B/8 stage adds dispatch and
+    # compile cost without beating B/4's MAP width at the straggler tail
+    sizes = [s for s in (B // 2, B // 4) if s >= 2]
+
+    def cascade(state, i):
+        """Run stage i, then fall through to narrower stages as the
+        straggler count keeps shrinking."""
+        stop = sizes[i + 1] if i + 1 < len(sizes) else 0
+        state = sub_phase(state, sizes[i], stop)
+        if i + 1 < len(sizes):
+            state = jax.lax.cond(jnp.any(~state[2]),
+                                 lambda s: cascade(s, i + 1),
+                                 lambda s: s, state)
+        return state
+
+    def entry(state, i):
+        """Enter at the NARROWEST stage that still fits the stragglers —
+        the high-SNR path (1-2 trailing rows) skips straight to the B/8
+        batch and pays minimal compaction HBM traffic."""
+        if i + 1 >= len(sizes):
+            return cascade(state, i)
+        return jax.lax.cond(jnp.sum(~state[2]) > sizes[i + 1],
+                            lambda s: cascade(s, i),
+                            lambda s: entry(s, i + 1), state)
+
+    state = (it, apri1, done, bits_out, pass_out)
+    it, _, done, bits_out, pass_out = jax.lax.cond(
+        jnp.any(~done), lambda s: entry(s, 0), lambda s: s, state)
     return bits_out, pass_out & valid, it
