@@ -575,7 +575,9 @@ def initial_ue_message(enb_ue_id: int, nas_pdu: bytes, tai: dict, cgi: dict,
         _ie(ID_RRC_ESTABLISHMENT_CAUSE, "ignore", cause),
     ]
     if s_tmsi is not None:
-        ies.insert(2, _ie(ID_S_TMSI, "reject", s_tmsi))
+        # 36.413 §9.1.7.1 IE order puts S-TMSI AFTER the establishment
+        # cause (the reference's packer emits this order; fuzz-verified)
+        ies.append(_ie(ID_S_TMSI, "reject", s_tmsi))
     return S1apPdu("initiatingMessage", PROC_INITIAL_UE_MESSAGE, "ignore",
                    ies)
 

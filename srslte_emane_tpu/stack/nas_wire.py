@@ -450,7 +450,9 @@ def encode(msg) -> bytes:
     if t is nas_msgs.ActivateDedicatedEpsBearerRequest:
         return w.encode(_esm(
             msg.eps_bearer_id, 0, w.ACT_DEDICATED_BEARER_REQ,
-            linked_ebi=(msg.linked_bearer_id, 0),
+            # 24.007 half-octet order: the first V IE (linked EBI)
+            # occupies bits 1-4, the spare half octet bits 5-8
+            linked_ebi=(0, msg.linked_bearer_id),
             eps_qos=bytes([msg.qci]), tft=bytes(msg.tft)))
     if t is nas_msgs.ActivateDedicatedEpsBearerAccept:
         return w.encode(_esm(msg.eps_bearer_id, 0,
@@ -472,7 +474,7 @@ def decode(data: bytes):
         if name == "activate_dedicated_eps_bearer_context_request":
             return nas_msgs.ActivateDedicatedEpsBearerRequest(
                 eps_bearer_id=d["eps_bearer_id"],
-                linked_bearer_id=d["linked_ebi"][0],
+                linked_bearer_id=d["linked_ebi"][1],
                 qci=d["eps_qos"][0], tft=d["tft"])
         if name == "activate_dedicated_eps_bearer_context_accept":
             return nas_msgs.ActivateDedicatedEpsBearerAccept(

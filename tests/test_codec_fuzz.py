@@ -88,3 +88,75 @@ def test_differential_vs_reference_codec(corpus):
     bad = [(name, got.get(name)) for chan, name, b in corpus
            if got.get(name) != b.hex()]
     assert not bad, f"{len(bad)} divergences, first: {bad[:3]}"
+
+
+# ---------------- S1AP (aligned PER, vs liblte_s1ap.cc) ----------------
+
+import fuzz_s1ap  # noqa: E402
+
+S1AP_N = 50
+S1AP_SHA = "aabb123da9d3c5b8c2f518cbbd3ffd95e1a6b4e42a768d1c53379d2a0b8381f4"
+
+
+@pytest.fixture(scope="module")
+def s1ap_corpus():
+    return fuzz_s1ap.corpus(S1AP_N, 1)
+
+
+def test_s1ap_corpus_hash(s1ap_corpus):
+    assert len(s1ap_corpus) == len(fuzz_s1ap.KINDS) * S1AP_N
+    h = hashlib.sha256()
+    for kind, b in s1ap_corpus:
+        h.update(kind.encode() + b"\x00" + b + b"\x00")
+    assert h.hexdigest() == S1AP_SHA
+
+
+@pytest.mark.skipif(not os.path.exists("/tmp/s1ap_harness"),
+                    reason="reference harness not built (see "
+                           "scripts/s1ap_interop/README.md)")
+def test_s1ap_differential_vs_liblte(s1ap_corpus):
+    lines = "".join(b.hex() + "\n" for _, b in s1ap_corpus)
+    out = subprocess.run(["/tmp/s1ap_harness"], input=lines,
+                         capture_output=True, text=True, timeout=300)
+    repacks = [l.split()[1] for l in out.stdout.splitlines()
+               if l.startswith("REPACK")]
+    assert len(repacks) == len(s1ap_corpus)
+    bad = [i for i, (kb, r) in enumerate(zip(s1ap_corpus, repacks))
+           if kb[1].hex() != r]
+    assert not bad, f"{len(bad)} divergences, first at {bad[:3]}"
+
+
+# ---------------- NAS (24.301 TLV, vs liblte_mme.cc) ----------------
+
+import fuzz_nas  # noqa: E402
+
+NAS_N = 10
+NAS_SHA = "8a6b45f797bb64498ddca8fa561725255b645623dc061eae6011b448b54181a2"
+
+
+@pytest.fixture(scope="module")
+def nas_corpus():
+    return fuzz_nas.corpus(NAS_N, 1)
+
+
+def test_nas_corpus_hash(nas_corpus):
+    assert len(nas_corpus) >= 44 * NAS_N  # 44 fuzzable message types
+    h = hashlib.sha256()
+    for name, b in nas_corpus:
+        h.update(name.encode() + b"\x00" + b + b"\x00")
+    assert h.hexdigest() == NAS_SHA
+
+
+@pytest.mark.skipif(not os.path.exists("/tmp/nas_harness"),
+                    reason="reference harness not built (see "
+                           "scripts/s1ap_interop/README.md)")
+def test_nas_differential_vs_liblte(nas_corpus):
+    lines = "".join(f"{name} {b.hex()}\n" for name, b in nas_corpus)
+    out = subprocess.run(["/tmp/nas_harness"], input=lines,
+                         capture_output=True, text=True, timeout=300)
+    got = {}
+    for line in out.stdout.splitlines():
+        p = line.split()
+        got[p[1]] = p[2] if p[0] == "REPACK" else "FAIL"
+    bad = [(n, got.get(n)) for n, b in nas_corpus if got.get(n) != b.hex()]
+    assert not bad, f"{len(bad)} divergences, first: {bad[:3]}"
