@@ -49,10 +49,8 @@ AVOID = {
     "scell_to_add_mod_list_ext_r13", "lwa_cfg_r13", "lwip_cfg_r13",
     "rclwi_cfg_r13", "scg_cfg_r12", "sl_sync_tx_ctrl_r12",
     "sl_disc_cfg_r12", "sl_comm_cfg_r12",
-    # inter-RAT capability containers (structured per-RAT syntax)
-    "utra_fdd", "utra_tdd128", "utra_tdd384", "utra_tdd768", "geran",
-    "cdma2000_hrpd", "cdma2000_1xrtt",
-    # CHOICE stand-ins inside redirectedCarrierInfo etc. share these names
+    # the UE-EUTRA-Capability v940+ tail stays an opaque container
+    "non_crit_ext_v940",
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
     # REFERENCE limitation: rrc_asn1.cc's generated pack/unpack for
@@ -79,6 +77,22 @@ def _c1_alts(schema, avoid):
     c1 = dict(msg.alts)["c1"]
     return [n for n, _ in c1.alts
             if not n.startswith("spare") and n not in avoid]
+
+
+def ue_cap_corpus(n: int, seed: int):
+    """Randomized bare UE-EUTRA-Capability values (the type rides OCTET
+    STRING containers on the wire; the harness 'ue_cap' channel
+    round-trips it directly through rrc_asn1.cc)."""
+    cfg = fuzz.FuzzConfig(avoid=AVOID)
+    rng = np.random.default_rng(seed ^ zlib.crc32(b"ue_cap"))
+    out = []
+    for i in range(n):
+        v = fuzz.rand_value(rrc.UE_EUTRA_CAPABILITY, rng, cfg)
+        b = uper_encode(rrc.UE_EUTRA_CAPABILITY, v)
+        v2 = uper_decode(rrc.UE_EUTRA_CAPABILITY, b)
+        assert uper_encode(rrc.UE_EUTRA_CAPABILITY, v2) == b
+        out.append(("ue_cap", f"fz_ue_cap_{i}", b))
+    return out
 
 
 def corpus(n_per_channel: int, seed: int, avoid=frozenset()):
@@ -114,7 +128,7 @@ def corpus(n_per_channel: int, seed: int, avoid=frozenset()):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    for chan, name, b in corpus(n, seed):
+    for chan, name, b in corpus(n, seed) + ue_cap_corpus(n, seed):
         print(chan, name, b.hex())
 
 

@@ -63,6 +63,10 @@ int main() {
       roundtrip<pcch_msg_s>(name, buf, n);
     else if (!strcmp(chan, "bcch_dl_sch"))
       roundtrip<bcch_dl_sch_msg_s>(name, buf, n);
+    else if (!strcmp(chan, "ue_cap"))
+      // the UE-EUTRA-Capability rides OCTET-STRING containers on the
+      // wire; round-trip the bare type for the capability-tree fuzz
+      roundtrip<ue_eutra_cap_s>(name, buf, n);
     else
       printf("FAIL %s unknown-channel\n", name);
   }

@@ -1838,6 +1838,77 @@ MEAS_PARAMS_CAP = Seq([
     ]), 1, 64)),
 ])
 
+# Inter-RAT capability parameters (36.331 §6.3.6, layouts verified
+# against rrc_asn1.cc irat_params_*_s)
+SUPPORTED_BAND_UTRA_FDD = Enum(
+    ("band_i", "band_ii", "band_iii", "band_iv", "band_v", "band_vi",
+     "band_vii", "band_viii", "band_ix", "band_x", "band_xi", "band_xii",
+     "band_xiii", "band_xiv", "band_xv", "band_xvi"), ext=True)
+SUPPORTED_BAND_UTRA_TDD = Enum(tuple("abcdefghijklmnop"), ext=True)
+SUPPORTED_BAND_GERAN = Enum(
+    ("gsm450", "gsm480", "gsm710", "gsm750", "gsm810", "gsm850",
+     "gsm900_p", "gsm900_e", "gsm900_r", "gsm1800", "gsm1900", "spare5",
+     "spare4", "spare3", "spare2", "spare1"), ext=True)
+TX_RX_CFG_CDMA2000 = Enum(("single", "dual"))
+
+IRAT_PARAMS_UTRA_FDD = Seq([
+    ("supported_band_list_utra_fdd",
+     SeqOf(SUPPORTED_BAND_UTRA_FDD, 1, 64)),
+])
+IRAT_PARAMS_UTRA_TDD = Seq([
+    ("supported_band_list_utra_tdd", SeqOf(SUPPORTED_BAND_UTRA_TDD, 1, 64)),
+])
+IRAT_PARAMS_GERAN = Seq([
+    ("supported_band_list_geran", SeqOf(SUPPORTED_BAND_GERAN, 1, 64)),
+    ("inter_rat_ps_ho_to_geran", Bool()),
+])
+IRAT_PARAMS_CDMA2000_HRPD = Seq([
+    ("supported_band_list_hrpd", SeqOf(BANDCLASS_CDMA2000, 1, 32)),
+    ("tx_cfg_hrpd", TX_RX_CFG_CDMA2000),
+    ("rx_cfg_hrpd", TX_RX_CFG_CDMA2000),
+])
+IRAT_PARAMS_CDMA2000_1XRTT = Seq([
+    ("supported_band_list1_xrtt", SeqOf(BANDCLASS_CDMA2000, 1, 32)),
+    ("tx_cfg1_xrtt", TX_RX_CFG_CDMA2000),
+    ("rx_cfg1_xrtt", TX_RX_CFG_CDMA2000),
+])
+
+# UE-EUTRA-Capability-v920-IEs (the rel-9 capability extension chain;
+# the v940+ tail remains an opaque container)
+_SUPPORTED = Enum(("supported",))  # zero-bit value, presence says it all
+
+UE_EUTRA_CAP_V920 = Seq([
+    ("phy_layer_params_v920", Seq([
+        ("enhanced_dual_layer_fdd_r9", _SUPPORTED, "?"),
+        ("enhanced_dual_layer_tdd_r9", _SUPPORTED, "?"),
+    ])),
+    ("inter_rat_params_geran_v920", Seq([
+        ("dtm_r9", _SUPPORTED, "?"),
+        ("e_redirection_geran_r9", _SUPPORTED, "?"),
+    ])),
+    ("inter_rat_params_utra_v920", Seq([
+        ("e_redirection_utra_r9", _SUPPORTED, "?"),
+    ]), "?"),
+    ("inter_rat_params_cdma2000_v920", Seq([
+        ("e_csfb_conc_ps_mob1_xrtt_r9", _SUPPORTED, "?"),
+    ]), "?"),
+    ("dev_type_r9", Enum(("no_ben_from_bat_consump_opt",)), "?"),
+    ("csg_proximity_ind_params_r9", Seq([
+        ("intra_freq_proximity_ind_r9", _SUPPORTED, "?"),
+        ("inter_freq_proximity_ind_r9", _SUPPORTED, "?"),
+        ("utran_proximity_ind_r9", _SUPPORTED, "?"),
+    ])),
+    ("neigh_cell_si_acquisition_params_r9", Seq([
+        ("intra_freq_si_acquisition_for_ho_r9", _SUPPORTED, "?"),
+        ("inter_freq_si_acquisition_for_ho_r9", _SUPPORTED, "?"),
+        ("utran_si_acquisition_for_ho_r9", _SUPPORTED, "?"),
+    ])),
+    ("son_params_r9", Seq([
+        ("rach_report_r9", _SUPPORTED, "?"),
+    ])),
+    ("non_crit_ext_v940", OctStr(), "?"),  # UE-EUTRA-Cap-v940-IEs tail
+])
+
 UE_EUTRA_CAPABILITY = Seq([
     ("access_stratum_release",
      Enum(("rel8", "rel9", "rel10", "rel11", "rel12", "spare3", "spare2",
@@ -1849,15 +1920,15 @@ UE_EUTRA_CAPABILITY = Seq([
     ("meas_params", MEAS_PARAMS_CAP),
     ("feature_group_inds", BitStr(32), "?"),
     ("inter_rat_params", Seq([
-        ("utra_fdd", OctStr(), "?"),
-        ("utra_tdd128", OctStr(), "?"),
-        ("utra_tdd384", OctStr(), "?"),
-        ("utra_tdd768", OctStr(), "?"),
-        ("geran", OctStr(), "?"),
-        ("cdma2000_hrpd", OctStr(), "?"),
-        ("cdma2000_1xrtt", OctStr(), "?"),
+        ("utra_fdd", IRAT_PARAMS_UTRA_FDD, "?"),
+        ("utra_tdd128", IRAT_PARAMS_UTRA_TDD, "?"),
+        ("utra_tdd384", IRAT_PARAMS_UTRA_TDD, "?"),
+        ("utra_tdd768", IRAT_PARAMS_UTRA_TDD, "?"),
+        ("geran", IRAT_PARAMS_GERAN, "?"),
+        ("cdma2000_hrpd", IRAT_PARAMS_CDMA2000_HRPD, "?"),
+        ("cdma2000_1xrtt", IRAT_PARAMS_CDMA2000_1XRTT, "?"),
     ])),
-    ("non_crit_ext", OctStr(), "?"),
+    ("non_crit_ext", UE_EUTRA_CAP_V920, "?"),
 ])
 
 UE_CAP_RAT_CONTAINER = Seq([

@@ -32,16 +32,18 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "4cb459cf39f72aa94fb132793974cb305b8b731c902535fe674ca0be9f5645ce"
+PINNED_SHA = "cf6235e43de759f8db1b498c1e7bd8978824514fd577ea057caf75194e27d424"
 
 
 @pytest.fixture(scope="module")
 def corpus():
-    return fuzz_rrc.corpus(N_PER_CHANNEL, SEED)
+    return (fuzz_rrc.corpus(N_PER_CHANNEL, SEED)
+            + fuzz_rrc.ue_cap_corpus(N_PER_CHANNEL, SEED))
 
 
 def test_corpus_shape_and_hash(corpus):
-    assert len(corpus) == 6 * N_PER_CHANNEL
+    # 6 channels + the bare UE-EUTRA-Capability lane
+    assert len(corpus) == 7 * N_PER_CHANNEL
     h = hashlib.sha256()
     for chan, name, b in corpus:
         h.update(chan.encode() + b"\x00" + b + b"\x00")
@@ -58,6 +60,8 @@ def test_corpus_spans_every_message_type(corpus):
 
     kinds = set()
     for chan, name, b in corpus:
+        if chan == "ue_cap":
+            continue
         schema = dict(fuzz_rrc.CHANNELS)[chan]
         v = uper_decode(schema, b)
         kinds.add((chan, v["msg"][1][0]))
