@@ -471,8 +471,12 @@ class WaveUePhy:
         if getattr(stack, "serving_pci", None) is None:
             stack.serving_pci = cell.cell_id
 
-    def run_tti(self, tti: int):
-        samples = self.medium.dl_take(self.ue_idx)
+    def run_tti(self, tti: int, samples=None, batch=None):
+        """samples: this UE's (1, sf_len, 2) row; batch: the network's
+        shared per-TTI front-end products (rg/ce/snr/resid for ALL UEs,
+        computed in one device call) — None falls back to per-UE calls."""
+        if samples is None:
+            samples = self.medium.dl_take(self.ue_idx)
         sf = tti % 10
         if self.state == "CELL_SEARCH":
             if sf in (0, 5):
@@ -480,6 +484,8 @@ class WaveUePhy:
         elif self.state == "MIB":
             if sf == 0:
                 self._mib(tti, samples)
+        elif batch is not None:
+            self._camp_rx_row(tti, batch)
         else:
             self._camp_rx(tti, samples)
         if getattr(self.stack, "tick", None) is not None:
@@ -509,25 +515,39 @@ class WaveUePhy:
     def _camp_rx(self, tti, samples):
         sf = tti % 10
         rg, ce, snr, cfi = self.k.rx_front(sf)(samples)
-        snr_db = float(np.asarray(snr)[0]) if np.ndim(
-            np.asarray(snr)) else float(np.asarray(snr))
+        fn, positions = self.k.blind_all(sf)
+        bits_dev, resid = fn(rg, ce)
+        batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
+                     resid=np.asarray(resid), bits_dev=bits_dev,
+                     bits=None, positions=positions, row=0)
+        self._camp_rx_row(tti, batch)
+
+    def _camp_rx_row(self, tti, batch):
+        """Consume row `batch['row'] or self.ue_idx` of the shared
+        batched front-end (rg/ce/resid computed once for every UE)."""
+        sf = tti % 10
+        row = batch.get("row", self.ue_idx)
+        rg = batch["rg"]
+        snr_db = float(batch["snr"][row])
+        resid = batch["resid"][row]
         sync_cb = getattr(self.stack, "sync_indication", None)
         if sync_cb is not None:
             sync_cb(tti, snr_db > -3.0, snr_db)
         listen = self.stack.listen_rntis(tti)
-        fn, positions = self.k.blind_all(sf)
-        bits_dev, resid = fn(rg, ce)
-        resid = np.asarray(resid)[0]
-        bits = None  # host copy fetched lazily — most TTIs have no hit
-        pos_idx = {p: i for i, p in enumerate(positions)}
+        pos_idx = {p: i for i, p in enumerate(batch["positions"])}
+        rg_row = None
         for rnti in sorted(listen):
             hit_is = [i for c in pdcch_mod.candidates(self.cell, rnti, sf)
                       if (i := pos_idx.get(c)) is not None
                       and resid[i] == rnti]
             if not hit_is:
                 continue
-            if bits is None:
-                bits = np.asarray(bits_dev)[0]
+            if batch["bits"] is None:
+                # one host copy for the WHOLE batch, shared across UEs
+                batch["bits"] = np.asarray(batch["bits_dev"])
+            bits = batch["bits"][row]
+            if rg_row is None:
+                rg_row = rg[row : row + 1]
             seen = set()
             for ci in hit_is:
                 key = bits[ci].tobytes()
@@ -535,11 +555,13 @@ class WaveUePhy:
                     continue  # same DCI visible at nested aggregations
                 seen.add(key)
                 self.metrics["dci_hit"] += 1
-                self._handle_dci(tti, rg, rnti, bits[ci], snr_db)
+                self._handle_dci(tti, rg_row, rnti, bits[ci], snr_db)
         # PHICH (UL HARQ feedback)
         if getattr(self.stack, "crnti", None) and \
                 getattr(self.stack, "_ul_harq_buf", None) is not None:
-            ph = np.asarray(self.k.phich_rx(sf)(rg, ce))
+            ce = batch["ce"]
+            ph = np.asarray(self.k.phich_rx(sf)(
+                rg[row : row + 1], ce[row : row + 1]))
             m = float(ph[0, 0, self.stack.crnti % 8])
             if abs(m) > 0.3:
                 self.stack.harq_ack(tti, m > 0)
@@ -647,6 +669,19 @@ class WaveMedium:
         self._ul_acc = None
         self._ul_meta = None
 
+    def dl_take_all(self):
+        """(n_ues, sf_len, 2): every UE's receive samples in ONE batch —
+        one noise draw, per-link amplitudes broadcast down the batch
+        axis.  The whole network's downlink front-end then runs as a
+        single compiled call per TTI."""
+        tti, tx = self._dl
+        snr_db = (self.tx_power_dbm - self.pathloss_db
+                  - self.noise_floor_dbm)  # (n_ues,)
+        amp = jnp.asarray(10.0 ** (-snr_db / 20.0))[:, None, None]
+        noise = jax.random.normal(
+            self._split(), (self.n_ues,) + tx.shape[1:]) / np.sqrt(2.0)
+        return tx + amp * noise
+
     def dl_take(self, ue_idx: int):
         tti, tx = self._dl
         snr_db = (self.tx_power_dbm - float(self.pathloss_db[ue_idx])
@@ -699,6 +734,24 @@ class WaveformNetwork:
     def run(self, n_ttis: int):
         for _ in range(n_ttis):
             self.enb.run_tti(self.tti)
-            for ue in self.ues:
-                ue.run_tti(self.tti)
+            sf = self.tti % 10
+            # ONE noise draw and ONE front-end/blind-search call for the
+            # whole UE population: the batch axis replaces the per-UE
+            # receive loop (the framework's core TPU design)
+            samples = self.medium.dl_take_all()
+            batch = None
+            if any(ue.state == "CAMP" for ue in self.ues):
+                rg, ce, snr, cfi = self.kern.rx_front(sf)(samples)
+                fn, positions = self.kern.blind_all(sf)
+                bits_dev, resid = fn(rg, ce)
+                batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
+                             resid=np.asarray(resid), bits_dev=bits_dev,
+                             bits=None, positions=positions)
+            for i, ue in enumerate(self.ues):
+                row = dict(batch, row=i) if batch is not None else None
+                if row is not None:
+                    row["bits"] = batch["bits"]
+                ue.run_tti(self.tti, samples[i : i + 1], row)
+                if row is not None and row["bits"] is not None:
+                    batch["bits"] = row["bits"]  # share the host copy
             self.tti += 1
