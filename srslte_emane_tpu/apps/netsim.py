@@ -81,7 +81,7 @@ def run_waveform_full(args):
                                     preamble=(7 + i) % 64))
     net = wavenet.WaveformNetwork(
         enb, ues, pathloss_db=np.full(args.ues, args.pathloss),
-        n_prb=args.prb)
+        n_prb=args.prb, fading_profile=args.fading or None)
 
     t0 = time.time()
     attach_tti = {}
@@ -149,6 +149,10 @@ def main(argv=None):
                     help="after attach, carry each UE's DL burst through the"
                          " real device PHY (runtime/wavesim) and report"
                          " delivery + measured SNR")
+    ap.add_argument("--fading", default="",
+                    help="with --waveform-full: carry every link through"
+                         " a 36.101 tapped-delay-line profile"
+                         " (epa/eva/etu) with 5 Hz Doppler")
     ap.add_argument("--waveform-full", action="store_true",
                     help="run the ENTIRE network over waveforms: no message"
                          " bus below L2 — cell search, MIB, PRACH, RA, RRC,"

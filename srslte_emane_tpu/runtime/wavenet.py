@@ -640,17 +640,24 @@ class WaveUePhy:
 
 
 class WaveMedium:
-    """Per-link pathloss + AWGN; UL superposes at the eNB with one TTI of
-    latency (the eNB decodes TTI n-1's uplink while building TTI n)."""
+    """Per-link pathloss + AWGN, optionally through a 36.101 Annex B.2
+    tapped-delay-line fading profile (EPA/EVA/ETU, block fading per
+    subframe, the role of the reference's `lib/src/phy/channel/fading.c`
+    over its ZMQ path); UL superposes at the eNB with one TTI of latency
+    (the eNB decodes TTI n-1's uplink while building TTI n)."""
 
     def __init__(self, n_ues: int, pathloss_db, tx_power_dbm: float = 30.0,
                  ue_power_dbm: float = 23.0, noise_floor_dbm: float = -104.0,
-                 seed: int = 0):
+                 seed: int = 0, fading_profile: str = None,
+                 doppler_hz: float = 5.0, srate_hz: float = None):
         self.n_ues = n_ues
         self.pathloss_db = np.asarray(pathloss_db, np.float32)
         self.tx_power_dbm = tx_power_dbm
         self.ue_power_dbm = ue_power_dbm
         self.noise_floor_dbm = noise_floor_dbm
+        self.fading_profile = fading_profile
+        self.doppler_hz = doppler_hz
+        self.srate_hz = srate_hz
         self._key = jax.random.PRNGKey(seed)
         self._dl = None  # (tti, samples)
         self._ul_acc = None
@@ -675,11 +682,19 @@ class WaveMedium:
         axis.  The whole network's downlink front-end then runs as a
         single compiled call per TTI."""
         tti, tx = self._dl
+        if self.fading_profile is not None:
+            from ..ops import fading as fading_mod
+
+            x = jnp.broadcast_to(tx, (self.n_ues,) + tx.shape[1:])
+            tx, _ = fading_mod.apply_fading(
+                x, jax.random.fold_in(jax.random.PRNGKey(77), tti),
+                self.fading_profile, self.srate_hz,
+                doppler_hz=self.doppler_hz, sf_time_s=tti * 1e-3)
         snr_db = (self.tx_power_dbm - self.pathloss_db
                   - self.noise_floor_dbm)  # (n_ues,)
         amp = jnp.asarray(10.0 ** (-snr_db / 20.0))[:, None, None]
         noise = jax.random.normal(
-            self._split(), (self.n_ues,) + tx.shape[1:]) / np.sqrt(2.0)
+            self._split(), (self.n_ues,) + tx.shape[-2:]) / np.sqrt(2.0)
         return tx + amp * noise
 
     def dl_take(self, ue_idx: int):
@@ -716,7 +731,8 @@ class WaveformNetwork:
     reaches the eNB at tti+1 — the 1-TTI turnaround of txrx.cc)."""
 
     def __init__(self, enb_mac, ue_stacks, pathloss_db, n_prb: int = 6,
-                 cell_id: int = 1, seed: int = 0, cfi: int = 2):
+                 cell_id: int = 1, seed: int = 0, cfi: int = 2,
+                 fading_profile: str = None, doppler_hz: float = 5.0):
         self.cell = grid_mod.CellConfig(n_prb=n_prb, cell_id=cell_id,
                                         cfi=cfi)
         # the waveform grid is compiled at ONE cfi, so the MAC's CCE
@@ -725,7 +741,10 @@ class WaveformNetwork:
         assert enb_mac.n_prb == n_prb, "MAC/PHY bandwidth mismatch"
         enb_mac.fixed_cfi = cfi
         self.kern = _CellKernels(self.cell)
-        self.medium = WaveMedium(len(ue_stacks), pathloss_db, seed=seed)
+        self.medium = WaveMedium(
+            len(ue_stacks), pathloss_db, seed=seed,
+            fading_profile=fading_profile, doppler_hz=doppler_hz,
+            srate_hz=ofdm.params(n_prb)["sf_len"] * 1e3)
         self.enb = WaveEnbPhy(self.medium, self.cell, enb_mac, self.kern)
         self.ues = [WaveUePhy(self.medium, self.cell, st, self.kern, i)
                     for i, st in enumerate(ue_stacks)]

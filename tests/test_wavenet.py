@@ -76,3 +76,28 @@ def test_waveform_native_low_snr_still_attaches():
         if ues[0].emm_state == "REGISTERED":
             break
     assert ues[0].emm_state == "REGISTERED"
+
+
+@pytest.mark.slow
+def test_waveform_native_attach_through_epa_fading():
+    """The whole life cycle still completes through an EPA tapped-delay
+    -line channel (block fading per subframe, 36.101 Annex B.2 — the
+    reference's fading.c role over its ZMQ IQ path)."""
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=6)
+    key = bytes(range(16))
+    hss.add(hss_mod.Subscriber(imsi="001010000000007", key=key))
+    opc = security.milenage_opc(key, b"\x00" * 16)
+    ue = ue_stack.UeStack(ue_stack.Usim("001010000000007", key, opc),
+                          preamble=9)
+    net = wavenet.WaveformNetwork(
+        enb, [ue], pathloss_db=np.full(1, 70.0), n_prb=6, seed=5,
+        fading_profile="epa", doppler_hz=5.0)
+    for _ in range(10):
+        net.run(50)
+        if ue.emm_state == "REGISTERED":
+            break
+    assert ue.emm_state == "REGISTERED"
+    assert ue.ip_addr
