@@ -1422,13 +1422,56 @@ MEAS_OBJECT_EUTRA = Seq([
      ]), "?")],
 ])
 
+# Inter-RAT measurement objects (36.331 §6.3.5, rrc_asn1.cc
+# meas_obj_{utra,geran,cdma2000}_s layouts)
+Q_OFFSET_RANGE_INTER_RAT = Int(-15, 15)
+
+MEAS_OBJECT_UTRA = Seq([
+    ("carrier_freq", Int(0, 16383)),
+    ("offset_freq", Q_OFFSET_RANGE_INTER_RAT, ("=", 0)),
+    ("cells_to_rem_list", SeqOf(Int(1, 32), 1, 32), "?"),
+    ("cells_to_add_mod_list", Choice([
+        ("cells_to_add_mod_list_utra_fdd", SeqOf(Seq([
+            ("cell_idx", Int(1, 32)), ("pci", Int(0, 511))]), 1, 32)),
+        ("cells_to_add_mod_list_utra_tdd", SeqOf(Seq([
+            ("cell_idx", Int(1, 32)), ("pci", Int(0, 127))]), 1, 32)),
+    ]), "?"),
+    ("cell_for_which_to_report_cgi", Choice([
+        ("utra_fdd", Int(0, 511)),
+        ("utra_tdd", Int(0, 127)),
+    ]), "?"),
+], ext=True)
+
+PHYS_CELL_ID_GERAN = Seq([
+    ("network_colour_code", BitStr(3)),
+    ("base_station_colour_code", BitStr(3)),
+])
+
+MEAS_OBJECT_GERAN = Seq([
+    ("carrier_freqs", CARRIER_FREQS_GERAN),
+    ("offset_freq", Q_OFFSET_RANGE_INTER_RAT, ("=", 0)),
+    ("ncc_permitted", BitStr(8), ("=", "11111111")),
+    ("cell_for_which_to_report_cgi", PHYS_CELL_ID_GERAN, "?"),
+], ext=True)
+
+MEAS_OBJECT_CDMA2000 = Seq([
+    ("cdma2000_type", Enum(("type1_xrtt", "type_hrpd"))),
+    ("carrier_freq", CARRIER_FREQ_CDMA2000),
+    ("search_win_size", Int(0, 15), "?"),
+    ("offset_freq", Q_OFFSET_RANGE_INTER_RAT, ("=", 0)),
+    ("cells_to_rem_list", SeqOf(Int(1, 32), 1, 32), "?"),
+    ("cells_to_add_mod_list", SeqOf(Seq([
+        ("cell_idx", Int(1, 32)), ("pci", Int(0, 511))]), 1, 32), "?"),
+    ("cell_for_which_to_report_cgi", Int(0, 511), "?"),
+], ext=True)
+
 MEAS_OBJECT_TO_ADD_MOD = Seq([
     ("meas_obj_id", Int(1, 32)),
     ("meas_obj", Choice([
         ("meas_obj_eutra", MEAS_OBJECT_EUTRA),
-        ("meas_obj_utra", OctStr()),
-        ("meas_obj_geran", OctStr()),
-        ("meas_obj_cdma2000", OctStr()),
+        ("meas_obj_utra", MEAS_OBJECT_UTRA),
+        ("meas_obj_geran", MEAS_OBJECT_GERAN),
+        ("meas_obj_cdma2000", MEAS_OBJECT_CDMA2000),
     ], ext=True)),
 ])
 
@@ -1478,11 +1521,49 @@ REPORT_CFG_EUTRA = Seq([
      ("report_add_neigh_meas_r10", Enum(("setup",)), "?")],
 ])
 
+THRESHOLD_UTRA = Choice([
+    ("utra_rscp", Int(-5, 91)),
+    ("utra_ec_n0", Int(0, 49)),
+])
+THRESHOLD_GERAN = Int(0, 63)
+THRESHOLD_CDMA2000 = Int(0, 63)
+THRESHOLD_INTER_RAT = Choice([
+    ("b1_thres_utra", THRESHOLD_UTRA),
+    ("b1_thres_geran", THRESHOLD_GERAN),
+    ("b1_thres_cdma2000", THRESHOLD_CDMA2000),
+])
+
+REPORT_CFG_INTER_RAT = Seq([
+    ("trigger_type", Choice([
+        ("event", Seq([
+            ("event_id", Choice([
+                ("event_b1", Seq([("b1_thres", THRESHOLD_INTER_RAT)])),
+                ("event_b2", Seq([("b2_thres1", THRESHOLD_EUTRA),
+                                  ("b2_thres2", THRESHOLD_INTER_RAT)])),
+            ], ext=True, n_root=2)),
+            ("hysteresis", Int(0, 30)),
+            ("time_to_trigger", TIME_TO_TRIGGER),
+        ])),
+        ("periodical", Seq([
+            ("purpose", Enum(("report_strongest_cells",
+                              "report_strongest_cells_for_son",
+                              "report_cgi"))),
+        ])),
+    ])),
+    ("max_report_cells", Int(1, 8)),
+    ("report_interv", Enum(("ms120", "ms240", "ms480", "ms640", "ms1024",
+                            "ms2048", "ms5120", "ms10240", "min1", "min6",
+                            "min12", "min30", "min60", "spare3", "spare2",
+                            "spare1"))),
+    ("report_amount", Enum(("r1", "r2", "r4", "r8", "r16", "r32", "r64",
+                            "infinity"))),
+], ext=True)
+
 REPORT_CFG_TO_ADD_MOD = Seq([
     ("report_cfg_id", Int(1, 32)),
     ("report_cfg", Choice([
         ("report_cfg_eutra", REPORT_CFG_EUTRA),
-        ("report_cfg_inter_rat", OctStr()),
+        ("report_cfg_inter_rat", REPORT_CFG_INTER_RAT),
     ])),
 ])
 
@@ -1499,9 +1580,17 @@ QUANT_CFG_EUTRA = Seq([
 
 QUANT_CFG = Seq([
     ("quant_cfg_eutra", QUANT_CFG_EUTRA, "?"),
-    ("quant_cfg_utra", OctStr(), "?"),
-    ("quant_cfg_geran", OctStr(), "?"),
-    ("quant_cfg_cdma2000", OctStr(), "?"),
+    ("quant_cfg_utra", Seq([
+        ("meas_quant_utra_fdd", Enum(("cpich_rscp", "cpich_ec_n0"))),
+        ("filt_coef", FILT_COEF, ("=", "fc4")),
+    ]), "?"),
+    ("quant_cfg_geran", Seq([
+        ("filt_coef", FILT_COEF, ("=", "fc2")),
+    ]), "?"),
+    ("quant_cfg_cdma2000", Seq([
+        ("meas_quant_cdma2000",
+         Enum(("pilot_strength", "pilot_pn_phase_and_pilot_strength"))),
+    ]), "?"),
 ], ext=True)
 
 MEAS_GAP_CFG = Choice([
@@ -1717,10 +1806,117 @@ RRC_CONN_RECFG = Seq([
     ("crit_exts", _crit_ext_c1(RRC_CONN_RECFG_R8)),
 ])
 
+
+# ---- small dedicated-control messages (36.331 §6.2.2) ----
+
+DRB_COUNT_MSB_INFO = Seq([
+    ("drb_id", Int(1, 32)),
+    ("count_msb_ul", Int(0, 33554431)),
+    ("count_msb_dl", Int(0, 33554431)),
+])
+
+DRB_COUNT_INFO = Seq([
+    ("drb_id", Int(1, 32)),
+    ("count_ul", Int(0, 4294967295)),
+    ("count_dl", Int(0, 4294967295)),
+])
+
+COUNTER_CHECK = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("drb_count_msb_info_list", SeqOf(DRB_COUNT_MSB_INFO, 1, 11)),
+        ("non_crit_ext", OctStr(), "?"),
+    ]), n_spares=3)),
+])
+
+COUNTER_CHECK_RESPONSE = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", Choice([
+        ("counter_check_resp_r8", Seq([
+            ("drb_count_info_list", SeqOf(DRB_COUNT_INFO, 0, 11)),
+            ("non_crit_ext", OctStr(), "?"),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+UE_INFORMATION_REQUEST_R9 = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("rach_report_req_r9", Bool()),
+        ("rlf_report_req_r9", Bool()),
+        ("non_crit_ext", OctStr(), "?"),
+    ]), n_spares=3)),
+])
+
+MEAS_RESULT2_EUTRA_R9 = Seq([
+    ("carrier_freq_r9", ARFCN_EUTRA),
+    ("meas_result_list_r9", SeqOf(MEAS_RESULT_EUTRA, 1, 8)),
+])
+
+RLF_REPORT_R9 = Seq([
+    ("meas_result_last_serv_cell_r9", Seq([
+        ("rsrp_result_r9", Int(0, 97)),
+        ("rsrq_result_r9", Int(0, 34), "?"),
+    ])),
+    ("meas_result_neigh_cells_r9", Seq([
+        ("meas_result_list_eutra_r9", SeqOf(MEAS_RESULT2_EUTRA_R9, 1, 8),
+         "?"),
+        ("meas_result_list_utra_r9", OctStr(), "?"),
+        ("meas_result_list_geran_r9", OctStr(), "?"),
+        ("meas_results_cdma2000_r9", OctStr(), "?"),
+    ]), "?"),
+], ext=True)
+
+UE_INFORMATION_RESPONSE_R9 = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("rach_report_r9", Seq([
+            ("nof_preambs_sent_r9", Int(1, 200)),
+            ("contention_detected_r9", Bool()),
+        ]), "?"),
+        ("rlf_report_r9", RLF_REPORT_R9, "?"),
+        ("non_crit_ext", OctStr(), "?"),
+    ]), n_spares=3)),
+])
+
+PROXIMITY_INDICATION_R9 = Seq([
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("type_r9", Enum(("entering", "leaving"))),
+        ("carrier_freq_r9", Choice([
+            ("eutra_r9", ARFCN_EUTRA),
+            ("utra_r9", Int(0, 16383)),
+        ], ext=True, n_root=2)),
+        ("non_crit_ext", OctStr(), "?"),
+    ]), n_spares=3)),
+])
+
+CSFB_PARAMS_REQUEST_CDMA2000 = Seq([
+    ("crit_exts", Choice([
+        ("csfb_params_request_cdma2000_r8", Seq([
+            ("non_crit_ext", OctStr(), "?"),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+CSFB_PARAMS_RESPONSE_CDMA2000 = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", Choice([
+        ("csfb_params_resp_cdma2000_r8", Seq([
+            ("rand", BitStr(32)),
+            ("mob_params", OctStr()),
+            ("non_crit_ext", OctStr(), "?"),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+
 DL_DCCH_MSG = Seq([
     ("msg", Choice([
         ("c1", Choice([
-            ("csfb_params_resp_cdma2000", OctStr()),
+            ("csfb_params_resp_cdma2000", CSFB_PARAMS_RESPONSE_CDMA2000),
             ("dl_info_transfer", Seq([
                 ("rrc_transaction_id", Int(0, 3)),
                 ("crit_exts", _crit_ext_c1(Seq([
@@ -1784,8 +1980,8 @@ DL_DCCH_MSG = Seq([
                     ("non_crit_ext", OctStr(), "?"),
                 ]), n_spares=3)),
             ])),
-            ("counter_check", OctStr()),
-            ("ue_info_request_r9", OctStr()),
+            ("counter_check", COUNTER_CHECK),
+            ("ue_info_request_r9", UE_INFORMATION_REQUEST_R9),
             ("logged_meas_cfg_r10", OctStr()),
             ("rn_recfg_r10", OctStr()),
             ("spare4", Null()),
@@ -2013,7 +2209,7 @@ UL_INFO_TRANSFER = Seq([
 UL_DCCH_MSG = Seq([
     ("msg", Choice([
         ("c1", Choice([
-            ("csfb_params_request_cdma2000", OctStr()),
+            ("csfb_params_request_cdma2000", CSFB_PARAMS_REQUEST_CDMA2000),
             ("meas_report", MEAS_REPORT),
             ("rrc_conn_recfg_complete", RRC_CONN_RECFG_COMPLETE),
             ("rrc_conn_reest_complete", RRC_CONN_REEST_COMPLETE),
@@ -2023,9 +2219,9 @@ UL_DCCH_MSG = Seq([
             ("ue_cap_info", UE_CAP_INFO),
             ("ul_ho_prep_transfer", OctStr()),
             ("ul_info_transfer", UL_INFO_TRANSFER),
-            ("counter_check_resp", OctStr()),
-            ("ue_info_resp_r9", OctStr()),
-            ("proximity_ind_r9", OctStr()),
+            ("counter_check_resp", COUNTER_CHECK_RESPONSE),
+            ("ue_info_resp_r9", UE_INFORMATION_RESPONSE_R9),
+            ("proximity_ind_r9", PROXIMITY_INDICATION_R9),
             ("rn_recfg_complete_r10", OctStr()),
             ("mbms_count_resp_r10", OctStr()),
             ("inter_freq_rstd_meas_ind_r10", OctStr()),

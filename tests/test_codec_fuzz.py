@@ -32,7 +32,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "cf6235e43de759f8db1b498c1e7bd8978824514fd577ea057caf75194e27d424"
+PINNED_SHA = "2a540737a357e2a91b09413994150ef59ceb8c9e0fb0dcda3372ebd58d104689"
 
 
 @pytest.fixture(scope="module")
