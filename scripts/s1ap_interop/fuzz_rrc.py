@@ -40,7 +40,6 @@ AVOID = {
     "logged_meas_cfg_r10", "rn_recfg_r10",
     "ul_ho_prep_transfer", "rn_recfg_complete_r10",
     "mbms_count_resp_r10", "inter_freq_rstd_meas_ind_r10",
-    "idle_mode_mob_ctrl_info",
     # per-RAT RLF-report neighbour lists still opaque
     "meas_result_list_utra_r9", "meas_result_list_geran_r9",
     "meas_results_cdma2000_r9",
@@ -49,8 +48,8 @@ AVOID = {
     # therefore packs/unpacks the two counts in ZERO bits (X.691 says
     # 32); counterCheckResponse can never round-trip spec-exact
     "counter_check_resp",
-    # structured r10+ SCell / sidelink / LWA stand-ins
-    "rr_cfg_common_scell_r10", "rr_cfg_ded_scell_r10",
+    # structured r12+ sidelink / LWA stand-ins (SCell rr_cfg_common/ded
+    # are real schemas as of r3)
     "sl_v2x_cfg_ded_r14", "scell_to_add_mod_list_ext_v1430",
     "scell_to_add_mod_list_ext_r13", "lwa_cfg_r13", "lwip_cfg_r13",
     "rclwi_cfg_r13", "scg_cfg_r12", "sl_sync_tx_ctrl_r12",

@@ -1703,14 +1703,140 @@ SECURITY_CFG_HO = Seq([
 
 # ---------------- RRCConnectionReconfiguration + non-crit chain ----------------
 
+ALPHA_R12 = Enum(("al0", "al04", "al05", "al06", "al07", "al08", "al09",
+                  "al1"))
+
+# RadioResourceConfigCommonSCell-r10 (36.331 §6.3.2 /
+# rr_cfg_common_scell_r10_s): the SCell's broadcast-equivalent config
+# delivered dedicatedly
+RR_CFG_COMMON_SCELL_R10 = Seq([
+    ("non_ul_cfg_r10", Seq([
+        ("dl_bw_r10", Enum(("n6", "n15", "n25", "n50", "n75", "n100"))),
+        ("ant_info_common_r10", Seq([
+            ("ant_ports_count", Enum(("an1", "an2", "an4", "spare1"))),
+        ])),
+        ("mbsfn_sf_cfg_list_r10", SeqOf(MBSFN_SF_CONFIG, 1, 8), "?"),
+        ("phich_cfg_r10", PHICH_CONFIG),
+        ("pdsch_cfg_common_r10", PDSCH_CFG_COMMON),
+        ("tdd_cfg_r10", TDD_CONFIG, "?"),
+    ])),
+    ("ul_cfg_r10", Seq([
+        ("ul_freq_info_r10", Seq([
+            ("ul_carrier_freq_r10", ARFCN_EUTRA, "?"),
+            ("ul_bw_r10", Enum(("n6", "n15", "n25", "n50", "n75",
+                                "n100")), "?"),
+            ("add_spec_emission_scell_r10", Int(1, 32)),
+        ])),
+        ("p_max_r10", Int(-30, 33), "?"),
+        ("ul_pwr_ctrl_common_scell_r10", Seq([
+            ("p0_nominal_pusch_r10", Int(-126, 24)),
+            ("alpha_r10", ALPHA_R12),
+        ])),
+        ("srs_ul_cfg_common_r10", SRS_UL_CFG_COMMON),
+        ("ul_cp_len_r10", UL_CP_LENGTH),
+        ("prach_cfg_scell_r10", Seq([
+            ("prach_cfg_idx_r10", Int(0, 63)),
+        ]), "?"),
+    ]), "?"),
+], ext=True)
+
+CROSS_CARRIER_SCHED_CFG_R10 = Seq([
+    ("sched_cell_info_r10", Choice([
+        ("own_r10", Seq([("cif_presence_r10", Bool())])),
+        ("other_r10", Seq([
+            ("sched_cell_id_r10", Int(0, 7)),
+            ("pdsch_start_r10", Int(1, 4)),
+        ])),
+    ])),
+])
+
+# PhysicalConfigDedicatedSCell-r10 (phys_cfg_ded_scell_r10_s)
+PHYS_CFG_DED_SCELL_R10 = Seq([
+    ("non_ul_cfg_r10", Seq([
+        ("ant_info_r10", ANT_INFO_DED_R10, "?"),
+        ("cross_carrier_sched_cfg_r10", CROSS_CARRIER_SCHED_CFG_R10, "?"),
+        ("csi_rs_cfg_r10", CSI_RS_CFG_R10, "?"),
+        ("pdsch_cfg_ded_r10", PDSCH_CFG_DED, "?"),
+    ]), "?"),
+    ("ul_cfg_r10", Seq([
+        ("ant_info_ul_r10", Seq([
+            ("tx_mode_ul_r10", Enum(("tm1", "tm2", "spare6", "spare5",
+                                     "spare4", "spare3", "spare2",
+                                     "spare1")), "?"),
+            ("four_ant_port_activ_r10", Enum(("setup",)), "?"),
+        ]), "?"),
+        ("pusch_cfg_ded_scell_r10", Seq([
+            ("group_hop_disabled_r10", Enum(("true",)), "?"),
+            ("dmrs_with_occ_activ_r10", Enum(("true",)), "?"),
+        ]), "?"),
+        ("ul_pwr_ctrl_ded_scell_r10", Seq([
+            ("p0_ue_pusch_r10", Int(-8, 7)),
+            ("delta_mcs_enabled_r10", Enum(("en0", "en1"))),
+            ("accumulation_enabled_r10", Bool()),
+            ("p_srs_offset_r10", Int(0, 15)),
+            ("p_srs_offset_ap_r10", Int(0, 15), "?"),
+            ("filt_coef_r10", FILT_COEF, ("=", "fc4")),
+            ("pathloss_ref_linking_r10", Enum(("p_cell", "s_cell"))),
+        ]), "?"),
+        ("cqi_report_cfg_scell_r10", Seq([
+            ("cqi_report_mode_aperiodic_r10",
+             Enum(("rm12", "rm20", "rm22", "rm30", "rm31", "spare3",
+                   "spare2", "spare1")), "?"),
+            ("nom_pdsch_rs_epre_offset_r10", Int(-1, 6)),
+            ("cqi_report_periodic_scell_r10", CQI_REPORT_PERIODIC_R10,
+             "?"),
+            ("pmi_ri_report_r10", Enum(("setup",)), "?"),
+        ]), "?"),
+        ("srs_ul_cfg_ded_r10", SRS_UL_CFG_DED, "?"),
+        ("srs_ul_cfg_ded_v1020", SRS_UL_CFG_DED_V1020, "?"),
+        ("srs_ul_cfg_ded_aperiodic_r10", SRS_UL_CFG_DED_APERIODIC_R10,
+         "?"),
+    ]), "?"),
+], ext=True)
+
+RR_CFG_DED_SCELL_R10 = Seq([
+    ("phys_cfg_ded_scell_r10", PHYS_CFG_DED_SCELL_R10, "?"),
+], ext=True)
+
+# IdleModeMobilityControlInfo (36.331 §6.3.4): per-RAT reselection
+# priority lists handed out at connection release
+IDLE_MODE_MOBILITY_CONTROL_INFO = Seq([
+    ("freq_prio_list_eutra", SeqOf(Seq([
+        ("carrier_freq", ARFCN_EUTRA),
+        ("cell_resel_prio", Int(0, 7)),
+    ]), 1, 8), "?"),
+    ("freq_prio_list_geran", SeqOf(Seq([
+        ("carrier_freqs", CARRIER_FREQS_GERAN),
+        ("cell_resel_prio", Int(0, 7)),
+    ]), 1, 16), "?"),
+    ("freq_prio_list_utra_fdd", SeqOf(Seq([
+        ("carrier_freq", Int(0, 16383)),
+        ("cell_resel_prio", Int(0, 7)),
+    ]), 1, 16), "?"),
+    ("freq_prio_list_utra_tdd", SeqOf(Seq([
+        ("carrier_freq", Int(0, 16383)),
+        ("cell_resel_prio", Int(0, 7)),
+    ]), 1, 16), "?"),
+    ("band_class_prio_list_hrpd", SeqOf(Seq([
+        ("band_class", BANDCLASS_CDMA2000),
+        ("cell_resel_prio", Int(0, 7)),
+    ]), 1, 32), "?"),
+    ("band_class_prio_list1_xrtt", SeqOf(Seq([
+        ("band_class", BANDCLASS_CDMA2000),
+        ("cell_resel_prio", Int(0, 7)),
+    ]), 1, 32), "?"),
+    ("t320", Enum(("min5", "min10", "min20", "min30", "min60", "min120",
+                   "min180", "spare1")), "?"),
+], ext=True)
+
 SCELL_TO_ADD_MOD_R10 = Seq([
     ("scell_idx_r10", Int(1, 7)),
     ("cell_identif_r10", Seq([
         ("pci_r10", PHYS_CELL_ID),
         ("dl_carrier_freq_r10", ARFCN_EUTRA),
     ]), "?"),
-    ("rr_cfg_common_scell_r10", OctStr(), "?"),
-    ("rr_cfg_ded_scell_r10", OctStr(), "?"),
+    ("rr_cfg_common_scell_r10", RR_CFG_COMMON_SCELL_R10, "?"),
+    ("rr_cfg_ded_scell_r10", RR_CFG_DED_SCELL_R10, "?"),
 ], ext=True)
 
 RRC_CONN_RECFG_V1510 = Seq([
@@ -1958,7 +2084,8 @@ DL_DCCH_MSG = Seq([
                         ("cdma2000_hrpd", CARRIER_FREQ_CDMA2000),
                         ("cdma2000_1x_rtt", CARRIER_FREQ_CDMA2000),
                     ], ext=True), "?"),
-                    ("idle_mode_mob_ctrl_info", OctStr(), "?"),
+                    ("idle_mode_mob_ctrl_info",
+                     IDLE_MODE_MOBILITY_CONTROL_INFO, "?"),
                     ("non_crit_ext", OctStr(), "?"),
                 ]), n_spares=3)),
             ])),

@@ -32,7 +32,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "2a540737a357e2a91b09413994150ef59ceb8c9e0fb0dcda3372ebd58d104689"
+PINNED_SHA = "e00ef3d5786a13dac7bc6b3a63152b7bc123a27dc580b33c33b4b8aa59c14aa3"
 
 
 @pytest.fixture(scope="module")
