@@ -31,18 +31,14 @@ from srslte_emane_tpu.stack.asn1.runtime import uper_decode, uper_encode
 # does not model structurally (random octets are not valid contents)
 AVOID = {
     "non_crit_ext",
-    # inter-RAT measurement RESULT lists (stand-ins; config side is real)
-    "meas_result_list_utra", "meas_result_list_geran",
-    "meas_results_cdma2000",
+
     # structured DL/UL message stand-ins (counterCheck, ueInformation,
     # proximityIndication, csfbParameters* are real schemas as of r3)
     "ho_from_eutra_prep_request", "mob_from_eutra_cmd",
     "logged_meas_cfg_r10", "rn_recfg_r10",
     "ul_ho_prep_transfer", "rn_recfg_complete_r10",
     "mbms_count_resp_r10", "inter_freq_rstd_meas_ind_r10",
-    # per-RAT RLF-report neighbour lists still opaque
-    "meas_result_list_utra_r9", "meas_result_list_geran_r9",
-    "meas_results_cdma2000_r9",
+
     # REFERENCE limitation: DRB-CountInfo's INTEGER (0..4294967295) hits
     # a ceil(log2(range)) uint32 overflow in the generated codec, which
     # therefore packs/unpacks the two counts in ZERO bits (X.691 says

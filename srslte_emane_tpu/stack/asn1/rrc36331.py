@@ -685,6 +685,70 @@ MEAS_RESULT_EUTRA = Seq([
     ], ext=True)),
 ])
 
+# Per-RAT measurement results (36.331 §6.3.5; meas_result_{utra,geran,
+# cdma2000}_s layouts)
+CELL_GLOBAL_ID_UTRA = Seq([
+    ("plmn_id", PLMN_IDENTITY),
+    ("cell_id", BitStr(28)),
+])
+
+CELL_GLOBAL_ID_GERAN = Seq([
+    ("plmn_id", PLMN_IDENTITY),
+    ("location_area_code", BitStr(16)),
+    ("cell_id", BitStr(16)),
+])
+
+MEAS_RESULT_UTRA = Seq([
+    ("pci", Choice([("fdd", Int(0, 511)), ("tdd", Int(0, 127))])),
+    ("cgi_info", Seq([
+        ("cell_global_id", CELL_GLOBAL_ID_UTRA),
+        ("location_area_code", BitStr(16), "?"),
+        ("routing_area_code", BitStr(8), "?"),
+        ("plmn_id_list", SeqOf(PLMN_IDENTITY, 1, 5), "?"),
+    ]), "?"),
+    ("meas_result", Seq([
+        ("utra_rscp", Int(-5, 91), "?"),
+        ("utra_ec_n0", Int(0, 49), "?"),
+    ], ext=True)),
+])
+
+PHYS_CELL_ID_GERAN = Seq([
+    ("network_colour_code", BitStr(3)),
+    ("base_station_colour_code", BitStr(3)),
+])
+
+MEAS_RESULT_GERAN = Seq([
+    ("carrier_freq", Seq([
+        ("arfcn", Int(0, 1023)),
+        ("band_ind", Enum(("dcs1800", "pcs1900"))),
+    ])),
+    ("pci", PHYS_CELL_ID_GERAN),
+    ("cgi_info", Seq([
+        ("cell_global_id", CELL_GLOBAL_ID_GERAN),
+        ("routing_area_code", BitStr(8), "?"),
+    ]), "?"),
+    ("meas_result", Seq([
+        ("rssi", Int(0, 63)),
+    ], ext=True)),
+])
+
+MEAS_RESULT_CDMA2000 = Seq([
+    ("pci", Int(0, 511)),
+    ("cgi_info", Choice([
+        ("cell_global_id1_xrtt", BitStr(47)),
+        ("cell_global_id_hrpd", BitStr(128)),
+    ]), "?"),
+    ("meas_result", Seq([
+        ("pilot_pn_phase", Int(0, 32767), "?"),
+        ("pilot_strength", Int(0, 63)),
+    ], ext=True)),
+])
+
+MEAS_RESULTS_CDMA2000 = Seq([
+    ("pre_regist_status_hrpd", Bool()),
+    ("meas_result_list_cdma2000", SeqOf(MEAS_RESULT_CDMA2000, 1, 8)),
+])
+
 MEAS_RESULTS = Seq([
     ("meas_id", Int(1, 32)),
     ("meas_result_pcell", Seq([
@@ -693,9 +757,9 @@ MEAS_RESULTS = Seq([
     ])),
     ("meas_result_neigh_cells", Choice([
         ("meas_result_list_eutra", SeqOf(MEAS_RESULT_EUTRA, 1, 8)),
-        ("meas_result_list_utra", OctStr()),
-        ("meas_result_list_geran", OctStr()),
-        ("meas_results_cdma2000", OctStr()),
+        ("meas_result_list_utra", SeqOf(MEAS_RESULT_UTRA, 1, 8)),
+        ("meas_result_list_geran", SeqOf(MEAS_RESULT_GERAN, 1, 8)),
+        ("meas_results_cdma2000", MEAS_RESULTS_CDMA2000),
     ], ext=True), "?"),
 ], ext=True)
 
@@ -1442,11 +1506,6 @@ MEAS_OBJECT_UTRA = Seq([
     ]), "?"),
 ], ext=True)
 
-PHYS_CELL_ID_GERAN = Seq([
-    ("network_colour_code", BitStr(3)),
-    ("base_station_colour_code", BitStr(3)),
-])
-
 MEAS_OBJECT_GERAN = Seq([
     ("carrier_freqs", CARRIER_FREQS_GERAN),
     ("offset_freq", Q_OFFSET_RANGE_INTER_RAT, ("=", 0)),
@@ -1988,9 +2047,16 @@ RLF_REPORT_R9 = Seq([
     ("meas_result_neigh_cells_r9", Seq([
         ("meas_result_list_eutra_r9", SeqOf(MEAS_RESULT2_EUTRA_R9, 1, 8),
          "?"),
-        ("meas_result_list_utra_r9", OctStr(), "?"),
-        ("meas_result_list_geran_r9", OctStr(), "?"),
-        ("meas_results_cdma2000_r9", OctStr(), "?"),
+        ("meas_result_list_utra_r9", SeqOf(Seq([
+            ("carrier_freq_r9", Int(0, 16383)),
+            ("meas_result_list_r9", SeqOf(MEAS_RESULT_UTRA, 1, 8)),
+        ]), 1, 8), "?"),
+        ("meas_result_list_geran_r9", SeqOf(MEAS_RESULT_GERAN, 1, 8),
+         "?"),
+        ("meas_results_cdma2000_r9", SeqOf(Seq([
+            ("carrier_freq_r9", CARRIER_FREQ_CDMA2000),
+            ("meas_result_list_r9", MEAS_RESULTS_CDMA2000),
+        ]), 1, 8), "?"),
     ]), "?"),
 ], ext=True)
 

@@ -32,7 +32,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "e00ef3d5786a13dac7bc6b3a63152b7bc123a27dc580b33c33b4b8aa59c14aa3"
+PINNED_SHA = "c3694b5225beb30e8b5e880375752bdd87a99cc552f08e7f3b8f140c61cfade5"
 
 
 @pytest.fixture(scope="module")
