@@ -34,9 +34,7 @@ AVOID = {
 
     # structured DL/UL message stand-ins (counterCheck, ueInformation,
     # proximityIndication, csfbParameters* are real schemas as of r3)
-    "ho_from_eutra_prep_request", "mob_from_eutra_cmd",
-    "logged_meas_cfg_r10", "rn_recfg_r10",
-    "ul_ho_prep_transfer", "rn_recfg_complete_r10",
+    "logged_meas_cfg_r10", "rn_recfg_r10", "rn_recfg_complete_r10",
     "mbms_count_resp_r10", "inter_freq_rstd_meas_ind_r10",
 
     # REFERENCE limitation: DRB-CountInfo's INTEGER (0..4294967295) hits

@@ -2105,6 +2105,98 @@ CSFB_PARAMS_RESPONSE_CDMA2000 = Seq([
 ])
 
 
+# ---- inter-RAT mobility messages (36.331 §5.4; CSFB + PS handover) ----
+
+# elements are OCTET STRING (SIZE(1..23)) in the spec, but the reference
+# codec reads a general length determinant (dyn_octstring)
+SYS_INFO_LIST_GERAN = SeqOf(OctStr(), 1, 10)
+SI_OR_PSI_GERAN = Choice([
+    ("si", SYS_INFO_LIST_GERAN),
+    ("psi", SYS_INFO_LIST_GERAN),
+])
+CARRIER_FREQ_GERAN = Seq([
+    ("arfcn", Int(0, 1023)),
+    ("band_ind", Enum(("dcs1800", "pcs1900"))),
+])
+
+HANDOVER_IRAT = Seq([
+    ("target_rat_type",
+     Enum(("utra", "geran", "cdma2000_1xrtt", "cdma2000_hrpd", "nr",
+           "eutra", "spare2", "spare1"), ext=True)),
+    ("target_rat_msg_container", OctStr()),
+    ("nas_security_param_from_eutra", OctStr(1, 1), "?"),
+    ("sys_info", SI_OR_PSI_GERAN, "?"),
+])
+
+CELL_CHANGE_ORDER = Seq([
+    ("t304", Enum(("ms100", "ms200", "ms500", "ms1000", "ms2000",
+                   "ms4000", "ms8000", "ms10000_v1310"))),
+    ("target_rat_type", Choice([
+        ("geran", Seq([
+            ("pci", PHYS_CELL_ID_GERAN),
+            ("carrier_freq", CARRIER_FREQ_GERAN),
+            ("network_ctrl_order", BitStr(2), "?"),
+            ("sys_info", SI_OR_PSI_GERAN, "?"),
+        ])),
+    ], ext=True)),  # extensible single-alternative CHOICE
+])
+
+E_CSFB_R9 = Seq([
+    ("msg_cont_cdma2000_1xrtt_r9", OctStr(), "?"),
+    ("mob_cdma2000_hrpd_r9", Enum(("ho", "redirection")), "?"),
+    ("msg_cont_cdma2000_hrpd_r9", OctStr(), "?"),
+    ("redirect_carrier_cdma2000_hrpd_r9", CARRIER_FREQ_CDMA2000, "?"),
+])
+
+MOBILITY_FROM_EUTRA_COMMAND = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", Choice([
+        ("c1", Choice([
+            ("mob_from_eutra_cmd_r8", Seq([
+                ("cs_fallback_ind", Bool()),
+                ("purpose", Choice([
+                    ("ho", HANDOVER_IRAT),
+                    ("cell_change_order", CELL_CHANGE_ORDER),
+                ])),
+                ("non_crit_ext", OctStr(), "?"),
+            ])),
+            ("mob_from_eutra_cmd_r9", Seq([
+                ("cs_fallback_ind", Bool()),
+                # the r9 purpose CHOICE is extensible (unlike r8's)
+                ("purpose", Choice([
+                    ("ho", HANDOVER_IRAT),
+                    ("cell_change_order", CELL_CHANGE_ORDER),
+                    ("e_csfb_r9", E_CSFB_R9),
+                ], ext=True)),
+                ("non_crit_ext", OctStr(), "?"),
+            ])),
+            ("spare2", Null()),
+            ("spare1", Null()),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+HO_FROM_EUTRA_PREP_REQUEST = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("cdma2000_type", Enum(("type1_xrtt", "type_hrpd"))),
+        ("rand", BitStr(32), "?"),
+        ("mob_params", OctStr(), "?"),
+        ("non_crit_ext", OctStr(), "?"),
+    ]), n_spares=3)),
+])
+
+UL_HANDOVER_PREPARATION_TRANSFER = Seq([
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("cdma2000_type", Enum(("type1_xrtt", "type_hrpd"))),
+        ("meid", BitStr(56), "?"),
+        ("ded_info", OctStr()),
+        ("non_crit_ext", OctStr(), "?"),
+    ]), n_spares=3)),
+])
+
+
 DL_DCCH_MSG = Seq([
     ("msg", Choice([
         ("c1", Choice([
@@ -2120,8 +2212,8 @@ DL_DCCH_MSG = Seq([
                     ("non_crit_ext", OctStr(), "?"),
                 ]), n_spares=3)),
             ])),
-            ("ho_from_eutra_prep_request", OctStr()),
-            ("mob_from_eutra_cmd", OctStr()),
+            ("ho_from_eutra_prep_request", HO_FROM_EUTRA_PREP_REQUEST),
+            ("mob_from_eutra_cmd", MOBILITY_FROM_EUTRA_COMMAND),
             ("rrc_conn_recfg", RRC_CONN_RECFG),
             ("rrc_conn_release", Seq([
                 ("rrc_transaction_id", Int(0, 3)),
@@ -2410,7 +2502,7 @@ UL_DCCH_MSG = Seq([
             ("security_mode_complete", SECURITY_MODE_COMPLETE),
             ("security_mode_fail", SECURITY_MODE_COMPLETE),
             ("ue_cap_info", UE_CAP_INFO),
-            ("ul_ho_prep_transfer", OctStr()),
+            ("ul_ho_prep_transfer", UL_HANDOVER_PREPARATION_TRANSFER),
             ("ul_info_transfer", UL_INFO_TRANSFER),
             ("counter_check_resp", COUNTER_CHECK_RESPONSE),
             ("ue_info_resp_r9", UE_INFORMATION_RESPONSE_R9),

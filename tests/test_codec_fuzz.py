@@ -32,7 +32,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "c3694b5225beb30e8b5e880375752bdd87a99cc552f08e7f3b8f140c61cfade5"
+PINNED_SHA = "dd97b2bdf2d9a0bb87ef816e9a7895dd48c8b97dcab5761fa4cf664b4b2b0a9f"
 
 
 @pytest.fixture(scope="module")
