@@ -34,8 +34,7 @@ AVOID = {
 
     # structured DL/UL message stand-ins (counterCheck, ueInformation,
     # proximityIndication, csfbParameters* are real schemas as of r3)
-    "logged_meas_cfg_r10", "rn_recfg_r10", "rn_recfg_complete_r10",
-    "mbms_count_resp_r10", "inter_freq_rstd_meas_ind_r10",
+    "rn_recfg_r10", "rn_recfg_complete_r10",
 
     # REFERENCE limitation: DRB-CountInfo's INTEGER (0..4294967295) hits
     # a ceil(log2(range)) uint32 overflow in the generated codec, which

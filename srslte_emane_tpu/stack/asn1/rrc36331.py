@@ -2105,6 +2105,78 @@ CSFB_PARAMS_RESPONSE_CDMA2000 = Seq([
 ])
 
 
+# LoggedMeasurementConfiguration-r10 / MBMSCountingResponse-r10 /
+# InterFreqRSTDMeasurementIndication-r10 (36.331 §5.6.6 / §5.8.4 / §5.6.10)
+LOGGED_MEAS_CFG_R10 = Seq([
+    ("crit_exts", Choice([
+        ("c1", Choice([
+            ("logged_meas_cfg_r10", Seq([
+                ("trace_ref_r10", Seq([
+                    ("plmn_id_r10", PLMN_IDENTITY),
+                    ("trace_id_r10", OctStr(3, 3)),
+                ])),
+                ("trace_recording_session_ref_r10", OctStr(2, 2)),
+                ("tce_id_r10", OctStr(1, 1)),
+                ("absolute_time_info_r10", BitStr(48)),
+                ("area_cfg_r10", Choice([
+                    ("cell_global_id_list_r10",
+                     SeqOf(CELL_GLOBAL_ID_EUTRA, 1, 32)),
+                    ("tac_list_r10", SeqOf(BitStr(16), 1, 8)),
+                ]), "?"),
+                ("logging_dur_r10",
+                 Enum(("min10", "min20", "min40", "min60", "min90",
+                       "min120", "spare2", "spare1"))),
+                ("logging_interv_r10",
+                 Enum(("ms1280", "ms2560", "ms5120", "ms10240", "ms20480",
+                       "ms30720", "ms40960", "ms61440"))),
+                ("non_crit_ext", OctStr(), "?"),
+            ])),
+            ("spare3", Null()), ("spare2", Null()), ("spare1", Null()),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+MBMS_COUNTING_RESPONSE_R10 = Seq([
+    ("crit_exts", Choice([
+        ("c1", Choice([
+            ("count_resp_r10", Seq([
+                ("mbsfn_area_idx_r10", Int(0, 7), "?"),
+                ("count_resp_list_r10", SeqOf(Seq([
+                    ("count_resp_service_r10", Int(0, 15)),
+                ], ext=True), 1, 16), "?"),
+                ("late_non_crit_ext", OctStr(), "?"),
+                ("non_crit_ext", OctStr(), "?"),
+            ])),
+            ("spare3", Null()), ("spare2", Null()), ("spare1", Null()),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+INTER_FREQ_RSTD_MEAS_IND_R10 = Seq([
+    ("crit_exts", Choice([
+        ("c1", Choice([
+            ("inter_freq_rstd_meas_ind_r10", Seq([
+                ("rstd_inter_freq_ind_r10", Choice([
+                    ("start", Seq([
+                        ("rstd_inter_freq_info_list_r10", SeqOf(Seq([
+                            ("carrier_freq_r10", ARFCN_EUTRA),
+                            ("meas_prs_offset_r10", Int(0, 39)),
+                        ], ext=True), 1, 3)),
+                    ])),
+                    ("stop", Null()),
+                ])),
+                ("late_non_crit_ext", OctStr(), "?"),
+                ("non_crit_ext", OctStr(), "?"),
+            ])),
+            ("spare3", Null()), ("spare2", Null()), ("spare1", Null()),
+        ])),
+        ("crit_exts_future", Seq([])),
+    ])),
+])
+
+
 # ---- inter-RAT mobility messages (36.331 §5.4; CSFB + PS handover) ----
 
 # elements are OCTET STRING (SIZE(1..23)) in the spec, but the reference
@@ -2267,7 +2339,7 @@ DL_DCCH_MSG = Seq([
             ])),
             ("counter_check", COUNTER_CHECK),
             ("ue_info_request_r9", UE_INFORMATION_REQUEST_R9),
-            ("logged_meas_cfg_r10", OctStr()),
+            ("logged_meas_cfg_r10", LOGGED_MEAS_CFG_R10),
             ("rn_recfg_r10", OctStr()),
             ("spare4", Null()),
             ("spare3", Null()),
@@ -2508,8 +2580,8 @@ UL_DCCH_MSG = Seq([
             ("ue_info_resp_r9", UE_INFORMATION_RESPONSE_R9),
             ("proximity_ind_r9", PROXIMITY_INDICATION_R9),
             ("rn_recfg_complete_r10", OctStr()),
-            ("mbms_count_resp_r10", OctStr()),
-            ("inter_freq_rstd_meas_ind_r10", OctStr()),
+            ("mbms_count_resp_r10", MBMS_COUNTING_RESPONSE_R10),
+            ("inter_freq_rstd_meas_ind_r10", INTER_FREQ_RSTD_MEAS_IND_R10),
         ])),
         ("msg_class_ext", Seq([])),
     ])),

@@ -32,7 +32,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "dd97b2bdf2d9a0bb87ef816e9a7895dd48c8b97dcab5761fa4cf664b4b2b0a9f"
+PINNED_SHA = "88d602eb80fde50eace2c3762d97521574583bf3f509c8709312d63011c83ce5"
 
 
 @pytest.fixture(scope="module")
