@@ -17,8 +17,10 @@ windows and all code blocks advancing in lockstep on the VPU:
     alpha_0 = [0, -inf...] and beta_K from the tail-bit path metrics,
   * the posterior LLR combine is one big vectorized max over the 16
     transitions for every (cb, window, step) at once,
-  * CRC early stop: a `lax.while_loop` over iterations that exits when every
-    code block in the batch passes CRC; per-CB results freeze on first pass.
+  * CRC early stop: a `lax.while_loop` over HALF-iterations (one MAP pass
+    per trip) that exits when every code block in the batch passes CRC;
+    per-CB results freeze on first pass.  Checking after every MAP — not
+    once per full iteration — halves the minimum decode cost at high SNR.
 
 LLR convention: positive LLR <=> bit 0 (bipolar sign s_b = 1 - 2b).
 """
@@ -305,7 +307,17 @@ def turbo_decode(
         map_fn = _map_decode
 
     def make_phase(ls_p, lp1_p, lp2_p, tx1, tz1, tx2, tz2):
-        """while_loop body/cond factory over one (possibly compacted) batch."""
+        """while_loop body/cond factory over one (possibly compacted) batch.
+
+        The loop counter is HALF-iterations (one MAP pass each): CRC is
+        checked after EVERY MAP, not once per full iteration — the TPU
+        sharpening of sch.c:350-383's per-iteration early stop.  A CB whose
+        hard decisions already pass CRC after the first (natural-order) MAP
+        never pays for the second; at high SNR that halves the decode, and
+        at the waterfall it gives the compaction cascade a 2x finer trigger.
+        The state carries the latest extrinsic in NATURAL order; parity of
+        the half counter selects which constituent decoder runs.
+        """
         nB = ls_p.shape[0]
 
         def check(bits):
@@ -313,27 +325,35 @@ def turbo_decode(
                 return jnp.zeros((nB,), dtype=bool)
             return crc_mod.crc_ok(bits, crc)
 
-        def body(state):
-            it, apri1, done, bits_out, pass_out = state
-            post1 = map_fn(ls_p + apri1, lp1_p, tx1, tz1)
-            ext1 = (post1 - (ls_p + apri1)) * EXT_SCALE
-            apri2 = jnp.take(ext1, perm, axis=1)
+        def half_enc1(ext):
+            ls_in = ls_p + ext
+            post = map_fn(ls_in, lp1_p, tx1, tz1)
+            new_ext = (post - ls_in) * EXT_SCALE
+            bits = (post < 0).astype(jnp.int8)
+            return new_ext, bits
+
+        def half_enc2(ext):
             ls2 = jnp.take(ls_p, perm, axis=1)
-            post2 = map_fn(ls2 + apri2, lp2_p, tx2, tz2)
-            ext2 = (post2 - (ls2 + apri2)) * EXT_SCALE
-            apri1_new = jnp.take(ext2, inv_perm, axis=1)
-            bits = (jnp.take(post2, inv_perm, axis=1) < 0).astype(jnp.int8)
+            ls_in = ls2 + jnp.take(ext, perm, axis=1)
+            post = map_fn(ls_in, lp2_p, tx2, tz2)
+            new_ext = jnp.take((post - ls_in) * EXT_SCALE, inv_perm, axis=1)
+            bits = (jnp.take(post, inv_perm, axis=1) < 0).astype(jnp.int8)
+            return new_ext, bits
+
+        def body(state):
+            h, ext, done, bits_out, pass_out = state
+            new_ext, bits = jax.lax.cond(h % 2 == 0, half_enc1, half_enc2, ext)
             ok = check(bits)
             # latest hard decisions for unfinished CBs; freeze once passed
             bits_out = jnp.where(done[:, None], bits_out, bits)
             pass_out = pass_out | (ok & ~done)
             done = done | ok
-            return it + 1, apri1_new, done, bits_out, pass_out
+            return h + 1, new_ext, done, bits_out, pass_out
 
         def cond_until(stop_count):
             def cond(state):
-                it, _, done, _, _ = state
-                return (it < max_iter) & (jnp.sum(~done) > stop_count)
+                h, _, done, _, _ = state
+                return (h < 2 * max_iter) & (jnp.sum(~done) > stop_count)
             return cond
 
         return body, cond_until
@@ -349,9 +369,9 @@ def turbo_decode(
     body, cond_until = make_phase(ls, lp1, lp2, tail_x1, tail_z1,
                                   tail_x2, tail_z2)
     if crc is None or B < 8 or not cascade_on:
-        it, _, _, bits_out, pass_out = jax.lax.while_loop(
+        h, _, _, bits_out, pass_out = jax.lax.while_loop(
             cond_until(0), body, (jnp.int32(0), apri0, done0, bits0, pass0))
-        return bits_out, pass_out & valid, it
+        return bits_out, pass_out & valid, (h + 1) // 2
 
     # CRC-gated BATCH COMPACTION cascade (the per-CB iteration scheduling
     # of sch.c:350-383, restructured for static shapes): run the full
@@ -362,7 +382,7 @@ def turbo_decode(
     # through all 8 iterations) this cuts the MAP work ~2-3x.  The whole
     # compaction rides inside a lax.cond so the converged-early case
     # (high SNR, the 20 dB headline) pays ZERO gather/scatter traffic.
-    it, apri1, done, bits_out, pass_out = jax.lax.while_loop(
+    h, ext, done, bits_out, pass_out = jax.lax.while_loop(
         cond_until(B // 2), body,
         (jnp.int32(0), apri0, done0, bits0, pass0))
 
@@ -371,14 +391,14 @@ def turbo_decode(
     def sub_phase(state, sub_size, stop_count):
         """Gather the unfinished rows into a sub_size batch, run until
         <= stop_count remain, scatter results back full-size."""
-        it, apri, done, bits, pas = state
+        h, ext, done, bits, pas = state
         idx = jnp.argsort(done)[:sub_size]  # unfinished first (stable)
         sub = tuple(a[idx] for a in arrs)
         s_body, s_cond = make_phase(*sub)
-        st = (it, apri[idx], done[idx], bits[idx], pas[idx])
-        s_it, s_apri, s_done, s_bits, s_pass = jax.lax.while_loop(
+        st = (h, ext[idx], done[idx], bits[idx], pas[idx])
+        s_h, s_ext, s_done, s_bits, s_pass = jax.lax.while_loop(
             s_cond(stop_count), s_body, st)
-        return (s_it, apri.at[idx].set(s_apri), done.at[idx].set(s_done),
+        return (s_h, ext.at[idx].set(s_ext), done.at[idx].set(s_done),
                 bits.at[idx].set(s_bits), pas.at[idx].set(s_pass))
 
     # two stages measured best on-chip: a B/8 stage adds dispatch and
@@ -406,7 +426,7 @@ def turbo_decode(
                             lambda s: cascade(s, i),
                             lambda s: entry(s, i + 1), state)
 
-    state = (it, apri1, done, bits_out, pass_out)
-    it, _, done, bits_out, pass_out = jax.lax.cond(
+    state = (h, ext, done, bits_out, pass_out)
+    h, _, done, bits_out, pass_out = jax.lax.cond(
         jnp.any(~done), lambda s: entry(s, 0), lambda s: s, state)
-    return bits_out, pass_out & valid, it
+    return bits_out, pass_out & valid, (h + 1) // 2
