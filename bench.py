@@ -17,13 +17,24 @@ import time
 import numpy as np
 
 
+def _cache_entries(path):
+    import os
+
+    try:
+        return len(os.listdir(path))
+    except OSError:
+        return 0
+
+
 def main():
     import jax
 
     # persistent compile cache: the remote-compile path on this backend is
     # slow (minutes for the full decode graph); repeat runs hit the cache.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    CACHE_DIR = "/root/repo/.jax_cache"
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cache_before = _cache_entries(CACHE_DIR)
 
     from srslte_emane_tpu.models import pdsch_link
     from srslte_emane_tpu.phch import grid as grid_mod
@@ -77,18 +88,32 @@ def main():
                 raise
             print("# pallas path failed; falling back to XLA", file=sys.stderr)
 
-    # timed decode loop.  Device execution is sequential, so one forced host
-    # readback of the LAST iteration's output proves all N completed — that
-    # is steady-state throughput.  (Per-iteration readbacks would add ~35 ms
-    # of tunnel round-trip latency per batch on this remote backend and
-    # measure latency, not throughput.)
-    t0 = time.time()
-    for _ in range(iters):
-        out, ok = rx_fn(rx_samples)
-    ok_h = np.asarray(ok)
-    dt = time.time() - t0
-    assert ok_h.all()
-    sf_per_s = batch * iters / dt
+    # cache state of THIS run's compile: a miss writes new entries into the
+    # persistent dir.  Recording it makes run-to-run deltas attributable
+    # (a cold cache both slows the compile and perturbs the first timings).
+    cache_after = _cache_entries(CACHE_DIR)
+    assert cache_after > 0, "persistent compile cache dir unused"
+    cache_state = "warm" if cache_after == cache_before else "cold"
+
+    # timed decode loop, MEDIAN of n_runs independent runs.  Device
+    # execution is sequential, so one forced host readback of the LAST
+    # iteration's output proves all N completed — that is steady-state
+    # throughput.  (Per-iteration readbacks would add ~35 ms of tunnel
+    # round-trip latency per batch on this remote backend and measure
+    # latency, not throughput.)  The median + spread pins whether a delta
+    # vs a previous round is signal or tunnel variance.
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    rates = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        for _ in range(iters):
+            out, ok = rx_fn(rx_samples)
+        ok_h = np.asarray(ok)
+        dt = time.time() - t0
+        assert ok_h.all()
+        rates.append(batch * iters / dt)
+    sf_per_s = float(np.median(rates))
+    spread_pct = 100.0 * (max(rates) - min(rates)) / sf_per_s
 
     # secondary: encode throughput.  The timing variant reduces the waveform
     # to a scalar ON DEVICE: returning the full (B, 30720, 2) waveform makes
@@ -109,7 +134,9 @@ def main():
 
     mbps = sf_per_s * cfg.tbs / 1e6
     print(
-        f"# compile={compile_s:.1f}s decode={sf_per_s:.1f} sf/s "
+        f"# compile={compile_s:.1f}s ({cache_state} cache) "
+        f"decode={sf_per_s:.1f} sf/s median of {n_runs} "
+        f"(spread {spread_pct:.1f}%: {[round(r) for r in rates]}) "
         f"({mbps:.1f} Mb/s payload) encode={enc_sf_per_s:.1f} sf/s "
         f"tbs={cfg.tbs} batch={batch} device={jax.devices()[0].device_kind}",
         file=sys.stderr,
@@ -121,6 +148,10 @@ def main():
                 "value": round(sf_per_s, 2),
                 "unit": "subframes/s",
                 "vs_baseline": round(sf_per_s / 1000.0, 3),
+                "median_of": n_runs,
+                "spread_pct": round(spread_pct, 2),
+                "cache_state": cache_state,
+                "compile_s": round(compile_s, 1),
             }
         )
     )

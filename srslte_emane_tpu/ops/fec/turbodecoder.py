@@ -273,6 +273,12 @@ def turbo_decode(
            and treated as done from the start).
     crc: polynomial for per-CB early stop, or None to run all iterations.
     Returns (bits (B, K) int8 hard decisions, crc_pass (B,) bool, n_iter int32).
+
+    n_iter is ceil(half_passes / 2): a decode that converges after the
+    first (natural-order) MAP reports 1 full iteration, so avg-iteration
+    telemetry derived from it slightly OVERCOUNTS vs the reference's
+    whole-iteration counter (sch.c) — half-iteration resolution is lost
+    in the rounding, by at most +0.5.
     """
     if llr_bits == 8:
         # reference 8-bit mode (turbodecoder.h SRSLTE_TDEC_8BIT)
@@ -315,6 +321,10 @@ def turbo_decode(
         hard decisions already pass CRC after the first (natural-order) MAP
         never pays for the second; at high SNR that halves the decode, and
         at the waterfall it gives the compaction cascade a 2x finer trigger.
+        Trade-off vs the reference: twice as many CRC checks per iteration
+        doubles the per-CB undetected-false-pass probability (results
+        freeze on first pass), but each extra check adds only ~2^-24 of
+        collision exposure — negligible vs channel BLER.
         The state carries the latest extrinsic in NATURAL order; parity of
         the half counter selects which constituent decoder runs.
         """
@@ -342,6 +352,10 @@ def turbo_decode(
 
         def body(state):
             h, ext, done, bits_out, pass_out = state
+            # NOTE: this cond stays a true branch only under plain jit.
+            # Do NOT vmap turbo_decode: vmap converts cond to select and
+            # BOTH MAP passes would execute every trip, doubling the cost
+            # silently.  Batching is already the leading (B) axis.
             new_ext, bits = jax.lax.cond(h % 2 == 0, half_enc1, half_enc2, ext)
             ok = check(bits)
             # latest hard decisions for unfinished CBs; freeze once passed
