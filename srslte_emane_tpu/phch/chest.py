@@ -72,21 +72,36 @@ class ChestResult(typing.NamedTuple):
     sync_err: jnp.ndarray = None  # (...,) timing offset estimate (samples)
 
 
-def estimate(rx_grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0) -> ChestResult:
+@functools.lru_cache(maxsize=None)
+def _crs_values10(cell_id: int, n_prb: int, port: int, cp: str) -> np.ndarray:
+    """(10, S, P) CRS values for every subframe — the gather table that
+    lets sf_idx be a TRACED argument (one compiled estimator serves all
+    subframes; pilot POSITIONS don't depend on sf)."""
+    return np.stack([grid_mod.crs_values(cell_id, s, n_prb, port, cp)
+                     for s in range(10)])
+
+
+def estimate(rx_grid, cell: grid_mod.CellConfig, sf_idx, port: int = 0) -> ChestResult:
     """LS + 2D linear interpolation channel estimate from port-`port` CRS.
 
-    rx_grid: (..., 14, NRE, 2) received grid.
+    rx_grid: (..., 14, NRE, 2) received grid.  sf_idx may be TRACED: the
+    per-sf CRS values are then gathered from a (10, ...) constant table.
     """
     ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, port, cell.cp)  # (S, 2*n_prb)
     syms = grid_mod.pilot_syms(port, cell.cp)
-    vals = grid_mod.crs_values(cell.cell_id, sf_idx, cell.n_prb, port, cell.cp)
     # gather pilots: rx at (sym, k)
     flat = rx_grid.reshape(rx_grid.shape[:-3] + (cell.n_sym * cell.nre, 2))
     pidx = (np.asarray(syms)[:, None] * cell.nre + ks).astype(np.int32)  # (S, P)
     y_p = jnp.take(flat, jnp.asarray(pidx.reshape(-1)), axis=-2)
     y_p = y_p.reshape(rx_grid.shape[:-3] + pidx.shape + (2,))  # (..., S, P, 2)
-    r_p = cplx.from_numpy(vals)  # (S, P, 2)
-    h_ls = cplx.mul_conj(y_p, jnp.asarray(r_p))  # |r|^2 = 1
+    if isinstance(sf_idx, (int, np.integer)):
+        vals = grid_mod.crs_values(cell.cell_id, int(sf_idx), cell.n_prb,
+                                   port, cell.cp)
+        r_p = jnp.asarray(cplx.from_numpy(vals))  # (S, P, 2)
+    else:
+        v10 = _crs_values10(cell.cell_id, cell.n_prb, port, cell.cp)
+        r_p = jnp.take(jnp.asarray(cplx.from_numpy(v10)), sf_idx, axis=0)
+    h_ls = cplx.mul_conj(y_p, r_p)  # |r|^2 = 1
 
     # frequency interpolation per pilot symbol (offsets differ by symbol)
     h_f = []

@@ -20,15 +20,23 @@ from ..ops import cplx, mimo, modem, scrambling
 from . import chest, grid as grid_mod, sch
 
 
-def put_crs(grid, cell: grid_mod.CellConfig, sf_idx: int, port: int = 0):
-    """Scatter CRS pilots for `port` into grid (..., 14, NRE, 2)."""
+def put_crs(grid, cell: grid_mod.CellConfig, sf_idx, port: int = 0):
+    """Scatter CRS pilots for `port` into grid (..., 14, NRE, 2).
+    sf_idx may be TRACED (values gathered from a per-sf constant table)."""
     ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, port, cell.cp)
     syms = grid_mod.pilot_syms(port, cell.cp)
-    vals = grid_mod.crs_values(cell.cell_id, sf_idx, cell.n_prb, port, cell.cp)
     pidx = (np.asarray(syms)[:, None] * cell.nre + ks).reshape(-1).astype(np.int32)
     flat = grid.reshape(grid.shape[:-3] + (cell.n_sym * cell.nre, 2))
-    v = cplx.from_numpy(vals.reshape(-1))
-    flat = flat.at[..., jnp.asarray(pidx), :].set(jnp.broadcast_to(v, flat.shape[:-2] + v.shape))
+    if isinstance(sf_idx, (int, np.integer)):
+        vals = grid_mod.crs_values(cell.cell_id, int(sf_idx), cell.n_prb,
+                                   port, cell.cp)
+        v = jnp.asarray(cplx.from_numpy(vals.reshape(-1)))
+    else:
+        v10 = chest._crs_values10(cell.cell_id, cell.n_prb, port, cell.cp)
+        v10 = v10.reshape(10, -1)
+        v = jnp.take(jnp.asarray(cplx.from_numpy(v10)), sf_idx, axis=0)
+    flat = flat.at[..., jnp.asarray(pidx), :].set(
+        jnp.broadcast_to(v, flat.shape[:-2] + v.shape))
     return flat.reshape(grid.shape)
 
 
@@ -49,23 +57,33 @@ def assemble_grid(syms, cell: grid_mod.CellConfig, sf_idx: int,
 
 def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, grid=None, codeword_q: int = 0,
-           max_sym: int = 0):
+           max_sym: int = 0, re_idx=None):
     """Encode one PDSCH grant into a subframe grid.
 
     tb_bits: (B, tbs). Returns grid (B, 14, NRE, 2) with CRS + PDSCH placed.
+    re_idx: optional (n_re,) RE index array — may be a TRACED argument, so
+    one compiled kernel serves every rb_start with the same allocation
+    width (the waveform runtime's kernel-population cap).
     """
-    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask, max_sym)
-    assert cfg.G == len(re_idx) * cfg.Qm, (cfg.G, len(re_idx), cfg.Qm)
+    static_idx = re_idx is None
+    if static_idx:
+        re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask, max_sym)
+        assert cfg.G == len(re_idx) * cfg.Qm, (cfg.G, len(re_idx), cfg.Qm)
+        re_idx = jnp.asarray(re_idx)
+    else:
+        assert cfg.G == re_idx.shape[0] * cfg.Qm, (cfg.G, re_idx.shape)
     cw = sch.encode_tb(tb_bits, cfg)  # (B, G)
     c_init = scrambling.pdsch_cinit(rnti, codeword_q, sf_idx, cell.cell_id)
     scr = scrambling.scramble_bits(cw, c_init)
     syms = modem.modulate(scr, modem.MOD_FROM_QM[cfg.Qm])  # (B, n_re, 2)
     B = syms.shape[0]
-    if grid is None:
+    if grid is None and static_idx:
         # fresh grid: one-gather assembly (fast path; scatters serialize)
         return assemble_grid(syms, cell, sf_idx, prb_mask, 0, max_sym)
+    if grid is None:
+        grid = cplx.zeros((B, cell.n_sym, cell.nre))
     flat = grid.reshape(B, cell.n_sym * cell.nre, 2)
-    flat = flat.at[:, jnp.asarray(re_idx), :].set(syms)
+    flat = flat.at[:, re_idx, :].set(syms)
     grid = flat.reshape(B, cell.n_sym, cell.nre, 2)
     return put_crs(grid, cell, sf_idx)
 
@@ -258,16 +276,19 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
            rnti: int, prb_mask: tuple, softbuf=None, max_iter: int = 8,
            codeword_q: int = 0, use_csi: bool = True,
            max_sym: int = 0, use_pallas: bool = False,
-           equalizer: str = "zf", llr_bits: int = 32):
+           equalizer: str = "zf", llr_bits: int = 32, re_idx=None):
     """Decode one PDSCH grant from a received subframe grid (B, 14, NRE, 2).
 
+    re_idx: optional (n_re,) RE index array, may be TRACED (see encode).
     Returns (payload bits (B, tbs), crc ok (B,), softbuf', ChestResult)."""
-    re_idx = grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask, max_sym)
+    if re_idx is None:
+        re_idx = jnp.asarray(
+            grid_mod.pdsch_re_indices(cell, sf_idx, prb_mask, max_sym))
     ch = chest.estimate(rx_grid, cell, sf_idx)
     flat_rx = rx_grid.reshape(rx_grid.shape[:-3] + (cell.n_sym * cell.nre, 2))
     flat_ce = ch.ce.reshape(flat_rx.shape)
-    y = jnp.take(flat_rx, jnp.asarray(re_idx), axis=-2)
-    h = jnp.take(flat_ce, jnp.asarray(re_idx), axis=-2)
+    y = jnp.take(flat_rx, re_idx, axis=-2)
+    h = jnp.take(flat_ce, re_idx, axis=-2)
     if equalizer == "mmse":
         x_eq, csi = chest.equalize_mmse(y, h, ch.noise_est)
     else:

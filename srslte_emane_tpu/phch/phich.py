@@ -29,6 +29,16 @@ def n_groups(n_prb: int, ng: str = "1") -> int:
     return int(np.ceil(regs_mod.PHICH_NG[ng] * n_prb / 8))
 
 
+def alloc(i_prb_lowest: int, n_dmrs: int, n_group: int) -> tuple:
+    """(n_group, n_seq) for a PUSCH's HARQ indicator (36.213 §9.1.2):
+    derived from the PUSCH's lowest PRB and its DMRS cyclic shift —
+    the mapping the eNB and UE must agree on without signalling
+    (lib/src/phy/phch/phich.c:131-134 ngroup/nseq calc)."""
+    g = (i_prb_lowest + n_dmrs) % n_group
+    s = (i_prb_lowest // n_group + n_dmrs) % (2 * NSF)
+    return g, s
+
+
 @functools.lru_cache(maxsize=None)
 def re_indices(cell: grid_mod.CellConfig, ng: str = "1") -> np.ndarray:
     ch = regs_mod.channel_regs(cell.n_prb, cell.cell_id, cell.n_ports, ng)

@@ -62,6 +62,39 @@ def re_indices(n_prb_cell: int, rb_start: int, l_prb: int):
     return data, dmrs
 
 
+@functools.lru_cache(maxsize=None)
+def _dmrs10(cell_id: int, l_prb: int) -> np.ndarray:
+    """(10, 2, 12*l_prb) PUSCH DMRS for every subframe — gather table for
+    a TRACED sf_idx (group/sequence hopping varies per slot)."""
+    return np.stack([refsignal_ul.pusch_dmrs(cell_id, s, l_prb)
+                     for s in range(10)])
+
+
+def _dmrs_for(cell_id: int, sf_idx, l_prb: int):
+    """(2, 12*l_prb, 2) cf DMRS values; sf_idx may be traced."""
+    if isinstance(sf_idx, (int, np.integer)):
+        return jnp.asarray(cplx.from_numpy(
+            refsignal_ul.pusch_dmrs(cell_id, int(sf_idx), l_prb)))
+    d10 = _dmrs10(cell_id, l_prb)
+    v = jnp.take(jnp.asarray(cplx.from_numpy(d10.reshape(10, -1))),
+                 sf_idx, axis=0)
+    return v.reshape(2, 12 * l_prb, 2)
+
+
+def _re_idx(n_prb_cell: int, rb_start, l_prb: int):
+    """re_indices that also accepts a TRACED rb_start: the index tables are
+    plain arithmetic, so one compiled PUSCH kernel serves every contiguous
+    allocation of the same width (kernel-population cap for the waveform
+    runtime; shapes depend only on l_prb)."""
+    if isinstance(rb_start, (int, np.integer)):
+        return re_indices(n_prb_cell, int(rb_start), l_prb)
+    nre = 12 * n_prb_cell
+    ks = 12 * rb_start + jnp.arange(12 * l_prb, dtype=jnp.int32)
+    data = jnp.asarray(DATA_SYMS, jnp.int32)[:, None] * nre + ks[None, :]
+    dmrs = jnp.asarray(DMRS_SYMS, jnp.int32)[:, None] * nre + ks[None, :]
+    return data, dmrs
+
+
 def uci_dims(l_prb: int, qm: int, n_ack: int, n_ri: int, n_cqi: int,
              beta_ack: float = 20.0, beta_ri: float = 12.5, beta_cqi: float = 5.0):
     """(q_ack, q_ri, q_cqi) coded bit counts and the SCH data size G_data."""
@@ -117,13 +150,12 @@ def encode(tb_bits, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     # transform precoding per SC-FDMA symbol
     x = syms.reshape(B, N_DATA_SYMS, m_sc, 2)
     x = dft.dft(x, ortho=True)
-    data_idx, dmrs_idx = re_indices(cell.n_prb, rb_start, l_prb)
+    data_idx, dmrs_idx = _re_idx(cell.n_prb, rb_start, l_prb)
     if grid is None:
         grid = cplx.zeros((B, grid_mod.N_SYM, cell.nre))
     flat = grid.reshape(B, -1, 2)
     flat = flat.at[:, jnp.asarray(data_idx.reshape(-1)), :].set(x.reshape(B, -1, 2))
-    dmrs = refsignal_ul.pusch_dmrs(cell.cell_id, sf_idx, l_prb)
-    dv = cplx.from_numpy(dmrs.reshape(-1))
+    dv = _dmrs_for(cell.cell_id, sf_idx, l_prb).reshape(-1, 2)
     flat = flat.at[:, jnp.asarray(dmrs_idx.reshape(-1)), :].set(
         jnp.broadcast_to(dv, (B,) + dv.shape)
     )
@@ -136,12 +168,12 @@ def estimate_ul(rx_grid, cell: grid_mod.CellConfig, sf_idx: int,
     slot pilot, 5-tap frequency smoothing, linear time interpolation.
     Returns (ce (B, 12, M_sc, 2) at data symbols, noise_est (B,))."""
     m_sc = 12 * l_prb
-    _, dmrs_idx = re_indices(cell.n_prb, rb_start, l_prb)
+    _, dmrs_idx = _re_idx(cell.n_prb, rb_start, l_prb)
     B = rx_grid.shape[0]
     flat = rx_grid.reshape(B, -1, 2)
     y = jnp.take(flat, jnp.asarray(dmrs_idx.reshape(-1)), axis=-2).reshape(B, 2, m_sc, 2)
-    r = cplx.from_numpy(refsignal_ul.pusch_dmrs(cell.cell_id, sf_idx, l_prb))
-    h_ls = cplx.mul_conj(y, jnp.asarray(r))  # (B, 2, m_sc, 2)
+    r = _dmrs_for(cell.cell_id, sf_idx, l_prb)
+    h_ls = cplx.mul_conj(y, r)  # (B, 2, m_sc, 2)
     # frequency smoothing (moving average, 5 taps, edge-safe via same-pad)
     k = 5
     kernel = np.ones(k, np.float32) / k
@@ -165,7 +197,7 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
     or, with uci_dims_in=(q_ack, q_ri, q_cqi, n_ack, n_ri, n_cqi), a dict
     also carrying decoded ack/ri/cqi."""
     m_sc = 12 * l_prb
-    data_idx, _ = re_indices(cell.n_prb, rb_start, l_prb)
+    data_idx, _ = _re_idx(cell.n_prb, rb_start, l_prb)
     B = rx_grid.shape[0]
     flat = rx_grid.reshape(B, -1, 2)
     y = jnp.take(flat, jnp.asarray(data_idx.reshape(-1)), axis=-2).reshape(B, N_DATA_SYMS, m_sc, 2)

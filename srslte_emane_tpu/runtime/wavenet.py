@@ -30,8 +30,18 @@ resources of the format-1 region into one matched-filter tensor.
 
 Transport-format convention: the DCI carries (RIV, I_MCS) and BOTH sides
 derive the transport block size from the same 36.213 tables (phch/ra.py);
-the MAC payload rides inside the TBS behind a 2-byte length prefix (the
-MAC padding-subheader role).
+the MAC PDU is padded to the TBS with real 36.321 padding subheaders
+(stack/pdu.py pack(tb_size=...)), so the waveform-path TB image IS the
+stack's own MAC wire format end-to-end and dissects as MAC-LTE.
+
+Spec resource mappings (36.213): the HARQ-ACK PUCCH resource is
+n_pucch = n_CCE + N1 derived from the DL DCI's first CCE (§10.1,
+ue_ul.c:533-557; N1 = the SIB2 n1-PUCCH-AN = 0 here), the SR resource is
+the RRC-dedicated sr-PUCCH-ResourceIndex (SchedulingRequestConfig), and
+PHICH rides (n_group, n_seq) derived from the PUSCH's lowest PRB (§9.1.2,
+phich.c:131-134).  The UE's subframe/SFN timing comes from SSS + the
+decoded MIB through an SFN_SYNC state (sync.cc:408), never from the
+driver's tick counter.
 """
 
 from __future__ import annotations
@@ -53,7 +63,7 @@ from ..utils import config as _cfg_mod  # noqa: F401
 
 PRACH_SF = 1  # PRACH occasion subframe (prach-ConfigIndex 3 role)
 PRACH_K0 = 12  # first PRACH bin (prach-FreqOffset 1 PRB at 1.25 kHz x12)
-N_PUCCH_RES = 32  # format-1 resources scanned: 16 ACK + 16 SR (m=0 region)
+N1_PUCCH = 0  # SIB2 n1-PUCCH-AN: dynamic ACK region starts at resource 0
 
 
 def _srate_div(n_prb: int) -> int:
@@ -62,10 +72,11 @@ def _srate_div(n_prb: int) -> int:
 
 
 def _dl_mcs_for(payload_len: int, n_prb_alloc: int) -> int:
-    """Smallest EVEN I_MCS whose 36.213 TBS fits the payload + length
-    prefix (even-only halves the compiled-kernel population; both sides
-    derive the TBS from the DCI so any consistent choice is valid)."""
-    need = (payload_len + 2) * 8
+    """Smallest EVEN I_MCS whose 36.213 TBS fits the MAC PDU after
+    padding-subheader repacking (worst case +3 bytes of header growth;
+    even-only halves the compiled-kernel population; both sides derive
+    the TBS from the DCI so any consistent choice is valid)."""
+    need = (payload_len + 3) * 8
     for mcs in range(0, 29, 2):
         if ra.dl_tbs(mcs, n_prb_alloc) >= need:
             return mcs
@@ -76,28 +87,52 @@ def _dl_mcs_for(payload_len: int, n_prb_alloc: int) -> int:
 
 
 def _frame(payload: bytes, tbs: int) -> np.ndarray:
-    """(1, tbs) bits: 2-byte length prefix + payload + zero pad."""
-    buf = np.zeros((tbs + 7) // 8, np.uint8)
-    buf[0] = len(payload) >> 8
-    buf[1] = len(payload) & 0xFF
-    buf[2 : 2 + len(payload)] = np.frombuffer(bytes(payload), np.uint8)
-    return np.unpackbits(buf)[None, :tbs].astype(np.int8)
+    """(1, tbs) bits: the MAC PDU padded to the TBS with real 36.321
+    padding subheaders (pdu.pack tb_size).  RAR PDUs zero-pad the tail —
+    their grammar is subheader-count-driven (36.321 §6.1.5), so trailing
+    octets are ignored by every parser."""
+    from ..stack import pdu as pdu_mod
+
+    nb = tbs // 8
+    payload = bytes(payload)
+    if pdu_mod.is_rar(payload):
+        buf = payload + bytes(nb - len(payload))
+    else:
+        buf = pdu_mod.pack(pdu_mod.unpack(payload), tb_size=nb)
+    arr = np.frombuffer(buf, np.uint8)
+    return np.unpackbits(arr)[None, :tbs].astype(np.int8)
 
 
 def _unframe(bits: np.ndarray) -> bytes:
-    by = np.packbits(np.asarray(bits, np.uint8).ravel()).tobytes()
-    n = (by[0] << 8) | by[1]
-    if n > len(by) - 2:
-        return b""  # corrupted length field counts as a CRC miss
-    return by[2 : 2 + n]
+    """Full TB image: padding subheaders are the MAC parser's problem
+    (pdu.unpack drops them), exactly as on a real transport block."""
+    return np.packbits(np.asarray(bits, np.uint8).ravel()).tobytes()
 
 
 class _CellKernels:
-    """Per-cell jitted kernel cache, shared by the eNB and every UE."""
+    """Per-cell jitted kernel cache, shared by the eNB and every UE.
 
-    def __init__(self, cell: grid_mod.CellConfig):
+    n_pucch_res sizes the format-1 region scanned by the eNB's one-shot
+    matched filter: [0, n_cce) dynamic HARQ-ACK (36.213 §10.1 with N1=0)
+    plus the dedicated SR pool above it."""
+
+    def __init__(self, cell: grid_mod.CellConfig, n_pucch_res: int = 32):
         self.cell = cell
         self.dci_len = dci_mod.format0_1a_len(cell.n_prb)
+        self.n_pucch_res = n_pucch_res
+
+    @functools.lru_cache(maxsize=None)
+    def cell_search(self):
+        """Jitted PSS/SSS+CP search on (B, sf_len, 2) cell-rate samples —
+        ONE call covers every still-searching UE in the network."""
+        fft = ofdm.params(self.cell.n_prb)["n"]
+
+        def run(samples):
+            res = sync_mod.cell_search(samples, fft_size=fft,
+                                       detect_cp=True)
+            return res["quality"], res["cell_id"], res["sf_idx"]
+
+        return jax.jit(run)
 
     # ---- eNB side ----
 
@@ -123,22 +158,30 @@ class _CellKernels:
         return jax.jit(run)
 
     @functools.lru_cache(maxsize=None)
-    def add_dl_grant(self, sf_idx: int, rb_start: int,
-                     l_crbs: int, mcs: int, l_aggr: int):
-        """Jitted: place one DCI-1A + its PDSCH into the grid.  rnti and
-        cce_start are traced — one kernel per (sf, alloc, mcs, L)."""
+    def dl_re_idx(self, sf_idx: int, rb_start: int, l_crbs: int):
+        """Host-side (n_re,) int32 RE index table for a type-2 DL alloc."""
+        mask = ra.type2_to_prb_mask(rb_start, l_crbs, self.cell.n_prb)
+        return np.asarray(
+            grid_mod.pdsch_re_indices(self.cell, sf_idx, mask), np.int32)
+
+    @functools.lru_cache(maxsize=None)
+    def add_dl_grant(self, l_crbs: int, mcs: int, l_aggr: int, n_re: int):
+        """Jitted: place one DCI-1A + its PDSCH into the grid.  rnti,
+        cce_start, the RE index table AND sf are traced — one kernel per
+        (width, mcs, L, n_re bucket), NOT per (sf, rb_start): the compiled
+        kernel population stays O(shapes), not O(shapes x positions x 10)
+        (critical at 20+ UEs, where per-position kernels exhaust memory;
+        per-sf CRS/scrambling ride (10, ...) constant-table gathers)."""
         cell = self.cell
-        prb_mask = ra.type2_to_prb_mask(rb_start, l_crbs, cell.n_prb)
         tbs = ra.dl_tbs(mcs, l_crbs)
         qm = ra.dl_mcs_to_qm(mcs)
-        n_re = grid_mod.nof_re(cell, sf_idx, prb_mask)
         cfg = sch.SchConfig(tbs=tbs, G=n_re * qm, Qm=qm, Nl=1)
 
-        def run(grid, dci_bits, payload_bits, rnti, cce_start):
+        def run(grid, dci_bits, payload_bits, rnti, cce_start, re_idx, sf):
             g = pdcch_mod.encode_dyn(dci_bits, rnti, l_aggr, cce_start,
-                                     cell, sf_idx, grid)
-            return pdsch_mod.encode(payload_bits, cfg, cell, sf_idx,
-                                    rnti, prb_mask, grid=g)
+                                     cell, sf, grid)
+            return pdsch_mod.encode(payload_bits, cfg, cell, sf,
+                                    rnti, None, grid=g, re_idx=re_idx)
 
         return jax.jit(run), tbs
 
@@ -197,17 +240,17 @@ class _CellKernels:
         return jax.jit(run), positions
 
     @functools.lru_cache(maxsize=None)
-    def pdsch_rx(self, sf_idx: int, rb_start: int, l_crbs: int, mcs: int):
+    def pdsch_rx(self, l_crbs: int, mcs: int, n_re: int):
+        """One kernel per (width, mcs, n_re) — rb_start rides the traced
+        RE index table, sf the traced per-sf constant gathers."""
         cell = self.cell
-        prb_mask = ra.type2_to_prb_mask(rb_start, l_crbs, cell.n_prb)
         tbs = ra.dl_tbs(mcs, l_crbs)
         qm = ra.dl_mcs_to_qm(mcs)
-        n_re = grid_mod.nof_re(cell, sf_idx, prb_mask)
         cfg = sch.SchConfig(tbs=tbs, G=n_re * qm, Qm=qm, Nl=1)
 
-        def run(rg, rnti):
-            payload, ok, _, _ = pdsch_mod.decode(rg, cfg, cell, sf_idx,
-                                                 rnti, prb_mask)
+        def run(rg, rnti, re_idx, sf):
+            payload, ok, _, _ = pdsch_mod.decode(rg, cfg, cell, sf,
+                                                 rnti, None, re_idx=re_idx)
             return payload, ok
 
         return jax.jit(run)
@@ -235,29 +278,31 @@ class _CellKernels:
     # ---- uplink ----
 
     @functools.lru_cache(maxsize=None)
-    def pusch_tx(self, sf_idx: int, rb_start: int, l_prb: int, mcs: int):
+    def pusch_tx(self, l_prb: int, mcs: int):
+        """rb_start and sf are traced (pusch._re_idx arithmetic + DMRS
+        table gather): one kernel per (width, mcs)."""
         cell = self.cell
         tbs = ra.ul_tbs(min(mcs, 28), l_prb)
         qm = ra.ul_mcs_to_qm(min(mcs, 28))
         cfg = sch.SchConfig(tbs=tbs, G=12 * l_prb * 12 * qm, Qm=qm, Nl=1)
 
-        def run(bits, rnti):
-            g = pusch_mod.encode(bits, cfg, cell, sf_idx, rnti,
+        def run(bits, rnti, rb_start, sf):
+            g = pusch_mod.encode(bits, cfg, cell, sf, rnti,
                                  rb_start, l_prb)
             return ofdm.modulate(g, cell.n_prb)
 
         return jax.jit(run), tbs
 
     @functools.lru_cache(maxsize=None)
-    def pusch_rx(self, sf_idx: int, rb_start: int, l_prb: int, mcs: int):
+    def pusch_rx(self, l_prb: int, mcs: int):
         cell = self.cell
         tbs = ra.ul_tbs(min(mcs, 28), l_prb)
         qm = ra.ul_mcs_to_qm(min(mcs, 28))
         cfg = sch.SchConfig(tbs=tbs, G=12 * l_prb * 12 * qm, Qm=qm, Nl=1)
 
-        def run(samples, rnti):
+        def run(samples, rnti, rb_start, sf):
             rg = ofdm.demodulate(samples, cell.n_prb)
-            payload, ok, _, _ = pusch_mod.decode(rg, cfg, cell, sf_idx,
+            payload, ok, _, _ = pusch_mod.decode(rg, cfg, cell, sf,
                                                  rnti, rb_start, l_prb)
             return payload, ok
 
@@ -271,16 +316,17 @@ class _CellKernels:
         part per resource; a UE's transmission is W_dmrs[r] + d0*W_data[r]
         (format 1 is affine in d(0); OFDM is linear)."""
         cell = self.cell
+        n_res = self.n_pucch_res
         g_d, g_x = [], []
         one = jnp.asarray([[1.0, 0.0]], jnp.float32)
         zero = jnp.asarray([[0.0, 0.0]], jnp.float32)
-        for r in range(N_PUCCH_RES):
+        for r in range(n_res):
             g0 = cplx.zeros((1, grid_mod.N_SYM, cell.nre))
             g_d.append(pucch_mod.encode_f1(zero, cell, sf_idx, r, g0))
             g_x.append(pucch_mod.encode_f1(one, cell, sf_idx, r, g0))
         grids = jnp.concatenate(g_d + g_x, axis=0)
         wf = np.asarray(ofdm.modulate(grids, cell.n_prb))
-        return wf[:N_PUCCH_RES], wf[N_PUCCH_RES:] - wf[:N_PUCCH_RES]
+        return wf[:n_res], wf[n_res:] - wf[:n_res]
 
     @functools.lru_cache(maxsize=None)
     def pucch_tx(self, sf_idx: int):
@@ -301,41 +347,35 @@ class _CellKernels:
         """eNB: matched-filter ALL resources in one kernel.
         (B, sf_len, 2) -> (corr (B, N_RES, 2), energy (B, N_RES))."""
         cell = self.cell
-        idx, ref = [], []
-        for r in range(N_PUCCH_RES):
+        n_res = self.n_pucch_res
+        n_mf = 2 * len(pucch_mod.F1_DATA_SYMS)
+        # per-resource RE indices: resources above 36 live in inner PRB
+        # regions (pucch_prb m = n_pucch//36), so each row gathers its own
+        idx = np.zeros((n_res, n_mf, 12), np.int32)
+        ref = np.zeros((n_res, n_mf, 12), np.complex64)
+        for r in range(n_res):
             wf = pucch_mod._f1_waveform(cell.cell_id, sf_idx, r)
+            k = 0
             for s in range(2):
                 prb = pucch_mod.pucch_prb(r, 2 * sf_idx + s, cell.n_prb)
                 ks = 12 * prb + np.arange(12)
                 for l in pucch_mod.F1_DATA_SYMS:
-                    if r == 0:
-                        idx.append(((7 * s + l) * cell.nre + ks))
-                    ref.append(wf[s, l])
-        n_mf = len(idx)  # 2 slots x data syms
-        idx = np.asarray(idx, np.int32).reshape(-1)              # (n_mf*12,)
-        ref = np.asarray(ref, np.complex64).reshape(
-            N_PUCCH_RES, n_mf, 12)
+                    idx[r, k] = (7 * s + l) * cell.nre + ks
+                    ref[r, k] = wf[s, l]
+                    k += 1
         refc = cplx.from_numpy(np.conj(ref))
 
         def run(samples):
             rg = ofdm.demodulate(samples, cell.n_prb)
             B = rg.shape[0]
             flat = rg.reshape(B, -1, 2)
-            y = jnp.take(flat, jnp.asarray(idx), axis=-2)
-            y = y.reshape(B, 1, n_mf, 12, 2)
+            y = jnp.take(flat, jnp.asarray(idx.reshape(-1)), axis=-2)
+            y = y.reshape(B, n_res, n_mf, 12, 2)
             prod = cplx.mul(y, refc[None])
             corr = prod.sum(axis=(-3, -2)) / (12 * n_mf)
             return corr, cplx.abs2(corr)
 
         return jax.jit(run)
-
-
-def _ack_res(rnti: int) -> int:
-    return rnti % 16
-
-
-def _sr_res(rnti: int) -> int:
-    return 16 + rnti % 16
 
 
 class WaveEnbPhy:
@@ -344,12 +384,16 @@ class WaveEnbPhy:
     PUCCH_DETECT = 4.0  # matched-filter energy threshold vs noise
 
     def __init__(self, medium: "WaveMedium", cell: grid_mod.CellConfig,
-                 mac, kern: _CellKernels):
+                 mac, kern: _CellKernels, pcap=None):
         self.medium = medium
         self.cell = cell
         self.mac = mac
         self.k = kern
+        self.pcap = pcap  # utils.pcap.MacPcap: DL+UL TB wire images
         self._pending_ul = {}  # tti -> [(UlGrant, tbs)]
+        # tti -> [(rnti, n_pucch)]: where each DL grant's HARQ-ACK will
+        # arrive (36.213 §10.1: n_CCE + N1, recorded at DCI placement)
+        self._ack_expect = {}
         self.metrics = {"prach_det": 0, "pusch_ok": 0, "pusch_crc": 0,
                         "pucch_det": 0, "dl_tx": 0}
 
@@ -375,32 +419,53 @@ class WaveEnbPhy:
                 self.metrics["prach_det"] += 1
                 self.mac.rach_detected(prev_tti, int(idx))
         for g, tbs in self._pending_ul.pop(prev_tti, ()):
-            fn = self.k.pusch_rx(sf, g.rb_start, g.l_prb, g.mcs)
-            bits, ok = fn(samples, jnp.asarray(g.rnti, jnp.int32))
+            fn = self.k.pusch_rx(g.l_prb, g.mcs)
+            bits, ok = fn(samples, jnp.asarray(g.rnti, jnp.int32),
+                          jnp.asarray(g.rb_start, jnp.int32),
+                          jnp.asarray(sf, jnp.int32))
             ok = bool(np.asarray(ok)[0])
-            self.mac.ul_crc_info(tti, g.rnti, ok)
+            self.mac.ul_crc_info(tti, g.rnti, ok, rb_start=g.rb_start)
             if ok:
                 payload = _unframe(np.asarray(bits)[0])
                 self.metrics["pusch_ok"] += 1
+                if self.pcap is not None:
+                    self.pcap.write_pdu(payload, g.rnti, prev_tti,
+                                        is_dl=False)
                 self.mac.ul_pdu(tti, g.rnti, payload, 20.0)
             else:
                 self.metrics["pusch_crc"] += 1
         # PUCCH: ONE matched-filter tensor covers every resource; per-UE
-        # adjudication is an array lookup
+        # adjudication is an array lookup.  HARQ-ACKs arrive on
+        # n_CCE + N1 (recorded at DCI placement); a positive SR moves the
+        # ACK onto the UE's dedicated SR resource (36.213 §10.1, the
+        # ue_ul.c simultaneous SR+ACK rule).
+        expect = self._ack_expect.pop(prev_tti, ())
         if getattr(self.mac, "ues", None):
             corr, energy = self.k.pucch_rx_all(sf)(samples)
             corr = np.asarray(corr)[0]
             energy = np.asarray(energy)[0]
+            sr_hit = set()
             for rnti in list(self.mac.ues):
-                if energy[_ack_res(rnti)] > self.PUCCH_DETECT:
-                    ack = bool(corr[_ack_res(rnti), 0] > 0)
-                    self.metrics["pucch_det"] += 1
-                    try:
-                        self.mac.ack_info(tti, rnti, ack, cc=0)
-                    except TypeError:
-                        self.mac.ack_info(tti, rnti, ack)
-                if energy[_sr_res(rnti)] > self.PUCCH_DETECT:
+                sr_r = getattr(self.mac.ues[rnti], "sr_pucch_res", None)
+                if sr_r is not None and sr_r < len(energy) \
+                        and energy[sr_r] > self.PUCCH_DETECT:
+                    sr_hit.add(rnti)
                     self.mac.sr_detected(tti, rnti)
+            for rnti, res in expect:
+                ue = self.mac.ues.get(rnti)
+                if ue is None:
+                    continue
+                if rnti in sr_hit:  # ACK rode the SR resource
+                    res = ue.sr_pucch_res
+                elif not (res < len(energy)
+                          and energy[res] > self.PUCCH_DETECT):
+                    continue  # DTX: UE missed the DL grant entirely
+                ack = bool(corr[res, 0] > 0)
+                self.metrics["pucch_det"] += 1
+                try:
+                    self.mac.ack_info(tti, rnti, ack, cc=0)
+                except TypeError:
+                    self.mac.ack_info(tti, rnti, ack)
 
     # ---- downlink ----
     def _tx(self, tti: int):
@@ -419,17 +484,26 @@ class WaveEnbPhy:
             prbs = [i for i, on in enumerate(g.prb_mask) if on]
             rb_start, l_crbs = prbs[0], len(prbs)
             mcs = _dl_mcs_for(len(g.payload), l_crbs)
-            fn, tbs = self.k.add_dl_grant(sf, rb_start, l_crbs,
-                                          mcs, g.l_aggr)
+            re_idx = self.k.dl_re_idx(sf, rb_start, l_crbs)
+            fn, tbs = self.k.add_dl_grant(l_crbs, mcs, g.l_aggr,
+                                          len(re_idx))
             d = dci_mod.DciDl("1A", mcs=mcs, harq_pid=g.harq_pid & 7,
                               ndi=g.ndi & 1, rv=g.rv & 3,
                               rb_start=rb_start, l_crbs=l_crbs)
             bits = dci_mod.pack_dl(d, self.cell.n_prb)[None]
-            grid = fn(grid, jnp.asarray(bits),
-                      jnp.asarray(_frame(g.payload, tbs)),
+            tb = _frame(g.payload, tbs)
+            grid = fn(grid, jnp.asarray(bits), jnp.asarray(tb),
                       jnp.asarray(g.rnti, jnp.int32),
-                      jnp.asarray(g.cce_start, jnp.int32))
+                      jnp.asarray(g.cce_start, jnp.int32),
+                      jnp.asarray(re_idx), jnp.asarray(sf, jnp.int32))
             self.metrics["dl_tx"] += 1
+            if g.rnti in getattr(self.mac, "ues", {}):
+                # C-RNTI TB: its HARQ-ACK will arrive on n_CCE + N1
+                self._ack_expect.setdefault(tti, []).append(
+                    (g.rnti, N1_PUCCH + g.cce_start))
+            if self.pcap is not None:
+                self.pcap.write_pdu(np.packbits(tb[0]).tobytes(),
+                                    g.rnti, tti, is_dl=True)
         for g in ul_grants:
             # the MAC's shared _CceAlloc already placed this DCI-0 on a
             # true search-space candidate, collision-free vs the DL DCIs.
@@ -446,17 +520,29 @@ class WaveEnbPhy:
             tbs = ra.ul_tbs(min(g.mcs, 28), max(1, g.l_prb))
             self._pending_ul.setdefault(tti, []).append((g, tbs))
         if phich:
-            acks = np.zeros((1, phich_mod.n_groups(self.cell.n_prb), 8),
-                            np.float32)
+            ngrp = phich_mod.n_groups(self.cell.n_prb)
+            acks = np.zeros((1, ngrp, 8), np.float32)
             for ph in phich:
-                acks[0, 0, ph["rnti"] % 8] = 1.0 if ph["ack"] else -1.0
+                # 36.213 §9.1.2: (n_group, n_seq) from the PUSCH's lowest
+                # PRB (+ DMRS shift, 0 for DCI-0 without the field)
+                gi, si = phich_mod.alloc(ph.get("rb_start", 0), 0, ngrp)
+                acks[0, gi, si] = 1.0 if ph["ack"] else -1.0
             grid = self.k.add_phich(sf)(grid, jnp.asarray(acks))
+        # prune ACK expectations never collected (UL never arrived)
+        if len(self._ack_expect) > 16:
+            self._ack_expect = {t: v for t, v in self._ack_expect.items()
+                                if t >= tti - 8}
         self.medium.dl_put(tti, self.k.modulate()(grid))
 
 
 class WaveUePhy:
     """UE waveform PHY: sync state machine + per-TTI full receive chain
-    (sync.cc:364-470 + cc_worker.cc), driving the unmodified UeStack."""
+    (sync.cc:364-470 + cc_worker.cc), driving the unmodified UeStack.
+
+    The UE keeps its OWN tti counter: CELL_SEARCH fixes the subframe
+    phase from the SSS (sf 0 vs 5), SFN_SYNC reads the frame number from
+    the decoded MIB (8 MSBs) + the PBCH segment offset (2 LSBs) — the
+    sync.cc:408 SFN_SYNC role.  Nothing below trusts the driver's tick."""
 
     def __init__(self, medium: "WaveMedium", cell: grid_mod.CellConfig,
                  stack, kern: _CellKernels, ue_idx: int):
@@ -466,65 +552,86 @@ class WaveUePhy:
         self.k = kern
         self.ue_idx = ue_idx
         self.state = "CELL_SEARCH"
+        self.tti = None  # known only after SFN_SYNC
+        self._sf_local = None  # subframe phase, known after CELL_SEARCH
+        self._ack_cce = None  # first CCE of this TTI's DL DCI (36.213 §10.1)
+        self._phich_wait = None  # (n_group, n_seq) of the pending PHICH
         self.metrics = {"dci_hit": 0, "tb_ok": 0, "tb_err": 0,
                         "prach_tx": 0, "pusch_tx": 0, "pucch_tx": 0}
         if getattr(stack, "serving_pci", None) is None:
             stack.serving_pci = cell.cell_id
 
-    def run_tti(self, tti: int, samples=None, batch=None):
+    def run_tti(self, tti_hint: int, samples=None, batch=None,
+                search=None):
         """samples: this UE's (1, sf_len, 2) row; batch: the network's
         shared per-TTI front-end products (rg/ce/snr/resid for ALL UEs,
-        computed in one device call) — None falls back to per-UE calls."""
+        computed in one device call) — None falls back to per-UE calls.
+        search: this UE's (quality, cell_id, sf_idx) row of the shared
+        batched cell search.  tti_hint is the driver's sample clock and
+        is ONLY used to seed nothing — protocol time is self.tti."""
         if samples is None:
             samples = self.medium.dl_take(self.ue_idx)
-        sf = tti % 10
         if self.state == "CELL_SEARCH":
-            if sf in (0, 5):
-                self._cell_search(samples)
-        elif self.state == "MIB":
-            if sf == 0:
-                self._mib(tti, samples)
-        elif batch is not None:
-            self._camp_rx_row(tti, batch)
+            self._cell_search(samples, search)
         else:
-            self._camp_rx(tti, samples)
+            self._sf_local = (self._sf_local + 1) % 10
+            if self.tti is not None:
+                self.tti += 1
+            if self.state == "SFN_SYNC":
+                if self._sf_local == 0:
+                    self._sfn_sync(samples)
+            elif batch is not None:
+                self._camp_rx_row(batch)
+            else:
+                self._camp_rx(samples)
         if getattr(self.stack, "tick", None) is not None:
             self.stack.tick()
         if self.state == "CAMP":
-            self._tx(tti)
+            self._tx()
 
-    def _cell_search(self, samples):
-        """PSS/SSS + CP detection (sync.cc CELL_SEARCH via ue_cell_search)."""
-        res = sync_mod.cell_search(samples, detect_cp=True)
-        q = float(np.asarray(res["quality"])[0])
-        cid = int(np.asarray(res["cell_id"])[0])
-        if q > 10.0 and cid == self.cell.cell_id:
-            self.state = "MIB"
+    def _cell_search(self, samples, search=None):
+        """PSS/SSS + CP detection (sync.cc CELL_SEARCH via ue_cell_search).
+        The SSS hypothesis fixes the subframe phase (PSS rides sf 0 AND 5;
+        only the SSS word differs), seeding the local subframe counter."""
+        if search is None:
+            q, cid, sfi = (np.asarray(v)[0] for v in
+                           self.k.cell_search()(samples))
+        else:
+            q, cid, sfi = search
+        if float(q) > 10.0 and int(cid) == self.cell.cell_id:
+            self._sf_local = int(sfi)
+            self.state = "SFN_SYNC"
 
-    def _mib(self, tti, samples):
+    def _sfn_sync(self, samples):
+        """PBCH decode fixes the SFN: 8 MSBs ride the MIB payload, the
+        2 LSBs are the blind-decoded 40 ms segment offset
+        (srsue/src/phy/sync.cc:408 SFN_SYNC)."""
         rg = ofdm.demodulate(samples, self.cell.n_prb)
         mib, ports, off, ok = self.k.pbch_rx()(rg)
         if bool(np.asarray(ok)[0]):
             info = pbch_mod.unpack_mib(np.asarray(mib)[0])
-            self.stack.mib_received(tti, dict(
+            sfn = ((info["sfn_msb"] << 2) | int(np.asarray(off)[0])) % 1024
+            self.tti = sfn * 10  # we are in subframe 0 of frame `sfn`
+            self.stack.mib_received(self.tti, dict(
                 num_prb=info["n_prb"], num_antennas=int(np.asarray(ports)[0]),
                 phich_resources=info.get("phich_res", "1"),
                 phich_length=info.get("phich_dur", 0)))
             self.state = "CAMP"
 
-    def _camp_rx(self, tti, samples):
-        sf = tti % 10
+    def _camp_rx(self, samples):
+        sf = self.tti % 10
         rg, ce, snr, cfi = self.k.rx_front(sf)(samples)
         fn, positions = self.k.blind_all(sf)
         bits_dev, resid = fn(rg, ce)
         batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
                      resid=np.asarray(resid), bits_dev=bits_dev,
                      bits=None, positions=positions, row=0)
-        self._camp_rx_row(tti, batch)
+        self._camp_rx_row(batch)
 
-    def _camp_rx_row(self, tti, batch):
+    def _camp_rx_row(self, batch):
         """Consume row `batch['row'] or self.ue_idx` of the shared
         batched front-end (rg/ce/resid computed once for every UE)."""
+        tti = self.tti
         sf = tti % 10
         row = batch.get("row", self.ue_idx)
         rg = batch["rg"]
@@ -533,40 +640,56 @@ class WaveUePhy:
         sync_cb = getattr(self.stack, "sync_indication", None)
         if sync_cb is not None:
             sync_cb(tti, snr_db > -3.0, snr_db)
-        listen = self.stack.listen_rntis(tti)
         pos_idx = {p: i for i, p in enumerate(batch["positions"])}
         rg_row = None
-        for rnti in sorted(listen):
-            hit_is = [i for c in pdcch_mod.candidates(self.cell, rnti, sf)
-                      if (i := pos_idx.get(c)) is not None
-                      and resid[i] == rnti]
-            if not hit_is:
-                continue
-            if batch["bits"] is None:
-                # one host copy for the WHOLE batch, shared across UEs
-                batch["bits"] = np.asarray(batch["bits_dev"])
-            bits = batch["bits"][row]
-            if rg_row is None:
-                rg_row = rg[row : row + 1]
-            seen = set()
-            for ci in hit_is:
-                key = bits[ci].tobytes()
-                if key in seen:
-                    continue  # same DCI visible at nested aggregations
-                seen.add(key)
-                self.metrics["dci_hit"] += 1
-                self._handle_dci(tti, rg_row, rnti, bits[ci], snr_db)
-        # PHICH (UL HARQ feedback)
-        if getattr(self.stack, "crnti", None) and \
+        done = set()
+        while True:
+            # processing a RAR can assign a C-RNTI mid-subframe whose
+            # DCI-0 (msg3 grant) rides THIS subframe: the CCE space is
+            # already decoded, so re-adjudicating the new RNTI is a host
+            # integer compare — loop until the listen set stops growing
+            todo = sorted(self.stack.listen_rntis(tti) - done)
+            if not todo:
+                break
+            done.update(todo)
+            for rnti in todo:
+                hit_is = [i for c in
+                          pdcch_mod.candidates(self.cell, rnti, sf)
+                          if (i := pos_idx.get(c)) is not None
+                          and resid[i] == rnti]
+                if not hit_is:
+                    continue
+                if batch["bits"] is None:
+                    # one host copy for the WHOLE batch, shared across UEs
+                    batch["bits"] = np.asarray(batch["bits_dev"])
+                bits = batch["bits"][row]
+                if rg_row is None:
+                    rg_row = rg[row : row + 1]
+                seen = set()
+                for ci in hit_is:
+                    key = bits[ci].tobytes()
+                    if key in seen:
+                        continue  # same DCI visible at nested aggregations
+                    seen.add(key)
+                    self.metrics["dci_hit"] += 1
+                    self._handle_dci(rg_row, rnti, bits[ci], snr_db,
+                                     batch["positions"][ci][1])
+        # PHICH (UL HARQ feedback) on the (n_group, n_seq) derived from
+        # our last PUSCH's lowest PRB (36.213 §9.1.2)
+        if self._phich_wait is not None and \
+                getattr(self.stack, "crnti", None) and \
                 getattr(self.stack, "_ul_harq_buf", None) is not None:
+            gi, si = self._phich_wait
             ce = batch["ce"]
             ph = np.asarray(self.k.phich_rx(sf)(
                 rg[row : row + 1], ce[row : row + 1]))
-            m = float(ph[0, 0, self.stack.crnti % 8])
+            m = float(ph[0, gi, si])
             if abs(m) > 0.3:
                 self.stack.harq_ack(tti, m > 0)
+        self._phich_wait = None
 
-    def _handle_dci(self, tti, rg, rnti, bits, snr_db):
+    def _handle_dci(self, rg, rnti, bits, snr_db, cce_start):
+        tti = self.tti
         if dci_mod.is_format0(bits):
             if rnti != getattr(self.stack, "crnti", None):
                 return  # UL grants only address our C-RNTI
@@ -582,17 +705,24 @@ class WaveUePhy:
         d = dci_mod.unpack_dl(bits, self.cell.n_prb, "1A")
         if d.l_crbs < 1 or d.rb_start + d.l_crbs > self.cell.n_prb:
             return  # CRC alias: impossible allocation
-        fn = self.k.pdsch_rx(tti % 10, d.rb_start, d.l_crbs, d.mcs)
-        payload_bits, ok = fn(rg, jnp.asarray(rnti, jnp.int32))
+        re_idx = self.k.dl_re_idx(tti % 10, d.rb_start, d.l_crbs)
+        fn = self.k.pdsch_rx(d.l_crbs, d.mcs, len(re_idx))
+        payload_bits, ok = fn(rg, jnp.asarray(rnti, jnp.int32),
+                              jnp.asarray(re_idx),
+                              jnp.asarray(tti % 10, jnp.int32))
         ok = bool(np.asarray(ok)[0])
         payload = _unframe(np.asarray(payload_bits)[0]) if ok else None
         self.metrics["tb_ok" if ok else "tb_err"] += 1
+        if rnti == getattr(self.stack, "crnti", None):
+            # this DCI's first CCE fixes the HARQ-ACK PUCCH resource
+            self._ack_cce = cce_start
         try:
             self.stack.tb_decoded(tti, payload, snr_db, rnti=rnti)
         except TypeError:
             self.stack.tb_decoded(tti, payload, snr_db)
 
-    def _tx(self, tti: int):
+    def _tx(self):
+        tti = self.tti
         sf = tti % 10
         div = _srate_div(self.cell.n_prb)
         sf_len = ofdm.params(self.cell.n_prb)["sf_len"]
@@ -610,30 +740,46 @@ class WaveUePhy:
                 out = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
                 self.metrics["prach_tx"] += 1
         for g, payload in self.stack.get_pusch(tti):
-            fn, tbs = self.k.pusch_tx(sf, g.rb_start, g.l_prb, g.mcs)
-            if (len(payload) + 2) * 8 > tbs:
-                payload = payload[: tbs // 8 - 2]
+            fn, tbs = self.k.pusch_tx(g.l_prb, g.mcs)
+            assert (len(payload) + 3) * 8 <= tbs, \
+                f"MAC PDU {len(payload)}B cannot pad into TBS {tbs}"
             s = fn(jnp.asarray(_frame(payload, tbs)),
-                   jnp.asarray(g.rnti, jnp.int32))
+                   jnp.asarray(g.rnti, jnp.int32),
+                   jnp.asarray(g.rb_start, jnp.int32),
+                   jnp.asarray(sf, jnp.int32))
             out = s if out is None else out + s
             self.metrics["pusch_tx"] += 1
+            # where the eNB will answer: 36.213 §9.1.2 from our lowest PRB
+            self._phich_wait = phich_mod.alloc(
+                g.rb_start, 0, phich_mod.n_groups(self.cell.n_prb))
         pucch = self.stack.get_pucch(tti)
         if pucch:
-            rnti = pucch["rnti"]
             tx = self.k.pucch_tx(sf)
             acks = pucch.get("ack", [])
+            sr = bool(pucch.get("sr"))
+            sr_res = getattr(self.stack, "sr_pucch_res", None)
             if acks:
-                d0 = np.array([[1.0 if acks[0] else -1.0, 0.0]], np.float32)
-                s = tx(jnp.asarray(_ack_res(rnti), jnp.int32),
-                       jnp.asarray(d0))
-                out = s if out is None else out + s
-                self.metrics["pucch_tx"] += 1
-            if pucch.get("sr"):
+                # positive SR moves the ACK onto the dedicated SR resource
+                # (36.213 §10.1 simultaneous SR+HARQ rule); otherwise the
+                # resource is n_CCE + N1 from the DL DCI we are acking
+                if sr and sr_res is not None:
+                    res = sr_res
+                elif self._ack_cce is not None:
+                    res = N1_PUCCH + self._ack_cce
+                else:
+                    res = None  # no DCI this TTI (SPS TBs carry no HARQ)
+                if res is not None and res < self.k.n_pucch_res:
+                    d0 = np.array([[1.0 if acks[0] else -1.0, 0.0]],
+                                  np.float32)
+                    s = tx(jnp.asarray(res, jnp.int32), jnp.asarray(d0))
+                    out = s if out is None else out + s
+                    self.metrics["pucch_tx"] += 1
+            elif sr and sr_res is not None and sr_res < self.k.n_pucch_res:
                 d0 = np.array([[1.0, 0.0]], np.float32)
-                s = tx(jnp.asarray(_sr_res(rnti), jnp.int32),
-                       jnp.asarray(d0))
+                s = tx(jnp.asarray(sr_res, jnp.int32), jnp.asarray(d0))
                 out = s if out is None else out + s
                 self.metrics["pucch_tx"] += 1
+        self._ack_cce = None
         if out is not None:
             self.medium.ul_put(tti, self.ue_idx, out,
                                is_prach=prach_idx is not None)
@@ -728,11 +874,17 @@ class WaveMedium:
 class WaveformNetwork:
     """One eNB + N UEs, everything over waveforms.  run(n_ttis) drives the
     TTI loop; the eNB transmits first each TTI (UEs see tti's DL, their UL
-    reaches the eNB at tti+1 — the 1-TTI turnaround of txrx.cc)."""
+    reaches the eNB at tti+1 — the 1-TTI turnaround of txrx.cc).
+
+    start_tti seeds the eNB's frame counter only: UEs derive their own
+    timing from SSS + MIB (SFN_SYNC), so a nonzero start proves nothing
+    leaks through the driver's tick.  pcap (a utils.pcap.MacPcap) captures
+    every decoded TB's wire image at the eNB, both directions."""
 
     def __init__(self, enb_mac, ue_stacks, pathloss_db, n_prb: int = 6,
                  cell_id: int = 1, seed: int = 0, cfi: int = 2,
-                 fading_profile: str = None, doppler_hz: float = 5.0):
+                 fading_profile: str = None, doppler_hz: float = 5.0,
+                 start_tti: int = 0, pcap=None):
         self.cell = grid_mod.CellConfig(n_prb=n_prb, cell_id=cell_id,
                                         cfi=cfi)
         # the waveform grid is compiled at ONE cfi, so the MAC's CCE
@@ -740,15 +892,31 @@ class WaveformNetwork:
         # mode instead escalates CFI with demand, enb_stack.get_dl_sched)
         assert enb_mac.n_prb == n_prb, "MAC/PHY bandwidth mismatch"
         enb_mac.fixed_cfi = cfi
-        self.kern = _CellKernels(self.cell)
+        # PUCCH format-1 region: [0, n_cce) dynamic HARQ-ACK (36.213
+        # §10.1, N1=0 as broadcast in SIB2), then the dedicated SR pool.
+        # Edge PRB pairs carrying the region are reserved from PUSCH.
+        n_cce = pdcch_mod.n_cce(self.cell)
+        sr_pool = max(4, len(ue_stacks))
+        n_edge = -(-(n_cce + sr_pool) // 36)  # PRB pairs (36 res per PRB)
+        max_edge = max(1, (n_prb - 4) // 2)  # keep >=4 PRBs for msg3
+        if n_edge > max_edge:
+            n_edge = max_edge
+            sr_pool = max(4, 36 * n_edge - n_cce)
+        self.kern = _CellKernels(self.cell, n_pucch_res=n_cce + sr_pool)
+        if hasattr(enb_mac, "sr_res_base"):
+            enb_mac.sr_res_base = n_cce
+            enb_mac.sr_res_pool = sr_pool
+            enb_mac.ul_prb_lo = n_edge
+            enb_mac.ul_prb_hi = n_prb - n_edge
         self.medium = WaveMedium(
             len(ue_stacks), pathloss_db, seed=seed,
             fading_profile=fading_profile, doppler_hz=doppler_hz,
             srate_hz=ofdm.params(n_prb)["sf_len"] * 1e3)
-        self.enb = WaveEnbPhy(self.medium, self.cell, enb_mac, self.kern)
+        self.enb = WaveEnbPhy(self.medium, self.cell, enb_mac, self.kern,
+                              pcap=pcap)
         self.ues = [WaveUePhy(self.medium, self.cell, st, self.kern, i)
                     for i, st in enumerate(ue_stacks)]
-        self.tti = 0
+        self.tti = start_tti
 
     def run(self, n_ttis: int):
         for _ in range(n_ttis):
@@ -759,6 +927,7 @@ class WaveformNetwork:
             # receive loop (the framework's core TPU design)
             samples = self.medium.dl_take_all()
             batch = None
+            search = None
             if any(ue.state == "CAMP" for ue in self.ues):
                 rg, ce, snr, cfi = self.kern.rx_front(sf)(samples)
                 fn, positions = self.kern.blind_all(sf)
@@ -766,11 +935,20 @@ class WaveformNetwork:
                 batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
                              resid=np.asarray(resid), bits_dev=bits_dev,
                              bits=None, positions=positions)
+            if any(ue.state == "CELL_SEARCH" for ue in self.ues):
+                # one batched PSS/SSS search for every still-searching UE
+                q, cid, sfi = (np.asarray(v) for v in
+                               self.kern.cell_search()(samples))
+                search = (q, cid, sfi)
             for i, ue in enumerate(self.ues):
                 row = dict(batch, row=i) if batch is not None else None
                 if row is not None:
                     row["bits"] = batch["bits"]
-                ue.run_tti(self.tti, samples[i : i + 1], row)
+                srow = None
+                if search is not None and ue.state == "CELL_SEARCH":
+                    srow = (search[0][i], search[1][i], search[2][i])
+                ue.run_tti(self.tti, samples[i : i + 1], row,
+                           search=srow)
                 if row is not None and row["bits"] is not None:
                     batch["bits"] = row["bits"]  # share the host copy
             self.tti += 1

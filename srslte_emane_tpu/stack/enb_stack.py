@@ -224,7 +224,36 @@ class EnbStack:
         # at one CFI, so the CCE search spaces the allocator draws from
         # must use the same CFI (message mode keeps demand escalation)
         self.fixed_cfi = None
+        # PUCCH region reservation (waveform mode): UL PRBs [lo, hi) are
+        # schedulable for PUSCH; the edge PRBs outside carry PUCCH
+        # (sched.cc reserves the same region via pucch_cfg)
+        self.ul_prb_lo = 0
+        self.ul_prb_hi = n_prb
+        # dedicated SR resource pool (36.213 §10.1 N_pucch_sr region):
+        # waveform mode sets base = n_cce so SR sits above the dynamic
+        # ACK region n_pucch = n_cce_start + N1 (N1=0, the SIB2 value)
+        self.sr_res_base = 0
+        self.sr_res_pool = 2048
+        self._sr_ctr = 0
         mme.s1_setup(enb_id, self)
+
+    @staticmethod
+    def _ul_prb_fit(l_prb: int) -> int:
+        """Largest transform-precodable PRB count <= l_prb (2^a 3^b 5^c,
+        dft_precoding.c srslte_dft_precoding_valid_prb — the scheduler
+        only hands out DFT-sized UL allocations, sched.cc)."""
+        from ..phch.pusch import valid_n_prb
+
+        while l_prb > 0 and not valid_n_prb(l_prb):
+            l_prb -= 1
+        return l_prb
+
+    def _alloc_sr_res(self, ue) -> int:
+        """Assign (or return) the UE's dedicated sr-PUCCH-ResourceIndex."""
+        if getattr(ue, "sr_pucch_res", None) is None:
+            ue.sr_pucch_res = self.sr_res_base + self._sr_ctr % self.sr_res_pool
+            self._sr_ctr += 1
+        return ue.sr_pucch_res
 
     # ================= MAC interface (stack_interface_phy_lte) =================
     RAR_QUEUE_MAX = 16  # PRACH detector capacity per RAR window
@@ -263,8 +292,10 @@ class EnbStack:
     # each success nudges it up
     OLLA_UP, OLLA_DOWN = 0.1, 1.0
 
-    def ul_crc_info(self, tti, rnti, ok):
-        self.phich_queue.append(dict(rnti=rnti, ack=ok))
+    def ul_crc_info(self, tti, rnti, ok, rb_start=0):
+        # rb_start = the decoded PUSCH's lowest PRB: the 36.213 §9.1.2
+        # PHICH (n_group, n_seq) mapping derives from it (phich.c:131-134)
+        self.phich_queue.append(dict(rnti=rnti, ack=ok, rb_start=rb_start))
         # eNB-side radio-link failure: N consecutive PUSCH CRC failures ->
         # release the UE context (rl_failure, enb_interfaces.h:95)
         ue = self.ues.get(rnti)
@@ -790,7 +821,7 @@ class EnbStack:
         the allocation and drops MCS, rv follows 0,2,3,1), then msg3, then
         SR/BSR grants."""
         grants = []
-        cursor = 0
+        cursor = self.ul_prb_lo  # PUCCH edge PRBs are not PUSCH-schedulable
         # DCI-0s share the TTI's control region with the DL DCIs: reuse
         # get_dl_sched(tti)'s allocator so CCEs never collide across the
         # two, and every placement is a true search-space candidate that
@@ -815,8 +846,9 @@ class EnbStack:
             if ent is None or not ent.get("retx_due"):
                 continue
             n_tx = ent["n_tx"] + 1
-            l_prb = min(self.n_prb - cursor,
-                        ent["l_prb"] + (n_tx - 1) * max(1, ent["l_prb"] // 2))
+            l_prb = self._ul_prb_fit(
+                min(self.ul_prb_hi - cursor,
+                    ent["l_prb"] + (n_tx - 1) * max(1, ent["l_prb"] // 2)))
             if l_prb <= 0:
                 break
             la = cce.alloc(rnti, l_pref=4)
@@ -836,7 +868,7 @@ class EnbStack:
             u = self.ues.get(rnti)
             if u is None:
                 continue
-            if cursor + 4 > self.n_prb:
+            if cursor + 4 > self.ul_prb_hi:
                 break
             if getattr(u, "msg3_grant", False):
                 la = cce.alloc(rnti, l_pref=4)
@@ -853,8 +885,9 @@ class EnbStack:
             if u is None:
                 continue
             # nominal 8-PRB SR/BSR grant, shrunk to what the cell has left
-            # (a 1.4 MHz cell only has 6 PRB total)
-            l_prb = min(8, self.n_prb - cursor)
+            # (a 1.4 MHz cell only has 6 PRB total) and rounded down to a
+            # DFT-precodable size
+            l_prb = self._ul_prb_fit(min(8, self.ul_prb_hi - cursor))
             if l_prb < 2:
                 break
             if getattr(u, "sr", False) or getattr(u, "bsr", 0) > 0:
@@ -1085,7 +1118,8 @@ class EnbStack:
             ue.s_tmsi = msg.ue_identity if msg.is_s_tmsi else None
             # contention resolution rides the MAC CE (ue.msg3_prefix),
             # not the RRC message
-            ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())
+            ue.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup(
+                sr_pucch_res_idx=self._alloc_sr_res(ue)))
             self.metrics["rrc_setup"] += 1
         elif isinstance(msg, rrc_msgs.RrcConnectionReestablishmentRequest):
             self.handle_reestablishment(ue, msg)
@@ -1258,7 +1292,8 @@ class EnbStack:
         old.msg3_prefix = getattr(ue, "msg3_prefix", None)
         self.ues[ue.rnti] = old
         old.state = "RRC_CONNECTED"
-        old.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup())
+        old.send_rrc(SRB0, rrc_msgs.RrcConnectionSetup(
+            sr_pucch_res_idx=self._alloc_sr_res(old)))
         self.metrics["rrc_reest"] += 1
 
     # ================= S1AP callbacks (from MME) =================

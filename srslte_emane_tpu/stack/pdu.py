@@ -75,28 +75,48 @@ def scell_act_ce(active: set) -> bytes:
     return bytes([b])
 
 
+def _len_hdr(lcid: int, n: int, e: int) -> bytes:
+    """R/R/E/LCID/F/L subheader with explicit length (7 or 15-bit L)."""
+    if n < 128:
+        return bytes([(e << 5) | (lcid & 0x1F), n & 0x7F])
+    return bytes([(e << 5) | (lcid & 0x1F), 0x80 | (n >> 8), n & 0xFF])
+
+
 def pack(subpdus, tb_size: int = None) -> bytes:
-    """subpdus: list of (lcid, payload bytes).  Returns a MAC PDU, padded to
-    tb_size if given."""
+    """subpdus: list of (lcid, payload bytes).  Returns a MAC PDU.
+
+    With tb_size, pads to exactly tb_size bytes using 36.321 §6.1.2
+    padding subheaders (pdu.h:277-278 / pdu.cc):
+      - 1-2 bytes short: that many one-byte padding subheaders (E=1,
+        LCID=31, no L field) PREPENDED to the header chain;
+      - more: every real subPDU gets an explicit length field and a final
+        padding subheader (E=0, LCID=31) owns the remainder of the PDU.
+    Without padding the last subheader keeps the implicit rest-of-PDU
+    length, so the image is the shortest legal encoding either way."""
+    subpdus = list(subpdus)
     headers = b""
     payloads = b""
     for i, (lcid, payload) in enumerate(subpdus):
         last = i == len(subpdus) - 1
-        e = 0 if last else 1
         if last:
-            headers += bytes([(e << 5) | (lcid & 0x1F)])
+            headers += bytes([lcid & 0x1F])
         else:
-            n = len(payload)
-            if n < 128:
-                headers += bytes([(e << 5) | (lcid & 0x1F), n & 0x7F])
-            else:
-                headers += bytes([(e << 5) | (lcid & 0x1F), 0x80 | (n >> 8), n & 0xFF])
+            headers += _len_hdr(lcid, len(payload), 1)
         payloads += payload
-    pdu = headers + payloads
-    if tb_size is not None and len(pdu) < tb_size:
-        # leading padding subheader convention simplified: trailing zero pad
-        pdu += bytes(tb_size - len(pdu))
-    return pdu
+    base = headers + payloads
+    if tb_size is None or len(base) == tb_size:
+        return base
+    need = tb_size - len(base)
+    assert need > 0, f"MAC PDU {len(base)}B exceeds TBS {tb_size}B"
+    if not subpdus:
+        # padding-only PDU: one padding subheader owns the whole TB
+        return bytes([LCID_PAD]) + bytes(tb_size - 1)
+    if need <= 2:
+        # leading padding subheaders (one byte each, no payload)
+        return bytes([(1 << 5) | LCID_PAD]) * need + base
+    headers = b"".join(_len_hdr(lcid, len(p), 1) for lcid, p in subpdus)
+    pdu = headers + bytes([LCID_PAD]) + payloads
+    return pdu + bytes(tb_size - len(pdu))
 
 
 # 36.321 Table 7.2-1: Backoff Parameter index -> ms (reserved indices -> 960)
@@ -141,9 +161,11 @@ def unpack_rar(pdu_bytes: bytes) -> dict:
 
 
 def unpack(pdu: bytes):
-    """Returns list of (lcid, payload).  The final subPDU takes the rest of
-    the PDU (minus trailing zero padding is NOT stripped — RLC/len-aware
-    callers handle it; CCCH/CE sizes are explicit)."""
+    """Returns list of (lcid, payload), padding subPDUs dropped.
+
+    The final non-padding subPDU takes the rest of the PDU; padding
+    subheaders (LCID=31) carry no length field — leading ones (E=1) have
+    no payload, a final one (E=0) owns the rest of the PDU as padding."""
     if not pdu:
         return []  # CQI-only PUSCH carries no MAC subPDUs (36.213 §7.2.1)
     out = []
@@ -155,6 +177,12 @@ def unpack(pdu: bytes):
         e = (b0 >> 5) & 1
         lcid = b0 & 0x1F
         pos += 1
+        if lcid == LCID_PAD:
+            if e:
+                continue  # leading padding subheader: no L, no payload
+            lcids.append(lcid)
+            sizes.append(None)  # final padding owns the rest — dropped
+            break
         if e:
             n = pdu[pos]
             pos += 1
@@ -169,7 +197,8 @@ def unpack(pdu: bytes):
             break
     for lcid, n in zip(lcids, sizes):
         if n is None:
-            out.append((lcid, pdu[pos:]))
+            if lcid != LCID_PAD:
+                out.append((lcid, pdu[pos:]))
             pos = len(pdu)
         else:
             out.append((lcid, pdu[pos : pos + n]))

@@ -38,7 +38,7 @@ class RrcConnectionReject:
 
 
 @codec.register
-@per.schema(("con_res_id", "int"))
+@per.schema(("con_res_id", "int"), ("sr_pucch_res_idx", "cint", -1, 2047))
 @dataclasses.dataclass
 class RrcConnectionSetup:
     # echo of the Msg3 ue_identity = the 36.321 UE Contention Resolution
@@ -46,6 +46,11 @@ class RrcConnectionSetup:
     # (ideal-PHY/syssim drivers that never contend)
     con_res_id: int = 0
     srb1_config: dict = dataclasses.field(default_factory=dict)
+    # 36.331 SchedulingRequestConfig sr-PUCCH-ResourceIndex (dedicated
+    # physicalConfigDedicated); -1 = not configured (message-level PHY).
+    # The waveform UE transmits its SR on exactly this format-1 resource
+    # (36.213 §10.1; lib/src/phy/ue/ue_ul.c pucch_sched.n_pucch_sr).
+    sr_pucch_res_idx: int = -1
 
 
 @codec.register

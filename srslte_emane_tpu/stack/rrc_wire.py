@@ -165,6 +165,12 @@ def encode_dl_ccch(msg) -> bytes:
         rr = dict(srb_to_add_mod_list=[dict(
             srb_id=1, rlc_cfg=("default_value", None),
             lc_ch_cfg=("default_value", None))])
+        if getattr(msg, "sr_pucch_res_idx", -1) >= 0:
+            # dedicated SchedulingRequestConfig (36.331 §6.3.2): the
+            # waveform UE's SR rides exactly this PUCCH format-1 resource
+            rr["phys_cfg_ded"] = dict(sched_request_cfg=("setup", dict(
+                sr_pucch_res_idx=msg.sr_pucch_res_idx,
+                sr_cfg_idx=0, dsr_trans_max="n64")))
         tree = dict(msg=("c1", ("rrc_conn_setup", dict(
             rrc_transaction_id=0,
             crit_exts=("c1", ("r8", dict(rr_cfg_ded=rr)))))))
@@ -182,7 +188,15 @@ def decode_dl_ccch(data: bytes):
     if name == "rrc_conn_setup":
         # the contention-resolution identity rides the 36.321 MAC CE,
         # not this message: 0 = resolved by CE (or wildcard)
-        return rrc_msgs.RrcConnectionSetup(con_res_id=0)
+        _c1, (_r8, body) = val["crit_exts"]
+        sr_idx = -1
+        phys = (body.get("rr_cfg_ded") or {}).get("phys_cfg_ded")
+        if phys and phys.get("sched_request_cfg"):
+            which, cfg = phys["sched_request_cfg"]
+            if which == "setup":
+                sr_idx = cfg["sr_pucch_res_idx"]
+        return rrc_msgs.RrcConnectionSetup(con_res_id=0,
+                                           sr_pucch_res_idx=sr_idx)
     if name == "rrc_conn_reject":
         _c1, (_r8, body) = val["crit_exts"]
         return rrc_msgs.RrcConnectionReject(wait_time_s=body["wait_time"])

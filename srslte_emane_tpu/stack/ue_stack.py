@@ -800,6 +800,10 @@ class UeStack:
             return
         if isinstance(msg, rrc_msgs.RrcConnectionSetup):
             self._connect_pending = False
+            # dedicated SchedulingRequestConfig (36.331): the waveform PHY
+            # transmits SR on exactly this PUCCH format-1 resource
+            if getattr(msg, "sr_pucch_res_idx", -1) >= 0:
+                self.sr_pucch_res = msg.sr_pucch_res_idx
             if self.rrc_state == "REESTABLISHING":
                 self.t301.stop()
                 self.rrc_state = "CONNECTED"

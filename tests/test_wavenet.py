@@ -101,3 +101,96 @@ def test_waveform_native_attach_through_epa_fading():
             break
     assert ue.emm_state == "REGISTERED"
     assert ue.ip_addr
+
+
+@pytest.mark.slow
+def test_waveform_sfn_sync_from_mib():
+    """The UE's protocol time comes from SSS + the decoded MIB, not the
+    driver's tick: start the eNB mid-frame-space (SFN 137) and the UE
+    must still attach, with its own tti equal to the eNB's
+    (srsue/src/phy/sync.cc:408 SFN_SYNC role)."""
+    net, enb, ues, mme, spgw = build(n_ues=1, seed=11)
+    net.tti = 1370  # eNB starts at SFN 137, subframe 0
+    for _ in range(8):
+        net.run(50)
+        if ues[0].emm_state == "REGISTERED":
+            break
+    assert ues[0].emm_state == "REGISTERED"
+    ue_phy = net.ues[0]
+    assert ue_phy.state == "CAMP"
+    # the UE's self-derived clock tracks the eNB's frame counter exactly
+    assert ue_phy.tti == net.tti - 1, (ue_phy.tti, net.tti)
+
+
+@pytest.mark.slow
+def test_waveform_20ues_collision_free_and_mac_pcap(tmp_path):
+    """36.213 resource mappings at scale: 20 UEs attach over waveforms
+    with spec-derived PUCCH (n_CCE + N1 HARQ-ACK, RRC-dedicated SR) and
+    PHICH (lowest-PRB (group, seq)) resources — the rnti%N conventions
+    they replace collide beyond ~8-16 UEs.  The eNB MAC PCAP written
+    along the way must re-dissect, padding subheaders included."""
+    from srslte_emane_tpu.utils import pcap as pcap_mod
+    from srslte_emane_tpu.stack import pdu as pdu_mod
+
+    n_ues = 20
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=25)
+    ues = []
+    for i in range(n_ues):
+        imsi = f"00101000000001{i:02d}"
+        key = bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        opc = security.milenage_opc(key, b"\x00" * 16)
+        ues.append(ue_stack.UeStack(ue_stack.Usim(imsi, key, opc),
+                                    preamble=3 + 3 * i))
+    path = str(tmp_path / "wave_mac.pcap")
+    mac_pcap = pcap_mod.MacPcap(path)
+    net = wavenet.WaveformNetwork(
+        enb, ues, pathloss_db=np.full(n_ues, 80.0), n_prb=25, seed=7,
+        pcap=mac_pcap)
+    for _ in range(30):
+        net.run(100)
+        if all(u.emm_state == "REGISTERED" for u in ues):
+            break
+    n_reg = sum(u.emm_state == "REGISTERED" for u in ues)
+    assert n_reg == n_ues, [
+        (u.emm_state, u.rrc_state, u.mac_state) for u in ues]
+    # distinct dedicated SR resources, all above the dynamic ACK region
+    from srslte_emane_tpu.phch import pdcch
+    n_cce = pdcch.n_cce(net.cell)
+    sr_res = [u.sr_pucch_res for u in ues]
+    assert len(set(sr_res)) == n_ues, sr_res
+    assert all(r >= n_cce for r in sr_res)
+    mac_pcap.close()
+
+    # the PCAP dissects: every record's payload re-parses as a MAC PDU
+    # (or RAR), and padded PDUs carry real 36.321 padding subheaders
+    raw = open(path, "rb").read()
+    assert len(raw) > 24
+    import struct
+    pos = 24
+    n_rec, n_pad = 0, 0
+    while pos < len(raw):
+        _, _, incl, _ = struct.unpack("!IIII", raw[pos + 0 : pos + 16])
+        rec = raw[pos + 16 : pos + 16 + incl]
+        pos += 16 + incl
+        # strip the MAC-LTE context header (utils/pcap.py framing):
+        # radio(1) dir(1) rnti_type(1) [tag rnti(2)] [tag ueid(2)]
+        # [tag subframe(2)] tag_payload(1)
+        assert rec[3] == 2 and rec[6] == 3 and rec[9] == 4  # tags
+        payload = rec[13:]
+        n_rec += 1
+        if pdu_mod.is_rar(payload):
+            pdu_mod.unpack_rar(payload)
+            continue
+        subs = pdu_mod.unpack(payload)  # raises on a corrupt header walk
+        # a padded PDU re-packs strictly shorter without the tb_size:
+        # its wire image carries real 36.321 padding subheaders
+        if subs and len(pdu_mod.pack(subs)) < len(payload):
+            n_pad += 1
+        for lcid, sdu in subs:
+            assert lcid != pdu_mod.LCID_PAD
+    assert n_rec >= 4 * n_ues  # RAR + setup + NAS traffic, both ways
+    assert n_pad > 0  # padding subheaders really occur on the wire
