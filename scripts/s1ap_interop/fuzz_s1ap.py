@@ -91,11 +91,103 @@ def gen(rng, kind: str) -> s1.S1apPdu:
             ambr_ul=int(rng.integers(0, 1 << 32)),
             security_caps=dict(eea=int(rng.integers(0, 1 << 16)),
                                eia=int(rng.integers(0, 1 << 16))))
+    if kind == "ho_required":
+        genb = (dict(plmn=_bytes(rng, 3),
+                     home_enb_id=int(rng.integers(0, 1 << 28)))
+                if rng.random() < 0.3 else
+                dict(plmn=_bytes(rng, 3),
+                     macro_enb_id=int(rng.integers(0, 1 << 20))))
+        return s1.handover_required(
+            mme_id, enb_id, genb, _tai(rng),
+            _bytes(rng, int(rng.integers(1, 80))),
+            cause=("radioNetwork", int(rng.integers(0, 36))))
+    if kind == "ho_command":
+        return s1.handover_command(mme_id, enb_id,
+                                   _bytes(rng, int(rng.integers(1, 80))))
+    if kind == "ho_request":
+        items = [dict(_erab(rng), nas_pdu=None)
+                 for _ in range(int(rng.integers(1, 4)))]
+        return s1.handover_request(
+            mme_id, items, _bytes(rng, int(rng.integers(1, 60))),
+            _bytes(rng, 32), nhcc=int(rng.integers(0, 8)),
+            cause=("radioNetwork", int(rng.integers(0, 36))),
+            ambr_dl=int(rng.integers(0, 1 << 32)),
+            ambr_ul=int(rng.integers(0, 1 << 32)),
+            security_caps=dict(eea=int(rng.integers(0, 1 << 16)),
+                               eia=int(rng.integers(0, 1 << 16))))
+    if kind == "ho_request_ack":
+        adm = []
+        for _ in range(int(rng.integers(1, 4))):
+            it = dict(erab_id=int(rng.integers(0, 15)),
+                      addr=_bytes(rng, 4),
+                      teid=int(rng.integers(0, 1 << 32)))
+            if rng.random() < 0.3:
+                it["dl_addr"] = _bytes(rng, 4)
+            if rng.random() < 0.3:
+                it["dl_teid"] = int(rng.integers(0, 1 << 32))
+            if rng.random() < 0.3:
+                it["ul_addr"] = _bytes(rng, 4)
+            if rng.random() < 0.3:
+                it["ul_teid"] = int(rng.integers(0, 1 << 32))
+            adm.append(it)
+        return s1.handover_request_acknowledge(
+            mme_id, enb_id, adm, _bytes(rng, int(rng.integers(1, 60))))
+    if kind == "ho_notify":
+        return s1.handover_notify(mme_id, enb_id, _cgi(rng), _tai(rng))
+    if kind == "path_switch":
+        sw = [dict(erab_id=int(rng.integers(0, 15)),
+                   addr=_bytes(rng, 4),
+                   teid=int(rng.integers(0, 1 << 32)))
+              for _ in range(int(rng.integers(1, 4)))]
+        return s1.path_switch_request(
+            enb_id, sw, mme_id, _cgi(rng), _tai(rng),
+            security_caps=dict(eea=int(rng.integers(0, 1 << 16)),
+                               eia=int(rng.integers(0, 1 << 16))))
+    if kind == "path_switch_ack":
+        return s1.path_switch_request_acknowledge(
+            mme_id, enb_id, _bytes(rng, 32), nhcc=int(rng.integers(0, 8)))
+    if kind == "erab_setup_req":
+        items = [dict(_erab(rng),
+                      nas_pdu=_bytes(rng, int(rng.integers(1, 40))))
+                 for _ in range(int(rng.integers(1, 4)))]
+        return s1.erab_setup_request(
+            mme_id, enb_id, items,
+            ambr_dl=int(rng.integers(0, 1 << 32)),
+            ambr_ul=int(rng.integers(0, 1 << 32)))
+    if kind == "erab_setup_res":
+        items = [dict(erab_id=int(rng.integers(0, 15)),
+                      addr=_bytes(rng, 4),
+                      teid=int(rng.integers(0, 1 << 32)))
+                 for _ in range(int(rng.integers(1, 4)))]
+        return s1.erab_setup_response(mme_id, enb_id, items)
+    if kind == "erab_release_cmd":
+        items = [dict(erab_id=int(rng.integers(0, 15)),
+                      cause=("radioNetwork", int(rng.integers(0, 36))))
+                 for _ in range(int(rng.integers(1, 4)))]
+        return s1.erab_release_command(
+            mme_id, enb_id, items,
+            nas_pdu=(_bytes(rng, int(rng.integers(1, 30)))
+                     if rng.random() < 0.5 else None),
+            ambr_dl=int(rng.integers(0, 1 << 32)),
+            ambr_ul=int(rng.integers(0, 1 << 32)))
+    if kind == "erab_release_res":
+        # REFERENCE limitation: liblte's list UNPACKs never re-align
+        # after an item, but its PACKs do (liblte_s1ap.cc
+        # unpack_e_rabreleaselistbearerrelcomp vs the pack side).  The
+        # ReleaseItemBearerRelComp body is 7 bits, so any SECOND item's
+        # header is read 1 bit off and the reference cannot decode its
+        # own multi-item encoding.  Fuzz single-item lists; the
+        # asymmetry is cataloged in docs/INTEROP.md.
+        return s1.erab_release_response(
+            mme_id, enb_id, [dict(erab_id=int(rng.integers(0, 15)))])
     raise KeyError(kind)
 
 
 KINDS = ("initial_ue", "dl_nas", "ul_nas", "release_cmd", "release_req",
-         "paging", "ctx_setup")
+         "paging", "ctx_setup", "ho_required", "ho_command", "ho_request",
+         "ho_request_ack", "ho_notify", "path_switch", "path_switch_ack",
+         "erab_setup_req", "erab_setup_res", "erab_release_cmd",
+         "erab_release_res")
 
 
 def corpus(n_per_kind: int, seed: int):

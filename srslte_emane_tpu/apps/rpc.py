@@ -83,6 +83,8 @@ class RpcServer:
                         args = s1ap_wire.decode_args(req["path"],
                                                      req["args"])
                         result = target(*args, **req.get("kwargs", {}))
+                        result = s1ap_wire.encode_result(req["path"],
+                                                         args, result)
                         _send(conn, dict(ok=True, result=result))
                     except Exception as e:  # propagate to caller
                         _send(conn, dict(ok=False, error=repr(e)))
@@ -108,7 +110,7 @@ class RpcClient:
             resp = _recv(self.sock)
         if not resp["ok"]:
             raise RuntimeError(f"remote error in {path}: {resp['error']}")
-        return resp["result"]
+        return s1ap_wire.decode_result(path, resp["result"])
 
     def close(self):
         self.sock.close()

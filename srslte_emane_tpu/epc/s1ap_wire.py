@@ -133,6 +133,114 @@ def _dec_ctx_setup(data: bytes) -> mme_mod.InitialContextSetupRequest:
         nas_pdu=item["nas_pdu"] or b"")
 
 
+# ---- S1 mobility (36.413 §8.4) --------------------------------------------
+# The typed HO dataclasses ride as the real HandoverPreparation /
+# HandoverResourceAllocation / PathSwitchRequest PDUs.  The emulation's
+# transparent containers carry exactly what the reference's RRC
+# containers carry at these points: HandoverPreparationInformation's
+# role (source -> target: here the target PCI) and the RRC
+# HandoverCommand's role (mobilityControlInfo: target PCI, new C-RNTI,
+# dedicated preamble, plus KeNB* which the reference passes alongside).
+
+def _enc_ho_required(msg: mme_mod.HandoverRequired) -> bytes:
+    genb = dict(plmn=PLMN, macro_enb_id=msg.target_pci)
+    return s1.encode_pdu(s1.handover_required(
+        msg.mme_ue_id, msg.enb_ue_id, genb, TAI,
+        container=int(msg.target_pci).to_bytes(2, "big"),
+        cause=("radioNetwork", 2)))  # handover-desirable-for-radio-reasons
+
+
+def _dec_ho_required(data: bytes) -> mme_mod.HandoverRequired:
+    ies = _ies(s1.decode_pdu(data))
+    tgt = ies[s1.ID_TARGET_ID]["global_enb_id"]
+    return mme_mod.HandoverRequired(
+        mme_ue_id=ies[s1.ID_MME_UE_S1AP_ID],
+        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID],
+        target_pci=tgt["macro_enb_id"])
+
+
+def _enc_ho_request(msg: mme_mod.HandoverRequest) -> bytes:
+    ip = msg.ue_ip or "0.0.0.0"
+    item = dict(erab_id=5, addr=socket.inet_aton(ip), addr_bits=32,
+                teid=msg.teid_spgw, qci=9, arp_priority=15,
+                pre_emption_capability=0, pre_emption_vulnerability=0)
+    # the eNB-side DL TEID rides the transparent container (the same
+    # emulation-private convention as ICS's EMU_DL_TEID extension; the
+    # reference returns it in the HandoverRequestAcknowledge instead)
+    return s1.encode_pdu(s1.handover_request(
+        msg.mme_ue_id, [item],
+        container=int(msg.teid_enb).to_bytes(4, "big"),
+        nh=msg.kenb_star, nhcc=0))
+
+
+def _dec_ho_request(data: bytes) -> mme_mod.HandoverRequest:
+    ies = _ies(s1.decode_pdu(data))
+    item = ies[s1.ID_ERAB_TO_BE_SETUP_LIST_HO_REQ][0]
+    ip = socket.inet_ntoa(item["addr"])
+    return mme_mod.HandoverRequest(
+        mme_ue_id=ies[s1.ID_MME_UE_S1AP_ID],
+        kenb_star=ies[s1.ID_SECURITY_CONTEXT]["nh"],
+        ue_ip=None if ip == "0.0.0.0" else ip,
+        teid_spgw=item["teid"],
+        teid_enb=int.from_bytes(ies[s1.ID_SOURCE_TO_TARGET_CONTAINER],
+                                "big"))
+
+
+def _enc_ho_command(msg: mme_mod.HandoverCommand) -> bytes:
+    container = (int(msg.target_pci).to_bytes(2, "big")
+                 + int(msg.new_rnti).to_bytes(2, "big")
+                 + bytes([msg.dedicated_preamble])
+                 + bytes(msg.kenb_star))
+    return s1.encode_pdu(s1.handover_command(
+        msg.mme_ue_id, msg.enb_ue_id, container))
+
+
+def _dec_ho_command(data: bytes) -> mme_mod.HandoverCommand:
+    ies = _ies(s1.decode_pdu(data))
+    c = ies[s1.ID_TARGET_TO_SOURCE_CONTAINER]
+    return mme_mod.HandoverCommand(
+        mme_ue_id=ies[s1.ID_MME_UE_S1AP_ID],
+        enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID],
+        target_pci=int.from_bytes(c[0:2], "big"),
+        new_rnti=int.from_bytes(c[2:4], "big"),
+        dedicated_preamble=c[4], kenb_star=c[5:37])
+
+
+def _enc_path_switch(msg: mme_mod.PathSwitchRequest) -> bytes:
+    # the switched-DL endpoint is resolved MME-side from the eNB's
+    # registered GTP-U sink (mme.path_switch -> spgw.path_switch), so
+    # the wire item carries the E-RAB id with a null TLA (cataloged
+    # asymmetry: the reference's eNB fills its real DL address here)
+    item = dict(erab_id=5, addr=b"\x00\x00\x00\x00", teid=0)
+    return s1.encode_pdu(s1.path_switch_request(
+        msg.target_enb_ue_id, [item], msg.mme_ue_id, _cgi(), TAI))
+
+
+def _dec_path_switch(data: bytes) -> mme_mod.PathSwitchRequest:
+    ies = _ies(s1.decode_pdu(data))
+    return mme_mod.PathSwitchRequest(
+        mme_ue_id=ies[s1.ID_SOURCE_MME_UE_S1AP_ID],
+        target_enb_ue_id=ies[s1.ID_ENB_UE_S1AP_ID])
+
+
+def _enc_ho_request_ack(req: mme_mod.HandoverRequest, result: dict) -> bytes:
+    """The ho_request RPC's return value as the real 36.413
+    HandoverRequestAcknowledge: the target's new C-RNTI is its
+    eNB-UE-S1AP-ID, and (rnti, preamble) ride the Target-ToSource
+    transparent container (the RRC HandoverCommand payload role)."""
+    adm = [dict(erab_id=5, addr=b"\x00\x00\x00\x00", teid=0)]
+    container = (int(result["new_rnti"]).to_bytes(2, "big")
+                 + bytes([result["preamble"]]))
+    return s1.encode_pdu(s1.handover_request_acknowledge(
+        req.mme_ue_id, result["new_rnti"], adm, container))
+
+
+def _dec_ho_request_ack(data: bytes) -> dict:
+    ies = _ies(s1.decode_pdu(data))
+    c = ies[s1.ID_TARGET_TO_SOURCE_CONTAINER]
+    return dict(new_rnti=int.from_bytes(c[0:2], "big"), preamble=c[2])
+
+
 def _enc_page(ue_identity: int, cn_domain: str = "ps") -> bytes:
     return s1.encode_pdu(s1.paging(
         mmec=b"\x01", m_tmsi=int(ue_identity).to_bytes(4, "big"),
@@ -155,7 +263,41 @@ _TABLE = {
     "dl_nas": (0, _enc_dl_nas, _dec_dl_nas),
     "release": (0, _enc_release, _dec_release),
     "ctx_setup": (0, _enc_ctx_setup, _dec_ctx_setup),
+    # S1 mobility: HandoverPreparation / ResourceAllocation / PathSwitch
+    "handover_required": (1, _enc_ho_required, _dec_ho_required),
+    "ho_request": (0, _enc_ho_request, _dec_ho_request),
+    "ho_command": (0, _enc_ho_command, _dec_ho_command),
+    "path_switch": (1, _enc_path_switch, _dec_path_switch),
 }
+
+# RPC results that ride as real successfulOutcome PDUs: (encoder taking
+# (decoded request msg, result), decoder taking wire bytes)
+_RESULT_TABLE = {
+    "ho_request": (_enc_ho_request_ack, _dec_ho_request_ack),
+}
+
+
+def encode_result(path: str, args: tuple, result):
+    """Server side: swap an RPC return value for its successfulOutcome
+    APER bytes (args are the already-decoded typed arguments)."""
+    ent = _RESULT_TABLE.get(path.rsplit(".", 1)[-1])
+    if ent is None or result is None:
+        return result
+    enc, _dec = ent
+    try:
+        return {"__s1ap__": enc(args[0], result)}
+    except (AttributeError, TypeError, KeyError, IndexError):
+        return result
+
+
+def decode_result(path: str, result):
+    """Client side: parse a successfulOutcome PDU back to the value."""
+    ent = _RESULT_TABLE.get(path.rsplit(".", 1)[-1])
+    if ent is None or not isinstance(result, dict) \
+            or "__s1ap__" not in result:
+        return result
+    _enc, dec = ent
+    return dec(result["__s1ap__"])
 
 
 def encode_args(path: str, args: tuple, kwargs: dict = None):

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .turbodecoder import _trellis, _pick_windows, HALO, NEG
+from .turbodecoder import _trellis, _pick_windows, HALO, NEG, max_star
 
 LANES = 128
 SUBS = 8  # sublane batching: columns per lane handled per op
@@ -80,14 +80,14 @@ def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
     def bwd_step(beta, tt):
         g = _g4(ls_ref[tt], lp_ref[tt])
         return tuple(
-            jnp.maximum(beta[ns[s, 0]] + g[cb[s, 0]],
-                        beta[ns[s, 1]] + g[cb[s, 1]])
+            max_star(beta[ns[s, 0]] + g[cb[s, 0]],
+                     beta[ns[s, 1]] + g[cb[s, 1]])
             for s in range(8))
 
     def fwd_step(alpha, g):
         return tuple(
-            jnp.maximum(alpha[ps[s, 0]] + g[cf[s, 0]],
-                        alpha[ps[s, 1]] + g[cf[s, 1]])
+            max_star(alpha[ps[s, 0]] + g[cf[s, 0]],
+                     alpha[ps[s, 1]] + g[cf[s, 1]])
             for s in range(8))
 
     zero = jnp.zeros(ls_ref.shape[1:], jnp.float32)
@@ -152,7 +152,7 @@ def _map_kernel(ls_ref, lp_ref, ab_exact_ref, ab_mask_ref, llr_ref,
             tsu[s][1] + bn[ns[s, 1]] for s in range(8)))
         llr_ref[tt] = m0 - m1
         return tuple(
-            jnp.maximum(tsu[ps[s, 0]][pu[s, 0]], tsu[ps[s, 1]][pu[s, 1]])
+            max_star(tsu[ps[s, 0]][pu[s, 0]], tsu[ps[s, 1]][pu[s, 1]])
             for s in range(8))
 
     def fwd(i, alpha):

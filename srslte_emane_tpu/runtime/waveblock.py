@@ -80,15 +80,24 @@ class BlockConfig(typing.NamedTuple):
         return ra.ul_tbs(self.ul_mcs, self.ul_l_prb)
 
 
+def centre_prbs(n_prb: int) -> tuple:
+    """[lo, hi) PRBs touched by the centre-72-subcarrier PSS/SSS/PBCH
+    region — NOT PRB-aligned for odd n_prb (the region spans half-PRBs,
+    e.g. 4.5..10.5 at 15 PRB)."""
+    lo = (6 * n_prb - 36) // 12
+    hi = -(-(6 * n_prb + 36) // 12)
+    return lo, hi
+
+
 def _dl_re_tables(cfg: BlockConfig) -> np.ndarray:
     """(n_ues, n_re) PDSCH RE indices, proven subframe-invariant."""
     cell = cfg.cell
-    c0 = (cell.n_prb - 6) // 2
+    c0, c1 = centre_prbs(cell.n_prb)
     idx = []
     for rb in cfg.dl_rb_start:
-        assert rb + cfg.dl_l_crbs <= c0 or rb >= c0 + 6, (
-            f"SPS DL alloc [{rb}, {rb + cfg.dl_l_crbs}) overlaps the centre"
-            f" 6 PRBs [{c0}, {c0 + 6}) (PSS/SSS/PBCH region)")
+        assert rb + cfg.dl_l_crbs <= c0 or rb >= c1, (
+            f"SPS DL alloc [{rb}, {rb + cfg.dl_l_crbs}) overlaps the"
+            f" centre PRBs [{c0}, {c1}) (PSS/SSS/PBCH region)")
         mask = ra.type2_to_prb_mask(rb, cfg.dl_l_crbs, cell.n_prb)
         per_sf = [grid_mod.pdsch_re_indices(cell, sf, mask)
                   for sf in (0, 1, 5)]
@@ -292,6 +301,142 @@ def make_block_step(cfg: BlockConfig, sfn0: int = 0):
             ack_energy=cplx.abs2(corr), ack_val=corr[..., 0])
 
     return jax.jit(step)
+
+
+def _pack_segments(n_prb: int, n: int, segments) -> tuple:
+    """Pack n equal-width contiguous allocations into the PRB segments.
+    Returns (starts tuple, width)."""
+    total = sum(b - a for a, b in segments)
+    w = max(1, total // n)
+    while w > 1:
+        fit = sum((b - a) // w for a, b in segments)
+        if fit >= n:
+            break
+        w -= 1
+    starts, si = [], 0
+    cur = segments[0][0]
+    for _ in range(n):
+        while cur + w > segments[si][1]:
+            si += 1
+            assert si < len(segments), f"{n} UEs don't fit {segments}"
+            cur = segments[si][0]
+        starts.append(cur)
+        cur += w
+    return tuple(starts), w
+
+
+class SpsBlockRunner:
+    """Bridge between an ATTACHED WaveformNetwork's L2/L3 stacks and the
+    device-resident block program: per block, the host drains T TTIs of
+    MAC PDUs from the eNB's and UEs' RLC entities (pure byte work), runs
+    ONE device call for the whole block's PHY, and feeds the decoded TBs
+    back into the stacks.  Feedback loops (RLC AM status, etc.) see a
+    T-TTI latency — the block is the speculation window, the same
+    trade the reference makes pipelining TTIs across sf_workers
+    (txrx.cc:105-145), deepened to a device batch.
+
+    The per-UE dedicated SR PUCCH resource doubles as the SPS persistent
+    HARQ-ACK resource (the n1PUCCH-AN-persistentList role — rrc_wire.py
+    sps-config carries that list)."""
+
+    def __init__(self, net, T: int = 20, dl_mcs: int = 10,
+                 ul_mcs: int = 10, use_pallas: bool = False):
+        from ..stack import pdu as pdu_mod
+
+        self.pdu = pdu_mod
+        self.net = net
+        mac = net.enb.mac
+        cell = net.cell
+        rntis = sorted(r for r, u in mac.ues.items()
+                       if u.state == "RRC_CONNECTED"
+                       and getattr(u, "sr_pucch_res", None) is not None)
+        assert rntis, "no RRC-connected UEs to run in block mode"
+        n_prb = cell.n_prb
+        c0, c1 = centre_prbs(n_prb)
+        dl_starts, dl_w = _pack_segments(
+            n_prb, len(rntis), [(0, c0), (c1, n_prb)])
+        lo, hi = mac.ul_prb_lo, mac.ul_prb_hi
+        wu = max(1, (hi - lo) // len(rntis))
+        while wu > 1 and not pusch_mod.valid_n_prb(wu):
+            wu -= 1
+        ul_starts = tuple(lo + i * wu for i in range(len(rntis)))
+        med = net.medium
+        by_crnti = {ue.stack.crnti: i for i, ue in enumerate(net.ues)}
+        self.ue_idx = [by_crnti[r] for r in rntis]
+        snr = tuple(
+            float(med.tx_power_dbm - med.pathloss_db[self.ue_idx[i]]
+                  - med.noise_floor_dbm)
+            for i in range(len(rntis)))
+        self.cfg = BlockConfig(
+            cell=cell, rntis=tuple(rntis),
+            dl_rb_start=dl_starts, dl_l_crbs=dl_w, dl_mcs=dl_mcs,
+            ul_rb_start=ul_starts, ul_l_prb=wu, ul_mcs=ul_mcs,
+            ack_res=tuple(mac.ues[r].sr_pucch_res for r in rntis),
+            snr_db=snr, T=T, use_pallas=use_pallas)
+        self.step = make_block_step(self.cfg, sfn0=(net.tti // 10) % 1024)
+        self._key = jax.random.PRNGKey(net.tti + 17)
+        self.metrics = dict(blocks=0, dl_tb=0, dl_ok=0, ul_tb=0, ul_ok=0,
+                            ack_det=0)
+
+    def _mux(self, rlc_map, tbs_bytes: int) -> bytes:
+        """One MAC PDU from a dict of RLC entities (36.321 mux role),
+        padded to the TBS with real padding subheaders."""
+        subs, room = [], tbs_bytes - 4
+        for lcid in sorted(rlc_map):
+            while room > 8 and rlc_map[lcid].has_data():
+                p = rlc_map[lcid].read_pdu(room - 4)
+                if p is None:
+                    break
+                subs.append((lcid, p))
+                room -= len(p) + 3
+        return self.pdu.pack(subs, tb_size=tbs_bytes)
+
+    def run_block(self) -> dict:
+        """Run T TTIs device-resident.  Returns the block's outputs."""
+        net, cfg = self.net, self.cfg
+        T, n = cfg.T, cfg.n_ues
+        mac = net.enb.mac
+        dtb, utb = cfg.dl_tbs // 8, cfg.ul_tbs // 8
+        dl = np.zeros((T, n, dtb), np.uint8)
+        ul = np.zeros((T, n, utb), np.uint8)
+        for t in range(T):
+            for i, r in enumerate(cfg.rntis):
+                dl[t, i] = np.frombuffer(
+                    self._mux(mac.ues[r].rlc, dtb), np.uint8)
+                ust = net.ues[self.ue_idx[i]].stack
+                ul[t, i] = np.frombuffer(self._mux(ust.rlc, utb), np.uint8)
+            getattr(mac, "tick", lambda: None)()
+        self._key, k = jax.random.split(self._key)
+        out = self.step(
+            jnp.asarray(np.unpackbits(dl, axis=-1).astype(np.int8)),
+            jnp.asarray(np.unpackbits(ul, axis=-1).astype(np.int8)),
+            k, jnp.asarray(net.tti % 10240, jnp.int32))
+        dl_ok = np.asarray(out["dl_ok"])
+        ul_ok = np.asarray(out["ul_ok"])
+        dl_out = np.packbits(np.asarray(out["dl_out"], np.uint8), axis=-1)
+        ul_out = np.packbits(np.asarray(out["ul_out"], np.uint8), axis=-1)
+        ack = np.asarray(out["ack_energy"]) > 0.25
+        for t in range(T):
+            tti = net.tti + t
+            for i, r in enumerate(cfg.rntis):
+                ust = net.ues[self.ue_idx[i]].stack
+                self.metrics["dl_tb"] += 1
+                self.metrics["ul_tb"] += 1
+                if dl_ok[t, i]:
+                    self.metrics["dl_ok"] += 1
+                    ust.tb_decoded(tti, dl_out[t, i].tobytes(),
+                                   cfg.snr_db[i], rnti=r)
+                    ust.get_pucch(tti)  # PHY-level ACK already carried
+                if ul_ok[t, i]:
+                    self.metrics["ul_ok"] += 1
+                    mac.ul_pdu(tti, r, ul_out[t, i].tobytes(),
+                               cfg.snr_db[i])
+                self.metrics["ack_det"] += int(ack[t, i])
+                if hasattr(ust, "tick"):
+                    ust.tick()
+        net.tti += T
+        self.metrics["blocks"] += 1
+        return out
 
 
 def make_bench_step(cfg: BlockConfig, sfn0: int = 0):

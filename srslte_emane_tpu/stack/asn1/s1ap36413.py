@@ -9,7 +9,9 @@ byte-exact and generating valid wire messages of its own.
 
 Beyond the capture interop surface, this codec is LIVE on the
 inter-process S1-MME wire: epc/s1ap_wire.py encodes the NAS-transport,
-UE-context-release, paging, and InitialContextSetup procedures (incl. the
+UE-context-release, paging, InitialContextSetup, S1 mobility
+(HandoverPreparation/ResourceAllocation/Notification, PathSwitch) and
+E-RAB Setup/Release procedures (incl. the
 E-RAB-to-be-setup list) as these APER PDUs over the apps/rpc.py framing."""
 
 from __future__ import annotations
@@ -25,6 +27,12 @@ from .aper import (AperError, BitReader, BitWriter, read_constrained,
 CRITICALITY = ("reject", "ignore", "notify")
 
 # procedure codes (36.413 §9.3.7; liblte_s1ap.h LIBLTE_S1AP_PROC_ID_*)
+PROC_HANDOVER_PREPARATION = 0
+PROC_HANDOVER_RESOURCE_ALLOCATION = 1
+PROC_HANDOVER_NOTIFICATION = 2
+PROC_PATH_SWITCH_REQUEST = 3
+PROC_ERAB_SETUP = 5
+PROC_ERAB_RELEASE = 7
 PROC_INITIAL_CONTEXT_SETUP = 9
 PROC_PAGING = 10
 PROC_DOWNLINK_NAS_TRANSPORT = 11
@@ -52,6 +60,32 @@ ID_SECURITY_KEY = 73
 ID_ERAB_TO_BE_SETUP_LIST_CTXT = 24
 ID_ERAB_TO_BE_SETUP_ITEM_CTXT = 52
 ID_UE_AGGREGATE_MAX_BITRATE = 66
+# mobility + E-RAB management IEs (liblte_s1ap.h ids)
+ID_HANDOVER_TYPE = 1
+ID_TARGET_ID = 4
+ID_ERAB_RELEASE_ITEM_BEARER_REL_COMP = 15
+ID_ERAB_TO_BE_SETUP_LIST_BEARER_SU_REQ = 16
+ID_ERAB_TO_BE_SETUP_ITEM_BEARER_SU_REQ = 17
+ID_ERAB_ADMITTED_LIST = 18
+ID_ERAB_ADMITTED_ITEM = 20
+ID_ERAB_TO_BE_SWITCHED_DL_LIST = 22
+ID_ERAB_TO_BE_SWITCHED_DL_ITEM = 23
+ID_ERAB_TO_BE_SETUP_ITEM_HO_REQ = 27
+ID_ERAB_SETUP_LIST_BEARER_SU_RES = 28
+ID_ERAB_TO_BE_RELEASED_LIST = 33
+ID_ERAB_ITEM = 35
+ID_ERAB_SETUP_ITEM_BEARER_SU_RES = 39
+ID_SECURITY_CONTEXT = 40
+ID_ERAB_TO_BE_SETUP_LIST_HO_REQ = 53
+ID_ERAB_RELEASE_LIST_BEARER_REL_COMP = 69
+ID_SOURCE_MME_UE_S1AP_ID = 88
+ID_ERAB_TO_BE_SWITCHED_UL_ITEM = 94
+ID_ERAB_TO_BE_SWITCHED_UL_LIST = 95
+ID_SOURCE_TO_TARGET_CONTAINER = 104
+ID_TARGET_TO_SOURCE_CONTAINER = 123
+
+HANDOVER_TYPES = ("intralte", "ltetoutran", "ltetogeran", "utrantolte",
+                  "gerantolte")
 # emulation-private extension IE (outside 36.413's assigned range): the
 # reference returns the eNB-side DL GTP TEID in the InitialContextSetup
 # RESPONSE; this emulation's MME/SPGW pre-allocate it, so the request
@@ -446,6 +480,340 @@ def _write_erab_setup_list(w: BitWriter, items: list):
         write_open_type(w, iw.to_bytes())
 
 
+# ---- mobility + E-RAB management IEs (36.413 §9.1.5/§8.2) -----------------
+# Bit layouts match liblte_s1ap.cc's generated pack/unpack functions
+# (pack_handovertype:4871, pack_targetid:12824, pack_securitycontext:7910,
+# pack_e_rabtobesetupitemhoreq:15586, pack_e_rabadmitteditem:15671,
+# pack_e_rabtobeswitcheddlitem:15871, pack_e_rabitem:9152) — proven
+# byte-exact by the differential fuzzer (scripts/s1ap_interop).
+
+def _read_handover_type(r: BitReader) -> str:
+    if r.read_bits(1):
+        raise AperError("HandoverType extension")
+    v = HANDOVER_TYPES[r.read_bits(3)]
+    r.align()
+    return v
+
+
+def _write_handover_type(w: BitWriter, v: str):
+    w.write_bits(0, 1)
+    w.write_bits(HANDOVER_TYPES.index(v), 3)
+    w.align()
+
+
+def _read_global_enb_id(r: BitReader) -> dict:
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext or opt:
+        raise AperError("Global-ENB-ID extensions")
+    plmn = r.read_octets(3)
+    if r.read_bits(1):
+        raise AperError("ENB-ID extension")
+    home = r.read_bits(1)
+    # the eNB-ID bit strings are aligned BEFORE *AND AFTER* the value
+    # bits — the reference codec's convention for every static bit
+    # string (liblte_s1ap.cc pack_macroenb_id:1486 aligns on both
+    # sides), which X.691 does not require but the wire must match
+    r.align()
+    if home:
+        out = dict(plmn=plmn, home_enb_id=r.read_bits(28))
+    else:
+        out = dict(plmn=plmn, macro_enb_id=r.read_bits(20))
+    r.align()
+    return out
+
+
+def _write_global_enb_id(w: BitWriter, v: dict):
+    w.write_bits(0, 2)
+    w.write_octets(bytes(v["plmn"]))
+    w.write_bits(0, 1)  # ENB-ID ext
+    if "home_enb_id" in v:
+        w.write_bits(1, 1)
+        w.align()
+        w.write_bits(v["home_enb_id"], 28)
+    else:
+        w.write_bits(0, 1)
+        w.align()
+        w.write_bits(v["macro_enb_id"], 20)
+    w.align()  # liblte aligns after static bit strings (see reader)
+
+
+def _read_target_id(r: BitReader) -> dict:
+    """TargetID: only the targeteNB-ID arm (the LTE-HO one; RNC/CGI arms
+    are inter-RAT)."""
+    if r.read_bits(1):
+        raise AperError("TargetID extension")
+    if r.read_bits(2) != 0:
+        raise AperError("non-eNB TargetID arm")
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext or opt:
+        raise AperError("TargeteNB-ID extensions")
+    enb = _read_global_enb_id(r)
+    tai = _read_tai(r)
+    return dict(global_enb_id=enb, tai=tai)
+
+
+def _write_target_id(w: BitWriter, v: dict):
+    w.write_bits(0, 1)
+    w.write_bits(0, 2)  # targeteNB-ID arm
+    w.write_bits(0, 2)  # TargeteNB-ID ext + iE-Extensions
+    _write_global_enb_id(w, v["global_enb_id"])
+    _write_tai(w, v["tai"])
+
+
+def _read_security_context(r: BitReader) -> dict:
+    ext, opt = r.read_bits(1), r.read_bits(1)
+    if ext or opt:
+        raise AperError("SecurityContext extensions")
+    nhcc = r.read_bits(3)  # NextHopChainingCount INTEGER (0..7)
+    return dict(nhcc=nhcc, nh=_read_security_key(r))
+
+
+def _write_security_context(w: BitWriter, v: dict):
+    w.write_bits(0, 2)
+    w.write_bits(v["nhcc"], 3)
+    w.align()
+    for b in bytes(v["nh"]):
+        w.write_bits(b, 8)
+
+
+def _read_addr(r: BitReader):
+    """TransportLayerAddress: BIT STRING (1..160, ...)."""
+    if r.read_bits(1):
+        raise AperError("TransportLayerAddress extension")
+    n_bits = r.read_bits(8) + 1
+    r.align()
+    addr = bytes(r.read_bits(8) for _ in range((n_bits + 7) // 8))
+    return addr, n_bits
+
+
+def _write_addr(w: BitWriter, addr: bytes, n_bits: int = None):
+    addr = bytes(addr)
+    n_bits = n_bits or 8 * len(addr)
+    w.write_bits(0, 1)
+    w.write_bits(n_bits - 1, 8)
+    w.align()
+    w.write_octets(addr)
+
+
+def _read_erab_teid_item(r: BitReader) -> dict:
+    """E-RAB-ID + address + GTP-TEID triple: the shared shape of
+    E-RABToBeSwitchedDL/ULItem and E-RABSetupItemBearerSURes."""
+    if r.read_bits(1):
+        raise AperError("item extension")
+    if r.read_bits(1):
+        raise AperError("item iE-Extensions")
+    if r.read_bits(1):
+        raise AperError("E-RAB-ID extension")
+    erab_id = r.read_bits(4)
+    addr, n_bits = _read_addr(r)
+    r.align()
+    teid = int.from_bytes(r.read_octets(4), "big")
+    return dict(erab_id=erab_id, addr=addr, addr_bits=n_bits, teid=teid)
+
+
+def _write_erab_teid_item(w: BitWriter, v: dict):
+    w.write_bits(0, 3)  # ext, iE-Extensions, E-RAB-ID ext
+    w.write_bits(v["erab_id"], 4)
+    _write_addr(w, v["addr"], v.get("addr_bits"))
+    w.align()
+    w.write_octets(int(v["teid"]).to_bytes(4, "big"))
+
+
+def _read_qos(r: BitReader) -> dict:
+    qext, gbr, qexts = r.read_bits(1), r.read_bits(1), r.read_bits(1)
+    if qext or gbr or qexts:
+        raise AperError("QoS parameter options unsupported")
+    r.align()
+    qci = r.read_bits(8)
+    aext, aexts = r.read_bits(1), r.read_bits(1)
+    if aext or aexts:
+        raise AperError("ARP extensions")
+    return dict(qci=qci, arp_priority=r.read_bits(4),
+                pre_emption_capability=r.read_bits(1),
+                pre_emption_vulnerability=r.read_bits(1))
+
+
+def _write_qos(w: BitWriter, v: dict):
+    w.write_bits(0, 3)
+    w.align()
+    w.write_bits(v["qci"], 8)
+    w.write_bits(0, 2)
+    w.write_bits(v.get("arp_priority", 15), 4)
+    w.write_bits(v.get("pre_emption_capability", 0), 1)
+    w.write_bits(v.get("pre_emption_vulnerability", 0), 1)
+
+
+def _read_erab_horeq_item(r: BitReader) -> dict:
+    """E-RABToBeSetupItemHOReq: id, address, TEID, THEN QoS (note the
+    order differs from the ctxt/SUReq items)."""
+    if r.read_bits(1):
+        raise AperError("HOReq item extension")
+    if r.read_bits(1):
+        raise AperError("HOReq item iE-Extensions")
+    if r.read_bits(1):
+        raise AperError("E-RAB-ID extension")
+    erab_id = r.read_bits(4)
+    addr, n_bits = _read_addr(r)
+    r.align()
+    teid = int.from_bytes(r.read_octets(4), "big")
+    out = dict(erab_id=erab_id, addr=addr, addr_bits=n_bits, teid=teid)
+    out.update(_read_qos(r))
+    return out
+
+
+def _write_erab_horeq_item(w: BitWriter, v: dict):
+    w.write_bits(0, 3)
+    w.write_bits(v["erab_id"], 4)
+    _write_addr(w, v["addr"], v.get("addr_bits"))
+    w.align()
+    w.write_octets(int(v["teid"]).to_bytes(4, "big"))
+    _write_qos(w, v)
+
+
+def _read_erab_sureq_item(r: BitReader) -> dict:
+    """E-RABToBeSetupItemBearerSUReq: like the ctxt item but the NAS PDU
+    is MANDATORY."""
+    if r.read_bits(1):
+        raise AperError("SUReq item extension")
+    if r.read_bits(1):
+        raise AperError("SUReq item iE-Extensions")
+    if r.read_bits(1):
+        raise AperError("E-RAB-ID extension")
+    erab_id = r.read_bits(4)
+    out = dict(erab_id=erab_id)
+    out.update(_read_qos(r))
+    addr, n_bits = _read_addr(r)
+    r.align()
+    out.update(addr=addr, addr_bits=n_bits,
+               teid=int.from_bytes(r.read_octets(4), "big"),
+               nas_pdu=_read_nas_pdu(r))
+    return out
+
+
+def _write_erab_sureq_item(w: BitWriter, v: dict):
+    w.write_bits(0, 3)
+    w.write_bits(v["erab_id"], 4)
+    _write_qos(w, v)
+    _write_addr(w, v["addr"], v.get("addr_bits"))
+    w.align()
+    w.write_octets(int(v["teid"]).to_bytes(4, "big"))
+    nas = bytes(v["nas_pdu"])
+    write_length(w, len(nas))
+    w.write_octets(nas)
+
+
+def _read_erab_admitted_item(r: BitReader) -> dict:
+    if r.read_bits(1):
+        raise AperError("admitted item extension")
+    opts = [r.read_bits(1) for _ in range(5)]  # dlA dlT ulA ulT exts
+    if opts[4]:
+        raise AperError("admitted item iE-Extensions")
+    if r.read_bits(1):
+        raise AperError("E-RAB-ID extension")
+    erab_id = r.read_bits(4)
+    addr, n_bits = _read_addr(r)
+    r.align()
+    out = dict(erab_id=erab_id, addr=addr, addr_bits=n_bits,
+               teid=int.from_bytes(r.read_octets(4), "big"))
+    for flag, a_key, t_key in ((opts[0], "dl_addr", None),
+                               (opts[1], None, "dl_teid"),
+                               (opts[2], "ul_addr", None),
+                               (opts[3], None, "ul_teid")):
+        if not flag:
+            continue
+        if a_key:
+            out[a_key] = _read_addr(r)[0]
+        else:
+            r.align()
+            out[t_key] = int.from_bytes(r.read_octets(4), "big")
+    return out
+
+
+def _write_erab_admitted_item(w: BitWriter, v: dict):
+    w.write_bits(0, 1)
+    for key in ("dl_addr", "dl_teid", "ul_addr", "ul_teid"):
+        w.write_bits(1 if key in v else 0, 1)
+    w.write_bits(0, 1)  # iE-Extensions
+    w.write_bits(0, 1)  # E-RAB-ID ext
+    w.write_bits(v["erab_id"], 4)
+    _write_addr(w, v["addr"], v.get("addr_bits"))
+    w.align()
+    w.write_octets(int(v["teid"]).to_bytes(4, "big"))
+    if "dl_addr" in v:
+        _write_addr(w, v["dl_addr"])
+    if "dl_teid" in v:
+        w.align()
+        w.write_octets(int(v["dl_teid"]).to_bytes(4, "big"))
+    if "ul_addr" in v:
+        _write_addr(w, v["ul_addr"])
+    if "ul_teid" in v:
+        w.align()
+        w.write_octets(int(v["ul_teid"]).to_bytes(4, "big"))
+
+
+def _read_erab_cause_item(r: BitReader) -> dict:
+    """E-RABItem (E-RAB-ID + Cause) — E-RABList members."""
+    if r.read_bits(1):
+        raise AperError("E-RABItem extension")
+    if r.read_bits(1):
+        raise AperError("E-RABItem iE-Extensions")
+    if r.read_bits(1):
+        raise AperError("E-RAB-ID extension")
+    erab_id = r.read_bits(4)
+    return dict(erab_id=erab_id, cause=_read_cause(r))
+
+
+def _write_erab_cause_item(w: BitWriter, v: dict):
+    w.write_bits(0, 3)
+    w.write_bits(v["erab_id"], 4)
+    _write_cause(w, v["cause"])
+
+
+def _read_erab_id_item(r: BitReader) -> dict:
+    """E-RABReleaseItemBearerRelComp: just the E-RAB-ID."""
+    if r.read_bits(1):
+        raise AperError("item extension")
+    if r.read_bits(1):
+        raise AperError("item iE-Extensions")
+    if r.read_bits(1):
+        raise AperError("E-RAB-ID extension")
+    return dict(erab_id=r.read_bits(4))
+
+
+def _write_erab_id_item(w: BitWriter, v: dict):
+    w.write_bits(0, 3)
+    w.write_bits(v["erab_id"], 4)
+
+
+def _erab_list_reader(item_id: int, item_reader):
+    """SEQUENCE (SIZE(1..256)) OF ProtocolIE-SingleContainer{item}."""
+    def read(r: BitReader) -> list:
+        n = r.read_bits(8) + 1
+        r.align()
+        items = []
+        for _ in range(n):
+            ie_id = read_constrained(r, 0, 65535)
+            _crit = CRITICALITY[r.read_bits(2)]
+            body = read_open_type(r)
+            if ie_id != item_id:
+                raise AperError(f"unexpected list member {ie_id}")
+            items.append(item_reader(BitReader(body)))
+        return items
+    return read
+
+
+def _write_erab_list(w: BitWriter, items: list, item_id: int, item_writer,
+                     crit: str = "reject"):
+    w.write_bits(len(items) - 1, 8)
+    w.align()
+    for v in items:
+        iw = BitWriter()
+        item_writer(iw, v)
+        write_constrained(w, item_id, 0, 65535)
+        w.write_bits(CRITICALITY.index(crit), 2)
+        write_open_type(w, iw.to_bytes())
+
+
 _IE_DECODERS = {
     ID_SERVED_GUMMEIS: _read_gummei_list,
     ID_RELATIVE_MME_CAPACITY: lambda r: read_constrained(r, 0, 255),
@@ -467,6 +835,29 @@ _IE_DECODERS = {
     ID_UE_AGGREGATE_MAX_BITRATE: _read_ue_ambr,
     ID_ERAB_TO_BE_SETUP_LIST_CTXT: _read_erab_setup_list,
     ID_S_TMSI: _read_s_tmsi,
+    # mobility + E-RAB management
+    ID_HANDOVER_TYPE: _read_handover_type,
+    ID_TARGET_ID: _read_target_id,
+    ID_SECURITY_CONTEXT: _read_security_context,
+    ID_SOURCE_TO_TARGET_CONTAINER: _read_nas_pdu,  # dynamic octet string
+    ID_TARGET_TO_SOURCE_CONTAINER: _read_nas_pdu,
+    ID_SOURCE_MME_UE_S1AP_ID: lambda r: read_constrained(r, 0, 4294967295),
+    ID_ERAB_TO_BE_SETUP_LIST_HO_REQ: _erab_list_reader(
+        ID_ERAB_TO_BE_SETUP_ITEM_HO_REQ, _read_erab_horeq_item),
+    ID_ERAB_ADMITTED_LIST: _erab_list_reader(
+        ID_ERAB_ADMITTED_ITEM, _read_erab_admitted_item),
+    ID_ERAB_TO_BE_SWITCHED_DL_LIST: _erab_list_reader(
+        ID_ERAB_TO_BE_SWITCHED_DL_ITEM, _read_erab_teid_item),
+    ID_ERAB_TO_BE_SWITCHED_UL_LIST: _erab_list_reader(
+        ID_ERAB_TO_BE_SWITCHED_UL_ITEM, _read_erab_teid_item),
+    ID_ERAB_TO_BE_SETUP_LIST_BEARER_SU_REQ: _erab_list_reader(
+        ID_ERAB_TO_BE_SETUP_ITEM_BEARER_SU_REQ, _read_erab_sureq_item),
+    ID_ERAB_SETUP_LIST_BEARER_SU_RES: _erab_list_reader(
+        ID_ERAB_SETUP_ITEM_BEARER_SU_RES, _read_erab_teid_item),
+    ID_ERAB_TO_BE_RELEASED_LIST: _erab_list_reader(
+        ID_ERAB_ITEM, _read_erab_cause_item),
+    ID_ERAB_RELEASE_LIST_BEARER_REL_COMP: _erab_list_reader(
+        ID_ERAB_RELEASE_ITEM_BEARER_REL_COMP, _read_erab_id_item),
 }
 
 
@@ -518,6 +909,42 @@ def _encode_ie_value(ie: ProtocolIE) -> bytes:
         _write_erab_setup_list(w, ie.value)
     elif ie.id == ID_S_TMSI:
         _write_s_tmsi(w, ie.value)
+    elif ie.id == ID_HANDOVER_TYPE:
+        _write_handover_type(w, ie.value)
+    elif ie.id == ID_TARGET_ID:
+        _write_target_id(w, ie.value)
+    elif ie.id == ID_SECURITY_CONTEXT:
+        _write_security_context(w, ie.value)
+    elif ie.id in (ID_SOURCE_TO_TARGET_CONTAINER,
+                   ID_TARGET_TO_SOURCE_CONTAINER):
+        write_length(w, len(ie.value))
+        w.write_octets(bytes(ie.value))
+    elif ie.id == ID_SOURCE_MME_UE_S1AP_ID:
+        write_constrained(w, ie.value, 0, 4294967295)
+    elif ie.id == ID_ERAB_TO_BE_SETUP_LIST_HO_REQ:
+        _write_erab_list(w, ie.value, ID_ERAB_TO_BE_SETUP_ITEM_HO_REQ,
+                         _write_erab_horeq_item)
+    elif ie.id == ID_ERAB_ADMITTED_LIST:
+        _write_erab_list(w, ie.value, ID_ERAB_ADMITTED_ITEM,
+                         _write_erab_admitted_item, crit="ignore")
+    elif ie.id == ID_ERAB_TO_BE_SWITCHED_DL_LIST:
+        _write_erab_list(w, ie.value, ID_ERAB_TO_BE_SWITCHED_DL_ITEM,
+                         _write_erab_teid_item)
+    elif ie.id == ID_ERAB_TO_BE_SWITCHED_UL_LIST:
+        _write_erab_list(w, ie.value, ID_ERAB_TO_BE_SWITCHED_UL_ITEM,
+                         _write_erab_teid_item, crit="ignore")
+    elif ie.id == ID_ERAB_TO_BE_SETUP_LIST_BEARER_SU_REQ:
+        _write_erab_list(w, ie.value, ID_ERAB_TO_BE_SETUP_ITEM_BEARER_SU_REQ,
+                         _write_erab_sureq_item)
+    elif ie.id == ID_ERAB_SETUP_LIST_BEARER_SU_RES:
+        _write_erab_list(w, ie.value, ID_ERAB_SETUP_ITEM_BEARER_SU_RES,
+                         _write_erab_teid_item, crit="ignore")
+    elif ie.id == ID_ERAB_TO_BE_RELEASED_LIST:
+        _write_erab_list(w, ie.value, ID_ERAB_ITEM, _write_erab_cause_item,
+                         crit="ignore")
+    elif ie.id == ID_ERAB_RELEASE_LIST_BEARER_REL_COMP:
+        _write_erab_list(w, ie.value, ID_ERAB_RELEASE_ITEM_BEARER_REL_COMP,
+                         _write_erab_id_item, crit="ignore")
     elif isinstance(ie.value, (bytes, bytearray)):
         w.write_octets(bytes(ie.value))  # raw passthrough
     else:
@@ -661,6 +1088,180 @@ def initial_context_setup_request(mme_ue_id: int, enb_ue_id: int,
                        int(dl_teid).to_bytes(4, "big")))
     return S1apPdu("initiatingMessage", PROC_INITIAL_CONTEXT_SETUP,
                    "reject", ies)
+
+
+# ---- S1 mobility + E-RAB management (36.413 §8.4/§8.2) --------------------
+
+def handover_required(mme_ue_id: int, enb_ue_id: int, target_enb: dict,
+                      tai: dict, container: bytes,
+                      cause=("radioNetwork", 0),
+                      ho_type: str = "intralte") -> S1apPdu:
+    """36.413 §8.4.1 HandoverRequired (source eNB -> MME);
+    liblte_s1ap.cc:22996 pack_handoverrequired IE order."""
+    return S1apPdu("initiatingMessage", PROC_HANDOVER_PREPARATION,
+                   "reject", [
+                       _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+                       _ie(ID_HANDOVER_TYPE, "reject", ho_type),
+                       _ie(ID_CAUSE, "ignore", cause),
+                       _ie(ID_TARGET_ID, "reject",
+                           dict(global_enb_id=target_enb, tai=tai)),
+                       _ie(ID_SOURCE_TO_TARGET_CONTAINER, "reject",
+                           bytes(container)),
+                   ])
+
+
+def handover_command(mme_ue_id: int, enb_ue_id: int, container: bytes,
+                     ho_type: str = "intralte") -> S1apPdu:
+    """36.413 §8.4.1 HandoverCommand (MME -> source eNB,
+    successfulOutcome of HandoverPreparation)."""
+    return S1apPdu("successfulOutcome", PROC_HANDOVER_PREPARATION,
+                   "reject", [
+                       _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+                       _ie(ID_HANDOVER_TYPE, "reject", ho_type),
+                       _ie(ID_TARGET_TO_SOURCE_CONTAINER, "reject",
+                           bytes(container)),
+                   ])
+
+
+def handover_request(mme_ue_id: int, erab_items: list, container: bytes,
+                     nh: bytes, nhcc: int = 0,
+                     cause=("radioNetwork", 0),
+                     ho_type: str = "intralte",
+                     ambr_dl: int = 1_000_000_000,
+                     ambr_ul: int = 1_000_000_000,
+                     security_caps: dict = None) -> S1apPdu:
+    """36.413 §8.4.2 HandoverRequest (MME -> target eNB).  erab_items:
+    E-RABToBeSetupItemHOReq dicts (erab_id/addr/teid/qci...)."""
+    caps = security_caps or dict(eea=0xE000, eia=0x6000)
+    return S1apPdu("initiatingMessage", PROC_HANDOVER_RESOURCE_ALLOCATION,
+                   "reject", [
+                       _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+                       _ie(ID_HANDOVER_TYPE, "reject", ho_type),
+                       _ie(ID_CAUSE, "ignore", cause),
+                       _ie(ID_UE_AGGREGATE_MAX_BITRATE, "reject",
+                           dict(dl=ambr_dl, ul=ambr_ul)),
+                       _ie(ID_ERAB_TO_BE_SETUP_LIST_HO_REQ, "reject",
+                           list(erab_items)),
+                       _ie(ID_SOURCE_TO_TARGET_CONTAINER, "reject",
+                           bytes(container)),
+                       _ie(ID_UE_SECURITY_CAPABILITIES, "reject", caps),
+                       _ie(ID_SECURITY_CONTEXT, "reject",
+                           dict(nhcc=nhcc, nh=bytes(nh))),
+                   ])
+
+
+def handover_request_acknowledge(mme_ue_id: int, enb_ue_id: int,
+                                 admitted: list,
+                                 container: bytes) -> S1apPdu:
+    """36.413 §8.4.2 HandoverRequestAcknowledge (target eNB -> MME)."""
+    return S1apPdu("successfulOutcome", PROC_HANDOVER_RESOURCE_ALLOCATION,
+                   "reject", [
+                       _ie(ID_MME_UE_S1AP_ID, "ignore", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "ignore", enb_ue_id),
+                       _ie(ID_ERAB_ADMITTED_LIST, "ignore", list(admitted)),
+                       _ie(ID_TARGET_TO_SOURCE_CONTAINER, "reject",
+                           bytes(container)),
+                   ])
+
+
+def handover_notify(mme_ue_id: int, enb_ue_id: int, cgi: dict,
+                    tai: dict) -> S1apPdu:
+    """36.413 §8.4.3 HandoverNotify (target eNB -> MME: UE arrived)."""
+    return S1apPdu("initiatingMessage", PROC_HANDOVER_NOTIFICATION,
+                   "ignore", [
+                       _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+                       _ie(ID_EUTRAN_CGI, "ignore", cgi),
+                       _ie(ID_TAI, "ignore", tai),
+                   ])
+
+
+def path_switch_request(enb_ue_id: int, switched: list,
+                        source_mme_ue_id: int, cgi: dict, tai: dict,
+                        security_caps: dict = None) -> S1apPdu:
+    """36.413 §8.4.4 PathSwitchRequest (X2-HO target eNB -> MME;
+    liblte_s1ap.cc:24316 family).  switched: E-RABToBeSwitchedDLItem
+    dicts (erab_id/addr/teid: the TARGET eNB's new DL endpoints)."""
+    caps = security_caps or dict(eea=0xE000, eia=0x6000)
+    return S1apPdu("initiatingMessage", PROC_PATH_SWITCH_REQUEST,
+                   "reject", [
+                       _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+                       _ie(ID_ERAB_TO_BE_SWITCHED_DL_LIST, "reject",
+                           list(switched)),
+                       _ie(ID_SOURCE_MME_UE_S1AP_ID, "reject",
+                           source_mme_ue_id),
+                       _ie(ID_EUTRAN_CGI, "ignore", cgi),
+                       _ie(ID_TAI, "ignore", tai),
+                       _ie(ID_UE_SECURITY_CAPABILITIES, "ignore", caps),
+                   ])
+
+
+def path_switch_request_acknowledge(mme_ue_id: int, enb_ue_id: int,
+                                    nh: bytes, nhcc: int = 0) -> S1apPdu:
+    """36.413 §8.4.4 PathSwitchRequestAcknowledge (MME -> eNB): fresh
+    {NH, NCC} pair for the next X2 handover (33.401 §7.2.8.4)."""
+    return S1apPdu("successfulOutcome", PROC_PATH_SWITCH_REQUEST,
+                   "reject", [
+                       _ie(ID_MME_UE_S1AP_ID, "ignore", mme_ue_id),
+                       _ie(ID_ENB_UE_S1AP_ID, "ignore", enb_ue_id),
+                       _ie(ID_SECURITY_CONTEXT, "reject",
+                           dict(nhcc=nhcc, nh=bytes(nh))),
+                   ])
+
+
+def erab_setup_request(mme_ue_id: int, enb_ue_id: int, erab_items: list,
+                       ambr_dl: int = 1_000_000_000,
+                       ambr_ul: int = 1_000_000_000) -> S1apPdu:
+    """36.413 §8.2.1 E-RABSetupRequest (dedicated bearer setup).
+    erab_items: E-RABToBeSetupItemBearerSUReq dicts (nas_pdu MANDATORY)."""
+    return S1apPdu("initiatingMessage", PROC_ERAB_SETUP, "reject", [
+        _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+        _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+        _ie(ID_UE_AGGREGATE_MAX_BITRATE, "reject",
+            dict(dl=ambr_dl, ul=ambr_ul)),
+        _ie(ID_ERAB_TO_BE_SETUP_LIST_BEARER_SU_REQ, "reject",
+            list(erab_items)),
+    ])
+
+
+def erab_setup_response(mme_ue_id: int, enb_ue_id: int,
+                        items: list) -> S1apPdu:
+    """36.413 §8.2.1 E-RABSetupResponse.  items: erab_id/addr/teid."""
+    return S1apPdu("successfulOutcome", PROC_ERAB_SETUP, "reject", [
+        _ie(ID_MME_UE_S1AP_ID, "ignore", mme_ue_id),
+        _ie(ID_ENB_UE_S1AP_ID, "ignore", enb_ue_id),
+        _ie(ID_ERAB_SETUP_LIST_BEARER_SU_RES, "ignore", list(items)),
+    ])
+
+
+def erab_release_command(mme_ue_id: int, enb_ue_id: int, items: list,
+                         nas_pdu: bytes = None,
+                         ambr_dl: int = 1_000_000_000,
+                         ambr_ul: int = 1_000_000_000) -> S1apPdu:
+    """36.413 §8.2.3 E-RABReleaseCommand.  items: erab_id + cause."""
+    ies = [
+        _ie(ID_MME_UE_S1AP_ID, "reject", mme_ue_id),
+        _ie(ID_ENB_UE_S1AP_ID, "reject", enb_ue_id),
+        _ie(ID_UE_AGGREGATE_MAX_BITRATE, "reject",
+            dict(dl=ambr_dl, ul=ambr_ul)),
+        _ie(ID_ERAB_TO_BE_RELEASED_LIST, "ignore", list(items)),
+    ]
+    if nas_pdu is not None:
+        ies.append(_ie(ID_NAS_PDU, "ignore", bytes(nas_pdu)))
+    return S1apPdu("initiatingMessage", PROC_ERAB_RELEASE, "reject", ies)
+
+
+def erab_release_response(mme_ue_id: int, enb_ue_id: int,
+                          released: list) -> S1apPdu:
+    """36.413 §8.2.3 E-RABReleaseResponse.  released: erab_id dicts."""
+    return S1apPdu("successfulOutcome", PROC_ERAB_RELEASE, "reject", [
+        _ie(ID_MME_UE_S1AP_ID, "ignore", mme_ue_id),
+        _ie(ID_ENB_UE_S1AP_ID, "ignore", enb_ue_id),
+        _ie(ID_ERAB_RELEASE_LIST_BEARER_REL_COMP, "ignore",
+            list(released)),
+    ])
 
 
 def encode_pdu(pdu: S1apPdu) -> bytes:

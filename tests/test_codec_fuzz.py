@@ -99,7 +99,7 @@ def test_differential_vs_reference_codec(corpus):
 import fuzz_s1ap  # noqa: E402
 
 S1AP_N = 50
-S1AP_SHA = "aabb123da9d3c5b8c2f518cbbd3ffd95e1a6b4e42a768d1c53379d2a0b8381f4"
+S1AP_SHA = "527802c24b505ef3c3e92761072e277670a10bdf280de3eebaa4ff91fd1bc70e"
 
 
 @pytest.fixture(scope="module")
