@@ -47,8 +47,10 @@ AVOID = {
     "scell_to_add_mod_list_ext_r13", "lwa_cfg_r13", "lwip_cfg_r13",
     "rclwi_cfg_r13", "scg_cfg_r12", "sl_sync_tx_ctrl_r12",
     "sl_disc_cfg_r12", "sl_comm_cfg_r12",
-    # the UE-EUTRA-Capability v940+ tail stays an opaque container
-    "non_crit_ext_v940",
+    # the UE-EUTRA-Capability v1060+ tail stays an opaque container
+    # (v940/v1020 are structural as of r4: CA band combinations,
+    # phy-layer r10 params, feature_group_ind_rel10)
+    "non_crit_ext_v1060",
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
     # REFERENCE limitation: rrc_asn1.cc's generated pack/unpack for

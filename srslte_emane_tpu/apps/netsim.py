@@ -81,7 +81,12 @@ def run_waveform_full(args):
                                     preamble=(7 + i) % 64))
     net = wavenet.WaveformNetwork(
         enb, ues, pathloss_db=np.full(args.ues, args.pathloss),
-        n_prb=args.prb, fading_profile=args.fading or None)
+        n_prb=args.prb, fading_profile=args.fading or None,
+        dyn_delay=(tuple(float(x) for x in args.dyn_delay.split(","))
+                   if args.dyn_delay else None),
+        hst_fd_hz=args.hst or None,
+        rlf=(tuple(float(x) for x in args.rlf.split(","))
+             if args.rlf else None))
 
     t0 = time.time()
     attach_tti = {}
@@ -221,6 +226,16 @@ def main(argv=None):
                          " NAS and IP traffic all ride OFDM through AWGN"
                          " links (runtime/wavenet, the reference's ZMQ IQ"
                          " mode); reports attach latency + steady sf/s")
+    ap.add_argument("--dyn-delay", default="",
+                    help="with --waveform-full: sinusoidal path delay"
+                         " 'min_us,max_us,period_s' (channel/delay.c)")
+    ap.add_argument("--hst", type=float, default=0.0,
+                    help="with --waveform-full: high-speed-train Doppler"
+                         " trajectory, peak shift in Hz (36.101 B.3)")
+    ap.add_argument("--rlf", default="",
+                    help="with --waveform-full: periodic outage"
+                         " 'period_s,outage_s' (channel/rlf.c); the UE"
+                         " recovers via RRC reestablishment")
     ap.add_argument("--waveform-block", action="store_true",
                     help="like --waveform-full, but after attach the"
                          " steady state runs DEVICE-RESIDENT: T TTIs x"

@@ -94,6 +94,36 @@ def hst_doppler_hz(t_s, fd_hz: float = 750.0, period_s: float = 7.2):
     return fd_hz * np.cos(np.pi * (t - ds) / ds)
 
 
+def dynamic_delay_samples(t_s, min_samp: float, max_samp: float,
+                          period_s: float) -> float:
+    """Sinusoidal path-delay trajectory (lib/src/phy/channel/delay.c:26-44):
+    the delay sweeps between min and max with the configured period."""
+    mid = (max_samp + min_samp) / 2.0
+    amp = (max_samp - min_samp) / 2.0
+    return mid + amp * np.sin(2 * np.pi * np.asarray(t_s) / period_s)
+
+
+def apply_delay_dyn(x, delay_samples):
+    """Integer delay with a TRACED sample count: one compiled kernel
+    serves the whole delay trajectory (gather with head zeroing)."""
+    T = x.shape[-2]
+    d = jnp.asarray(delay_samples, jnp.int32)
+    src = jnp.arange(T, dtype=jnp.int32) - d
+    vals = jnp.take(x, jnp.clip(src, 0, T - 1), axis=-2)
+    return jnp.where((src >= 0)[:, None], vals, 0.0)
+
+
+def apply_cfo_dyn(x, cfo_hz, srate_hz: float):
+    """apply_cfo with a TRACED frequency (HST trajectories sweep the
+    Doppler per subframe; a static-arg version would compile one kernel
+    per shift value)."""
+    T = x.shape[-2]
+    n = jnp.arange(T, dtype=jnp.float32)
+    ph = 2 * jnp.pi * jnp.asarray(cfo_hz, jnp.float32) * n / srate_hz
+    rot = cplx.make(jnp.cos(ph), jnp.sin(ph))
+    return cplx.mul(x, rot[None])
+
+
 def apply_cfo(x, cfo_hz: float, srate_hz: float):
     """Frequency offset (also used for HST shift application)."""
     T = x.shape[-2]

@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .turbodecoder import _trellis
+from .turbodecoder import max_star, _trellis
 
 LANES = 128
 
@@ -63,7 +63,7 @@ def _map_kernel(g_ref, a0_ref, b0_ref, llr_ref, beta_scratch):
         # cand[s, j] = beta[ns[s, j]] + g[combo_bwd[s, j]]
         c0 = _rows(beta, ns[:, 0]) + _rows(g, cb[:, 0])
         c1 = _rows(beta, ns[:, 1]) + _rows(g, cb[:, 1])
-        new = jnp.maximum(c0, c1)
+        new = max_star(c0, c1)
         new = new - jnp.max(new, axis=0, keepdims=True)
         beta_scratch[tt] = beta
         return new
@@ -81,7 +81,7 @@ def _map_kernel(g_ref, a0_ref, b0_ref, llr_ref, beta_scratch):
         # alpha update
         c0 = _rows(alpha, ps[:, 0]) + _rows(g, cf[:, 0])
         c1 = _rows(alpha, ps[:, 1]) + _rows(g, cf[:, 1])
-        new = jnp.maximum(c0, c1)
+        new = max_star(c0, c1)
         return new - jnp.max(new, axis=0, keepdims=True)
 
     jax.lax.fori_loop(0, T, fwd, a0_ref[:])
@@ -148,12 +148,12 @@ def map_decode_pallas(ls_eff, lp, tail_x, tail_z, interpret: bool | None = None)
 
     def alpha_step(alpha, g_t):
         cand = alpha[..., ps] + g_t[..., combo_fwd]
-        out = jnp.max(cand, axis=-1)
+        out = max_star(cand[..., 0], cand[..., 1])
         return out - jnp.max(out, axis=-1, keepdims=True), None
 
     def beta_step(beta, g_t):
         cand = beta[..., ns] + g_t[..., combo_bwd]
-        out = jnp.max(cand, axis=-1)
+        out = max_star(cand[..., 0], cand[..., 1])
         return out - jnp.max(out, axis=-1, keepdims=True), None
 
     uniform = jnp.zeros((B, W, 8), jnp.float32)

@@ -639,7 +639,12 @@ class WaveUePhy:
         resid = batch["resid"][row]
         sync_cb = getattr(self.stack, "sync_indication", None)
         if sync_cb is not None:
-            sync_cb(tti, snr_db > -3.0, snr_db)
+            # Qout-style out-of-sync: the CRS chest's SNR estimate floors
+            # near 0 dB on pure noise (rsrp ~= residual there), so the
+            # in-sync threshold sits above it — the ~Qout point where
+            # PDCCH BLER makes the link unusable (36.133 §7.6 role;
+            # srsue/src/phy/sync.cc out-of-sync on SNR/PDCCH quality)
+            sync_cb(tti, snr_db > 5.0, snr_db)
         pos_idx = {p: i for i, p in enumerate(batch["positions"])}
         rg_row = None
         done = set()
@@ -795,7 +800,17 @@ class WaveMedium:
     def __init__(self, n_ues: int, pathloss_db, tx_power_dbm: float = 30.0,
                  ue_power_dbm: float = 23.0, noise_floor_dbm: float = -104.0,
                  seed: int = 0, fading_profile: str = None,
-                 doppler_hz: float = 5.0, srate_hz: float = None):
+                 doppler_hz: float = 5.0, srate_hz: float = None,
+                 dyn_delay: tuple = None, hst_fd_hz: float = None,
+                 rlf: tuple = None):
+        """Dynamic impairments (the reference's channel plugin stack,
+        lib/src/phy/channel/{delay,hst,rlf}.c over its ZMQ path):
+        dyn_delay=(min_us, max_us, period_s) sweeps the path delay
+        sinusoidally; hst_fd_hz enables the 36.101 B.3 high-speed-train
+        Doppler trajectory; rlf=(period_s, outage_s) zeroes the signal
+        during periodic outage windows (both directions — the UE loses
+        sync, the eNB loses PUSCH).  All three are traced-argument
+        kernels: the trajectory never widens the compile cache."""
         self.n_ues = n_ues
         self.pathloss_db = np.asarray(pathloss_db, np.float32)
         self.tx_power_dbm = tx_power_dbm
@@ -804,11 +819,41 @@ class WaveMedium:
         self.fading_profile = fading_profile
         self.doppler_hz = doppler_hz
         self.srate_hz = srate_hz
+        self.dyn_delay = dyn_delay
+        self.hst_fd_hz = hst_fd_hz
+        self.rlf = rlf
         self._key = jax.random.PRNGKey(seed)
         self._dl = None  # (tti, samples)
         self._ul_acc = None
         self._ul_meta = None  # (tti, had_prach)
         self._ul_ready = None
+
+    def _impair(self, x, tti: int):
+        """Dynamic per-TTI impairments on a (B, T, 2) signal."""
+        from ..ops import fading as fading_mod
+
+        t_s = tti * 1e-3
+        if self.dyn_delay is not None:
+            mn, mx, period = self.dyn_delay
+            d = fading_mod.dynamic_delay_samples(
+                t_s, mn * 1e-6 * self.srate_hz, mx * 1e-6 * self.srate_hz,
+                period)
+            x = fading_mod.apply_delay_dyn(x, jnp.asarray(int(round(d))))
+        if self.hst_fd_hz is not None:
+            fd = float(fading_mod.hst_doppler_hz(t_s, self.hst_fd_hz))
+            x = fading_mod.apply_cfo_dyn(x, jnp.asarray(fd, jnp.float32),
+                                         self.srate_hz)
+        if self.rlf is not None:
+            period, outage = self.rlf
+            if (t_s % period) < outage:
+                x = x * 0.0
+        return x
+
+    def in_outage(self, tti: int) -> bool:
+        if self.rlf is None:
+            return False
+        period, outage = self.rlf
+        return (tti * 1e-3 % period) < outage
 
     def _split(self):
         self._key, k = jax.random.split(self._key)
@@ -836,6 +881,7 @@ class WaveMedium:
                 x, jax.random.fold_in(jax.random.PRNGKey(77), tti),
                 self.fading_profile, self.srate_hz,
                 doppler_hz=self.doppler_hz, sf_time_s=tti * 1e-3)
+        tx = self._impair(tx if tx.ndim == 3 else tx[None], tti)
         snr_db = (self.tx_power_dbm - self.pathloss_db
                   - self.noise_floor_dbm)  # (n_ues,)
         amp = jnp.asarray(10.0 ** (-snr_db / 20.0))[:, None, None]
@@ -845,6 +891,7 @@ class WaveMedium:
 
     def dl_take(self, ue_idx: int):
         tti, tx = self._dl
+        tx = self._impair(tx, tti)
         snr_db = (self.tx_power_dbm - float(self.pathloss_db[ue_idx])
                   - self.noise_floor_dbm)
         # unit-power signal + noise scaled for the link SNR
@@ -867,6 +914,8 @@ class WaveMedium:
             return None
         acc, (tti, had_prach) = self._ul_ready
         self._ul_ready = None
+        if self.rlf is not None and self.in_outage(tti):
+            acc = acc * 0.0  # outage is reciprocal: the eNB hears nothing
         noise = jax.random.normal(self._split(), acc.shape) / np.sqrt(2.0)
         return acc + noise, had_prach, tti
 
@@ -884,7 +933,8 @@ class WaveformNetwork:
     def __init__(self, enb_mac, ue_stacks, pathloss_db, n_prb: int = 6,
                  cell_id: int = 1, seed: int = 0, cfi: int = 2,
                  fading_profile: str = None, doppler_hz: float = 5.0,
-                 start_tti: int = 0, pcap=None):
+                 start_tti: int = 0, pcap=None, dyn_delay: tuple = None,
+                 hst_fd_hz: float = None, rlf: tuple = None):
         self.cell = grid_mod.CellConfig(n_prb=n_prb, cell_id=cell_id,
                                         cfi=cfi)
         # the waveform grid is compiled at ONE cfi, so the MAC's CCE
@@ -911,7 +961,8 @@ class WaveformNetwork:
         self.medium = WaveMedium(
             len(ue_stacks), pathloss_db, seed=seed,
             fading_profile=fading_profile, doppler_hz=doppler_hz,
-            srate_hz=ofdm.params(n_prb)["sf_len"] * 1e3)
+            srate_hz=ofdm.params(n_prb)["sf_len"] * 1e3,
+            dyn_delay=dyn_delay, hst_fd_hz=hst_fd_hz, rlf=rlf)
         self.enb = WaveEnbPhy(self.medium, self.cell, enb_mac, self.kern,
                               pcap=pcap)
         self.ues = [WaveUePhy(self.medium, self.cell, st, self.kern, i)

@@ -2426,9 +2426,74 @@ IRAT_PARAMS_CDMA2000_1XRTT = Seq([
     ("rx_cfg1_xrtt", TX_RX_CFG_CDMA2000),
 ])
 
-# UE-EUTRA-Capability-v920-IEs (the rel-9 capability extension chain;
-# the v940+ tail remains an opaque container)
+# UE-EUTRA-Capability-v920..v1020-IEs (the rel-9/10 capability extension
+# chain, structural through v1020; the v1060+ tail remains an opaque
+# container).  Layouts verified against rrc_asn1.h
+# ue_eutra_cap_v940_ies_s:54277 / v1020:54183 and the r10 CA band
+# structures (band_params_r10_s:49320, ca_mimo_params_*_r10).
 _SUPPORTED = Enum(("supported",))  # zero-bit value, presence says it all
+
+CA_BW_CLASS_R10 = Enum(("a", "b", "c", "d", "e", "f"), ext=True)
+
+CA_MIMO_PARAMS_DL_R10 = Seq([
+    ("ca_bw_class_dl_r10", CA_BW_CLASS_R10),
+    ("supported_mimo_cap_dl_r10",
+     Enum(("two_layers", "four_layers", "eight_layers")), "?"),
+])
+CA_MIMO_PARAMS_UL_R10 = Seq([
+    ("ca_bw_class_ul_r10", CA_BW_CLASS_R10),
+    ("supported_mimo_cap_ul_r10", Enum(("two_layers", "four_layers")), "?"),
+])
+
+BAND_PARAMS_R10 = Seq([
+    ("band_eutra_r10", Int(1, 64)),
+    ("band_params_ul_r10", SeqOf(CA_MIMO_PARAMS_UL_R10, 1, 16), "?"),
+    ("band_params_dl_r10", SeqOf(CA_MIMO_PARAMS_DL_R10, 1, 16), "?"),
+])
+
+PHY_LAYER_PARAMS_V1020 = Seq([
+    ("two_ant_ports_for_pucch_r10", _SUPPORTED, "?"),
+    ("tm9_with_8_tx_fdd_r10", _SUPPORTED, "?"),
+    ("pmi_disabling_r10", _SUPPORTED, "?"),
+    ("cross_carrier_sched_r10", _SUPPORTED, "?"),
+    ("simul_pucch_pusch_r10", _SUPPORTED, "?"),
+    ("multi_cluster_pusch_within_cc_r10", _SUPPORTED, "?"),
+    ("non_contiguous_ul_ra_within_cc_list_r10", SeqOf(Seq([
+        ("non_contiguous_ul_ra_within_cc_info_r10", _SUPPORTED, "?"),
+    ]), 1, 64), "?"),
+])
+
+UE_EUTRA_CAP_V1020 = Seq([
+    ("ue_category_v1020", Int(6, 8), "?"),
+    ("phy_layer_params_v1020", PHY_LAYER_PARAMS_V1020, "?"),
+    ("rf_params_v1020", Seq([
+        ("supported_band_combination_r10",
+         SeqOf(SeqOf(BAND_PARAMS_R10, 1, 64), 1, 128)),
+    ]), "?"),
+    ("meas_params_v1020", Seq([
+        ("band_combination_list_eutra_r10", SeqOf(Seq([
+            ("inter_freq_band_list", SeqOf(Seq([
+                ("inter_freq_need_for_gaps", Bool()),
+            ]), 1, 64)),
+            ("inter_rat_band_list", SeqOf(Seq([
+                ("inter_rat_need_for_gaps", Bool()),
+            ]), 1, 64), "?"),
+        ]), 1, 128)),
+    ]), "?"),
+    ("feature_group_ind_rel10_r10", BitStr(32), "?"),
+    ("inter_rat_params_cdma2000_v1020", Seq([]), "?"),  # empty SEQUENCE
+    ("ue_based_netw_perf_meas_params_r10", Seq([
+        ("logged_meass_idle_r10", _SUPPORTED, "?"),
+        ("standalone_gnss_location_r10", _SUPPORTED, "?"),
+    ]), "?"),
+    ("inter_rat_params_utra_tdd_v1020", Seq([]), "?"),  # empty SEQUENCE
+    ("non_crit_ext_v1060", OctStr(), "?"),  # UE-EUTRA-Cap-v1060-IEs tail
+])
+
+UE_EUTRA_CAP_V940 = Seq([
+    ("late_non_crit_ext", OctStr(), "?"),
+    ("non_crit_ext_v1020", UE_EUTRA_CAP_V1020, "?"),
+])
 
 UE_EUTRA_CAP_V920 = Seq([
     ("phy_layer_params_v920", Seq([
@@ -2439,9 +2504,9 @@ UE_EUTRA_CAP_V920 = Seq([
         ("dtm_r9", _SUPPORTED, "?"),
         ("e_redirection_geran_r9", _SUPPORTED, "?"),
     ])),
-    ("inter_rat_params_utra_v920", Seq([
-        ("e_redirection_utra_r9", _SUPPORTED, "?"),
-    ]), "?"),
+    # EMPTY SEQUENCE in the reference vintage (rrc_asn1.cc:111877 packs
+    # zero bits; e-RedirectionUTRA lives in a later -v9e0 extension)
+    ("inter_rat_params_utra_v920", Seq([]), "?"),
     ("inter_rat_params_cdma2000_v920", Seq([
         ("e_csfb_conc_ps_mob1_xrtt_r9", _SUPPORTED, "?"),
     ]), "?"),
@@ -2459,7 +2524,7 @@ UE_EUTRA_CAP_V920 = Seq([
     ("son_params_r9", Seq([
         ("rach_report_r9", _SUPPORTED, "?"),
     ])),
-    ("non_crit_ext_v940", OctStr(), "?"),  # UE-EUTRA-Cap-v940-IEs tail
+    ("non_crit_ext_v940", UE_EUTRA_CAP_V940, "?"),
 ])
 
 UE_EUTRA_CAPABILITY = Seq([
@@ -2481,7 +2546,9 @@ UE_EUTRA_CAPABILITY = Seq([
         ("cdma2000_hrpd", IRAT_PARAMS_CDMA2000_HRPD, "?"),
         ("cdma2000_1xrtt", IRAT_PARAMS_CDMA2000_1XRTT, "?"),
     ])),
-    ("non_crit_ext", UE_EUTRA_CAP_V920, "?"),
+    # field named v920 (not "non_crit_ext") so the fuzz generator's
+    # global opaque-tail avoidance doesn't suppress the structural chain
+    ("non_crit_ext_v920", UE_EUTRA_CAP_V920, "?"),
 ])
 
 UE_CAP_RAT_CONTAINER = Seq([

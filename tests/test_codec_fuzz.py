@@ -32,7 +32,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "88d602eb80fde50eace2c3762d97521574583bf3f509c8709312d63011c83ce5"
+PINNED_SHA = "2c132c7d0a5cbc76c9d7cd30f2dc08d933b5636816f93895fccc9375c1e7c87e"
 
 
 @pytest.fixture(scope="module")

@@ -194,3 +194,54 @@ def test_waveform_20ues_collision_free_and_mac_pcap(tmp_path):
             assert lcid != pdu_mod.LCID_PAD
     assert n_rec >= 4 * n_ues  # RAR + setup + NAS traffic, both ways
     assert n_pad > 0  # padding subheaders really occur on the wire
+
+
+@pytest.mark.slow
+def test_waveform_attach_with_dynamic_delay_and_hst():
+    """Attach completes through a sinusoidally sweeping path delay
+    (channel/delay.c role) plus the 36.101 B.3 HST Doppler trajectory —
+    the CP absorbs the delay, the chest tracks the shift."""
+    net, enb, ues, mme, spgw = build(n_ues=1, seed=21)
+    # 0.2..1.5 us sweep (<=3 samples at 1.92 Msps, inside the 4.7 us CP)
+    net.medium.dyn_delay = (0.2, 1.5, 1.0)
+    net.medium.hst_fd_hz = 40.0
+    for _ in range(12):
+        net.run(50)
+        if ues[0].emm_state == "REGISTERED":
+            break
+    assert ues[0].emm_state == "REGISTERED"
+    assert ues[0].ip_addr
+
+
+@pytest.mark.slow
+def test_waveform_rlf_outage_reestablishment():
+    """A periodic outage (channel/rlf.c role) kills the link mid-session:
+    the UE's sync indications trip N310/T310 radio-link failure and the
+    connection recovers via RRC reestablishment — all over waveforms."""
+    net, enb, ues, mme, spgw = build(n_ues=1, seed=23)
+    ue = ues[0]
+    for _ in range(8):
+        net.run(50)
+        if ue.emm_state == "REGISTERED":
+            break
+    assert ue.emm_state == "REGISTERED"
+
+    # outage longer than T310 (SIB2: n310=10, t310=1000ms): 1.6 s dead
+    # every 4 s — the timer expires mid-outage and RLF is declared; the
+    # link is back before the reestablishment RACH retries give up
+    net.medium.rlf = (4.0, 1.6)
+    # keep DL traffic flowing so the loss is observable
+    pkt = spgw_mod.make_ipv4("8.8.8.8", ue.ip_addr, b"rlf" * 20)
+    for _ in range(40):
+        spgw.handle_sgi_pdu(pkt)
+        net.run(100)
+        if ue.metrics.get("rlf", 0) >= 1 and ue.rrc_state == "CONNECTED" \
+                and not net.medium.in_outage(net.tti):
+            break
+    assert ue.metrics.get("rlf", 0) >= 1, dict(ue.metrics)
+    # recovered: reestablishment completed and user plane works again
+    assert ue.rrc_state == "CONNECTED", (ue.rrc_state, dict(ue.metrics))
+    n_before = len(ue.gw_rx)
+    spgw.handle_sgi_pdu(pkt)
+    net.run(40)
+    assert len(ue.gw_rx) > n_before
