@@ -27,7 +27,8 @@ from ..utils import metrics as metrics_mod, pcap as pcap_mod
 
 def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
                   paced: bool = False, ue_pathloss: list = None,
-                  sched_policy: str = "rr", n_carriers: int = 1):
+                  sched_policy: str = "rr", n_carriers: int = 1,
+                  tdd_config: int = None):
     n = 1 + n_ues
     pl = np.full((n, n), pathloss_db, np.float32)
     np.fill_diagonal(pl, 0)
@@ -45,7 +46,8 @@ def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
     enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=n_prb,
                              sched_policy=sched_policy,
                              n_carriers=n_carriers)
-    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=n_prb, mac=enb))
+    net.add(phy_adapter.EnbPhyAdapter(bus, 0, cell_id=1, n_prb=n_prb,
+                                      mac=enb, tdd_config=tdd_config))
     ues = []
     for i in range(n_ues):
         imsi = f"0010100000000{i:02d}"
@@ -53,7 +55,9 @@ def build_network(n_ues: int, pathloss_db: float, n_prb: int = 25,
         hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
         opc = security.milenage_opc(key, b"\x00" * 16)
         ue = ue_stack.UeStack(ue_stack.Usim(imsi, key, opc), preamble=(7 + i) % 64)
-        net.add(phy_adapter.UePhyAdapter(bus, 1 + i, cell_id=1, n_prb=n_prb, stack=ue))
+        net.add(phy_adapter.UePhyAdapter(bus, 1 + i, cell_id=1,
+                                         n_prb=n_prb, stack=ue,
+                                         tdd_config=tdd_config))
         ues.append(ue)
     return dict(net=net, bus=bus, mme=mme, spgw=spgw, enb=enb, ues=ues, hss=hss)
 
@@ -226,6 +230,11 @@ def main(argv=None):
                          " NAS and IP traffic all ride OFDM through AWGN"
                          " links (runtime/wavenet, the reference's ZMQ IQ"
                          " mode); reports attach latency + steady sf/s")
+    ap.add_argument("--tdd", type=int, default=-1,
+                    help="TDD UL/DL configuration 0-6 (36.211 Table"
+                         " 4.2-2): DL only on D/S subframes, UL held to"
+                         " U subframes, DCI-0 on k-associated subframes"
+                         " (-1 = FDD)")
     ap.add_argument("--dyn-delay", default="",
                     help="with --waveform-full: sinusoidal path delay"
                          " 'min_us,max_us,period_s' (channel/delay.c)")
@@ -255,7 +264,8 @@ def main(argv=None):
         return run_waveform_full(args)
 
     sysd = build_network(args.ues, args.pathloss, args.prb, args.paced,
-                         n_carriers=args.carriers)
+                         n_carriers=args.carriers,
+                         tdd_config=args.tdd if args.tdd >= 0 else None)
     net, mme, spgw, enb, ues = (sysd[k] for k in ("net", "mme", "spgw", "enb", "ues"))
 
     hub = metrics_mod.MetricsHub()

@@ -151,13 +151,18 @@ class EnbPhyAdapter:
 
     def __init__(self, bus: otabus.OtaBus, node_id: int, cell_id: int,
                  n_prb: int, mac, tx_power_mw: float = 1.0,
-                 freq_idx: int = 0):
+                 freq_idx: int = 0, tdd_config: int = None):
         self.bus = bus
         self.node_id = node_id
         self.cell_id = cell_id
         self.n_prb = n_prb
         self.mac = mac  # stack_interface_phy_lte equivalent
         self.tx_power_mw = tx_power_mw
+        # TDD (36.211 Table 4.2-2): UL/DL configuration index, or None
+        # for FDD.  Downlink transmits only on D/S subframes; DCI-0s go
+        # out only on subframes with a 36.213 Table 8-2 k-association
+        # (phch/tdd.py UL_GRANT_K; phy_common.c:90-163 tables)
+        self.tdd_config = tdd_config
         # carrier slot (EARFCN role): cells on different carriers are
         # independent SINR domains — no co-channel interference between
         # them (sinr.py adjudicates per (is_downlink, freq_idx))
@@ -240,9 +245,26 @@ class EnbPhyAdapter:
 
     # --- downlink transmit (enb_dl_put_* + send, phy_adapter.cc:795-975) ---
     def _tx(self, tti: int):
+        if self.tdd_config is not None:
+            from ..phch import tdd as tdd_mod
+
+            if tdd_mod.sf_type(self.tdd_config, tti) == "U":
+                return  # uplink subframe: the eNB radiates nothing
+            dl_grants = self.mac.get_dl_sched(tti)
+            # DCI-0 only on subframes with a PUSCH k-association
+            # (36.213 Table 8-2); others defer the UL scheduling pass
+            if tti % 10 in tdd_mod.UL_GRANT_K[self.tdd_config]:
+                ul_grants = self.mac.get_ul_sched(tti)
+            else:
+                ul_grants = []
+            phich = self.mac.get_phich(tti)
+            return self._tx_body(tti, dl_grants, ul_grants, phich)
         dl_grants: typing.List[DlGrant] = self.mac.get_dl_sched(tti)
         ul_grants: typing.List[UlGrant] = self.mac.get_ul_sched(tti)
         phich = self.mac.get_phich(tti)
+        return self._tx_body(tti, dl_grants, ul_grants, phich)
+
+    def _tx_body(self, tti: int, dl_grants, ul_grants, phich):
         msg = otamsg.EnbDlMessage(tti=tti, cfi=1, phy_cell_id=self.cell_id)
         txc = otamsg.TxControl(
             tti_tx=tti, phy_cell_id=self.cell_id, is_downlink=True,
@@ -334,13 +356,19 @@ class UePhyAdapter:
     """UE-side message-level PHY (srsue phy_adapter.cc)."""
 
     def __init__(self, bus: otabus.OtaBus, node_id: int, cell_id: int,
-                 n_prb: int, stack, tx_power_mw: float = 1.0):
+                 n_prb: int, stack, tx_power_mw: float = 1.0,
+                 tdd_config: int = None):
         self.bus = bus
         self.node_id = node_id
         self.cell_id = cell_id
         self.n_prb = n_prb
         self.stack = stack  # UE MAC/stack callbacks
         self.tx_power_mw = tx_power_mw
+        # TDD UL/DL configuration (SIB1 tdd-Config role): the UE transmits
+        # PRACH/PUSCH/PUCCH only on 'U' subframes — pending grants, ACKs
+        # and preambles are HELD in the stack queues until one arrives
+        # (the 36.213 §8 TDD association; ue_stack consumes on call)
+        self.tdd_config = tdd_config
         self._seq = 0
         self.last_snr_db = None  # injected into "chest results" (:1307)
         # bind optional callbacks once: getattr per TTI per UE is real cost
@@ -638,6 +666,13 @@ class UePhyAdapter:
                                   snr, rnti=dci.rnti, cc=cc)
 
     def _tx(self, tti: int):
+        if self.tdd_config is not None:
+            from ..phch import tdd as tdd_mod
+
+            if tdd_mod.sf_type(self.tdd_config, tti) != "U":
+                # D/S subframe: hold everything (queues keep pending
+                # preambles/grants/ACKs until the next UL subframe)
+                return
         serving = self.serving_cell
         prach_idx = self.stack.get_prach(tti)
         pusch = self.stack.get_pusch(tti)

@@ -106,10 +106,12 @@ def test_initial_context_setup_rides_as_real_erab_pdu():
 
 
 def test_unbridged_paths_pass_through():
-    req = mme_mod.PathSwitchRequest(mme_ue_id=1, target_enb_ue_id=2)
-    args = (1, req)
-    assert s1ap_wire.encode_args("path_switch", args) == args
-    assert s1ap_wire.decode_args("path_switch", args) == args
+    # path_switch is BRIDGED as of round 4 (real 36.413 PathSwitchRequest
+    # PDU, tests/test_s1ap_mobility_wire.py); a path outside the table
+    # must still pass through untouched
+    args = (1, {"some": "payload"})
+    assert s1ap_wire.encode_args("x2_forward", args) == args
+    assert s1ap_wire.decode_args("x2_forward", args) == args
 
 
 def test_rpc_transport_carries_aper_not_pickled_dataclass():

@@ -119,3 +119,53 @@ def test_tdd_frame_end_to_end():
     acked_dl = sorted(dl for sfs in out["acks"].values() for dl, _ in sfs)
     assert acked_dl == [0, 1, 4]
     assert all(tdd.sf_type(1, s) == "U" for s in out["acks"])
+
+
+def test_tdd_netsim_attach_and_traffic():
+    """TDD end-to-end at UL/DL configuration 1 (36.211 Table 4.2-2
+    "DSUUDDSUUD"): the whole network attaches and passes IP traffic with
+    the eNB radiating ONLY on D/S subframes, UEs transmitting ONLY on U
+    subframes, and DCI-0s only on 36.213 Table 8-2 k-associated
+    subframes (phy_common.c:90-163 tables)."""
+    from srslte_emane_tpu.apps import netsim
+    from srslte_emane_tpu.epc import spgw as spgw_mod
+    from srslte_emane_tpu.phch import tdd as tdd_mod
+    from srslte_emane_tpu.runtime import otamsg
+
+    cfg = 1
+    sysd = netsim.build_network(4, 80.0, n_prb=25, tdd_config=cfg)
+    net, bus, spgw, ues = (sysd[k] for k in ("net", "bus", "spgw", "ues"))
+
+    seen = []  # (sf, is_downlink, has_dci0)
+    orig = bus.send_msg
+
+    def spy(frame):
+        is_dl = frame.txc.is_downlink
+        has_dci0 = bool(getattr(frame.msg, "pdcch_ul", None))
+        seen.append((frame.msg.tti % 10, is_dl, has_dci0))
+        return orig(frame)
+
+    bus.send_msg = spy
+    net.run(800)
+    assert all(u.emm_state == "REGISTERED" for u in ues), \
+        [(u.emm_state, u.mac_state) for u in ues]
+
+    # DL traffic still flows
+    u0 = ues[0]
+    pkt = spgw_mod.make_ipv4("8.8.8.8", u0.ip_addr, b"tdd" * 30)
+    assert spgw.handle_sgi_pdu(pkt)
+    net.run(60)
+    assert any(p == pkt for p in u0.gw_rx)
+
+    assert seen, "no frames observed"
+    k_sfs = set(tdd_mod.UL_GRANT_K[cfg])
+    for sf, is_dl, has_dci0 in seen:
+        t = tdd_mod.sf_type(cfg, sf)
+        if is_dl:
+            assert t in ("D", "S"), f"eNB radiated on U subframe {sf}"
+            if has_dci0:
+                assert sf in k_sfs, f"DCI-0 on non-associated subframe {sf}"
+        else:
+            assert t == "U", f"UE transmitted on {t} subframe {sf}"
+    # both directions actually happened
+    assert any(d for _, d, _ in seen) and any(not d for _, d, _ in seen)
