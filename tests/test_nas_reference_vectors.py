@@ -94,3 +94,65 @@ def test_generated_attach_accept_decodes():
     assert nas.parse_apn(back["esm"]["apn"]) == "srs"
     assert nas.parse_guti(back["guti"])["m_tmsi"] == 0xFF
     assert nas.encode(back) == wire
+
+
+# ---- Spec-derived vectors for messages ABSENT from the reference codec ----
+# liblte_mme.cc defines the constants for TAU Request, Service Accept and
+# CS Service Notification but generates NO pack/unpack for them, so no
+# differential oracle exists (docs/INTEROP.md).  These byte strings are
+# hand-derived from 24.301 §8.2.29 / §8.2.17 / §8.2.9 IE tables.
+
+# TAU Request: plain EMM header (PD=7), type 0x48, NAS-KSI=5 in the high
+# nibble + EPS-update-type=0 (TA updating) in the low nibble, old GUTI as
+# the LV EPS-mobile-identity (0xF6 = even digits + GUTI), then optional
+# last-visited-TAI (TV 0x52) and DRX parameter (TV 0x5C)
+TAU_REQUEST_SPEC = bytes([
+    0x07, 0x48, 0x50,
+    0x0B, 0xF6, 0x00, 0xF1, 0x10, 0x00, 0x02, 0x01,
+    0x01, 0x02, 0x03, 0x04,
+    0x52, 0x00, 0xF1, 0x10, 0x00, 0x01,
+    0x5C, 0x0A, 0x00])
+
+# Service Accept: type 0x4F + optional EPS-bearer-context-status TLV
+# (0x57, 2 octets; EBI 5 active = bit 5 of the first status octet)
+SERVICE_ACCEPT_SPEC = bytes([0x07, 0x4F, 0x57, 0x02, 0x20, 0x00])
+
+# CS Service Notification: type 0x64, mandatory 1-octet paging identity
+# (0x01 = TMSI), optional CLI (TLV 0x60, BCD number), SS code (TV 0x61)
+# and LCS indicator (TV 0x62, 0x01 = MT-LR)
+CS_SERVICE_NOTIFICATION_SPEC = bytes([
+    0x07, 0x64, 0x01,
+    0x60, 0x05, 0x21, 0x43, 0x65, 0x87, 0x09,
+    0x61, 0x11, 0x62, 0x01])
+
+
+def test_tau_request_spec_vector_byte_exact():
+    m = nas.decode(TAU_REQUEST_SPEC)
+    inner = m  # plain (unprotected) message: flat decode
+    assert inner["msg_name"] == "tracking_area_update_request"
+    ksi, upd = inner["ksi_update_type"]
+    assert (ksi, upd) == (5, 0)  # KSI 5, TA-updating
+    assert inner["old_guti"][0] == 0xF6  # even + GUTI type
+    assert inner["old_guti"][-4:] == bytes([0x01, 0x02, 0x03, 0x04])
+    assert inner["last_visited_tai"] == bytes([0x00, 0xF1, 0x10, 0x00, 0x01])
+    assert inner["drx_parameter"] == bytes([0x0A, 0x00])
+    assert nas.encode(m) == TAU_REQUEST_SPEC
+
+
+def test_service_accept_spec_vector_byte_exact():
+    m = nas.decode(SERVICE_ACCEPT_SPEC)
+    inner = m
+    assert inner["msg_name"] == "service_accept"
+    assert inner["eps_bearer_context_status"] == bytes([0x20, 0x00])
+    assert nas.encode(m) == SERVICE_ACCEPT_SPEC
+
+
+def test_cs_service_notification_spec_vector_byte_exact():
+    m = nas.decode(CS_SERVICE_NOTIFICATION_SPEC)
+    inner = m
+    assert inner["msg_name"] == "cs_service_notification"
+    assert inner["paging_identity"] == bytes([0x01])
+    assert inner["cli"] == bytes([0x21, 0x43, 0x65, 0x87, 0x09])
+    assert inner["ss_code"] == bytes([0x11])
+    assert inner["lcs_indicator"] == bytes([0x01])
+    assert nas.encode(m) == CS_SERVICE_NOTIFICATION_SPEC
