@@ -116,10 +116,18 @@ class _CellKernels:
     matched filter: [0, n_cce) dynamic HARQ-ACK (36.213 §10.1 with N1=0)
     plus the dedicated SR pool above it."""
 
-    def __init__(self, cell: grid_mod.CellConfig, n_pucch_res: int = 32):
+    def __init__(self, cell: grid_mod.CellConfig, n_pucch_res: int = 32,
+                 n_f2_res: int = 0, f2_base: int = 0, n_cce: int = 0):
         self.cell = cell
         self.dci_len = dci_mod.format0_1a_len(cell.n_prb)
         self.n_pucch_res = n_pucch_res
+        # format-2 (periodic CQI) region: resources [f2_base, f2_base +
+        # n_f2_res) in a PRB region above the format-1 space; a UE's CQI
+        # resource is f2_base + (sr_pucch_res - n_cce) — the
+        # cqi-PUCCH-ResourceIndex role keyed off the same dedicated index
+        self.n_f2_res = n_f2_res
+        self.f2_base = f2_base
+        self.n_cce = n_cce
 
     @functools.lru_cache(maxsize=None)
     def cell_search(self):
@@ -342,6 +350,102 @@ class _CellKernels:
 
         return jax.jit(run)
 
+    # ---- PUCCH format 2/2a: periodic wideband CQI (+1 ACK bit) ----
+
+    @functools.lru_cache(maxsize=None)
+    def pucch2_tx(self, sf_idx: int, res_rel: int, n_ack: int = 0):
+        """Jitted UE-side format-2 (n_ack=0) or 2a (n_ack=1) transmit on
+        CQI resource f2_base + res_rel: (cqi_bits (1,4)[, ack (1,1)]) ->
+        (1, sf_len, 2) waveform."""
+        cell = self.cell
+        res = self.f2_base + res_rel
+
+        if n_ack == 0:
+            def run(cqi_bits):
+                g = cplx.zeros((1, grid_mod.N_SYM, cell.nre))
+                g = pucch_mod.encode_f2(cqi_bits, cell, sf_idx, res, g)
+                return ofdm.modulate(g, cell.n_prb)
+        else:
+            def run(cqi_bits, ack_bits):
+                g = cplx.zeros((1, grid_mod.N_SYM, cell.nre))
+                g = pucch_mod.encode_f2ab(cqi_bits, ack_bits, cell,
+                                          sf_idx, res, g)
+                return ofdm.modulate(g, cell.n_prb)
+
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=None)
+    def _f2_tables(self, sf_idx: int):
+        """(pos (n,2,7,12) int32, ref (n,2,7,12) complex) for the whole
+        format-2 region."""
+        cell = self.cell
+        from ..phch import refsignal_ul
+
+        n = self.n_f2_res
+        pos = np.zeros((n, 2, 7, 12), np.int32)
+        ref = np.zeros((n, 2, 7, 12), np.complex64)
+        ncs = pucch_mod.n_cs_cell(cell.cell_id)
+        u_tab = refsignal_ul.f_gh_table(cell.cell_id, False)
+        for i in range(n):
+            res = self.f2_base + i
+            for s in range(2):
+                ns = 2 * sf_idx + s
+                u = (int(u_tab[ns]) + cell.cell_id % 30) % 30
+                base = refsignal_ul.base_sequence(u, 0, 12)
+                prb = pucch_mod.pucch_prb(res, ns, cell.n_prb)
+                ks = 12 * prb + np.arange(12)
+                for l in range(7):
+                    alpha = 2 * np.pi * ((res % 12 + int(ncs[ns, l]))
+                                         % 12) / 12
+                    ref[i, s, l] = base * np.exp(1j * alpha
+                                                 * np.arange(12))
+                    pos[i, s, l] = (7 * s + l) * cell.nre + ks
+        return pos, ref
+
+    @functools.lru_cache(maxsize=None)
+    def pucch2_rx_all(self, sf_idx: int):
+        """eNB: decode EVERY format-2 resource in one kernel.  Returns
+        (cqi_bits (n,4), metric (n,), dmrs_energy (n,), ack_corr (n,2)).
+        The channel comes from the FIRST DMRS symbol pair only, so the
+        same decode serves plain f2 and f2a (whose second DMRS carries
+        d(10)); ack_corr is <dmrs2, h> — its real-part sign is the 2a
+        ACK bit, and for plain f2 it sits at +|h|^2 (reads as ACK, used
+        only when one was expected)."""
+        cell = self.cell
+        pos, ref = self._f2_tables(sf_idx)
+        n = self.n_f2_res
+        refc = cplx.from_numpy(np.conj(ref))
+        d_syms = pucch_mod.F2_DATA_SYMS
+        l_dm1, l_dm2 = pucch_mod.F2_DMRS_SYMS
+        from ..phch import uci as uci_mod
+        from ..ops import modem
+
+        def run(samples):
+            rg = ofdm.demodulate(samples, cell.n_prb)
+            flat = rg.reshape(1, -1, 2)
+            y = jnp.take(flat, jnp.asarray(pos.reshape(-1)), axis=-2)
+            y = y.reshape(n, 2, 7, 12, 2)
+            z = cplx.mul(y, jnp.asarray(refc))  # ref removed
+            h = z[:, :, l_dm1]  # (n, 2, 12, 2) per-slot channel
+            energy = jnp.mean(cplx.abs2(h), axis=(-2, -1))  # (n,)
+            # slot-major data symbol order matches encode_f2's di index
+            parts = []
+            for s in range(2):
+                for l in d_syms:
+                    num = jnp.sum(cplx.mul_conj(z[:, s, l], h[:, s]),
+                                  axis=-2)  # (n, 2)
+                    parts.append(num)
+            d = jnp.stack(parts, axis=1)  # (n, 10, 2)
+            llr = modem.demod_soft(
+                d / (jnp.sqrt(cplx.abs2(d))[..., None] + 1e-9),
+                modem.QPSK)
+            bits, metric = uci_mod.decode_rm(llr, 4, "rm20")
+            ack = sum(jnp.sum(cplx.mul_conj(z[:, s, l_dm2], h[:, s]),
+                              axis=-2) for s in range(2))  # (n, 2)
+            return bits, metric, energy, ack
+
+        return jax.jit(run)
+
     @functools.lru_cache(maxsize=None)
     def pucch_rx_all(self, sf_idx: int):
         """eNB: matched-filter ALL resources in one kernel.
@@ -382,6 +486,9 @@ class WaveEnbPhy:
     """eNB waveform PHY: UL decode then DL encode per TTI (sf_worker.cc)."""
 
     PUCCH_DETECT = 4.0  # matched-filter energy threshold vs noise
+    # format-2 DMRS mean-|h|^2 presence threshold: pure noise sits near
+    # 1.0 (per-RE, no despreading gain), any usable link far above
+    F2_DETECT = 4.0
 
     def __init__(self, medium: "WaveMedium", cell: grid_mod.CellConfig,
                  mac, kern: _CellKernels, pcap=None):
@@ -440,6 +547,32 @@ class WaveEnbPhy:
         # ACK onto the UE's dedicated SR resource (36.213 §10.1, the
         # ue_ul.c simultaneous SR+ACK rule).
         expect = self._ack_expect.pop(prev_tti, ())
+        acked_f2 = set()
+        if getattr(self.mac, "ues", None) and self.k.n_f2_res:
+            # format-2 region: periodic CQI (+f2a HARQ bit) for every
+            # resource in ONE kernel; per-UE adjudication by DMRS energy
+            f2_bits, f2_metric, f2_energy, f2_ack = (
+                np.asarray(v) for v in self.k.pucch2_rx_all(sf)(samples))
+            expect_rntis = {r for r, _ in expect}
+            for rnti in list(self.mac.ues):
+                sr_r = getattr(self.mac.ues[rnti], "sr_pucch_res", None)
+                rel = None if sr_r is None else sr_r - self.k.n_cce
+                if rel is None or not 0 <= rel < self.k.n_f2_res:
+                    continue
+                if f2_energy[rel] < self.F2_DETECT:
+                    continue
+                cqi = int("".join(str(int(b)) for b in f2_bits[rel]), 2)
+                if hasattr(self.mac, "cqi_info"):
+                    self.mac.cqi_info(tti, rnti, cqi)
+                self.metrics["pucch_det"] += 1
+                if rnti in expect_rntis:
+                    # format 2a: the HARQ bit rides the second DMRS
+                    ack = bool(f2_ack[rel, 0] > 0)
+                    acked_f2.add(rnti)
+                    try:
+                        self.mac.ack_info(tti, rnti, ack, cc=0)
+                    except TypeError:
+                        self.mac.ack_info(tti, rnti, ack)
         if getattr(self.mac, "ues", None):
             corr, energy = self.k.pucch_rx_all(sf)(samples)
             corr = np.asarray(corr)[0]
@@ -453,7 +586,7 @@ class WaveEnbPhy:
                     self.mac.sr_detected(tti, rnti)
             for rnti, res in expect:
                 ue = self.mac.ues.get(rnti)
-                if ue is None:
+                if ue is None or rnti in acked_f2:
                     continue
                 if rnti in sr_hit:  # ACK rode the SR resource
                     res = ue.sr_pucch_res
@@ -483,7 +616,12 @@ class WaveEnbPhy:
         for g in dl_grants:
             prbs = [i for i, on in enumerate(g.prb_mask) if on]
             rb_start, l_crbs = prbs[0], len(prbs)
-            mcs = _dl_mcs_for(len(g.payload), l_crbs)
+            # honor the MAC's CQI-driven link adaptation (scheduler_ue.cc
+            # MCS selection, fed by the waveform PUCCH format-2 reports):
+            # its MCS rounded UP to even (the kernel-population grid),
+            # floored at whatever fits the payload + padding headers
+            mcs = max((min(g.mcs, 27) + 1) & ~1,
+                      _dl_mcs_for(len(g.payload), l_crbs))
             re_idx = self.k.dl_re_idx(sf, rb_start, l_crbs)
             fn, tbs = self.k.add_dl_grant(l_crbs, mcs, g.l_aggr,
                                           len(re_idx))
@@ -763,6 +901,28 @@ class WaveUePhy:
             acks = pucch.get("ack", [])
             sr = bool(pucch.get("sr"))
             sr_res = getattr(self.stack, "sr_pucch_res", None)
+            cqi = pucch.get("cqi")
+            cqi_rel = (sr_res - self.k.n_cce
+                       if sr_res is not None else None)
+            if (cqi is not None and not sr and self.k.n_f2_res
+                    and cqi_rel is not None
+                    and 0 <= cqi_rel < self.k.n_f2_res):
+                # periodic wideband CQI rides format 2 on the UE's
+                # dedicated resource; a pending HARQ bit upgrades it to
+                # format 2a (ACK on the second DMRS, 36.211 §5.4.2).
+                # SR+CQI in one TTI: SR wins, the CQI is dropped
+                # (36.213 §7.2.2 collision rule).
+                cqi_bits = np.asarray(
+                    [[(cqi >> (3 - i)) & 1 for i in range(4)]], np.int8)
+                if acks:
+                    ab = np.asarray([[0 if acks[0] else 1]], np.int8)
+                    s = self.k.pucch2_tx(sf, cqi_rel, 1)(
+                        jnp.asarray(cqi_bits), jnp.asarray(ab))
+                    acks = []  # the ACK rode the f2a DMRS
+                else:
+                    s = self.k.pucch2_tx(sf, cqi_rel)(jnp.asarray(cqi_bits))
+                out = s if out is None else out + s
+                self.metrics["pucch_tx"] += 1
             if acks:
                 # positive SR moves the ACK onto the dedicated SR resource
                 # (36.213 §10.1 simultaneous SR+HARQ rule); otherwise the
@@ -952,7 +1112,16 @@ class WaveformNetwork:
         if n_edge > max_edge:
             n_edge = max_edge
             sr_pool = max(4, 36 * n_edge - n_cce)
-        self.kern = _CellKernels(self.cell, n_pucch_res=n_cce + sr_pool)
+        # format-2 CQI region above the format-1 space (one resource per
+        # UE, keyed by the same dedicated index); needs its own edge PRB
+        # pair, so only on cells wide enough to still fit msg3
+        f2_base = 36 * n_edge
+        n_f2 = sr_pool if n_prb >= 15 else 0
+        if n_f2:
+            n_edge = -(-(f2_base + n_f2) // 36)
+        self.kern = _CellKernels(self.cell, n_pucch_res=n_cce + sr_pool,
+                                 n_f2_res=n_f2, f2_base=f2_base,
+                                 n_cce=n_cce)
         if hasattr(enb_mac, "sr_res_base"):
             enb_mac.sr_res_base = n_cce
             enb_mac.sr_res_pool = sr_pool

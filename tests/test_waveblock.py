@@ -15,6 +15,13 @@ from srslte_emane_tpu.phch import grid as grid_mod, pdcch
 from srslte_emane_tpu.runtime import waveblock
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """See test_wavenet: cap the in-process executable-cache footprint."""
+    yield
+    jax.clear_caches()
+
+
 def _cfg(n_prb=15, n_ues=2, T=10, dl_mcs=10, ul_mcs=10):
     cell = grid_mod.CellConfig(n_prb=n_prb, cell_id=1, cfi=2)
     n_cce = pdcch.n_cce(cell)

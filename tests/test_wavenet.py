@@ -15,6 +15,19 @@ from srslte_emane_tpu.runtime import wavenet
 from srslte_emane_tpu.stack import enb_stack, security, ue_stack
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Each waveform test compiles its own kernel population; XLA's
+    in-process executable cache keeps them all alive, and several tests
+    in one process exhaust vm.max_map_count (LLVM mmap failure ->
+    segfault).  Dropping the caches between tests caps the footprint at
+    one test's worth."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def build(n_ues=2, n_prb=6, pathloss=80.0, seed=0):
     hss = hss_mod.Hss()
     spgw = spgw_mod.Spgw()
@@ -245,3 +258,35 @@ def test_waveform_rlf_outage_reestablishment():
     spgw.handle_sgi_pdu(pkt)
     net.run(40)
     assert len(ue.gw_rx) > n_before
+
+
+@pytest.mark.slow
+def test_waveform_cqi_drives_link_adaptation():
+    """Periodic wideband CQI rides PUCCH format 2 (format 2a when a HARQ
+    bit collides) over the air, and the eNB's CQI->MCS link adaptation
+    (scheduler_ue.cc role) actually governs the waveform PDSCH MCS."""
+    net, enb, ues, mme, spgw = build(n_ues=2, n_prb=15, seed=31)
+    for _ in range(10):
+        net.run(50)
+        if all(u.emm_state == "REGISTERED" for u in ues):
+            break
+    assert all(u.emm_state == "REGISTERED" for u in ues)
+
+    # keep traffic + reporting going for a few CQI periods
+    for u in ues:
+        pkt = spgw_mod.make_ipv4("8.8.8.8", u.ip_addr, b"cqi" * 40)
+        for _ in range(3):
+            spgw.handle_sgi_pdu(pkt)
+    net.run(120)
+    assert enb.metrics.get("cqi_reports", 0) >= 2, dict(enb.metrics)
+    # at 54 dB link SNR the reported CQI drives the MCS far above the
+    # cell default — the adaptation is visible in the UE context
+    mcs = [u.dl_mcs for u in enb.ues.values() if hasattr(u, "dl_mcs")]
+    assert mcs and max(mcs) > enb.mcs, (mcs, enb.mcs)
+    # and traffic still decodes at the adapted MCS
+    u0 = ues[0]
+    n_before = len(u0.gw_rx)
+    pkt = spgw_mod.make_ipv4("8.8.8.8", u0.ip_addr, b"fast" * 50)
+    spgw.handle_sgi_pdu(pkt)
+    net.run(40)
+    assert len(u0.gw_rx) > n_before
