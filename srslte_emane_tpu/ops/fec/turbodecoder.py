@@ -40,26 +40,39 @@ from . import turbo
 NEG = -1e30
 HALO = 40  # window overlap, matches turbodecoder_win.h:36-87
 
-# log-MAP mode (SRSLTE_TPU_LOGMAP=1): the max* correction term
-# max(a,b) + log(1+e^-|a-b|) applied in the alpha/beta recursions via the
-# standard piecewise-linear approximation max(0, C0 - C1*|a-b|) — the
-# same trade the reference's LOG-MAP vs MAX-LOG-MAP build flag makes
-# (lib/src/phy/fec/turbodecoder.c gen vs sse paths).  Recovers ~0.3 dB,
-# so the waterfall converges in fewer iterations at equal BLER; each MAP
-# pass costs more vector ops, so it is a measured trade (docs/
-# BENCHMARKS.md SNR table), not a free win.  With the correction on, the
-# extrinsic needs no damping (EXT_SCALE 1.0 vs max-log's 0.75).
+# log-MAP mode (SRSLTE_TPU_LOGMAP=1): the exact max* correction applied
+# in the alpha/beta recursions — the reference's LOG-MAP vs MAX-LOG-MAP
+# build flag (lib/src/phy/fec/turbodecoder.c gen vs sse paths).
+#
+# MEASURED OUTCOME (round 4, 20 MHz 64QAM rate-0.55 link, 11.5-12.5 dB):
+# with true-LLR calibration (pdsch.decode's 2/sigma^2 term) and the
+# correct half-scale correction, log-MAP + 0.75 damping is BLER-equal to
+# the damped max-log baseline at equal iterations — no iteration savings
+# to harvest, because (a) the 0.75 extrinsic damping already recovers
+# most of max-log's gap, and (b) the remaining gap is bounded by LLR
+# calibration quality (estimated noise + per-bit QAM approximations),
+# which hurts log-MAP but not the scale-invariant max-log.  Undamped
+# log-MAP (the textbook configuration) measures WORSE on this chain for
+# the same reason.  Default therefore stays max-log; the flag remains
+# for experimentation.
 LOGMAP = os.environ.get("SRSLTE_TPU_LOGMAP", "0") != "0"
-_C0, _C1 = 0.6931, 0.25  # piecewise max* correction constants
-EXT_SCALE = 1.0 if LOGMAP else 0.75  # max-log extrinsic damping
+EXT_SCALE = 0.75  # extrinsic damping (kept in BOTH modes; see above)
 
 
 def max_star(a, b):
-    """Pairwise max* (log-MAP) or plain max (max-log-MAP), per LOGMAP."""
+    """Pairwise max* (log-MAP) or plain max (max-log-MAP), per LOGMAP.
+
+    The branch metrics are HALF-scaled (_gammas' 0.5 factor from the
+    symmetric LLR decomposition), so in this metric space
+    logsumexp(2a, 2b)/2 = max(a,b) + 0.5*ln(1 + e^(-2|a-b|)) — using the
+    unit-scale ln2 correction here would double-weight it.  Requires
+    TRUE natural-log LLR inputs (pdsch.decode applies the 2/sigma^2
+    calibration when LOGMAP is on; max-log never needed it because it
+    is scale-invariant)."""
     m = jnp.maximum(a, b)
     if not LOGMAP:
         return m
-    return m + jnp.maximum(0.0, _C0 - _C1 * jnp.abs(a - b))
+    return m + 0.5 * jnp.log1p(jnp.exp(-2.0 * jnp.abs(a - b)))
 
 
 @functools.lru_cache(maxsize=None)

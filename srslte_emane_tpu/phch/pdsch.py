@@ -298,6 +298,14 @@ def decode(rx_grid, cfg: sch.SchConfig, cell: grid_mod.CellConfig, sf_idx: int,
         qm = cfg.Qm
         w = jnp.repeat(csi, qm, axis=-1)
         llr = llr * w
+    from ..ops.fec import turbodecoder as _td
+
+    if _td.LOGMAP:
+        # log-MAP needs TRUE natural-log LLRs: the max-log default is
+        # scale-invariant so the chain never applied the 2/sigma^2 term;
+        # the correction constant ln2 only means anything on calibrated
+        # metrics (turbodecoder.c's gen log-MAP path assumes the same)
+        llr = llr * (2.0 / jnp.maximum(ch.noise_est, 1e-9))[..., None]
     c_init = scrambling.pdsch_cinit(rnti, codeword_q, sf_idx, cell.cell_id)
     llr = scrambling.scramble_llrs(llr, c_init)
     payload, ok, softbuf, n_it = sch.decode_tb(llr, cfg, softbuf, max_iter,
