@@ -158,67 +158,102 @@ def _pucch_tables(cfg: BlockConfig):
     return pos, cplx.from_numpy(vals), dmask
 
 
-def make_block_step(cfg: BlockConfig, sfn0: int = 0):
-    """Compile the T-TTI block program.
-
-    Returns jitted fn(dl_bits (T, n, dl_tbs) int8,
-                      ul_bits (T, n, ul_tbs) int8,
-                      key, tti0 int32 (multiple of 10 recommended))
-      -> dict(dl_ok (T, n) bool, dl_out (T, n, dl_tbs) int8,
-              ul_ok (T, n) bool, ul_out (T, n, ul_tbs) int8,
-              ack_energy (T, n) f32, ack_val (T, n) f32)
-    """
+def _cell_consts(cfg: BlockConfig, sfn0: int = 0) -> dict:
+    """Every cell-identity-dependent table the block body needs, as plain
+    arrays — so one traced body can serve MANY cells (the sharded
+    multi-cell path gathers/receives these per shard)."""
     cell = cfg.cell
-    n, T = cfg.n_ues, cfg.T
-    qm_d = ra.dl_mcs_to_qm(cfg.dl_mcs)
-    qm_u = ra.ul_mcs_to_qm(cfg.ul_mcs)
-    dl_idx = _dl_re_tables(cfg)  # (n, n_re)
-    n_re_d = dl_idx.shape[1]
-    cfg_d = sch.SchConfig(tbs=cfg.dl_tbs, G=n_re_d * qm_d, Qm=qm_d, Nl=1)
-    m_sc = 12 * cfg.ul_l_prb
-    cfg_u = sch.SchConfig(tbs=cfg.ul_tbs, G=m_sc * 12 * qm_u, Qm=qm_u, Nl=1)
-    base10 = np.asarray(_base_grids(cfg, sfn0))  # (10, 14, NRE, 2)
-    # UL per-UE RE tables (no centre constraint in UL)
+    dl_idx = _dl_re_tables(cfg)
     ul_data = np.stack([pusch_mod.re_indices(cell.n_prb, rb, cfg.ul_l_prb)[0]
                         for rb in cfg.ul_rb_start])  # (n, 12, m_sc)
     ul_dmrs = np.stack([pusch_mod.re_indices(cell.n_prb, rb, cfg.ul_l_prb)[1]
                         for rb in cfg.ul_rb_start])  # (n, 2, m_sc)
-    dmrs10 = pusch_mod._dmrs10(cell.cell_id, cfg.ul_l_prb)  # (10, 2, m_sc)
     p_pos, p_vals, p_dmask = _pucch_tables(cfg)
-    rntis = np.asarray(cfg.rntis, np.int64)
-    amp = (10.0 ** (-np.asarray(cfg.snr_db, np.float32) / 20.0))  # (n,)
-    S = grid_mod.N_SYM * cell.nre
+    # DL CRS chest tables (chest.estimate internals, per-sf values
+    # stacked so sf stays traced; positions depend on the cell id)
+    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, 0, cell.cp)
+    syms = grid_mod.pilot_syms(0, cell.cp)
+    pidx = (np.asarray(syms)[:, None] * cell.nre + ks).astype(np.int32)
+    crs10 = chest._crs_values10(cell.cell_id, cell.n_prb, 0, cell.cp)
+    fm = np.stack([chest._freq_interp_matrix(cell.n_prb, int(ks[i][0]))
+                   for i in range(len(syms))])  # (S_pil, NRE, P)
+    tmat = chest._time_interp_matrix(tuple(syms), cell.n_sym)
+    return dict(
+        cell_id=np.int32(cell.cell_id),
+        rntis=np.asarray(cfg.rntis, np.int64),
+        amp=(10.0 ** (-np.asarray(cfg.snr_db, np.float32) / 20.0)),
+        base10=np.asarray(_base_grids(cfg, sfn0)),
+        dl_idx=dl_idx.astype(np.int32),
+        ul_data=ul_data.astype(np.int32), ul_dmrs=ul_dmrs.astype(np.int32),
+        dmrs10=np.asarray(cplx.from_numpy(
+            pusch_mod._dmrs10(cell.cell_id, cfg.ul_l_prb))),
+        p_pos=p_pos.astype(np.int32), p_vals=np.asarray(p_vals),
+        p_dmask=np.asarray(p_dmask),
+        ch_pidx=pidx, ch_vals10=np.asarray(cplx.from_numpy(crs10)),
+        ch_fm=fm.astype(np.float32), ch_tmat=tmat.astype(np.float32),
+    )
 
-    def step(dl_bits, ul_bits, key, tti0):
+
+def _chest_ce(rg, c: dict, sf_rows):
+    """CRS LS + 2D interpolation channel estimate from consts tables
+    (the chest.estimate math with the per-cell values as traced args)."""
+    B = rg.shape[0]
+    pidx = c["ch_pidx"]
+    flat = rg.reshape(B, -1, 2)
+    y_p = jnp.take(flat, jnp.asarray(pidx.reshape(-1)), axis=-2)
+    y_p = y_p.reshape((B,) + tuple(pidx.shape) + (2,))  # (B, S, P, 2)
+    r_p = jnp.take(c["ch_vals10"], sf_rows, axis=0)  # (B, S, P, 2)
+    h_ls = cplx.mul_conj(y_p, r_p)
+    h_f = jnp.einsum("skp,bspc->bskc", c["ch_fm"], h_ls)
+    ce = jnp.einsum("ls,bskc->blkc", c["ch_tmat"], h_f)
+    return ce
+
+
+def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
+    """One T-TTI block; `c` holds every cell-dependent table (may be
+    traced — the sharded path feeds per-device slices)."""
+    cell = cfg.cell
+    n, T = cfg.n_ues, cfg.T
+    qm_d = ra.dl_mcs_to_qm(cfg.dl_mcs)
+    qm_u = ra.ul_mcs_to_qm(cfg.ul_mcs)
+    n_re_d = c["dl_idx"].shape[-1]
+    cfg_d = sch.SchConfig(tbs=cfg.dl_tbs, G=n_re_d * qm_d, Qm=qm_d, Nl=1)
+    m_sc = 12 * cfg.ul_l_prb
+    cfg_u = sch.SchConfig(tbs=cfg.ul_tbs, G=m_sc * 12 * qm_u, Qm=qm_u, Nl=1)
+    S = grid_mod.N_SYM * cell.nre
+    dl_idx, ul_data, ul_dmrs = c["dl_idx"], c["ul_data"], c["ul_dmrs"]
+    p_pos, p_vals, p_dmask = c["p_pos"], c["p_vals"], c["p_dmask"]
+    rntis, amp = c["rntis"], c["amp"]
+    if True:
         sfs = (tti0 + jnp.arange(T, dtype=jnp.int32)) % 10  # (T,)
         k_dl, k_ul = jax.random.split(key)
 
         # ---------------- eNB DL encode ----------------
         cinit_d = ((rntis[None, :] << 14) + (sfs[:, None] << 9)
-                   + cell.cell_id).reshape(-1)  # (T*n,)
+                   + c["cell_id"]).reshape(-1)  # (T*n,)
         cw = sch.encode_tb(dl_bits.reshape(T * n, cfg.dl_tbs), cfg_d)
         scr = scrambling.scramble_bits(cw, cinit_d)
         syms = modem.modulate(scr, modem.MOD_FROM_QM[qm_d])  # (T*n, re, 2)
-        grids = jnp.take(jnp.asarray(base10), sfs, axis=0)  # (T, 14, NRE, 2)
+        grids = jnp.take(c["base10"], sfs, axis=0)  # (T, 14, NRE, 2)
         flat = grids.reshape(T, S, 2)
-        flat = flat.at[:, jnp.asarray(dl_idx.reshape(-1)), :].set(
+        flat = flat.at[:, dl_idx.reshape(-1), :].set(
             syms.reshape(T, n * n_re_d, 2))
         tx = ofdm.modulate(flat.reshape(T, grid_mod.N_SYM, cell.nre, 2),
                            cell.n_prb)  # (T, sf_len, 2)
 
         # ---------------- DL channel: per-link AWGN ----------------
         noise = jax.random.normal(k_dl, (T, n) + tx.shape[-2:]) / np.sqrt(2)
-        rx = tx[:, None] + jnp.asarray(amp)[None, :, None, None] * noise
+        rx = tx[:, None] + amp[None, :, None, None] * noise
 
         # ---------------- UE receive ----------------
         rg = ofdm.demodulate(rx.reshape(T * n, *tx.shape[-2:]), cell.n_prb)
         sf_rows = jnp.repeat(sfs, n)  # (T*n,)
-        ch = chest.estimate(rg, cell, sf_rows)
+        ce = _chest_ce(rg, c, sf_rows)
         rg_f = rg.reshape(T, n, S, 2)
-        ce_f = ch.ce.reshape(T, n, S, 2)
+        ce_f = ce.reshape(T, n, S, 2)
         uix = jnp.arange(n)[:, None]
-        y = rg_f[:, uix, jnp.asarray(dl_idx), :]  # (T, n, n_re, 2)
-        h = ce_f[:, uix, jnp.asarray(dl_idx), :]
+        y = rg_f[:, uix, dl_idx, :]  # (T, n, n_re, 2)
+        h = ce_f[:, uix, dl_idx, :]
         x_eq, csi = chest.equalize_zf(y, h)
         llr = modem.demod_soft(x_eq.reshape(T * n, n_re_d, 2),
                                modem.MOD_FROM_QM[qm_d])
@@ -229,18 +264,18 @@ def make_block_step(cfg: BlockConfig, sfn0: int = 0):
 
         # ---------------- UE transmit: SPS PUSCH + PUCCH ACK ----------
         cinit_u = ((rntis[None, :] << 14) + (sfs[:, None] << 9)
-                   + cell.cell_id).reshape(-1)
+                   + c["cell_id"]).reshape(-1)
         cw_u = sch.encode_tb(ul_bits.reshape(T * n, cfg.ul_tbs), cfg_u)
         il = pusch_mod.interleave(cw_u, qm_u)
         scr_u = scrambling.scramble_bits(il, cinit_u)
         s_u = modem.modulate(scr_u, modem.MOD_FROM_QM[qm_u])
         x_u = dft.dft(s_u.reshape(T * n, 12, m_sc, 2), ortho=True)
         ug = jnp.zeros((T, n, S, 2))
-        ug = ug.at[:, uix, jnp.asarray(ul_data.reshape(n, -1)), :].set(
+        ug = ug.at[:, uix, ul_data.reshape(n, -1), :].set(
             x_u.reshape(T, n, 12 * m_sc, 2))
-        dv = jnp.take(jnp.asarray(cplx.from_numpy(dmrs10.reshape(10, -1))),
-                      sfs, axis=0)  # (T, 2*m_sc, 2)
-        ug = ug.at[:, uix, jnp.asarray(ul_dmrs.reshape(n, -1)), :].set(
+        dv = jnp.take(c["dmrs10"].reshape(10, -1, 2), sfs,
+                      axis=0)  # (T, 2*m_sc, 2)
+        ug = ug.at[:, uix, ul_dmrs.reshape(n, -1), :].set(
             jnp.broadcast_to(dv[:, None], (T, n, 2 * m_sc, 2)))
         # PUCCH format 1a on the dedicated resource: d0 = +1 ack, -1 nack
         d0 = jnp.where(dl_ok.reshape(T, n), 1.0, -1.0)  # (T, n)
@@ -249,21 +284,21 @@ def make_block_step(cfg: BlockConfig, sfn0: int = 0):
                  d0[..., None, None, None] +
                  (1.0 - p_dmask)[None, None, None, :, None])
         pcontrib = pv * scale[..., None]
-        ug = ug.at[:, uix, jnp.asarray(p_pos.reshape(n, -1)), :].add(
+        ug = ug.at[:, uix, p_pos.reshape(n, -1), :].add(
             pcontrib.reshape(T, n, -1, 2))
         utx = ofdm.modulate(ug.reshape(T * n, grid_mod.N_SYM, cell.nre, 2),
                             cell.n_prb).reshape(T, n, -1, 2)
         # superpose at the eNB: unit-power per UE (UL power control ideal),
         # one shared noise floor scaled by the worst link
         un = jax.random.normal(k_ul, (T,) + utx.shape[-2:]) / np.sqrt(2)
-        urx = utx.sum(axis=1) + float(np.max(amp)) * un
+        urx = utx.sum(axis=1) + jnp.max(amp) * un
 
         # ---------------- eNB receive ----------------
         urg = ofdm.demodulate(urx, cell.n_prb)  # (T, 14, NRE, 2)
         yd = jnp.take(urg.reshape(T, S, 2),
-                      jnp.asarray(ul_dmrs.reshape(-1)), axis=-2)
+                      ul_dmrs.reshape(-1), axis=-2)
         yd = yd.reshape(T, n, 2, m_sc, 2)
-        rref = jnp.take(jnp.asarray(cplx.from_numpy(dmrs10)), sfs, axis=0)
+        rref = jnp.take(c["dmrs10"], sfs, axis=0)
         h_ls = cplx.mul_conj(yd, rref[:, None])  # (T, n, 2, m_sc, 2)
         k5 = 5
         pad = jnp.pad(h_ls, ((0, 0),) * 3 + ((k5 // 2, k5 // 2), (0, 0)),
@@ -274,7 +309,7 @@ def make_block_step(cfg: BlockConfig, sfn0: int = 0):
         ce_u = (jnp.asarray(1.0 - t_w)[None, None, :, None, None] * sm[:, :, 0:1]
                 + jnp.asarray(t_w)[None, None, :, None, None] * sm[:, :, 1:2])
         yu = jnp.take(urg.reshape(T, S, 2),
-                      jnp.asarray(ul_data.reshape(-1)), axis=-2)
+                      ul_data.reshape(-1), axis=-2)
         yu = yu.reshape(T, n, 12, m_sc, 2)
         xeq_u, csi_u = chest.equalize_mmse(yu, ce_u, noise_u)
         xtd = dft.idft(xeq_u.reshape(T * n, 12, m_sc, 2), ortho=True)
@@ -289,7 +324,7 @@ def make_block_step(cfg: BlockConfig, sfn0: int = 0):
 
         # PUCCH matched filter on each UE's dedicated resource
         yp = jnp.take(urg.reshape(T, S, 2),
-                      jnp.asarray(p_pos.reshape(-1)), axis=-2)
+                      p_pos.reshape(-1), axis=-2)
         yp = yp.reshape(T, n, 2, 7, 12, 2)
         prod = cplx.mul_conj(yp, pv)
         dm = p_dmask[None, None, None, :, None]
@@ -300,7 +335,72 @@ def make_block_step(cfg: BlockConfig, sfn0: int = 0):
             ul_ok=ul_ok.reshape(T, n), ul_out=ul_out.reshape(T, n, -1),
             ack_energy=cplx.abs2(corr), ack_val=corr[..., 0])
 
+
+def make_block_step(cfg: BlockConfig, sfn0: int = 0):
+    """Compile the single-cell T-TTI block program.
+
+    Returns jitted fn(dl_bits (T, n, dl_tbs) int8,
+                      ul_bits (T, n, ul_tbs) int8,
+                      key, tti0 int32 (multiple of 10 recommended))
+      -> dict(dl_ok (T, n) bool, dl_out (T, n, dl_tbs) int8,
+              ul_ok (T, n) bool, ul_out (T, n, ul_tbs) int8,
+              ack_energy (T, n) f32, ack_val (T, n) f32)
+    """
+    consts = _cell_consts(cfg, sfn0)
+
+    def step(dl_bits, ul_bits, key, tti0):
+        return _step_body(cfg, consts, dl_bits, ul_bits, key, tti0)
+
     return jax.jit(step)
+
+
+def make_block_step_sharded(cfg: BlockConfig, mesh, cell_ids,
+                            sfn0: int = 0):
+    """MULTI-CELL block step: one cell per mesh device, sharded over the
+    flattened ('node','sf') axes with shard_map — the waveform network's
+    scaling path (SURVEY §2.8: 'node' shards emulated cells).  Every
+    cell-dependent table rides as a sharded argument, so ONE traced body
+    serves all cells and the per-device module is collective-free by
+    construction (cells don't talk; inter-cell interference would be the
+    one communicating phase, as in parallel/ota_collective.py).
+
+    Returns (jitted fn(dl (C, T, n, tbs), ul (C, T, n, tbs),
+                       keys (C, 2) uint32, tti0) -> dict with leading C,
+             consts_sharded) where C = number of devices in the mesh.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    devs = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert len(cell_ids) == devs, (len(cell_ids), devs)
+    consts = []
+    for cid in cell_ids:
+        c = cfg._replace(cell=grid_mod.CellConfig(
+            n_prb=cfg.cell.n_prb, cell_id=int(cid), cfi=cfg.cell.cfi))
+        consts.append(_cell_consts(c, sfn0))
+    stacked = {k: jnp.asarray(np.stack([np.asarray(d[k]) for d in consts]))
+               for k in consts[0]}
+    ax = P(("node", "sf"))
+    sharding = NamedSharding(mesh, ax)
+    stacked = {k: jax.device_put(v, sharding) for k, v in stacked.items()}
+
+    def body(cl, dl, ul, key, tti0):
+        # local slice: exactly one cell per device (leading axis 1)
+        out = _step_body(cfg, {k: v[0] for k, v in cl.items()},
+                         dl[0], ul[0], key[0], tti0)
+        return {k: v[None] for k, v in out.items()}
+
+    spec = {k: ax for k in stacked}
+    try:  # jax >= 0.8 renamed check_rep -> check_vma
+        f = shard_map(body, mesh=mesh, check_vma=False,
+                      in_specs=(spec, ax, ax, ax, P()),
+                      out_specs=ax)
+    except TypeError:
+        f = shard_map(body, mesh=mesh, check_rep=False,
+                      in_specs=(spec, ax, ax, ax, P()),
+                      out_specs=ax)
+    return jax.jit(lambda dl, ul, keys, tti0:
+                   f(stacked, dl, ul, keys, tti0)), stacked
 
 
 def _pack_segments(n_prb: int, n: int, segments) -> tuple:

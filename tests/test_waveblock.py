@@ -122,3 +122,34 @@ def test_block_runner_carries_ip_traffic():
     m = runner.metrics
     assert m["blocks"] == 3 and m["dl_ok"] == m["dl_tb"]
     assert m["ul_ok"] == m["ul_tb"] and m["ack_det"] == m["dl_tb"]
+
+
+def test_block_step_sharded_multicell():
+    """8 cells on an 8-device ('node','sf') mesh: ONE program runs every
+    cell's full-PHY block on its own device with all cell-dependent
+    tables as sharded arguments; per-device module collective-free."""
+    from srslte_emane_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(8)
+    cfg = _cfg(n_prb=15, n_ues=2, T=4, dl_mcs=8, ul_mcs=8)
+    cell_ids = tuple(range(1, 9))
+    step, _ = waveblock.make_block_step_sharded(cfg, mesh, cell_ids)
+    C = 8
+    rng = np.random.default_rng(0)
+    dl = rng.integers(0, 2, (C, cfg.T, 2, cfg.dl_tbs), dtype=np.int8)
+    ul = rng.integers(0, 2, (C, cfg.T, 2, cfg.ul_tbs), dtype=np.int8)
+    keys = jax.vmap(jax.random.PRNGKey)(np.arange(C, dtype=np.uint32))
+    lowered = step.lower(jnp.asarray(dl), jnp.asarray(ul), keys,
+                         jnp.asarray(20, jnp.int32)).compile()
+    hlo = lowered.as_text()
+    n_coll = sum(hlo.count(op) for op in
+                 ("all-reduce(", "all-gather(", "all-to-all(",
+                  "collective-permute(", "reduce-scatter("))
+    assert n_coll == 0, f"multi-cell block gained collectives: {n_coll}"
+    out = step(jnp.asarray(dl), jnp.asarray(ul), keys,
+               jnp.asarray(20, jnp.int32))
+    assert np.asarray(out["dl_ok"]).all()
+    assert np.asarray(out["ul_ok"]).all()
+    assert (np.asarray(out["dl_out"]) == dl).all()
+    assert (np.asarray(out["ul_out"]) == ul).all()
+    assert (np.asarray(out["ack_energy"]) > 0.25).all()
