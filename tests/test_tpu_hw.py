@@ -69,3 +69,37 @@ def test_e2e_20mhz_link_on_device():
         lambda s: pdsch_link.rx_subframe(s, cfg, use_pallas=True)[:2])(rx)
     assert np.asarray(ok).all()
     assert (np.asarray(out) == np.asarray(payload)).all()
+
+
+def test_waveform_block_on_device():
+    """The device-resident waveform network block (runtime/waveblock.py)
+    on real hardware: T TTIs x n UEs of full bidirectional PHY in one
+    compiled call, bit-exact payloads + PUCCH ACKs, Pallas MAP on."""
+    import jax
+    import jax.numpy as jnp
+
+    from srslte_emane_tpu.phch import grid as grid_mod, pdcch
+    from srslte_emane_tpu.runtime import waveblock
+
+    cell = grid_mod.CellConfig(n_prb=25, cell_id=1, cfi=1)
+    n_cce = pdcch.n_cce(cell)
+    c0, c1 = waveblock.centre_prbs(25)
+    dl_starts, dl_w = waveblock._pack_segments(25, 2, [(0, c0), (c1, 25)])
+    cfg = waveblock.BlockConfig(
+        cell=cell, rntis=(70, 71), dl_rb_start=dl_starts, dl_l_crbs=dl_w,
+        ul_rb_start=(1, 6), ul_l_prb=5, dl_mcs=16, ul_mcs=16,
+        ack_res=(n_cce, n_cce + 1), snr_db=(30.0, 27.0), T=10,
+        use_pallas=True, llr_bits=16)
+    step = waveblock.make_block_step(cfg, sfn0=8)
+    rng = np.random.default_rng(0)
+    dl = rng.integers(0, 2, (cfg.T, 2, cfg.dl_tbs), dtype=np.int8)
+    ul = rng.integers(0, 2, (cfg.T, 2, cfg.ul_tbs), dtype=np.int8)
+    import jax.random as jrandom
+
+    out = step(jnp.asarray(dl), jnp.asarray(ul), jrandom.PRNGKey(1),
+               jnp.asarray(40, jnp.int32))
+    assert np.asarray(out["dl_ok"]).all()
+    assert np.asarray(out["ul_ok"]).all()
+    assert (np.asarray(out["dl_out"]) == dl).all()
+    assert (np.asarray(out["ul_out"]) == ul).all()
+    assert (np.asarray(out["ack_val"]) > 0).all()
