@@ -32,9 +32,8 @@ from srslte_emane_tpu.stack.asn1.runtime import uper_decode, uper_encode
 AVOID = {
     "non_crit_ext",
 
-    # structured DL/UL message stand-ins (counterCheck, ueInformation,
-    # proximityIndication, csfbParameters* are real schemas as of r3)
-    "rn_recfg_r10", "rn_recfg_complete_r10",
+    # (rn_recfg_r10 / rn_recfg_complete_r10 are real schemas as of r4 —
+    # the last DL/UL-DCCH octet stand-ins are gone)
 
     # REFERENCE limitation: DRB-CountInfo's INTEGER (0..4294967295) hits
     # a ceil(log2(range)) uint32 overflow in the generated codec, which

@@ -2177,6 +2177,80 @@ INTER_FREQ_RSTD_MEAS_IND_R10 = Seq([
 ])
 
 
+# ---- RN (relay node) reconfiguration (36.331 §6.2.2, rel-10) ----
+# Wire layout mirrored from the reference codec's pack order:
+# rn_sf_cfg_r10_s (rrc_asn1.cc:71406 — rpdcch's own ext bit, §9.1.4.2
+# RPDCCH RBs as the type01/type2 nrb bitstring choice), rn_sys_info_r10_s
+# (:72485 — SIB1 rides as octets, SIB2 structurally), and the
+# RNReconfiguration c1 (:74135) / Complete (:93400) envelopes.
+
+RN_SYS_INFO_R10 = Seq([
+    ("sib_type1_r10", OctStr(), "?"),
+    ("sib_type2_r10", SIB2, "?"),
+], ext=True)
+
+_RPDCCH_NRB_W01 = (("nrb6_r10", 6), ("nrb15_r10", 8), ("nrb25_r10", 13),
+                   ("nrb50_r10", 17), ("nrb75_r10", 19), ("nrb100_r10", 25))
+_RPDCCH_NRB_W2 = (("nrb6_r10", 5), ("nrb15_r10", 7), ("nrb25_r10", 9),
+                  ("nrb50_r10", 11), ("nrb75_r10", 12), ("nrb100_r10", 13))
+
+RN_SF_CFG_R10 = Seq([
+    ("sf_cfg_pattern_r10", Choice([
+        ("sf_cfg_pattern_fdd_r10", BitStr(8)),
+        ("sf_cfg_pattern_tdd_r10", Int(0, 31)),
+    ]), "?"),
+    ("rpdcch_cfg_r10", Seq([
+        ("res_alloc_type_r10", Enum((
+            "type0", "type1", "type2_localized", "type2_distributed",
+            "spare4", "spare3", "spare2", "spare1"))),
+        ("res_block_assign_r10", Choice([
+            ("type01_r10", Choice([(n, BitStr(w))
+                                   for n, w in _RPDCCH_NRB_W01])),
+            ("type2_r10", Choice([(n, BitStr(w))
+                                  for n, w in _RPDCCH_NRB_W2])),
+        ], ext=True)),
+        ("demod_rs_r10", Choice([
+            ("interleaving_r10", Enum(("crs",))),
+            ("no_interleaving_r10", Enum(("crs", "dmrs"))),
+        ])),
+        ("pdsch_start_r10", Int(1, 3)),
+        ("pucch_cfg_r10", Choice([
+            ("tdd", Choice([
+                ("ch_sel_mux_bundling", Seq([
+                    ("n1_pucch_an_list_r10", SeqOf(Int(0, 2047), 1, 4)),
+                ])),
+                ("fallback_for_format3", Seq([
+                    ("n1_pucch_an_p0_r10", Int(0, 2047)),
+                    ("n1_pucch_an_p1_r10", Int(0, 2047), "?"),
+                ])),
+            ])),
+            ("fdd", Seq([
+                ("n1_pucch_an_p0_r10", Int(0, 2047)),
+                ("n1_pucch_an_p1_r10", Int(0, 2047), "?"),
+            ])),
+        ])),
+    ], ext=True), "?"),
+], ext=True)
+
+RN_RECFG_R10 = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("rn_sys_info_r10", RN_SYS_INFO_R10, "?"),
+        ("rn_sf_cfg_r10", RN_SF_CFG_R10, "?"),
+        ("late_non_crit_ext", OctStr(), "?"),
+        ("non_crit_ext", Seq([]), "?"),
+    ]), n_spares=3)),
+])
+
+RN_RECFG_COMPLETE_R10 = Seq([
+    ("rrc_transaction_id", Int(0, 3)),
+    ("crit_exts", _crit_ext_c1(Seq([
+        ("late_non_crit_ext", OctStr(), "?"),
+        ("non_crit_ext", Seq([]), "?"),
+    ]), n_spares=3)),
+])
+
+
 # ---- inter-RAT mobility messages (36.331 §5.4; CSFB + PS handover) ----
 
 # elements are OCTET STRING (SIZE(1..23)) in the spec, but the reference
@@ -2340,7 +2414,7 @@ DL_DCCH_MSG = Seq([
             ("counter_check", COUNTER_CHECK),
             ("ue_info_request_r9", UE_INFORMATION_REQUEST_R9),
             ("logged_meas_cfg_r10", LOGGED_MEAS_CFG_R10),
-            ("rn_recfg_r10", OctStr()),
+            ("rn_recfg_r10", RN_RECFG_R10),
             ("spare4", Null()),
             ("spare3", Null()),
             ("spare2", Null()),
@@ -2646,7 +2720,7 @@ UL_DCCH_MSG = Seq([
             ("counter_check_resp", COUNTER_CHECK_RESPONSE),
             ("ue_info_resp_r9", UE_INFORMATION_RESPONSE_R9),
             ("proximity_ind_r9", PROXIMITY_INDICATION_R9),
-            ("rn_recfg_complete_r10", OctStr()),
+            ("rn_recfg_complete_r10", RN_RECFG_COMPLETE_R10),
             ("mbms_count_resp_r10", MBMS_COUNTING_RESPONSE_R10),
             ("inter_freq_rstd_meas_ind_r10", INTER_FREQ_RSTD_MEAS_IND_R10),
         ])),

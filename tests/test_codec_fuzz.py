@@ -13,7 +13,9 @@ Two layers:
      this sweeps the whole declared surface).
 
 The corpus of seed 1 was verified byte-exact through the reference codec
-(300 additional seed-7/seed-99 messages likewise) on 2026-08-19.
+(300 additional seed-7/seed-99 messages likewise) on 2026-08-19; re-pinned
+2026-08-20 when the RN-Reconfiguration(+Complete) lanes became real
+schemas (700/700 seed-1 + 160 targeted RN cases byte-exact).
 """
 
 import hashlib
@@ -32,7 +34,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "2c132c7d0a5cbc76c9d7cd30f2dc08d933b5636816f93895fccc9375c1e7c87e"
+PINNED_SHA = "f0def1fdf4404498ad7c1b06ce7895344e9eee64810d3318128387b899fe3e01"
 
 
 @pytest.fixture(scope="module")
