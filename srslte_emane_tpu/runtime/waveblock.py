@@ -168,9 +168,19 @@ def _cell_consts(cfg: BlockConfig, sfn0: int = 0) -> dict:
                         for rb in cfg.ul_rb_start])  # (n, 12, m_sc)
     ul_dmrs = np.stack([pusch_mod.re_indices(cell.n_prb, rb, cfg.ul_l_prb)[1]
                         for rb in cfg.ul_rb_start])  # (n, 2, m_sc)
+    # the shared-UL-grid scatter (.set) requires disjoint PUSCH allocs —
+    # overlaps would drop a UE's REs instead of superposing them
+    flat_ul = np.concatenate([ul_data.reshape(-1), ul_dmrs.reshape(-1)])
+    assert len(np.unique(flat_ul)) == flat_ul.size, \
+        "overlapping UL PUSCH allocations"
     p_pos, p_vals, p_dmask = _pucch_tables(cfg)
-    # DL CRS chest tables (chest.estimate internals, per-sf values
-    # stacked so sf stays traced; positions depend on the cell id)
+    # DL CRS chest tables, RE-SPARSE: the block UE never materializes a
+    # full-grid channel estimate — the 2D interpolation (chest.estimate's
+    # freq matrix x time matrix) is pre-restricted to the REs the UE
+    # actually equalizes.  Per UE: its K unique PDSCH subcarriers
+    # (dl_kfm = freq-interp rows at those columns), a column index per
+    # data RE (dl_col), and the time-interp weights per data RE (dl_tw,
+    # the tmat row of the RE's OFDM symbol).
     ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, 0, cell.cp)
     syms = grid_mod.pilot_syms(0, cell.cp)
     pidx = (np.asarray(syms)[:, None] * cell.nre + ks).astype(np.int32)
@@ -178,6 +188,15 @@ def _cell_consts(cfg: BlockConfig, sfn0: int = 0) -> dict:
     fm = np.stack([chest._freq_interp_matrix(cell.n_prb, int(ks[i][0]))
                    for i in range(len(syms))])  # (S_pil, NRE, P)
     tmat = chest._time_interp_matrix(tuple(syms), cell.n_sym)
+    K = 12 * cfg.dl_l_crbs
+    dl_col, dl_tw, dl_kfm = [], [], []
+    for u in range(cfg.n_ues):
+        sym_u, k_u = dl_idx[u] // cell.nre, dl_idx[u] % cell.nre
+        kcols, inv = np.unique(k_u, return_inverse=True)
+        assert len(kcols) == K, (len(kcols), K)
+        dl_col.append(inv)
+        dl_tw.append(tmat[sym_u])       # (n_re, S_pil)
+        dl_kfm.append(fm[:, kcols, :])  # (S_pil, K, P)
     return dict(
         cell_id=np.int32(cell.cell_id),
         rntis=np.asarray(cfg.rntis, np.int64),
@@ -190,23 +209,10 @@ def _cell_consts(cfg: BlockConfig, sfn0: int = 0) -> dict:
         p_pos=p_pos.astype(np.int32), p_vals=np.asarray(p_vals),
         p_dmask=np.asarray(p_dmask),
         ch_pidx=pidx, ch_vals10=np.asarray(cplx.from_numpy(crs10)),
-        ch_fm=fm.astype(np.float32), ch_tmat=tmat.astype(np.float32),
+        dl_col=np.stack(dl_col).astype(np.int32),
+        dl_tw=np.stack(dl_tw).astype(np.float32),
+        dl_kfm=np.stack(dl_kfm).astype(np.float32),
     )
-
-
-def _chest_ce(rg, c: dict, sf_rows):
-    """CRS LS + 2D interpolation channel estimate from consts tables
-    (the chest.estimate math with the per-cell values as traced args)."""
-    B = rg.shape[0]
-    pidx = c["ch_pidx"]
-    flat = rg.reshape(B, -1, 2)
-    y_p = jnp.take(flat, jnp.asarray(pidx.reshape(-1)), axis=-2)
-    y_p = y_p.reshape((B,) + tuple(pidx.shape) + (2,))  # (B, S, P, 2)
-    r_p = jnp.take(c["ch_vals10"], sf_rows, axis=0)  # (B, S, P, 2)
-    h_ls = cplx.mul_conj(y_p, r_p)
-    h_f = jnp.einsum("skp,bspc->bskc", c["ch_fm"], h_ls)
-    ce = jnp.einsum("ls,bskc->blkc", c["ch_tmat"], h_f)
-    return ce
 
 
 def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
@@ -241,19 +247,33 @@ def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
         tx = ofdm.modulate(flat.reshape(T, grid_mod.N_SYM, cell.nre, 2),
                            cell.n_prb)  # (T, sf_len, 2)
 
-        # ---------------- DL channel: per-link AWGN ----------------
-        noise = jax.random.normal(k_dl, (T, n) + tx.shape[-2:]) / np.sqrt(2)
-        rx = tx[:, None] + amp[None, :, None, None] * noise
-
-        # ---------------- UE receive ----------------
-        rg = ofdm.demodulate(rx.reshape(T * n, *tx.shape[-2:]), cell.n_prb)
-        sf_rows = jnp.repeat(sfs, n)  # (T*n,)
-        ce = _chest_ce(rg, c, sf_rows)
-        rg_f = rg.reshape(T, n, S, 2)
-        ce_f = ce.reshape(T, n, S, 2)
-        uix = jnp.arange(n)[:, None]
-        y = rg_f[:, uix, dl_idx, :]  # (T, n, n_re, 2)
-        h = ce_f[:, uix, dl_idx, :]
+        # ---------------- DL channel + UE receive (RE-sparse) --------
+        # ONE OFDM demod of the cell waveform serves every UE; per-link
+        # AWGN is drawn directly on the demodulated REs each UE consumes
+        # (its PDSCH REs + CRS pilots).  The DFT is unitary (ops/dft.py
+        # ortho), so white noise added per-RE after the FFT is
+        # distribution-identical to time-domain injection — but costs
+        # O(REs used) instead of O(n_ues x waveform), and the full-grid
+        # per-UE demod/CE intermediates (the block's former HBM
+        # bottleneck: 2 x (T*n, 14, NRE) float arrays) never exist.
+        S_pil, P = c["ch_pidx"].shape
+        rg_tx = ofdm.demodulate(tx, cell.n_prb).reshape(T, S, 2)
+        k_d1, k_d2 = jax.random.split(k_dl)
+        a2 = amp / np.sqrt(2)
+        y = (jnp.take(rg_tx, dl_idx.reshape(-1), axis=-2)
+             .reshape(T, n, n_re_d, 2)
+             + a2[None, :, None, None]
+             * jax.random.normal(k_d1, (T, n, n_re_d, 2)))
+        p_tx = jnp.take(rg_tx, c["ch_pidx"].reshape(-1), axis=-2)
+        y_p = (p_tx.reshape(T, 1, S_pil, P, 2)
+               + a2[None, :, None, None, None]
+               * jax.random.normal(k_d2, (T, n, S_pil, P, 2)))
+        r_p = jnp.take(c["ch_vals10"], sfs, axis=0)  # (T, S_pil, P, 2)
+        h_ls = cplx.mul_conj(y_p, r_p[:, None])  # (T, n, S_pil, P, 2)
+        h_f = jnp.einsum("uskp,tuspc->tuskc", c["dl_kfm"], h_ls)
+        h_re = jnp.take_along_axis(
+            h_f, c["dl_col"][None, :, None, :, None], axis=3)
+        h = jnp.einsum("urs,tusrc->turc", c["dl_tw"], h_re)
         x_eq, csi = chest.equalize_zf(y, h)
         llr = modem.demod_soft(x_eq.reshape(T * n, n_re_d, 2),
                                modem.MOD_FROM_QM[qm_d])
@@ -270,13 +290,19 @@ def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
         scr_u = scrambling.scramble_bits(il, cinit_u)
         s_u = modem.modulate(scr_u, modem.MOD_FROM_QM[qm_u])
         x_u = dft.dft(s_u.reshape(T * n, 12, m_sc, 2), ortho=True)
-        ug = jnp.zeros((T, n, S, 2))
-        ug = ug.at[:, uix, ul_data.reshape(n, -1), :].set(
-            x_u.reshape(T, n, 12 * m_sc, 2))
+        # ONE shared UL grid per TTI: UE allocations are disjoint, and
+        # sum-of-waveforms == waveform-of-summed-grids (the IDFT is
+        # linear), so the per-UE grids + per-UE modulates collapse into
+        # one scatter + one OFDM modulate per subframe.  PUCCH rides on
+        # .add — overlapping format-1 resources (same PRB, different
+        # cyclic shift / orthogonal cover) superpose exactly as the
+        # per-UE waveforms did.
+        ug = jnp.zeros((T, S, 2))
+        ug = ug.at[:, ul_data.reshape(-1), :].set(
+            x_u.reshape(T, n * 12 * m_sc, 2))
         dv = jnp.take(c["dmrs10"].reshape(10, -1, 2), sfs,
                       axis=0)  # (T, 2*m_sc, 2)
-        ug = ug.at[:, uix, ul_dmrs.reshape(n, -1), :].set(
-            jnp.broadcast_to(dv[:, None], (T, n, 2 * m_sc, 2)))
+        ug = ug.at[:, ul_dmrs.reshape(-1), :].set(jnp.tile(dv, (1, n, 1)))
         # PUCCH format 1a on the dedicated resource: d0 = +1 ack, -1 nack
         d0 = jnp.where(dl_ok.reshape(T, n), 1.0, -1.0)  # (T, n)
         pv = jnp.take(p_vals, sfs, axis=0)  # (T, n, 2, 7, 12, 2)
@@ -284,14 +310,14 @@ def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
                  d0[..., None, None, None] +
                  (1.0 - p_dmask)[None, None, None, :, None])
         pcontrib = pv * scale[..., None]
-        ug = ug.at[:, uix, p_pos.reshape(n, -1), :].add(
-            pcontrib.reshape(T, n, -1, 2))
-        utx = ofdm.modulate(ug.reshape(T * n, grid_mod.N_SYM, cell.nre, 2),
-                            cell.n_prb).reshape(T, n, -1, 2)
+        ug = ug.at[:, p_pos.reshape(-1), :].add(
+            pcontrib.reshape(T, n * 2 * 7 * 12, 2))
         # superpose at the eNB: unit-power per UE (UL power control ideal),
         # one shared noise floor scaled by the worst link
-        un = jax.random.normal(k_ul, (T,) + utx.shape[-2:]) / np.sqrt(2)
-        urx = utx.sum(axis=1) + jnp.max(amp) * un
+        utx = ofdm.modulate(ug.reshape(T, grid_mod.N_SYM, cell.nre, 2),
+                            cell.n_prb)  # (T, sf_len, 2)
+        un = jax.random.normal(k_ul, utx.shape) / np.sqrt(2)
+        urx = utx + jnp.max(amp) * un
 
         # ---------------- eNB receive ----------------
         urg = ofdm.demodulate(urx, cell.n_prb)  # (T, 14, NRE, 2)
