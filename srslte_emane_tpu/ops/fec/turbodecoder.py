@@ -277,13 +277,15 @@ def quantize_llr_int8(llr, scale: float = 8.0):
     reference gets from 8-bit lanes is already taken here by the
     (codeblock x window) lane batching); BLER parity with the f32 path is
     pinned in tests/test_turbo_bler.py."""
-    q = jnp.clip(jnp.round(llr * scale), -127, 127)
+    q = jnp.clip(jnp.round(llr.astype(jnp.float32) * scale), -127, 127)
     return q / scale
 
 
 def quantize_llr_int16(llr, scale: float = 256.0):
-    """16-bit mode (SRSLTE_TDEC_16BIT): same contract, +/-32767 range."""
-    q = jnp.clip(jnp.round(llr * scale), -32767, 32767)
+    """16-bit mode (SRSLTE_TDEC_16BIT): same contract, +/-32767 range.
+    Forces f32 so a bf16 LLR stream (sch.decode_tb narrow mode) re-enters
+    the decoder's f32 recursion math, as before."""
+    q = jnp.clip(jnp.round(llr.astype(jnp.float32) * scale), -32767, 32767)
     return q / scale
 
 

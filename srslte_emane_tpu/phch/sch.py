@@ -115,11 +115,11 @@ def encode_tb(tb_bits, cfg: SchConfig) -> jnp.ndarray:
     return jnp.concatenate(pieces, axis=1)
 
 
-def init_softbuffer(batch: int, cfg: SchConfig):
+def init_softbuffer(batch: int, cfg: SchConfig, dtype=jnp.float32):
     """Per-CB HARQ w-buffers (list over CBs): the softbuffer.c equivalent."""
     s = cfg.segm
     return [
-        jnp.zeros((batch, rm_turbo.wbuf_size(kr)), dtype=jnp.float32)
+        jnp.zeros((batch, rm_turbo.wbuf_size(kr)), dtype=dtype)
         for kr in s.cb_sizes
     ]
 
@@ -135,8 +135,19 @@ def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8,
     s = cfg.segm
     B = llrs.shape[0]
     es = cfg.e_sizes
+    if llr_bits <= 16:
+        # The narrow decoder's MAP kernel stores LLRs as bf16 anyway
+        # (turbodecoder.py llr_bits<=16), so the f32 de-rate-match
+        # streams upstream were pure HBM waste: casting HERE fuses into
+        # the producer chain, and the (B, G) buffer, the w-buffer
+        # gathers, and the HARQ softbuffers all materialize at half
+        # width.  Single-transmission combines (0/1 contribution per
+        # position) stay exact; HARQ retransmission sums round to bf16,
+        # which the kernel's own storage already imposed.
+        llrs = llrs.astype(jnp.bfloat16)
     if softbuf is None:
-        softbuf = init_softbuffer(B, cfg)
+        softbuf = init_softbuffer(
+            B, cfg, jnp.bfloat16 if llr_bits <= 16 else jnp.float32)
     offs = np.concatenate([[0], np.cumsum(es)])
     cb_bits = [None] * s.C
     cb_ok = [None] * s.C
