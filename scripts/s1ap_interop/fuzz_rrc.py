@@ -40,12 +40,13 @@ AVOID = {
     # therefore packs/unpacks the two counts in ZERO bits (X.691 says
     # 32); counterCheckResponse can never round-trip spec-exact
     "counter_check_resp",
-    # structured r12+ sidelink / LWA stand-ins (SCell rr_cfg_common/ded
-    # are real schemas as of r3)
+    # structured r12+ stand-ins still opaque (LWA/LWIP/RCLWI, the r13
+    # SCell ext list, and SL-SyncTxControl are real schemas as of r4)
     "sl_v2x_cfg_ded_r14", "scell_to_add_mod_list_ext_v1430",
-    "scell_to_add_mod_list_ext_r13", "lwa_cfg_r13", "lwip_cfg_r13",
-    "rclwi_cfg_r13", "scg_cfg_r12", "sl_sync_tx_ctrl_r12",
-    "sl_disc_cfg_r12", "sl_comm_cfg_r12",
+    "scg_cfg_r12", "sl_disc_cfg_r12", "sl_comm_cfg_r12",
+    # WLAN-OffloadConfig-r12 is structural in the reference; our setup
+    # arm is an opaque stand-in
+    "wlan_offload_info_r12",
     # the UE-EUTRA-Capability v1060+ tail stays an opaque container
     # (v940/v1020 are structural as of r4: CA band combinations,
     # phy-layer r10 params, feature_group_ind_rel10)
@@ -78,6 +79,37 @@ def _c1_alts(schema, avoid):
             if not n.startswith("spare") and n not in avoid]
 
 
+def recfg_chain_corpus(n: int, seed: int):
+    """Chain-heavy lane: every message is an RRCConnectionReconfiguration
+    carrying a random-depth v890->..->v1510 nonCriticalExtension chain —
+    the round-robin corpus reaches these levels only a handful of times,
+    so the r10/r12/r13 arms (SCell lists, LWA/LWIP/RCLWI, sidelink sync)
+    get their fuzz pressure here."""
+    cfg = fuzz.FuzzConfig(avoid=AVOID)
+    rng = np.random.default_rng(seed ^ zlib.crc32(b"recfg_chain"))
+    out = []
+    made = tries = 0
+    while made < n:
+        tries += 1
+        assert tries < 300 * n, "recfg chain generator stuck"
+        v = fuzz.rand_value(rrc.DL_DCCH_MSG, rng, cfg)
+        alt, inner = v["msg"]
+        if alt != "c1" or inner[0] != "rrc_conn_recfg":
+            continue
+        crit = inner[1]["crit_exts"]
+        if crit[0] != "c1" or crit[1][1] is None:
+            continue
+        crit[1][1]["non_crit_ext"] = _recfg_chain(rng, cfg)
+        b = uper_encode(rrc.DL_DCCH_MSG, v)
+        if len(b) > 1000:
+            continue
+        v2 = uper_decode(rrc.DL_DCCH_MSG, b)
+        assert uper_encode(rrc.DL_DCCH_MSG, v2) == b
+        out.append(("dl_dcch", f"fz_recfg_chain_{made}", b))
+        made += 1
+    return out
+
+
 def ue_cap_corpus(n: int, seed: int):
     """Randomized bare UE-EUTRA-Capability values (the type rides OCTET
     STRING containers on the wire; the harness 'ue_cap' channel
@@ -92,6 +124,27 @@ def ue_cap_corpus(n: int, seed: int):
         assert uper_encode(rrc.UE_EUTRA_CAPABILITY, v2) == b
         out.append(("ue_cap", f"fz_ue_cap_{i}", b))
     return out
+
+
+# reconfiguration nonCriticalExtension chain, shallow -> deep.  The
+# global "non_crit_ext" AVOID (fuzz.DEFAULT_AVOID) suppresses every link
+# of this chain during plain rand_value, so the v920..v1510 levels are
+# fuzzed by GRAFTING an explicitly-built chain into generated
+# RRCConnectionReconfiguration messages (half of that corpus lane).
+_RECFG_CHAIN = (
+    "RRC_CONN_RECFG_V920", "RRC_CONN_RECFG_V1020", "RRC_CONN_RECFG_V1130",
+    "RRC_CONN_RECFG_V1250", "RRC_CONN_RECFG_V1310", "RRC_CONN_RECFG_V1430",
+    "RRC_CONN_RECFG_V1510")
+
+
+def _recfg_chain(rng, cfg):
+    """A random-depth v890->v920->..->v1510 nonCriticalExtension value."""
+    depth = int(rng.integers(1, len(_RECFG_CHAIN) + 1))
+    vals = [fuzz.rand_value(getattr(rrc, name), rng, cfg)
+            for name in _RECFG_CHAIN[:depth]]
+    for parent, child in zip(vals, vals[1:]):
+        parent["non_crit_ext"] = child
+    return {"non_crit_ext": vals[0]}  # the v890 wrapper (late ext avoided)
 
 
 def corpus(n_per_channel: int, seed: int, avoid=frozenset()):
@@ -112,6 +165,12 @@ def corpus(n_per_channel: int, seed: int, avoid=frozenset()):
             alt, inner = v["msg"]
             if alt != "c1" or inner[0] != alts[made % len(alts)]:
                 continue  # round-robin the message type
+            if inner[0] == "rrc_conn_recfg" and rng.random() < 0.5:
+                # graft the v920..v1510 nonCriticalExtension chain the
+                # global non_crit_ext AVOID otherwise suppresses
+                crit = inner[1]["crit_exts"]
+                if crit[0] == "c1" and crit[1][1] is not None:
+                    crit[1][1]["non_crit_ext"] = _recfg_chain(rng, cfg)
             b = uper_encode(schema, v)
             if len(b) > 1000:
                 continue  # harness line-length bound
@@ -127,7 +186,8 @@ def corpus(n_per_channel: int, seed: int, avoid=frozenset()):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    for chan, name, b in corpus(n, seed) + ue_cap_corpus(n, seed):
+    for chan, name, b in (corpus(n, seed) + ue_cap_corpus(n, seed)
+                          + recfg_chain_corpus(n, seed)):
         print(chan, name, b.hex())
 
 

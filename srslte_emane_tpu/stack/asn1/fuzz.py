@@ -78,7 +78,11 @@ def _gen(t, rng, cfg):
         n = int(rng.integers(t.lo, t.hi + 1))
         return "".join("01"[b] for b in rng.integers(0, 2, n))
     if isinstance(t, rt.UncBitStr):
-        n = int(rng.integers(0, cfg.max_bits + 1))
+        # never zero-length: the reference's dyn_bitstring::unpack
+        # dereferences &octets_[0] on the resized-to-0 vector
+        # (asn1_utils.cc:947) and fails on an empty BIT STRING, although
+        # X.691 permits one (e.g. codebookSubsetRestriction-r10)
+        n = int(rng.integers(1, cfg.max_bits + 1))
         return "".join("01"[b] for b in rng.integers(0, 2, n))
     if isinstance(t, rt.OctStr):
         lo = t.lo

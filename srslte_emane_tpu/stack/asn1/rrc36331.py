@@ -1796,6 +1796,11 @@ RR_CFG_COMMON_SCELL_R10 = Seq([
         ("prach_cfg_scell_r10", Seq([
             ("prach_cfg_idx_r10", Int(0, 63)),
         ]), "?"),
+        # trailing mandatory field after the optional PRACH config —
+        # easy to drop; caught by the reference decode failing on every
+        # value (rr_cfg_common_scell_r10_s::pack ends with
+        # pusch_cfg_common_r10)
+        ("pusch_cfg_common_r10", PUSCH_CFG_COMMON),
     ]), "?"),
 ], ext=True)
 
@@ -1898,6 +1903,83 @@ SCELL_TO_ADD_MOD_R10 = Seq([
     ("rr_cfg_ded_scell_r10", RR_CFG_DED_SCELL_R10, "?"),
 ], ext=True)
 
+# ---- WLAN interworking (r12/r13): LWA / LWIP / RCLWI ----
+# Wire layout mirrored from the reference codec's pack order:
+# wlan_ids_r12_s (rrc_asn1.cc wlan_ids_r12_s::pack — the vintage packs
+# ssid as an UNCONSTRAINED octet string), wlan_mob_cfg_r13_s,
+# lwa/lwip/rclwi_cfg_r13_c setup/release wrappers (:56051,:56107,:56385).
+
+WLAN_IDENTIFIERS_R12 = Seq([
+    ("ssid_r12", OctStr(), "?"),
+    ("bssid_r12", OctStr(6, 6), "?"),
+    ("hessid_r12", OctStr(6, 6), "?"),
+], ext=True)
+
+WLAN_MOB_CFG_R13 = Seq([
+    ("wlan_to_release_list_r13", SeqOf(WLAN_IDENTIFIERS_R12, 1, 32), "?"),
+    ("wlan_to_add_list_r13", SeqOf(WLAN_IDENTIFIERS_R12, 1, 32), "?"),
+    ("association_timer_r13", Enum(("s10", "s30", "s60", "s120", "s240")),
+     "?"),
+    ("success_report_requested_r13", Enum(("true",)), "?"),
+], ext=True)
+
+LWA_CFG_R13 = Choice([
+    ("release", Null()),
+    ("setup", Seq([
+        ("lwa_mob_cfg_r13", WLAN_MOB_CFG_R13, "?"),
+        ("lwa_wt_counter_r13", Int(0, 65535), "?"),
+    ], ext=True)),
+])
+
+LWIP_CFG_R13 = Choice([
+    ("release", Null()),
+    ("setup", Seq([
+        ("lwip_mob_cfg_r13", WLAN_MOB_CFG_R13, "?"),
+        ("tunnel_cfg_lwip_r13", Seq([
+            ("ip_address_r13", Choice([
+                ("ipv4_r13", BitStr(32)),
+                ("ipv6_r13", BitStr(128)),
+            ])),
+            ("ike_id_r13", Seq([("id_i_r13", OctStr())])),
+        ], ext=True), "?"),
+    ], ext=True)),
+])
+
+RCLWI_CFG_R13 = Choice([
+    ("release", Null()),
+    ("setup", Seq([
+        ("cmd", Choice([
+            ("steer_to_wlan_r13", Seq([
+                ("mob_cfg_r13", SeqOf(WLAN_IDENTIFIERS_R12, 1, 16)),
+            ])),
+            ("steer_to_lte_r13", Null()),
+        ])),
+    ], ext=True)),
+])
+
+# SL-SyncTxControl-r12 (sidelink sync on/off; the pools/discovery configs
+# remain opaque containers)
+SL_SYNC_TX_CTRL_R12 = Seq([
+    ("network_ctrl_sync_tx_r12", Enum(("on", "off")), "?"),
+])
+
+# SCellToAddModExt-r13 (NOT extensible in the reference vintage — no ext
+# bit in scell_to_add_mod_ext_r13_s::pack; dl_carrier_freq is the
+# 18-bit extended ARFCN directly)
+SCELL_TO_ADD_MOD_EXT_R13 = Seq([
+    ("scell_idx_r13", Int(1, 31)),
+    ("cell_identif_r13", Seq([
+        ("pci_r13", PHYS_CELL_ID),
+        ("dl_carrier_freq_r13", Int(0, 262143)),
+    ]), "?"),
+    ("rr_cfg_common_scell_r13", RR_CFG_COMMON_SCELL_R10, "?"),
+    ("rr_cfg_ded_scell_r13", RR_CFG_DED_SCELL_R10, "?"),
+    ("ant_info_ded_scell_r13", Seq([
+        ("max_layers_mimo_r10",
+         Enum(("two_layers", "four_layers", "eight_layers")), "?"),
+    ]), "?"),
+])
+
 RRC_CONN_RECFG_V1510 = Seq([
     ("nr_cfg_r15", Choice([
         ("release", Null()),
@@ -1930,11 +2012,16 @@ RRC_CONN_RECFG_V1430 = Seq([
 ])
 
 RRC_CONN_RECFG_V1310 = Seq([
-    ("scell_to_release_list_ext_r13", SeqOf(Int(8, 31), 1, 24), "?"),
-    ("scell_to_add_mod_list_ext_r13", OctStr(), "?"),
-    ("lwa_cfg_r13", OctStr(), "?"),
-    ("lwip_cfg_r13", OctStr(), "?"),
-    ("rclwi_cfg_r13", OctStr(), "?"),
+    # SCellIndex-r13 ::= INTEGER (1..31), list SIZE (1..maxSCell-r13=31)
+    # (the earlier Int(8,31)/SIZE(1..24) guess was wire-compatible bit
+    # width but wrong offsets — invisible to the repack differential,
+    # caught by reading the reference pack: rrc_conn_recfg_v1310_ies_s)
+    ("scell_to_release_list_ext_r13", SeqOf(Int(1, 31), 1, 31), "?"),
+    ("scell_to_add_mod_list_ext_r13",
+     SeqOf(SCELL_TO_ADD_MOD_EXT_R13, 1, 31), "?"),
+    ("lwa_cfg_r13", LWA_CFG_R13, "?"),
+    ("lwip_cfg_r13", LWIP_CFG_R13, "?"),
+    ("rclwi_cfg_r13", RCLWI_CFG_R13, "?"),
     ("non_crit_ext", RRC_CONN_RECFG_V1430, "?"),
 ])
 
@@ -1944,7 +2031,7 @@ RRC_CONN_RECFG_V1250 = Seq([
         ("setup", OctStr()),
     ]), "?"),
     ("scg_cfg_r12", OctStr(), "?"),
-    ("sl_sync_tx_ctrl_r12", OctStr(), "?"),
+    ("sl_sync_tx_ctrl_r12", SL_SYNC_TX_CTRL_R12, "?"),
     ("sl_disc_cfg_r12", OctStr(), "?"),
     ("sl_comm_cfg_r12", OctStr(), "?"),
     ("non_crit_ext", RRC_CONN_RECFG_V1310, "?"),

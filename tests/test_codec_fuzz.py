@@ -1,10 +1,11 @@
 """Randomized codec fuzzing over the 36.331 schema surface.
 
 Two layers:
-  1. Always: a deterministic 600-message corpus (100 per logical channel,
-     round-robin over every message type) must encode, self-round-trip
-     byte-stably, and hash to the pinned digest — any schema change that
-     disturbs the wire image is caught here.
+  1. Always: a deterministic 800-message corpus (100 per logical channel,
+     round-robin over every message type, plus the bare UE-capability and
+     reconfiguration-nonCriticalExtension-chain lanes) must encode,
+     self-round-trip byte-stably, and hash to the pinned digest — any
+     schema change that disturbs the wire image is caught here.
   2. When the compiled reference harness exists (`/tmp/unpack_rrc`, built
      per scripts/s1ap_interop/README.md from the reference's rrc_asn1.cc),
      every corpus message must unpack + repack BYTE-EXACT through the
@@ -15,7 +16,11 @@ Two layers:
 The corpus of seed 1 was verified byte-exact through the reference codec
 (300 additional seed-7/seed-99 messages likewise) on 2026-08-19; re-pinned
 2026-08-20 when the RN-Reconfiguration(+Complete) lanes became real
-schemas (700/700 seed-1 + 160 targeted RN cases byte-exact).
+schemas (700/700 seed-1 + 160 targeted RN cases byte-exact), and again
+when the reconfiguration nonCriticalExtension chain lane landed (800/800
+seed-1, incl. LWA/LWIP/RCLWI + r13 SCell ext arms; the chain fuzz caught
+a dropped pusch_cfg_common_r10, a mis-ranged SCellIndex-r13, and two
+fixed-size BSSID fields encoded with length determinants).
 """
 
 import hashlib
@@ -34,18 +39,20 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "f0def1fdf4404498ad7c1b06ce7895344e9eee64810d3318128387b899fe3e01"
+PINNED_SHA = "284f765c903d99b18d156717f6c91e448410ab8afcd75b83bac7e8754a7cee66"
 
 
 @pytest.fixture(scope="module")
 def corpus():
     return (fuzz_rrc.corpus(N_PER_CHANNEL, SEED)
-            + fuzz_rrc.ue_cap_corpus(N_PER_CHANNEL, SEED))
+            + fuzz_rrc.ue_cap_corpus(N_PER_CHANNEL, SEED)
+            + fuzz_rrc.recfg_chain_corpus(N_PER_CHANNEL, SEED))
 
 
 def test_corpus_shape_and_hash(corpus):
-    # 6 channels + the bare UE-EUTRA-Capability lane
-    assert len(corpus) == 7 * N_PER_CHANNEL
+    # 6 channels + the bare UE-EUTRA-Capability lane + the
+    # reconfiguration nonCriticalExtension chain lane
+    assert len(corpus) == 8 * N_PER_CHANNEL
     h = hashlib.sha256()
     for chan, name, b in corpus:
         h.update(chan.encode() + b"\x00" + b + b"\x00")
