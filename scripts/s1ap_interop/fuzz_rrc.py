@@ -44,9 +44,6 @@ AVOID = {
     # SCell ext list, and SL-SyncTxControl are real schemas as of r4)
     "sl_v2x_cfg_ded_r14", "scell_to_add_mod_list_ext_v1430",
     "scg_cfg_r12", "sl_disc_cfg_r12", "sl_comm_cfg_r12",
-    # WLAN-OffloadConfig-r12 is structural in the reference; our setup
-    # arm is an opaque stand-in
-    "wlan_offload_info_r12",
     # the UE-EUTRA-Capability v1060+ tail stays an opaque container
     # (v940/v1020 are structural as of r4: CA band combinations,
     # phy-layer r10 params, feature_group_ind_rel10)

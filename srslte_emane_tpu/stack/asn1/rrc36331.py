@@ -1957,6 +1957,35 @@ RCLWI_CFG_R13 = Choice([
     ], ext=True)),
 ])
 
+# WLAN-OffloadConfig-r12 (36.331 §6.3.6; wlan_offload_cfg_r12_s::pack)
+# 32 values (r0 + r4..r4294967296 doubling) -> 5-bit root index
+_WLAN_BACKHAUL_RATE_R12 = Enum(("r0",) + tuple(
+    f"r{4 * (1 << k)}" for k in range(31)))
+
+def _lo_hi(name: str, hi: int) -> Seq:
+    return Seq([(f"{name}_low_r12", Int(0, hi)),
+                (f"{name}_high_r12", Int(0, hi))])
+
+WLAN_OFFLOAD_CFG_R12 = Seq([
+    ("thres_rsrp_r12", _lo_hi("thres_rsrp", 97), "?"),
+    ("thres_rsrq_r12", _lo_hi("thres_rsrq", 34), "?"),
+    ("thres_rsrq_on_all_symbols_with_wb_r12",
+     _lo_hi("thres_rsrq_on_all_symbols_with_wb", 34), "?"),
+    ("thres_rsrq_on_all_symbols_r12",
+     _lo_hi("thres_rsrq_on_all_symbols", 34), "?"),
+    ("thres_rsrq_wb_r12", _lo_hi("thres_rsrq_wb", 34), "?"),
+    ("thres_ch_utilization_r12", _lo_hi("thres_ch_utilization", 255), "?"),
+    ("thres_backhaul_bw_r12", Seq([
+        ("thres_backhaul_dl_bw_low_r12", _WLAN_BACKHAUL_RATE_R12),
+        ("thres_backhaul_dl_bw_high_r12", _WLAN_BACKHAUL_RATE_R12),
+        ("thres_backhaul_ul_bw_low_r12", _WLAN_BACKHAUL_RATE_R12),
+        ("thres_backhaul_ul_bw_high_r12", _WLAN_BACKHAUL_RATE_R12),
+    ]), "?"),
+    ("thres_wlan_rssi_r12", _lo_hi("thres_wlan_rssi", 255), "?"),
+    ("offload_pref_ind_r12", BitStr(16), "?"),
+    ("t_steering_wlan_r12", Int(0, 7), "?"),
+], ext=True)
+
 # SL-SyncTxControl-r12 (sidelink sync on/off; the pools/discovery configs
 # remain opaque containers)
 SL_SYNC_TX_CTRL_R12 = Seq([
@@ -2028,7 +2057,12 @@ RRC_CONN_RECFG_V1310 = Seq([
 RRC_CONN_RECFG_V1250 = Seq([
     ("wlan_offload_info_r12", Choice([
         ("release", Null()),
-        ("setup", OctStr()),
+        ("setup", Seq([
+            ("wlan_offload_cfg_ded_r12", WLAN_OFFLOAD_CFG_R12),
+            ("t350_r12", Enum(("min5", "min10", "min20", "min30",
+                               "min60", "min120", "min180", "spare1")),
+             "?"),
+        ])),
     ]), "?"),
     ("scg_cfg_r12", OctStr(), "?"),
     ("sl_sync_tx_ctrl_r12", SL_SYNC_TX_CTRL_R12, "?"),

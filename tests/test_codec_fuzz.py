@@ -20,7 +20,10 @@ schemas (700/700 seed-1 + 160 targeted RN cases byte-exact), and again
 when the reconfiguration nonCriticalExtension chain lane landed (800/800
 seed-1, incl. LWA/LWIP/RCLWI + r13 SCell ext arms; the chain fuzz caught
 a dropped pusch_cfg_common_r10, a mis-ranged SCellIndex-r13, and two
-fixed-size BSSID fields encoded with length determinants).
+fixed-size BSSID fields encoded with length determinants); WLAN offload
+config added next (seed-1 800/800 + seed-42 480/480 — the chain fuzz
+also caught a 33rd phantom WLAN-backhaulRate value widening the enum to
+6 bits).
 """
 
 import hashlib
@@ -39,7 +42,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "284f765c903d99b18d156717f6c91e448410ab8afcd75b83bac7e8754a7cee66"
+PINNED_SHA = "9399f3e13e651986def1a521cc1cb0a746ffe477fc56336a1f1a7c67752c6b87"
 
 
 @pytest.fixture(scope="module")
