@@ -1986,11 +1986,161 @@ WLAN_OFFLOAD_CFG_R12 = Seq([
     ("t_steering_wlan_r12", Int(0, 7), "?"),
 ], ext=True)
 
-# SL-SyncTxControl-r12 (sidelink sync on/off; the pools/discovery configs
-# remain opaque containers)
+# SL-SyncTxControl-r12 (sidelink sync on/off)
 SL_SYNC_TX_CTRL_R12 = Seq([
     ("network_ctrl_sync_tx_r12", Enum(("on", "off")), "?"),
 ])
+
+# ---- Sidelink discovery (r12): SL-DiscConfig dedicated ----
+# Wire layout mirrored from sl_disc_cfg_r12_s::pack and the pool
+# sub-IEs (sl_disc_res_pool_r12_s, sl_tf_res_cfg_r12_s, ...).
+
+SL_TF_RESOURCE_CONFIG_R12 = Seq([
+    ("prb_num_r12", Int(1, 100)),
+    ("prb_start_r12", Int(0, 99)),
+    ("prb_end_r12", Int(0, 99)),
+    ("offset_ind_r12", Choice([
+        ("small_r12", Int(0, 319)),
+        ("large_r12", Int(0, 10239)),
+    ])),
+    ("sf_bitmap_r12", Choice([
+        (f"bs{n}_r12", BitStr(n)) for n in (4, 8, 12, 16, 30, 40, 42)
+    ])),
+])
+
+SL_TX_PARAMETERS_R12 = Seq([
+    ("alpha_r12", ALPHA_R12),
+    ("p0_r12", Int(-126, 31)),
+])
+
+SL_DISC_RES_POOL_R12 = Seq([
+    ("cp_len_r12", Enum(("normal", "extended"))),
+    ("disc_period_r12", Enum(("rf32", "rf64", "rf128", "rf256", "rf512",
+                              "rf1024", "rf16_v1310", "spare"))),
+    ("num_retx_r12", Int(0, 3)),
+    ("num_repeat_r12", Int(1, 50)),
+    ("tf_res_cfg_r12", SL_TF_RESOURCE_CONFIG_R12),
+    ("tx_params_r12", Seq([
+        ("tx_params_general_r12", SL_TX_PARAMETERS_R12),
+        ("ue_sel_res_cfg_r12", Seq([
+            ("pool_sel_r12", Choice([
+                ("rsrp_based_r12", Seq([
+                    ("thresh_low_r12", Int(0, 7)),
+                    ("thresh_high_r12", Int(0, 7)),
+                ])),
+                ("random_r12", Null()),
+            ])),
+            ("tx_probability_r12", Enum(("p25", "p50", "p75", "p100"))),
+        ]), "?"),
+    ]), "?"),
+    ("rx_params_r12", Seq([
+        ("tdd_cfg_r12", TDD_CONFIG, "?"),
+        ("sync_cfg_idx_r12", Int(0, 15)),
+    ]), "?"),
+], ext=True)
+
+SL_HOP_CONFIG_DISC_R12 = Seq([
+    ("a_r12", Int(1, 200)),
+    ("b_r12", Int(1, 10)),
+    ("c_r12", Enum(("n1", "n5"))),
+])
+
+SL_TF_INDEX_PAIR_R12 = Seq([
+    ("disc_sf_idx_r12", Int(1, 200), "?"),
+    ("disc_prb_idx_r12", Int(1, 50), "?"),
+])
+
+SL_DISC_CFG_R12 = Seq([
+    ("disc_tx_res_r12", Choice([
+        ("release", Null()),
+        ("setup", Choice([
+            ("sched_r12", Seq([
+                ("disc_tx_cfg_r12", SL_DISC_RES_POOL_R12, "?"),
+                ("disc_tf_idx_list_r12",
+                 SeqOf(SL_TF_INDEX_PAIR_R12, 1, 64), "?"),
+                ("disc_hop_cfg_r12", SL_HOP_CONFIG_DISC_R12, "?"),
+            ])),
+            ("ue_sel_r12", Seq([
+                ("disc_tx_pool_ded_r12", Seq([
+                    ("pool_to_release_list_r12",
+                     SeqOf(Int(1, 4), 1, 4), "?"),
+                    ("pool_to_add_mod_list_r12", SeqOf(Seq([
+                        ("pool_id_r12", Int(1, 4)),
+                        ("pool_r12", SL_DISC_RES_POOL_R12),
+                    ]), 1, 4), "?"),
+                ]), "?"),
+            ])),
+        ])),
+    ]), "?"),
+], ext=True)
+
+# ---- Sidelink communication (r12): SL-CommConfig dedicated ----
+# Wire layout mirrored from sl_comm_cfg_r12_s::pack and
+# sl_comm_res_pool_r12_s::pack.  trpt_subset_r12 rides an unconstrained
+# BIT STRING (dyn_bitstring, the R3-family asymmetry) although the spec
+# bounds it SIZE(3..5).
+
+SL_HOP_CONFIG_COMM_R12 = Seq([
+    ("hop_param_r12", Int(0, 504)),
+    ("num_subbands_r12", Enum(("ns1", "ns2", "ns4"))),
+    ("rb_offset_r12", Int(0, 110)),
+])
+
+SL_COMM_RES_POOL_R12 = Seq([
+    ("sc_cp_len_r12", Enum(("normal", "extended"))),
+    ("sc_period_r12", Enum(("sf40", "sf60", "sf70", "sf80", "sf120",
+                            "sf140", "sf160", "sf240", "sf280", "sf320",
+                            "spare6", "spare5", "spare4", "spare3",
+                            "spare2", "spare"))),
+    ("sc_tf_res_cfg_r12", SL_TF_RESOURCE_CONFIG_R12),
+    ("data_cp_len_r12", Enum(("normal", "extended"))),
+    ("data_hop_cfg_r12", SL_HOP_CONFIG_COMM_R12),
+    ("ue_sel_res_cfg_r12", Seq([
+        ("data_tf_res_cfg_r12", SL_TF_RESOURCE_CONFIG_R12),
+        ("trpt_subset_r12", UncBitStr(), "?"),
+    ]), "?"),
+    ("rx_params_ncell_r12", Seq([
+        ("tdd_cfg_r12", TDD_CONFIG, "?"),
+        ("sync_cfg_idx_r12", Int(0, 15)),
+    ]), "?"),
+    ("tx_params_r12", Seq([
+        ("sc_tx_params_r12", SL_TX_PARAMETERS_R12),
+        ("data_tx_params_r12", SL_TX_PARAMETERS_R12),
+    ]), "?"),
+], ext=True)
+
+SL_COMM_CFG_R12 = Seq([
+    ("comm_tx_res_r12", Choice([
+        ("release", Null()),
+        ("setup", Choice([
+            ("sched_r12", Seq([
+                ("sl_rnti_r12", BitStr(16)),
+                ("mac_main_cfg_r12", Seq([
+                    ("periodic_bsr_timer_sl",
+                     Enum(("sf5", "sf10", "sf16", "sf20", "sf32", "sf40",
+                           "sf64", "sf80", "sf128", "sf160", "sf320",
+                           "sf640", "sf1280", "sf2560", "infinity",
+                           "spare1")), "?"),
+                    ("retx_bsr_timer_sl",
+                     Enum(("sf320", "sf640", "sf1280", "sf2560", "sf5120",
+                           "sf10240", "spare2", "spare1"))),
+                ])),
+                ("sc_comm_tx_cfg_r12", SL_COMM_RES_POOL_R12),
+                ("mcs_r12", Int(0, 28), "?"),
+            ])),
+            ("ue_sel_r12", Seq([
+                ("comm_tx_pool_normal_ded_r12", Seq([
+                    ("pool_to_release_list_r12",
+                     SeqOf(Int(1, 4), 1, 4), "?"),
+                    ("pool_to_add_mod_list_r12", SeqOf(Seq([
+                        ("pool_id_r12", Int(1, 4)),
+                        ("pool_r12", SL_COMM_RES_POOL_R12),
+                    ]), 1, 4), "?"),
+                ])),
+            ])),
+        ])),
+    ]), "?"),
+], ext=True)
 
 # SCellToAddModExt-r13 (NOT extensible in the reference vintage — no ext
 # bit in scell_to_add_mod_ext_r13_s::pack; dl_carrier_freq is the
@@ -2032,9 +2182,15 @@ RRC_CONN_RECFG_V1510 = Seq([
     ("non_crit_ext", Seq([]), "?"),
 ])
 
+# SCellToAddModExt-v1430 (srs carrier switching; tiny)
+SCELL_TO_ADD_MOD_EXT_V1430 = Seq([
+    ("srs_switch_from_serv_cell_idx_r14", Int(0, 31), "?"),
+], ext=True)
+
 RRC_CONN_RECFG_V1430 = Seq([
     ("sl_v2x_cfg_ded_r14", OctStr(), "?"),
-    ("scell_to_add_mod_list_ext_v1430", OctStr(), "?"),
+    ("scell_to_add_mod_list_ext_v1430",
+     SeqOf(SCELL_TO_ADD_MOD_EXT_V1430, 1, 31), "?"),
     ("per_cc_gap_ind_request_r14", Enum(("true",)), "?"),
     ("sib_type2_ded_r14", OctStr(), "?"),
     ("non_crit_ext", RRC_CONN_RECFG_V1510, "?"),
@@ -2066,8 +2222,8 @@ RRC_CONN_RECFG_V1250 = Seq([
     ]), "?"),
     ("scg_cfg_r12", OctStr(), "?"),
     ("sl_sync_tx_ctrl_r12", SL_SYNC_TX_CTRL_R12, "?"),
-    ("sl_disc_cfg_r12", OctStr(), "?"),
-    ("sl_comm_cfg_r12", OctStr(), "?"),
+    ("sl_disc_cfg_r12", SL_DISC_CFG_R12, "?"),
+    ("sl_comm_cfg_r12", SL_COMM_CFG_R12, "?"),
     ("non_crit_ext", RRC_CONN_RECFG_V1310, "?"),
 ])
 

@@ -23,7 +23,8 @@ a dropped pusch_cfg_common_r10, a mis-ranged SCellIndex-r13, and two
 fixed-size BSSID fields encoded with length determinants); WLAN offload
 config added next (seed-1 800/800 + seed-42 480/480 — the chain fuzz
 also caught a 33rd phantom WLAN-backhaulRate value widening the enum to
-6 bits).
+6 bits); sidelink disc/comm + SCellToAddModExt-v1430 added last
+(800/800 + 150 targeted sidelink cases byte-exact).
 """
 
 import hashlib
@@ -42,7 +43,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "9399f3e13e651986def1a521cc1cb0a746ffe477fc56336a1f1a7c67752c6b87"
+PINNED_SHA = "d551545b5131428a5c34f8e596cd3fb432440458449e90776275908b4bc3022e"
 
 
 @pytest.fixture(scope="module")
