@@ -40,11 +40,11 @@ AVOID = {
     # therefore packs/unpacks the two counts in ZERO bits (X.691 says
     # 32); counterCheckResponse can never round-trip spec-exact
     "counter_check_resp",
-    # structured r12+ stand-ins still opaque: V2X (r14) and the SCG
-    # dual-connectivity container.  Everything else in the v1250..v1430
-    # chain (LWA/LWIP/RCLWI, WLAN offload, sidelink disc/comm/sync,
-    # SCell ext lists) is a real schema as of r4.
-    "sl_v2x_cfg_ded_r14", "scg_cfg_r12",
+    # the one structured r12+ stand-in still opaque: V2X (r14).  The
+    # whole v1250..v1430 chain otherwise carries real schemas as of r4
+    # (SCG dual connectivity, LWA/LWIP/RCLWI, WLAN offload, sidelink
+    # disc/comm/sync, SCell ext lists).
+    "sl_v2x_cfg_ded_r14",
     # the UE-EUTRA-Capability v1060+ tail stays an opaque container
     # (v940/v1020 are structural as of r4: CA band combinations,
     # phy-layer r10 params, feature_group_ind_rel10)

@@ -2142,6 +2142,152 @@ SL_COMM_CFG_R12 = Seq([
     ]), "?"),
 ], ext=True)
 
+# ---- SCG (dual connectivity, r12): SCG-Configuration ----
+# Wire layout mirrored from scg_cfg_r12_c::pack and its sub-IEs
+# (scg_cfg_part_scg_r12_s, ps_cell_to_add_mod_r12_s,
+# rr_cfg_common_ps_cell_r12_s — whose basic fields ARE
+# rr_cfg_common_scell_r10_s — rr_cfg_ded_scg_r12_s,
+# drb_to_add_mod_scg_r12_s, mob_ctrl_info_scg_r12_s,
+# naics_assist_info_r12_c, rlf_timers_and_consts_scg_r12_c).
+
+_P_A = Enum(("db_minus6", "db_minus4dot77", "db_minus3",
+             "db_minus1dot77", "db0", "db1", "db2", "db3"))
+
+NAICS_ASSIST_INFO_R12 = Choice([
+    ("release", Null()),
+    ("setup", Seq([
+        ("neigh_cells_to_release_list_r12", SeqOf(Int(0, 503), 1, 8), "?"),
+        ("neigh_cells_to_add_mod_list_r12", SeqOf(Seq([
+            ("pci_r12", Int(0, 503)),
+            ("p_b_r12", Int(0, 3)),
+            ("crs_ports_count_r12", Enum(("n1", "n2", "n4", "spare"))),
+            ("mbsfn_sf_cfg_r12", SeqOf(MBSFN_SF_CONFIG, 1, 8), "?"),
+            ("p_a_list_r12", SeqOf(_P_A, 1, 3)),
+            ("tx_mode_list_r12", BitStr(8)),
+            ("res_alloc_granularity_r12", Int(1, 4)),
+        ], ext=True), 1, 8), "?"),
+        ("serv_cellp_a_r12", _P_A, "?"),
+    ])),
+])
+
+RLF_TIMERS_AND_CONSTS_SCG_R12 = Choice([
+    ("release", Null()),
+    ("setup", Seq([
+        ("t313_r12", Enum(("ms0", "ms50", "ms100", "ms200", "ms500",
+                           "ms1000", "ms2000"))),
+        ("n313_r12", Enum(("n1", "n2", "n3", "n4", "n6", "n8", "n10",
+                           "n20"))),
+        ("n314_r12", Enum(("n1", "n2", "n3", "n4", "n5", "n6", "n8",
+                           "n10"))),
+    ], ext=True)),
+])
+
+DRB_TO_ADD_MOD_SCG_R12 = Seq([
+    ("drb_id_r12", Int(1, 32)),
+    ("drb_type_r12", Choice([
+        ("split_r12", Null()),
+        ("scg_r12", Seq([
+            ("eps_bearer_id_r12", Int(0, 15), "?"),
+            ("pdcp_cfg_r12", PDCP_CONFIG, "?"),
+        ])),
+    ]), "?"),
+    ("rlc_cfg_scg_r12", RLC_CONFIG, "?"),
+    ("rlc_cfg_v1250", Seq([
+        ("ul_extended_rlc_li_field_r12", Bool()),
+        ("dl_extended_rlc_li_field_r12", Bool()),
+    ]), "?"),
+    ("lc_ch_id_scg_r12", Int(3, 10), "?"),
+    ("lc_ch_cfg_scg_r12", LC_CH_CFG, "?"),
+], ext=True)
+
+RR_CFG_DED_SCG_R12 = Seq([
+    ("drb_to_add_mod_list_scg_r12",
+     SeqOf(DRB_TO_ADD_MOD_SCG_R12, 1, 11), "?"),
+    ("mac_main_cfg_scg_r12", MAC_MAIN_CFG, "?"),
+    ("rlf_timers_and_consts_scg_r12", RLF_TIMERS_AND_CONSTS_SCG_R12, "?"),
+], ext=True)
+
+UL_PWR_CTRL_COMMON_PSCELL_R12 = Seq([
+    ("delta_f_pucch_format3_r12",
+     Enum(("delta_f_minus1", "delta_f0", "delta_f1", "delta_f2",
+           "delta_f3", "delta_f4", "delta_f5", "delta_f6"))),
+    ("delta_f_pucch_format1b_cs_r12",
+     Enum(("delta_f1", "delta_f2", "spare2", "spare1"))),
+    ("p0_nominal_pucch_r12", Int(-127, -96)),
+    ("delta_flist_pucch_r12", Seq([
+        ("delta_f_pucch_format1", Enum(("delta_f_minus2", "delta_f0",
+                                        "delta_f2"))),
+        ("delta_f_pucch_format1b", Enum(("delta_f1", "delta_f3",
+                                         "delta_f5"))),
+        ("delta_f_pucch_format2", Enum(("delta_f_minus2", "delta_f0",
+                                        "delta_f1", "delta_f2"))),
+        ("delta_f_pucch_format2a", Enum(("delta_f_minus2", "delta_f0",
+                                         "delta_f2"))),
+        ("delta_f_pucch_format2b", Enum(("delta_f_minus2", "delta_f0",
+                                         "delta_f2"))),
+    ])),
+])
+
+RR_CFG_COMMON_PSCELL_R12 = Seq([
+    ("basic_fields_r12", RR_CFG_COMMON_SCELL_R10),
+    ("pucch_cfg_common_r12", PUCCH_CFG_COMMON),
+    ("rach_cfg_common_r12", RACH_CFG_COMMON),
+    ("ul_pwr_ctrl_common_ps_cell_r12", UL_PWR_CTRL_COMMON_PSCELL_R12),
+], ext=True)
+
+RR_CFG_DED_PSCELL_R12 = Seq([
+    ("phys_cfg_ded_ps_cell_r12", PHYS_CFG_DED, "?"),
+    ("sps_cfg_r12", SPS_CONFIG, "?"),
+    ("naics_info_r12", NAICS_ASSIST_INFO_R12, "?"),
+], ext=True)
+
+PSCELL_TO_ADD_MOD_R12 = Seq([
+    ("scell_idx_r12", Int(1, 7)),
+    ("cell_identif_r12", Seq([
+        ("pci_r12", PHYS_CELL_ID),
+        ("dl_carrier_freq_r12", Int(0, 262143)),
+    ]), "?"),
+    ("rr_cfg_common_ps_cell_r12", RR_CFG_COMMON_PSCELL_R12, "?"),
+    ("rr_cfg_ded_ps_cell_r12", RR_CFG_DED_PSCELL_R12, "?"),
+], ext=True)
+
+MOBILITY_CTRL_INFO_SCG_R12 = Seq([
+    ("t307_r12", Enum(("ms50", "ms100", "ms150", "ms200", "ms500",
+                       "ms1000", "ms2000", "spare1"))),
+    ("ue_id_scg_r12", BitStr(16), "?"),
+    ("rach_cfg_ded_r12", Seq([
+        ("ra_preamb_idx", Int(0, 63)),
+        ("ra_prach_mask_idx", Int(0, 15)),
+    ]), "?"),
+    ("ciphering_algorithm_scg_r12",
+     Enum(("eea0", "eea1", "eea2", "eea3_v1130", "spare4", "spare3",
+           "spare2", "spare1"), ext=True), "?"),
+], ext=True)
+
+SCG_CONFIG_PART_SCG_R12 = Seq([
+    ("rr_cfg_ded_scg_r12", RR_CFG_DED_SCG_R12, "?"),
+    ("scell_to_release_list_scg_r12", SeqOf(Int(1, 7), 1, 4), "?"),
+    ("p_scell_to_add_mod_r12", PSCELL_TO_ADD_MOD_R12, "?"),
+    ("scell_to_add_mod_list_scg_r12",
+     SeqOf(SCELL_TO_ADD_MOD_R10, 1, 4), "?"),
+    ("mob_ctrl_info_scg_r12", MOBILITY_CTRL_INFO_SCG_R12, "?"),
+], ext=True)
+
+SCG_CFG_R12 = Choice([
+    ("release", Null()),
+    ("setup", Seq([
+        ("scg_cfg_part_mcg_r12", Seq([
+            ("scg_counter_r12", Int(0, 65535), "?"),
+            ("pwr_coordination_info_r12", Seq([
+                ("p_me_nb_r12", Int(1, 16)),
+                ("p_se_nb_r12", Int(1, 16)),
+                ("pwr_ctrl_mode_r12", Int(1, 2)),
+            ]), "?"),
+        ], ext=True), "?"),
+        ("scg_cfg_part_scg_r12", SCG_CONFIG_PART_SCG_R12, "?"),
+    ])),
+])
+
 # SCellToAddModExt-r13 (NOT extensible in the reference vintage — no ext
 # bit in scell_to_add_mod_ext_r13_s::pack; dl_carrier_freq is the
 # 18-bit extended ARFCN directly)
@@ -2220,7 +2366,7 @@ RRC_CONN_RECFG_V1250 = Seq([
              "?"),
         ])),
     ]), "?"),
-    ("scg_cfg_r12", OctStr(), "?"),
+    ("scg_cfg_r12", SCG_CFG_R12, "?"),
     ("sl_sync_tx_ctrl_r12", SL_SYNC_TX_CTRL_R12, "?"),
     ("sl_disc_cfg_r12", SL_DISC_CFG_R12, "?"),
     ("sl_comm_cfg_r12", SL_COMM_CFG_R12, "?"),

@@ -23,8 +23,9 @@ a dropped pusch_cfg_common_r10, a mis-ranged SCellIndex-r13, and two
 fixed-size BSSID fields encoded with length determinants); WLAN offload
 config added next (seed-1 800/800 + seed-42 480/480 — the chain fuzz
 also caught a 33rd phantom WLAN-backhaulRate value widening the enum to
-6 bits); sidelink disc/comm + SCellToAddModExt-v1430 added last
-(800/800 + 150 targeted sidelink cases byte-exact).
+6 bits); sidelink disc/comm + SCellToAddModExt-v1430 and finally the SCG
+dual-connectivity container added (800/800 + 150 targeted sidelink +
+150 targeted SCG cases byte-exact).
 """
 
 import hashlib
@@ -43,7 +44,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "d551545b5131428a5c34f8e596cd3fb432440458449e90776275908b4bc3022e"
+PINNED_SHA = "60f755d2da28498b2777105540787bb9c1dfd3b364ca55e2af0493bb12b45a6a"
 
 
 @pytest.fixture(scope="module")
