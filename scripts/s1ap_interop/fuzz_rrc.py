@@ -40,17 +40,22 @@ AVOID = {
     # therefore packs/unpacks the two counts in ZERO bits (X.691 says
     # 32); counterCheckResponse can never round-trip spec-exact
     "counter_check_resp",
-    # the one structured r12+ stand-in still opaque: V2X (r14).  The
-    # whole v1250..v1430 chain otherwise carries real schemas as of r4
-    # (SCG dual connectivity, LWA/LWIP/RCLWI, WLAN offload, sidelink
-    # disc/comm/sync, SCell ext lists).
-    "sl_v2x_cfg_ded_r14",
+    # (every structured container of the v1250..v1430 chain is a real
+    # schema as of r4: SCG dual connectivity, V2X sidelink,
+    # LWA/LWIP/RCLWI, WLAN offload, sidelink disc/comm/sync, SCell ext
+    # lists)
     # the UE-EUTRA-Capability v1060+ tail stays an opaque container
     # (v940/v1020 are structural as of r4: CA band combinations,
     # phy-layer r10 params, feature_group_ind_rel10)
     "non_crit_ext_v1060",
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
+    # REFERENCE CRASH: sl_comm_tx_pool_sensing_cfg_r14_s::unpack
+    # dereferences the copy_ptr thres_pssch_rsrp_list_r14 without
+    # allocating it (unpack_fixed_seq_of on a null array) — ANY message
+    # carrying SL-CommTxPoolSensingConfig-r14 segfaults the reference
+    # codec (INTEROP.md R6); both fields that embed it are excluded
+    "v2x_res_sel_cfg_r14", "v2x_comm_tx_pool_sensing_cfg_r14",
     # REFERENCE limitation: rrc_asn1.cc's generated pack/unpack for
     # lateNonCriticalExtension carries ONLY the presence flag and drops
     # the octet-string body (sib_type2_s::pack group_flags[0]) — a

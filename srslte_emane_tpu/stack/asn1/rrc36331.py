@@ -2142,6 +2142,217 @@ SL_COMM_CFG_R12 = Seq([
     ]), "?"),
 ], ext=True)
 
+# ---- V2X sidelink (r14): SL-V2X-ConfigDedicated ----
+# Wire layout mirrored from sl_v2x_cfg_ded_r14_s::pack and its sub-IEs
+# (sl_comm_res_pool_v2x_r14_s, sl_comm_tx_pool_sensing_cfg_r14_s,
+# sl_pssch_tx_params_r14_s, sl_inter_freq_info_v2x_r14_s,
+# sl_sync_cfg_nfreq_r13_s, sl_zone_cfg_r14_s, sl_cbr_* family).
+
+SL_TX_PWR_R14 = Choice([
+    ("minusinfinity_r14", Null()),
+    ("tx_pwr_r14", Int(-41, 31)),
+])
+
+_SL_TYPE_TX_SYNC_R14 = Enum(("gnss", "enb", "ue"))
+
+_SL_RESTRICT_RESERV_PERIOD_R14 = Enum((
+    "v0dot2", "v0dot5", "v1", "v2", "v3", "v4", "v5", "v6", "v7", "v8",
+    "v9", "v10", "spare4", "spare3", "spare2", "spare1"))
+
+SL_PSSCH_TX_PARAMS_R14 = Seq([
+    ("min_mcs_pssch_r14", Int(0, 31)),
+    ("max_mcs_pssch_r14", Int(0, 31)),
+    ("min_sub_ch_num_pssch_r14", Int(1, 20)),
+    ("max_subch_num_pssch_r14", Int(1, 20)),
+    ("allowed_retx_num_pssch_r14", Enum(("n0", "n1", "both", "spare1"))),
+    ("max_tx_pwr_r14", SL_TX_PWR_R14, "?"),
+])
+
+SL_CBR_PSSCH_TX_CFG_R14 = Seq([
+    ("cr_limit_r14", Int(0, 10000)),
+    ("tx_params_r14", SL_PSSCH_TX_PARAMS_R14),
+])
+
+SL_CBR_COMMON_TX_CFG_LIST_R14 = Seq([
+    ("cbr_range_common_cfg_list_r14",
+     SeqOf(SeqOf(Int(0, 100), 1, 16), 1, 4)),
+    ("sl_cbr_pssch_tx_cfg_list_r14",
+     SeqOf(SL_CBR_PSSCH_TX_CFG_R14, 1, 64)),
+])
+
+SL_PPPP_TX_CFG_IDX_R14 = Seq([
+    ("prio_thres_r14", Int(1, 8)),
+    ("default_tx_cfg_idx_r14", Int(0, 15)),
+    ("cbr_cfg_idx_r14", Int(0, 3)),
+    ("tx_cfg_idx_list_r14", SeqOf(Int(0, 63), 1, 16)),
+])
+
+SL_COMM_RES_POOL_V2X_R14 = Seq([
+    ("sl_offset_ind_r14", Choice([
+        ("small_r12", Int(0, 319)),
+        ("large_r12", Int(0, 10239)),
+    ]), "?"),
+    ("sl_sf_r14", Choice([
+        (f"bs{n}_r14", BitStr(n))
+        for n in (10, 16, 20, 30, 40, 50, 60, 100)
+    ])),
+    ("adjacency_pscch_pssch_r14", Bool()),
+    ("size_subch_r14", Enum((
+        "n4", "n5", "n6", "n8", "n9", "n10", "n12", "n15", "n16", "n18",
+        "n20", "n25", "n30", "n48", "n50", "n72", "n75", "n96", "n100",
+        "spare13", "spare12", "spare11", "spare10", "spare9", "spare8",
+        "spare7", "spare6", "spare5", "spare4", "spare3", "spare2",
+        "spare1"))),
+    ("num_subch_r14", Enum(("n1", "n3", "n5", "n8", "n10", "n15", "n20",
+                            "spare1"))),
+    ("start_rb_subch_r14", Int(0, 99)),
+    ("start_rb_pscch_pool_r14", Int(0, 99), "?"),
+    ("rx_params_ncell_r14", Seq([
+        ("tdd_cfg_r14", TDD_CONFIG, "?"),
+        ("sync_cfg_idx_r14", Int(0, 15)),
+    ]), "?"),
+    ("data_tx_params_r14", SL_TX_PARAMETERS_R12, "?"),
+    ("zone_id_r14", Int(0, 7), "?"),
+    ("thresh_s_rssi_cbr_r14", Int(0, 45), "?"),
+    ("pool_report_id_r14", Int(1, 72), "?"),
+    ("cbr_pssch_tx_cfg_list_r14", SeqOf(SL_PPPP_TX_CFG_IDX_R14, 1, 8),
+     "?"),
+    ("res_sel_cfg_p2_x_r14", Seq([
+        ("partial_sensing_r14", Enum(("true",)), "?"),
+        ("random_sel_r14", Enum(("true",)), "?"),
+    ]), "?"),
+    ("sync_allowed_r14", Seq([
+        ("gnss_sync_r14", Enum(("true",)), "?"),
+        ("enb_sync_r14", Enum(("true",)), "?"),
+        ("ue_sync_r14", Enum(("true",)), "?"),
+    ]), "?"),
+    ("restrict_res_reserv_period_r14",
+     SeqOf(_SL_RESTRICT_RESERV_PERIOD_R14, 1, 16), "?"),
+], ext=True)
+
+SL_PSSCH_TX_CFG_R14 = Seq([
+    ("type_tx_sync_r14", _SL_TYPE_TX_SYNC_R14, "?"),
+    ("thres_ue_speed_r14", Enum(("kmph60", "kmph80", "kmph100", "kmph120",
+                                 "kmph140", "kmph160", "kmph180",
+                                 "kmph200"))),
+    ("params_above_thres_r14", SL_PSSCH_TX_PARAMS_R14),
+    ("params_below_thres_r14", SL_PSSCH_TX_PARAMS_R14),
+], ext=True)
+
+SL_COMM_TX_POOL_SENSING_CFG_R14 = Seq([
+    ("pssch_tx_cfg_list_r14", SeqOf(SL_PSSCH_TX_CFG_R14, 1, 16)),
+    # std::array<uint8_t, 64>: fixed size, zero count bits
+    ("thres_pssch_rsrp_list_r14", SeqOf(Int(0, 66), 64, 64)),
+    ("restrict_res_reserv_period_r14",
+     SeqOf(_SL_RESTRICT_RESERV_PERIOD_R14, 1, 16), "?"),
+    ("prob_res_keep_r14", Enum(("v0", "v0dot2", "v0dot4", "v0dot6",
+                                "v0dot8", "spare3", "spare2", "spare1"))),
+    ("p2x_sensing_cfg_r14", Seq([
+        ("min_num_candidate_sf_r14", Int(1, 13)),
+        ("gap_candidate_sensing_r14", BitStr(10)),
+    ]), "?"),
+    ("sl_reselect_after_r14", Enum(("n1", "n2", "n3", "n4", "n5", "n6",
+                                    "n7", "n8", "n9", "spare7", "spare6",
+                                    "spare5", "spare4", "spare3",
+                                    "spare2", "spare1")), "?"),
+])
+
+SL_ZONE_CONFIG_R14 = Seq([
+    ("zone_len_r14", Enum(("m5", "m10", "m20", "m50", "m100", "m200",
+                           "m500", "spare1"))),
+    ("zone_width_r14", Enum(("m5", "m10", "m20", "m50", "m100", "m200",
+                             "m500", "spare1"))),
+    ("zone_id_longi_mod_r14", Int(1, 4)),
+    ("zone_id_lati_mod_r14", Int(1, 4)),
+])
+
+SL_SYNC_CFG_NFREQ_R13 = Seq([
+    ("async_params_r13", Seq([
+        ("sync_cp_len_r13", Enum(("normal", "extended"))),
+        ("sync_offset_ind_r13", Int(0, 39)),
+        ("slssid_r13", Int(0, 167)),
+    ]), "?"),
+    ("tx_params_r13", Seq([
+        ("sync_tx_params_r13", SL_TX_PARAMETERS_R12),
+        ("sync_tx_thresh_ic_r13", Int(0, 13)),
+        ("sync_info_reserved_r13", BitStr(19), "?"),
+        ("sync_tx_periodic_r13", Enum(("true",)), "?"),
+    ]), "?"),
+    ("rx_params_r13", Seq([
+        ("disc_sync_win_r13", Enum(("w1", "w2"))),
+    ]), "?"),
+], ext=True)
+
+SL_V2X_INTER_FREQ_UE_CFG_R14 = Seq([
+    ("pci_list_r14", SeqOf(Int(0, 503), 1, 16), "?"),
+    ("type_tx_sync_r14", _SL_TYPE_TX_SYNC_R14, "?"),
+    ("v2x_sync_cfg_r14", SeqOf(SL_SYNC_CFG_NFREQ_R13, 1, 16), "?"),
+    ("v2x_comm_rx_pool_r14", SeqOf(SL_COMM_RES_POOL_V2X_R14, 1, 16), "?"),
+    ("v2x_comm_tx_pool_normal_r14",
+     SeqOf(SL_COMM_RES_POOL_V2X_R14, 1, 8), "?"),
+    ("p2x_comm_tx_pool_normal_r14",
+     SeqOf(SL_COMM_RES_POOL_V2X_R14, 1, 8), "?"),
+    ("v2x_comm_tx_pool_exceptional_r14", SL_COMM_RES_POOL_V2X_R14, "?"),
+    ("v2x_res_sel_cfg_r14", SL_COMM_TX_POOL_SENSING_CFG_R14, "?"),
+    ("zone_cfg_r14", SL_ZONE_CONFIG_R14, "?"),
+    ("offset_dfn_r14", Int(0, 1000), "?"),
+], ext=True)
+
+SL_INTER_FREQ_INFO_V2X_R14 = Seq([
+    ("plmn_id_list_r14", SeqOf(PLMN_IDENTITY_INFO, 1, 6), "?"),
+    ("v2x_comm_carrier_freq_r14", Int(0, 262143)),
+    ("sl_max_tx_pwr_r14", Int(-30, 33), "?"),
+    ("sl_bw_r14", Enum(("n6", "n15", "n25", "n50", "n75", "n100")), "?"),
+    ("v2x_sched_pool_r14", SL_COMM_RES_POOL_V2X_R14, "?"),
+    ("v2x_ue_cfg_list_r14",
+     SeqOf(SL_V2X_INTER_FREQ_UE_CFG_R14, 1, 16), "?"),
+], ext=True)
+
+SL_V2X_CFG_DED_R14 = Seq([
+    ("comm_tx_res_r14", Choice([
+        ("release", Null()),
+        ("setup", Choice([
+            ("sched_r14", Seq([
+                ("sl_v_rnti_r14", BitStr(16)),
+                # mac_main_cfg_sl_r12_s — the SL BSR-timer pair, NOT the
+                # full MAC-MainConfig (caught by the differential fuzz)
+                ("mac_main_cfg_r14", Seq([
+                    ("periodic_bsr_timer_sl",
+                     Enum(("sf5", "sf10", "sf16", "sf20", "sf32", "sf40",
+                           "sf64", "sf80", "sf128", "sf160", "sf320",
+                           "sf640", "sf1280", "sf2560", "infinity",
+                           "spare1")), "?"),
+                    ("retx_bsr_timer_sl",
+                     Enum(("sf320", "sf640", "sf1280", "sf2560", "sf5120",
+                           "sf10240", "spare2", "spare1"))),
+                ])),
+                ("v2x_sched_pool_r14", SL_COMM_RES_POOL_V2X_R14, "?"),
+                ("mcs_r14", Int(0, 31), "?"),
+                ("lc_ch_group_info_list_r14",
+                 SeqOf(SeqOf(Int(1, 8), 1, 8), 1, 4)),
+            ])),
+            ("ue_sel_r14", Seq([
+                ("v2x_comm_tx_pool_normal_ded_r14", Seq([
+                    ("pool_to_release_list_r14",
+                     SeqOf(Int(1, 8), 1, 8), "?"),
+                    ("pool_to_add_mod_list_r14", SeqOf(Seq([
+                        ("pool_id_r14", Int(1, 8)),
+                        ("pool_r14", SL_COMM_RES_POOL_V2X_R14),
+                    ]), 1, 8), "?"),
+                    ("v2x_comm_tx_pool_sensing_cfg_r14",
+                     SL_COMM_TX_POOL_SENSING_CFG_R14, "?"),
+                ])),
+            ])),
+        ])),
+    ]), "?"),
+    ("v2x_inter_freq_info_list_r14",
+     SeqOf(SL_INTER_FREQ_INFO_V2X_R14, 0, 7), "?"),
+    ("thres_sl_tx_prioritization_r14", Int(1, 8), "?"),
+    ("type_tx_sync_r14", _SL_TYPE_TX_SYNC_R14, "?"),
+    ("cbr_ded_tx_cfg_list_r14", SL_CBR_COMMON_TX_CFG_LIST_R14, "?"),
+], ext=True)
+
+
 # ---- SCG (dual connectivity, r12): SCG-Configuration ----
 # Wire layout mirrored from scg_cfg_r12_c::pack and its sub-IEs
 # (scg_cfg_part_scg_r12_s, ps_cell_to_add_mod_r12_s,
@@ -2334,7 +2545,7 @@ SCELL_TO_ADD_MOD_EXT_V1430 = Seq([
 ], ext=True)
 
 RRC_CONN_RECFG_V1430 = Seq([
-    ("sl_v2x_cfg_ded_r14", OctStr(), "?"),
+    ("sl_v2x_cfg_ded_r14", SL_V2X_CFG_DED_R14, "?"),
     ("scell_to_add_mod_list_ext_v1430",
      SeqOf(SCELL_TO_ADD_MOD_EXT_V1430, 1, 31), "?"),
     ("per_cc_gap_ind_request_r14", Enum(("true",)), "?"),

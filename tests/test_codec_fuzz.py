@@ -25,7 +25,10 @@ config added next (seed-1 800/800 + seed-42 480/480 — the chain fuzz
 also caught a 33rd phantom WLAN-backhaulRate value widening the enum to
 6 bits); sidelink disc/comm + SCellToAddModExt-v1430 and finally the SCG
 dual-connectivity container added (800/800 + 150 targeted sidelink +
-150 targeted SCG cases byte-exact).
+150 targeted SCG cases byte-exact); V2X sidelink (r14) closed the chain
+(800/800 + 200 targeted V2X — this fuzz found that the reference codec
+SEGFAULTS on any SL-CommTxPoolSensingConfig-r14, INTEROP.md R6, and
+that sched-mode V2X carries the small SL MAC config, not the full one).
 """
 
 import hashlib
@@ -44,7 +47,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "60f755d2da28498b2777105540787bb9c1dfd3b364ca55e2af0493bb12b45a6a"
+PINNED_SHA = "ccaee8d3ce8c2fb7b05764a20f594fdc1367cfa12519467b26fb8364d0d47894"
 
 
 @pytest.fixture(scope="module")
