@@ -44,10 +44,11 @@ AVOID = {
     # schema as of r4: SCG dual connectivity, V2X sidelink,
     # LWA/LWIP/RCLWI, WLAN offload, sidelink disc/comm/sync, SCell ext
     # lists)
-    # the UE-EUTRA-Capability v1060+ tail stays an opaque container
-    # (v940/v1020 are structural as of r4: CA band combinations,
-    # phy-layer r10 params, feature_group_ind_rel10)
-    "non_crit_ext_v1060",
+    # the UE-EUTRA-Capability v1130+ tail stays an opaque container
+    # (v940..v1090 are structural as of r4: CA band combinations +
+    # bandwidth-combination sets and extended band numbers, phy-layer
+    # r10 params, feature_group_ind_rel10 and its v1060 xdd variants)
+    "non_crit_ext_v1130",
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
     # REFERENCE CRASH: sl_comm_tx_pool_sensing_cfg_r14_s::unpack

@@ -3159,6 +3159,10 @@ BAND_PARAMS_R10 = Seq([
     ("band_params_dl_r10", SeqOf(CA_MIMO_PARAMS_DL_R10, 1, 16), "?"),
 ])
 
+# forward reference: the v1060 IEs are declared after V1020 (which links
+# to them) because they reuse PHY_LAYER_PARAMS_V1020
+UE_EUTRA_CAP_V1060_REF = Ref()
+
 PHY_LAYER_PARAMS_V1020 = Seq([
     ("two_ant_ports_for_pucch_r10", _SUPPORTED, "?"),
     ("tm9_with_8_tx_fdd_r10", _SUPPORTED, "?"),
@@ -3195,8 +3199,44 @@ UE_EUTRA_CAP_V1020 = Seq([
         ("standalone_gnss_location_r10", _SUPPORTED, "?"),
     ]), "?"),
     ("inter_rat_params_utra_tdd_v1020", Seq([]), "?"),  # empty SEQUENCE
-    ("non_crit_ext_v1060", OctStr(), "?"),  # UE-EUTRA-Cap-v1060-IEs tail
+    ("non_crit_ext_v1060", UE_EUTRA_CAP_V1060_REF, "?"),
 ])
+
+# UE-EUTRA-Capability-v1060/v1090-IEs (rrc_asn1.cc
+# ue_eutra_cap_v1060_ies_s / v1090_ies_s): CA band-combination
+# extensions (bandwidth combination sets, >64 band numbers) + the
+# per-duplex additional capabilities, which reuse the v1020 phy params.
+# The irat cdma/utra-tdd v1060 members pack ZERO bits in the reference
+# (single-value "supported" enums), as for their v1020 cousins.
+UE_EUTRA_CAP_ADD_XDD_MODE_V1060 = Seq([
+    ("phy_layer_params_v1060", PHY_LAYER_PARAMS_V1020, "?"),
+    ("feature_group_ind_rel10_v1060", BitStr(32), "?"),
+    ("inter_rat_params_cdma2000_v1060", Seq([]), "?"),
+    ("inter_rat_params_utra_tdd_v1060", Seq([]), "?"),
+], ext=True)
+
+UE_EUTRA_CAP_V1090 = Seq([
+    ("rf_params_v1090", Seq([
+        ("supported_band_combination_v1090", SeqOf(SeqOf(Seq([
+            ("band_eutra_v1090", Int(65, 256), "?"),
+        ], ext=True), 1, 64), 1, 128), "?"),
+    ]), "?"),
+    ("non_crit_ext_v1130", OctStr(), "?"),  # UE-EUTRA-Cap-v1130-IEs tail
+])
+
+UE_EUTRA_CAP_V1060 = Seq([
+    ("fdd_add_ue_eutra_capabilities_v1060",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1060, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1060",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1060, "?"),
+    ("rf_params_v1060", Seq([
+        ("supported_band_combination_ext_r10", SeqOf(Seq([
+            ("supported_bw_combination_set_r10", UncBitStr(), "?"),
+        ]), 1, 128)),
+    ]), "?"),
+    ("non_crit_ext_v1090", UE_EUTRA_CAP_V1090, "?"),
+])
+UE_EUTRA_CAP_V1060_REF.target = UE_EUTRA_CAP_V1060
 
 UE_EUTRA_CAP_V940 = Seq([
     ("late_non_crit_ext", OctStr(), "?"),

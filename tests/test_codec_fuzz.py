@@ -28,7 +28,9 @@ dual-connectivity container added (800/800 + 150 targeted sidelink +
 150 targeted SCG cases byte-exact); V2X sidelink (r14) closed the chain
 (800/800 + 200 targeted V2X — this fuzz found that the reference codec
 SEGFAULTS on any SL-CommTxPoolSensingConfig-r14, INTEROP.md R6, and
-that sched-mode V2X carries the small SL MAC config, not the full one).
+that sched-mode V2X carries the small SL MAC config, not the full one);
+UE-EUTRA-Capability v1060/v1090 became structural last (800/800 + 150
+targeted grafts — the opaque tail now starts at v1130).
 """
 
 import hashlib
@@ -47,7 +49,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "ccaee8d3ce8c2fb7b05764a20f594fdc1367cfa12519467b26fb8364d0d47894"
+PINNED_SHA = "c624ce025c32ce58d1e427f251dd169490008efa47890485f12d16f077eccfb6"
 
 
 @pytest.fixture(scope="module")
