@@ -44,11 +44,13 @@ AVOID = {
     # schema as of r4: SCG dual connectivity, V2X sidelink,
     # LWA/LWIP/RCLWI, WLAN offload, sidelink disc/comm/sync, SCell ext
     # lists)
-    # the UE-EUTRA-Capability v1130+ tail stays an opaque container
-    # (v940..v1090 are structural as of r4: CA band combinations +
+    # the UE-EUTRA-Capability v1250+ tail stays an opaque container
+    # (v940..v11a0 are structural as of r4: CA band combinations +
     # bandwidth-combination sets and extended band numbers, phy-layer
-    # r10 params, feature_group_ind_rel10 and its v1060 xdd variants)
-    "non_crit_ext_v1130",
+    # r10 params, feature_group_ind_rel10 and its xdd variants, and the
+    # whole rel-11 chain — r11 band combinations with bandInfoEUTRA,
+    # ePDCCH/CoMP phy flags, MBMS params, categories v1170/v11a0)
+    "non_crit_ext_v1250",
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
     # REFERENCE CRASH: sl_comm_tx_pool_sensing_cfg_r14_s::unpack
@@ -110,6 +112,49 @@ def recfg_chain_corpus(n: int, seed: int):
         v2 = uper_decode(rrc.DL_DCCH_MSG, b)
         assert uper_encode(rrc.DL_DCCH_MSG, v2) == b
         out.append(("dl_dcch", f"fz_recfg_chain_{made}", b))
+        made += 1
+    return out
+
+
+# UE-EUTRA-Capability nonCriticalExtension chain, shallow -> deep.
+# Random generation reaches the v1130+ levels only ~4% of the time
+# (eight nested 50% presence choices), so the rel-9..rel-11 levels get
+# their fuzz pressure from an explicitly-grafted chain, like the
+# reconfiguration chain lane below.
+_UE_CAP_CHAIN = (
+    ("UE_EUTRA_CAP_V920", "non_crit_ext_v940"),
+    ("UE_EUTRA_CAP_V940", "non_crit_ext_v1020"),
+    ("UE_EUTRA_CAP_V1020", "non_crit_ext_v1060"),
+    ("UE_EUTRA_CAP_V1060", "non_crit_ext_v1090"),
+    ("UE_EUTRA_CAP_V1090", "non_crit_ext_v1130"),
+    ("UE_EUTRA_CAP_V1130", "non_crit_ext_v1170"),
+    ("UE_EUTRA_CAP_V1170", "non_crit_ext_v1180"),
+    ("UE_EUTRA_CAP_V1180", "non_crit_ext_v11a0"),
+    ("UE_EUTRA_CAP_V11A0", None),
+)
+
+
+def ue_cap_chain_corpus(n: int, seed: int):
+    """Chain-heavy capability lane: every message carries the
+    v920->..->v11a0 nonCriticalExtension chain to a random depth."""
+    cfg = fuzz.FuzzConfig(avoid=AVOID)
+    rng = np.random.default_rng(seed ^ zlib.crc32(b"ue_cap_chain"))
+    out = []
+    made = 0
+    while made < n:
+        depth = int(rng.integers(1, len(_UE_CAP_CHAIN) + 1))
+        vals = [fuzz.rand_value(getattr(rrc, name), rng, cfg)
+                for name, _ in _UE_CAP_CHAIN[:depth]]
+        for (_, link), parent, child in zip(_UE_CAP_CHAIN, vals, vals[1:]):
+            parent[link] = child
+        root = fuzz.rand_value(rrc.UE_EUTRA_CAPABILITY, rng, cfg)
+        root["non_crit_ext_v920"] = vals[0]
+        b = uper_encode(rrc.UE_EUTRA_CAPABILITY, root)
+        if len(b) > 1000:
+            continue
+        v2 = uper_decode(rrc.UE_EUTRA_CAPABILITY, b)
+        assert uper_encode(rrc.UE_EUTRA_CAPABILITY, v2) == b
+        out.append(("ue_cap", f"fz_ue_cap_chain_{made}", b))
         made += 1
     return out
 
@@ -191,6 +236,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     for chan, name, b in (corpus(n, seed) + ue_cap_corpus(n, seed)
+                          + ue_cap_chain_corpus(n, seed)
                           + recfg_chain_corpus(n, seed)):
         print(chan, name, b.hex())
 

@@ -3202,6 +3202,131 @@ UE_EUTRA_CAP_V1020 = Seq([
     ("non_crit_ext_v1060", UE_EUTRA_CAP_V1060_REF, "?"),
 ])
 
+# ---- UE-EUTRA-Capability v1130..v11a0 (rel-11 capability tail) ----
+# Layouts verified against rrc_asn1.cc ue_eutra_cap_v1130_ies_s::pack
+# (:111724 — pdcp/rf/meas/irat/other params MANDATORY, phy + xdd-modes
+# optional), v1170 (:111500, ue-Category-v1170 in 9..10), v1180
+# (:111372), v11a0 (:111102, ue-Category-v11a0 in 11..12), and the r11
+# band-combination structures (band_combination_params_r11_s::pack
+# :100332 — bandInfoEUTRA mandatory, presence-only multipleTimingAdvance
+# / simultaneousRx-Tx; band_params_r11_s :100269 band number widened to
+# 1..256 reusing the r10 CA-MIMO lists; band_combination_params_v1130_s
+# :100912).  The v1250 tail remains a documented opaque container.
+
+PDCP_PARAMS_V1130 = Seq([
+    ("pdcp_sn_ext_r11", _SUPPORTED, "?"),
+    ("support_rohc_context_continue_r11", _SUPPORTED, "?"),
+])
+PHY_LAYER_PARAMS_V1130 = Seq([
+    ("crs_interf_handl_r11", _SUPPORTED, "?"),
+    ("e_pdcch_r11", _SUPPORTED, "?"),
+    ("multi_ack_csi_report_r11", _SUPPORTED, "?"),
+    ("ss_cch_interf_handl_r11", _SUPPORTED, "?"),
+    ("tdd_special_sf_r11", _SUPPORTED, "?"),
+    ("tx_div_pucch1b_ch_select_r11", _SUPPORTED, "?"),
+    ("ul_co_mp_r11", _SUPPORTED, "?"),
+])
+SUPPORTED_CSI_PROC_R11 = Enum(("n1", "n3", "n4"))
+BAND_COMBINATION_PARAMS_V1130 = Seq([
+    ("multiple_timing_advance_r11", _SUPPORTED, "?"),
+    ("simul_rx_tx_r11", _SUPPORTED, "?"),
+    ("band_param_list_r11", SeqOf(Seq([
+        ("supported_csi_proc_r11", SUPPORTED_CSI_PROC_R11),
+    ]), 1, 64), "?"),
+], ext=True)
+RF_PARAMS_V1130 = Seq([
+    ("supported_band_combination_v1130",
+     SeqOf(BAND_COMBINATION_PARAMS_V1130, 1, 128), "?"),
+])
+MEAS_PARAMS_V1130 = Seq([
+    ("rsrq_meas_wideband_r11", _SUPPORTED, "?"),
+])
+IRAT_PARAMS_CDMA2000_V1130 = Seq([
+    ("cdma2000_nw_sharing_r11", _SUPPORTED, "?"),
+])
+OTHER_PARAMS_R11 = Seq([
+    ("in_dev_coex_ind_r11", _SUPPORTED, "?"),
+    ("pwr_pref_ind_r11", _SUPPORTED, "?"),
+    ("ue_rx_tx_time_diff_meass_r11", _SUPPORTED, "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1130 = Seq([
+    ("phy_layer_params_v1130", PHY_LAYER_PARAMS_V1130, "?"),
+    ("meas_params_v1130", MEAS_PARAMS_V1130, "?"),
+    ("other_params_r11", OTHER_PARAMS_R11, "?"),
+], ext=True)
+
+BAND_PARAMS_R11 = Seq([
+    ("band_eutra_r11", Int(1, 256)),
+    ("band_params_ul_r11", SeqOf(CA_MIMO_PARAMS_UL_R10, 1, 16), "?"),
+    ("band_params_dl_r11", SeqOf(CA_MIMO_PARAMS_DL_R10, 1, 16), "?"),
+    ("supported_csi_proc_r11", SUPPORTED_CSI_PROC_R11, "?"),
+])
+BAND_INFO_EUTRA = Seq([
+    ("inter_freq_band_list", SeqOf(Seq([
+        ("inter_freq_need_for_gaps", Bool()),
+    ]), 1, 64)),
+    ("inter_rat_band_list", SeqOf(Seq([
+        ("inter_rat_need_for_gaps", Bool()),
+    ]), 1, 64), "?"),
+])
+BAND_COMBINATION_PARAMS_R11 = Seq([
+    ("band_param_list_r11", SeqOf(BAND_PARAMS_R11, 1, 64)),
+    ("supported_bw_combination_set_r11", UncBitStr(), "?"),
+    ("multiple_timing_advance_r11", _SUPPORTED, "?"),
+    ("simul_rx_tx_r11", _SUPPORTED, "?"),
+    ("band_info_eutra_r11", BAND_INFO_EUTRA),
+], ext=True)
+RF_PARAMS_V1180 = Seq([
+    ("freq_band_retrieval_r11", _SUPPORTED, "?"),
+    ("requested_bands_r11", SeqOf(Int(1, 256), 1, 64), "?"),
+    ("supported_band_combination_add_r11",
+     SeqOf(BAND_COMBINATION_PARAMS_R11, 1, 256), "?"),
+])
+MBMS_PARAMS_R11 = Seq([
+    ("mbms_scell_r11", _SUPPORTED, "?"),
+    ("mbms_non_serving_cell_r11", _SUPPORTED, "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1180 = Seq([
+    ("mbms_params_r11", MBMS_PARAMS_R11),
+])
+
+UE_EUTRA_CAP_V11A0 = Seq([
+    ("ue_category_v11a0", Int(11, 12), "?"),
+    ("meas_params_v11a0", Seq([
+        ("benefits_from_interruption_r11", _SUPPORTED, "?"),
+    ]), "?"),
+    ("non_crit_ext_v1250", OctStr(), "?"),  # UE-EUTRA-Cap-v1250-IEs tail
+])
+UE_EUTRA_CAP_V1180 = Seq([
+    ("rf_params_v1180", RF_PARAMS_V1180, "?"),
+    ("mbms_params_r11", MBMS_PARAMS_R11, "?"),
+    ("fdd_add_ue_eutra_capabilities_v1180",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1180, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1180",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1180, "?"),
+    ("non_crit_ext_v11a0", UE_EUTRA_CAP_V11A0, "?"),
+])
+UE_EUTRA_CAP_V1170 = Seq([
+    ("phy_layer_params_v1170", Seq([
+        ("inter_band_tdd_ca_with_different_cfg_r11", BitStr(2), "?"),
+    ]), "?"),
+    ("ue_category_v1170", Int(9, 10), "?"),
+    ("non_crit_ext_v1180", UE_EUTRA_CAP_V1180, "?"),
+])
+UE_EUTRA_CAP_V1130 = Seq([
+    ("pdcp_params_v1130", PDCP_PARAMS_V1130),
+    ("phy_layer_params_v1130", PHY_LAYER_PARAMS_V1130, "?"),
+    ("rf_params_v1130", RF_PARAMS_V1130),
+    ("meas_params_v1130", MEAS_PARAMS_V1130),
+    ("inter_rat_params_cdma2000_v1130", IRAT_PARAMS_CDMA2000_V1130),
+    ("other_params_r11", OTHER_PARAMS_R11),
+    ("fdd_add_ue_eutra_capabilities_v1130",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1130, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1130",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1130, "?"),
+    ("non_crit_ext_v1170", UE_EUTRA_CAP_V1170, "?"),
+])
+
 # UE-EUTRA-Capability-v1060/v1090-IEs (rrc_asn1.cc
 # ue_eutra_cap_v1060_ies_s / v1090_ies_s): CA band-combination
 # extensions (bandwidth combination sets, >64 band numbers) + the
@@ -3221,7 +3346,7 @@ UE_EUTRA_CAP_V1090 = Seq([
             ("band_eutra_v1090", Int(65, 256), "?"),
         ], ext=True), 1, 64), 1, 128), "?"),
     ]), "?"),
-    ("non_crit_ext_v1130", OctStr(), "?"),  # UE-EUTRA-Cap-v1130-IEs tail
+    ("non_crit_ext_v1130", UE_EUTRA_CAP_V1130, "?"),
 ])
 
 UE_EUTRA_CAP_V1060 = Seq([

@@ -49,20 +49,21 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "c624ce025c32ce58d1e427f251dd169490008efa47890485f12d16f077eccfb6"
+PINNED_SHA = "a6d457202044c12d5f113a27df08d96d4a7664c3e134ab1597f2e856336c6df8"
 
 
 @pytest.fixture(scope="module")
 def corpus():
     return (fuzz_rrc.corpus(N_PER_CHANNEL, SEED)
             + fuzz_rrc.ue_cap_corpus(N_PER_CHANNEL, SEED)
+            + fuzz_rrc.ue_cap_chain_corpus(N_PER_CHANNEL, SEED)
             + fuzz_rrc.recfg_chain_corpus(N_PER_CHANNEL, SEED))
 
 
 def test_corpus_shape_and_hash(corpus):
-    # 6 channels + the bare UE-EUTRA-Capability lane + the
-    # reconfiguration nonCriticalExtension chain lane
-    assert len(corpus) == 8 * N_PER_CHANNEL
+    # 6 channels + the bare UE-EUTRA-Capability lane + the capability
+    # v920..v11a0 chain lane + the reconfiguration chain lane
+    assert len(corpus) == 9 * N_PER_CHANNEL
     h = hashlib.sha256()
     for chan, name, b in corpus:
         h.update(chan.encode() + b"\x00" + b + b"\x00")
