@@ -3290,12 +3290,126 @@ UE_EUTRA_CAP_ADD_XDD_MODE_V1180 = Seq([
     ("mbms_params_r11", MBMS_PARAMS_R11),
 ])
 
+# ---- UE-EUTRA-Capability v1250/v1260 (rel-12 capability tail) ----
+# Layouts verified against rrc_asn1.cc ue_eutra_cap_v1250_ies_s::pack
+# (15 presence bits, rel-12 DL/UL categories 0..14/0..13), v1260
+# (ue-Category-DL in 15..16), phy_layer_params_v1250_s (NAICS capability
+# list), band_combination_params_v1250_s (DC support with the
+# supportedCellGrouping CHOICE of fixed bitstrings; the two
+# dyn_bitstrings pack UNCONSTRAINED — general length determinant — like
+# supportedBandwidthCombinationSet-r10), and sl_params_r12_s.  The
+# v1270 tail remains a documented opaque container.
+
+PHY_LAYER_PARAMS_V1250 = Seq([
+    ("e_harq_pattern_fdd_r12", _SUPPORTED, "?"),
+    ("enhanced_minus4_tx_codebook_r12", _SUPPORTED, "?"),
+    ("tdd_fdd_ca_pcell_duplex_r12", BitStr(2), "?"),
+    ("phy_tdd_re_cfg_tdd_pcell_r12", _SUPPORTED, "?"),
+    ("phy_tdd_re_cfg_fdd_pcell_r12", _SUPPORTED, "?"),
+    ("pusch_feedback_mode_r12", _SUPPORTED, "?"),
+    ("pusch_srs_pwr_ctrl_sf_set_r12", _SUPPORTED, "?"),
+    ("csi_sf_set_r12", _SUPPORTED, "?"),
+    ("no_res_restrict_for_tti_bundling_r12", _SUPPORTED, "?"),
+    ("discovery_signals_in_deact_scell_r12", _SUPPORTED, "?"),
+    ("naics_cap_list_r12", SeqOf(Seq([
+        ("nof_naics_capable_cc_r12", Int(1, 5)),
+        ("nof_aggregated_prb_r12", Enum((
+            "n50", "n75", "n100", "n125", "n150", "n175", "n200", "n225",
+            "n250", "n275", "n300", "n350", "n400", "n450", "n500",
+            "spare"))),
+    ], ext=True), 1, 8), "?"),
+])
+BAND_COMBINATION_PARAMS_V1250 = Seq([
+    ("dc_support_r12", Seq([
+        ("async_r12", _SUPPORTED, "?"),
+        ("supported_cell_grouping_r12", Choice([
+            ("three_entries_r12", BitStr(3)),
+            ("four_entries_r12", BitStr(7)),
+            ("five_entries_r12", BitStr(15)),
+        ]), "?"),
+    ]), "?"),
+    ("supported_naics_minus2_crs_ap_r12", UncBitStr(), "?"),
+    ("comm_supported_bands_per_bc_r12", UncBitStr(), "?"),
+], ext=True)
+RF_PARAMS_V1250 = Seq([
+    ("supported_band_list_eutra_v1250", SeqOf(Seq([
+        ("dl_minus256_qam_r12", _SUPPORTED, "?"),
+        ("ul_minus64_qam_r12", _SUPPORTED, "?"),
+    ]), 1, 64), "?"),
+    ("supported_band_combination_v1250",
+     SeqOf(BAND_COMBINATION_PARAMS_V1250, 1, 128), "?"),
+    ("supported_band_combination_add_v1250",
+     SeqOf(BAND_COMBINATION_PARAMS_V1250, 1, 256), "?"),
+    ("freq_band_prio_adjustment_r12", _SUPPORTED, "?"),
+])
+MEAS_PARAMS_V1250 = Seq([
+    ("timer_t312_r12", _SUPPORTED, "?"),
+    ("alternative_time_to_trigger_r12", _SUPPORTED, "?"),
+    ("inc_mon_eutra_r12", _SUPPORTED, "?"),
+    ("inc_mon_utra_r12", _SUPPORTED, "?"),
+    ("extended_max_meas_id_r12", _SUPPORTED, "?"),
+    ("extended_rsrq_lower_range_r12", _SUPPORTED, "?"),
+    ("rsrq_on_all_symbols_r12", _SUPPORTED, "?"),
+    ("crs_discovery_signals_meas_r12", _SUPPORTED, "?"),
+    ("csi_rs_discovery_signals_meas_r12", _SUPPORTED, "?"),
+])
+SL_PARAMS_R12 = Seq([
+    ("comm_simul_tx_r12", _SUPPORTED, "?"),
+    ("comm_supported_bands_r12", SeqOf(Int(1, 256), 1, 64), "?"),
+    ("disc_supported_bands_r12", SeqOf(Seq([
+        ("support_r12", _SUPPORTED, "?"),
+    ]), 1, 64), "?"),
+    ("disc_sched_res_alloc_r12", _SUPPORTED, "?"),
+    ("disc_ue_sel_res_alloc_r12", _SUPPORTED, "?"),
+    ("disc_slss_r12", _SUPPORTED, "?"),
+    ("disc_supported_proc_r12", Enum(("n50", "n400")), "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1250 = Seq([
+    ("phy_layer_params_v1250", PHY_LAYER_PARAMS_V1250, "?"),
+    ("meas_params_v1250", MEAS_PARAMS_V1250, "?"),
+])
+UE_EUTRA_CAP_V1260 = Seq([
+    ("ue_category_dl_v1260", Int(15, 16), "?"),
+    ("non_crit_ext_v1270", OctStr(), "?"),  # UE-EUTRA-Cap-v1270-IEs tail
+])
+UE_EUTRA_CAP_V1250 = Seq([
+    ("phy_layer_params_v1250", PHY_LAYER_PARAMS_V1250, "?"),
+    ("rf_params_v1250", RF_PARAMS_V1250, "?"),
+    # empty SEQUENCEs in the reference vintage (zero bits packed)
+    ("rlc_params_r12", Seq([]), "?"),
+    ("ue_based_netw_perf_meas_params_v1250", Seq([]), "?"),
+    ("ue_category_dl_r12", Int(0, 14), "?"),
+    ("ue_category_ul_r12", Int(0, 13), "?"),
+    ("wlan_iw_params_r12", Seq([
+        ("wlan_iw_ran_rules_r12", _SUPPORTED, "?"),
+        ("wlan_iw_andsf_policies_r12", _SUPPORTED, "?"),
+    ]), "?"),
+    ("meas_params_v1250", MEAS_PARAMS_V1250, "?"),
+    ("dc_params_r12", Seq([
+        ("drb_type_split_r12", _SUPPORTED, "?"),
+        ("drb_type_scg_r12", _SUPPORTED, "?"),
+    ]), "?"),
+    ("mbms_params_v1250", Seq([
+        ("mbms_async_dc_r12", _SUPPORTED, "?"),
+    ]), "?"),
+    ("mac_params_r12", Seq([
+        ("lc_ch_sr_prohibit_timer_r12", _SUPPORTED, "?"),
+        ("long_drx_cmd_r12", _SUPPORTED, "?"),
+    ]), "?"),
+    ("fdd_add_ue_eutra_capabilities_v1250",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1250, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1250",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1250, "?"),
+    ("sl_params_r12", SL_PARAMS_R12, "?"),
+    ("non_crit_ext_v1260", UE_EUTRA_CAP_V1260, "?"),
+])
+
 UE_EUTRA_CAP_V11A0 = Seq([
     ("ue_category_v11a0", Int(11, 12), "?"),
     ("meas_params_v11a0", Seq([
         ("benefits_from_interruption_r11", _SUPPORTED, "?"),
     ]), "?"),
-    ("non_crit_ext_v1250", OctStr(), "?"),  # UE-EUTRA-Cap-v1250-IEs tail
+    ("non_crit_ext_v1250", UE_EUTRA_CAP_V1250, "?"),
 ])
 UE_EUTRA_CAP_V1180 = Seq([
     ("rf_params_v1180", RF_PARAMS_V1180, "?"),

@@ -49,7 +49,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "a6d457202044c12d5f113a27df08d96d4a7664c3e134ab1597f2e856336c6df8"
+PINNED_SHA = "6c083b349a34b3c6e95fd4debee7f4bae7099a91d4de6060790dcd7da3c49b1e"
 
 
 @pytest.fixture(scope="module")
