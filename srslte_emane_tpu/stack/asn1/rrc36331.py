@@ -3368,9 +3368,42 @@ UE_EUTRA_CAP_ADD_XDD_MODE_V1250 = Seq([
     ("phy_layer_params_v1250", PHY_LAYER_PARAMS_V1250, "?"),
     ("meas_params_v1250", MEAS_PARAMS_V1250, "?"),
 ])
+# v1270/v1280 (rrc_asn1.cc ue_eutra_cap_v1270_ies_s / v1280_ies_s):
+# per-band-combination intra-band contiguous CC info (up to 5 CCs each
+# with MIMO/CSI-proc caps) + the alternativeTBS-Indices-r12 flag.  The
+# rel-13 v1310 level remains the opaque tail.
+INTRA_BAND_CONTIGUOUS_CC_INFO_R12 = Seq([
+    ("four_layer_tm3_tm4_per_cc_r12", _SUPPORTED, "?"),
+    ("supported_mimo_cap_dl_r12",
+     Enum(("two_layers", "four_layers", "eight_layers")), "?"),
+    ("supported_csi_proc_r12", SUPPORTED_CSI_PROC_R11, "?"),
+])
+BAND_COMBINATION_PARAMS_V1270 = Seq([
+    ("band_param_list_v1270", SeqOf(Seq([
+        ("band_params_dl_v1270", SeqOf(Seq([
+            ("intra_band_contiguous_cc_info_list_r12",
+             SeqOf(INTRA_BAND_CONTIGUOUS_CC_INFO_R12, 1, 5)),
+        ]), 1, 16)),
+    ]), 1, 64), "?"),
+])
+UE_EUTRA_CAP_V1280 = Seq([
+    ("phy_layer_params_v1280", Seq([
+        ("alternative_tbs_indices_r12", _SUPPORTED, "?"),
+    ]), "?"),
+    ("non_crit_ext_v1310", OctStr(), "?"),  # UE-EUTRA-Cap-v1310-IEs tail
+])
+UE_EUTRA_CAP_V1270 = Seq([
+    ("rf_params_v1270", Seq([
+        ("supported_band_combination_v1270",
+         SeqOf(BAND_COMBINATION_PARAMS_V1270, 1, 128), "?"),
+        ("supported_band_combination_add_v1270",
+         SeqOf(BAND_COMBINATION_PARAMS_V1270, 1, 256), "?"),
+    ]), "?"),
+    ("non_crit_ext_v1280", UE_EUTRA_CAP_V1280, "?"),
+])
 UE_EUTRA_CAP_V1260 = Seq([
     ("ue_category_dl_v1260", Int(15, 16), "?"),
-    ("non_crit_ext_v1270", OctStr(), "?"),  # UE-EUTRA-Cap-v1270-IEs tail
+    ("non_crit_ext_v1270", UE_EUTRA_CAP_V1270, "?"),
 ])
 UE_EUTRA_CAP_V1250 = Seq([
     ("phy_layer_params_v1250", PHY_LAYER_PARAMS_V1250, "?"),

@@ -29,8 +29,11 @@ dual-connectivity container added (800/800 + 150 targeted sidelink +
 (800/800 + 200 targeted V2X — this fuzz found that the reference codec
 SEGFAULTS on any SL-CommTxPoolSensingConfig-r14, INTEROP.md R6, and
 that sched-mode V2X carries the small SL MAC config, not the full one);
-UE-EUTRA-Capability v1060/v1090 became structural last (800/800 + 150
-targeted grafts — the opaque tail now starts at v1130).
+UE-EUTRA-Capability v1060/v1090 became structural (800/800 + 150
+targeted grafts), then the whole rel-11/rel-12 chain
+v1130..v1170..v1180..v11a0..v1250..v1260..v1270..v1280 with a
+dedicated chain-grafting lane (900/900 + 7 extra seeds) — the opaque
+tail now starts at the rel-13 v1310.
 """
 
 import hashlib
@@ -49,7 +52,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "6c083b349a34b3c6e95fd4debee7f4bae7099a91d4de6060790dcd7da3c49b1e"
+PINNED_SHA = "5df445b82f9064209bb2b6bf7bc66a6cca8c270ef22572bcb957052358a41508"
 
 
 @pytest.fixture(scope="module")
@@ -62,7 +65,7 @@ def corpus():
 
 def test_corpus_shape_and_hash(corpus):
     # 6 channels + the bare UE-EUTRA-Capability lane + the capability
-    # v920..v11a0 chain lane + the reconfiguration chain lane
+    # v920..v1280 chain lane + the reconfiguration chain lane
     assert len(corpus) == 9 * N_PER_CHANNEL
     h = hashlib.sha256()
     for chan, name, b in corpus:
