@@ -3386,11 +3386,170 @@ BAND_COMBINATION_PARAMS_V1270 = Seq([
         ]), 1, 16)),
     ]), 1, 64), "?"),
 ])
+# ---- UE-EUTRA-Capability v1310 (rel-13 level) ----
+# Layouts verified against rrc_asn1.cc ue_eutra_cap_v1310_ies_s::pack
+# (15 presence bits; pdcp/rlc/wlan-irat/wlan-iw/lwip params MANDATORY),
+# band_combination_params_r13_s::pack (NOT extensible, mandatory
+# bandInfoEUTRA + dc-support with the same cellGrouping CHOICE as r12),
+# ca_mimo_params_dl_r13_s (mandatory intra-band contiguous CC list,
+# 1..32), phy_layer_params_v1310_s (blind-decoding sub-seq),
+# rf_params_v1310_s (eNB-requested params sub-seq, reduced band
+# combinations 1..384).  The v1320 tail remains opaque.
+
+WLAN_BAND_IND_R13 = Enum(("band2dot4", "band5", "band60_v1430", "spare5",
+                          "spare4", "spare3", "spare2", "spare1"), ext=True)
+CA_MIMO_PARAMS_DL_R13 = Seq([
+    ("ca_bw_class_dl_r13", CA_BW_CLASS_R10),
+    ("supported_mimo_cap_dl_r13",
+     Enum(("two_layers", "four_layers", "eight_layers")), "?"),
+    ("four_layer_tm3_tm4_r13", _SUPPORTED, "?"),
+    ("intra_band_contiguous_cc_info_list_r13",
+     SeqOf(INTRA_BAND_CONTIGUOUS_CC_INFO_R12, 1, 32)),
+])
+BAND_PARAMS_R13 = Seq([
+    ("band_eutra_r13", Int(1, 256)),
+    # single CA-MIMO structs here (r10/r11 carried per-class LISTS)
+    ("band_params_ul_r13", CA_MIMO_PARAMS_UL_R10, "?"),
+    ("band_params_dl_r13", CA_MIMO_PARAMS_DL_R13, "?"),
+    ("supported_csi_proc_r13", SUPPORTED_CSI_PROC_R11, "?"),
+])
+BAND_COMBINATION_PARAMS_R13 = Seq([
+    ("different_fallback_supported_r13", _SUPPORTED, "?"),
+    ("band_param_list_r13", SeqOf(BAND_PARAMS_R13, 1, 64)),
+    ("supported_bw_combination_set_r13", UncBitStr(), "?"),
+    ("multiple_timing_advance_r13", _SUPPORTED, "?"),
+    ("simul_rx_tx_r13", _SUPPORTED, "?"),
+    ("band_info_eutra_r13", BAND_INFO_EUTRA),
+    ("dc_support_r13", Seq([
+        ("async_r13", _SUPPORTED, "?"),
+        ("supported_cell_grouping_r13", Choice([
+            ("three_entries_r13", BitStr(3)),
+            ("four_entries_r13", BitStr(7)),
+            ("five_entries_r13", BitStr(15)),
+        ]), "?"),
+    ]), "?"),
+    ("supported_naics_minus2_crs_ap_r13", UncBitStr(), "?"),
+    ("comm_supported_bands_per_bc_r13", UncBitStr(), "?"),
+])
+PHY_LAYER_PARAMS_V1310 = Seq([
+    ("aperiodic_csi_report_r13", BitStr(2), "?"),
+    ("codebook_harq_ack_r13", BitStr(2), "?"),
+    ("cross_carrier_sched_b5_c_r13", _SUPPORTED, "?"),
+    ("fdd_harq_timing_tdd_r13", _SUPPORTED, "?"),
+    ("max_num_updated_csi_proc_r13", Int(5, 32), "?"),
+    ("pucch_format4_r13", _SUPPORTED, "?"),
+    ("pucch_format5_r13", _SUPPORTED, "?"),
+    ("pucch_scell_r13", _SUPPORTED, "?"),
+    ("spatial_bundling_harq_ack_r13", _SUPPORTED, "?"),
+    ("supported_blind_decoding_r13", Seq([
+        ("max_num_decoding_r13", Int(1, 32), "?"),
+        ("pdcch_candidate_reductions_r13", _SUPPORTED, "?"),
+        ("skip_monitoring_dci_format0_minus1_a_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("uci_pusch_ext_r13", _SUPPORTED, "?"),
+    ("crs_interf_mitigation_tm10_r13", _SUPPORTED, "?"),
+    ("pdsch_collision_handling_r13", _SUPPORTED, "?"),
+])
+RF_PARAMS_V1310 = Seq([
+    ("e_nb_requested_params_r13", Seq([
+        ("reduced_int_non_cont_comb_requested_r13", _SUPPORTED, "?"),
+        ("requested_ccs_dl_r13", Int(2, 32), "?"),
+        ("requested_ccs_ul_r13", Int(2, 32), "?"),
+        ("skip_fallback_comb_requested_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("maximum_ccs_retrieval_r13", _SUPPORTED, "?"),
+    ("skip_fallback_combinations_r13", _SUPPORTED, "?"),
+    ("reduced_int_non_cont_comb_r13", _SUPPORTED, "?"),
+    ("supported_band_list_eutra_v1310", SeqOf(Seq([
+        ("ue_pwr_class_minus5_r13", _SUPPORTED, "?"),
+    ]), 1, 64), "?"),
+    ("supported_band_combination_reduced_r13",
+     SeqOf(BAND_COMBINATION_PARAMS_R13, 1, 384), "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1310 = Seq([
+    ("phy_layer_params_v1310", PHY_LAYER_PARAMS_V1310, "?"),
+])
+UE_EUTRA_CAP_V1310 = Seq([
+    ("ue_category_dl_v1310", Enum(("n17", "m1")), "?"),
+    ("ue_category_ul_v1310", Enum(("n14", "m1")), "?"),
+    ("pdcp_params_v1310", Seq([
+        ("pdcp_sn_ext_minus18bits_r13", _SUPPORTED, "?"),
+    ])),
+    ("rlc_params_v1310", Seq([
+        ("extended_rlc_sn_so_field_r13", _SUPPORTED, "?"),
+    ])),
+    ("mac_params_v1310", Seq([
+        ("extended_mac_len_field_r13", _SUPPORTED, "?"),
+        ("extended_long_drx_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("phy_layer_params_v1310", PHY_LAYER_PARAMS_V1310, "?"),
+    ("rf_params_v1310", RF_PARAMS_V1310, "?"),
+    ("meas_params_v1310", Seq([
+        ("rs_sinr_meas_r13", _SUPPORTED, "?"),
+        ("white_cell_list_r13", _SUPPORTED, "?"),
+        ("extended_max_obj_id_r13", _SUPPORTED, "?"),
+        ("ul_pdcp_delay_r13", _SUPPORTED, "?"),
+        ("extended_freq_priorities_r13", _SUPPORTED, "?"),
+        ("multi_band_info_report_r13", _SUPPORTED, "?"),
+        ("rssi_and_ch_occupancy_report_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("dc_params_v1310", Seq([
+        ("pdcp_transfer_split_ul_r13", _SUPPORTED, "?"),
+        ("ue_sstd_meas_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("sl_params_v1310", Seq([
+        ("disc_sys_info_report_r13", _SUPPORTED, "?"),
+        ("comm_multiple_tx_r13", _SUPPORTED, "?"),
+        ("disc_inter_freq_tx_r13", _SUPPORTED, "?"),
+        ("disc_periodic_slss_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("scptm_params_r13", Seq([
+        ("scptm_parallel_reception_r13", _SUPPORTED, "?"),
+        ("scptm_scell_r13", _SUPPORTED, "?"),
+        ("scptm_non_serving_cell_r13", _SUPPORTED, "?"),
+        ("scptm_async_dc_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("ce_params_r13", Seq([
+        ("ce_mode_a_r13", _SUPPORTED, "?"),
+        ("ce_mode_b_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("inter_rat_params_wlan_r13", Seq([
+        ("supported_band_list_wlan_r13",
+         SeqOf(WLAN_BAND_IND_R13, 1, 8), "?"),
+    ])),
+    ("laa_params_r13", Seq([
+        ("cross_carrier_sched_laa_dl_r13", _SUPPORTED, "?"),
+        ("csi_rs_drs_rrm_meass_laa_r13", _SUPPORTED, "?"),
+        ("dl_laa_r13", _SUPPORTED, "?"),
+        ("ending_dw_pts_r13", _SUPPORTED, "?"),
+        ("second_slot_start_position_r13", _SUPPORTED, "?"),
+        ("tm9_laa_r13", _SUPPORTED, "?"),
+        ("tm10_laa_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("lwa_params_r13", Seq([
+        ("lwa_r13", _SUPPORTED, "?"),
+        ("lwa_split_bearer_r13", _SUPPORTED, "?"),
+        ("wlan_mac_address_r13", OctStr(6, 6), "?"),
+        ("lwa_buffer_size_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("wlan_iw_params_v1310", Seq([
+        ("rclwi_r13", _SUPPORTED, "?"),
+    ])),
+    ("lwip_params_r13", Seq([
+        ("lwip_r13", _SUPPORTED, "?"),
+    ])),
+    ("fdd_add_ue_eutra_capabilities_v1310",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1310, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1310",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1310, "?"),
+    ("non_crit_ext_v1320", OctStr(), "?"),  # UE-EUTRA-Cap-v1320-IEs tail
+])
+
 UE_EUTRA_CAP_V1280 = Seq([
     ("phy_layer_params_v1280", Seq([
         ("alternative_tbs_indices_r12", _SUPPORTED, "?"),
     ]), "?"),
-    ("non_crit_ext_v1310", OctStr(), "?"),  # UE-EUTRA-Cap-v1310-IEs tail
+    ("non_crit_ext_v1310", UE_EUTRA_CAP_V1310, "?"),
 ])
 UE_EUTRA_CAP_V1270 = Seq([
     ("rf_params_v1270", Seq([

@@ -31,9 +31,10 @@ SEGFAULTS on any SL-CommTxPoolSensingConfig-r14, INTEROP.md R6, and
 that sched-mode V2X carries the small SL MAC config, not the full one);
 UE-EUTRA-Capability v1060/v1090 became structural (800/800 + 150
 targeted grafts), then the whole rel-11/rel-12 chain
-v1130..v1170..v1180..v11a0..v1250..v1260..v1270..v1280 with a
-dedicated chain-grafting lane (900/900 + 7 extra seeds) — the opaque
-tail now starts at the rel-13 v1310.
+v1130..v1170..v1180..v11a0..v1250..v1260..v1270..v1280..v1310 with a
+dedicated chain-grafting lane (900/900 + 8 extra seeds; the v1310 fuzz
+caught a missed four_layer_tm3_tm4_r13 presence flag in
+CA-MIMO-ParametersDL-r13) — the opaque tail now starts at v1320.
 """
 
 import hashlib
@@ -52,7 +53,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "5df445b82f9064209bb2b6bf7bc66a6cca8c270ef22572bcb957052358a41508"
+PINNED_SHA = "48a3212ce345516863b23b2189ebeec3a3b257f8d3be825454bb92355cfaca12"
 
 
 @pytest.fixture(scope="module")
@@ -65,7 +66,7 @@ def corpus():
 
 def test_corpus_shape_and_hash(corpus):
     # 6 channels + the bare UE-EUTRA-Capability lane + the capability
-    # v920..v1280 chain lane + the reconfiguration chain lane
+    # v920..v1310 chain lane + the reconfiguration chain lane
     assert len(corpus) == 9 * N_PER_CHANNEL
     h = hashlib.sha256()
     for chan, name, b in corpus:
