@@ -44,8 +44,8 @@ AVOID = {
     # schema as of r4: SCG dual connectivity, V2X sidelink,
     # LWA/LWIP/RCLWI, WLAN offload, sidelink disc/comm/sync, SCell ext
     # lists)
-    # the UE-EUTRA-Capability v1320+ tail stays an opaque
-    # container (v940..v1310 are structural as of r4: CA band combinations +
+    # the UE-EUTRA-Capability v1330+ tail stays an opaque
+    # container (v940..v1320 are structural as of r4: CA band combinations +
     # bandwidth-combination sets and extended band numbers, phy-layer
     # r10 params, feature_group_ind_rel10 and its xdd variants, the
     # whole rel-11 chain — r11 band combinations with bandInfoEUTRA,
@@ -55,8 +55,9 @@ AVOID = {
     # intra-band contiguous CC info, v1280 alternative TBS indices,
     # and the rel-13 v1310 level: categories m1/n17/n14, CE modes A/B,
     # LAA/LWA/LWIP/RCLWI, SCPTM, reduced band combinations r13,
-    # PUCCH format 4/5, blind-decoding caps, WLAN band list)
-    "non_crit_ext_v1320",
+    # PUCCH format 4/5, blind-decoding caps, WLAN band list, and the
+    # v1320 FD-MIMO class A/B capabilities + CE intra-freq mobility)
+    "non_crit_ext_v1330",
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
     # REFERENCE CRASH: sl_comm_tx_pool_sensing_cfg_r14_s::unpack
@@ -141,13 +142,14 @@ _UE_CAP_CHAIN = (
     ("UE_EUTRA_CAP_V1260", "non_crit_ext_v1270"),
     ("UE_EUTRA_CAP_V1270", "non_crit_ext_v1280"),
     ("UE_EUTRA_CAP_V1280", "non_crit_ext_v1310"),
-    ("UE_EUTRA_CAP_V1310", None),
+    ("UE_EUTRA_CAP_V1310", "non_crit_ext_v1320"),
+    ("UE_EUTRA_CAP_V1320", None),
 )
 
 
 def ue_cap_chain_corpus(n: int, seed: int):
     """Chain-heavy capability lane: every message carries the
-    v920->..->v1310 nonCriticalExtension chain to a random depth."""
+    v920->..->v1320 nonCriticalExtension chain to a random depth."""
     cfg = fuzz.FuzzConfig(avoid=AVOID)
     rng = np.random.default_rng(seed ^ zlib.crc32(b"ue_cap_chain"))
     out = []

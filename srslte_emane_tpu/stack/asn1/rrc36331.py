@@ -3469,6 +3469,97 @@ RF_PARAMS_V1310 = Seq([
 UE_EUTRA_CAP_ADD_XDD_MODE_V1310 = Seq([
     ("phy_layer_params_v1310", PHY_LAYER_PARAMS_V1310, "?"),
 ])
+SCPTM_PARAMS_R13 = Seq([
+    ("scptm_parallel_reception_r13", _SUPPORTED, "?"),
+    ("scptm_scell_r13", _SUPPORTED, "?"),
+    ("scptm_non_serving_cell_r13", _SUPPORTED, "?"),
+    ("scptm_async_dc_r13", _SUPPORTED, "?"),
+])
+
+# ---- UE-EUTRA-Capability v1320 (rrc_asn1.cc ue_eutra_cap_v1320_ies_s):
+# FD-MIMO (class A non-precoded / class B beamformed) UE capabilities
+# per TM9/TM10, CE mode A/B intra-freq mobility flags, and the v1320
+# band combinations carrying per-band-combination MIMO CA params.
+# mimo_beamformed_capabilities' n_max_list is an UNCONSTRAINED
+# dyn_bitstring (general length determinant).  v1330 tail opaque.
+MIMO_NON_PRECODED_CAPABILITIES_R13 = Seq([
+    ("cfg1_r13", _SUPPORTED, "?"),
+    ("cfg2_r13", _SUPPORTED, "?"),
+    ("cfg3_r13", _SUPPORTED, "?"),
+    ("cfg4_r13", _SUPPORTED, "?"),
+])
+MIMO_BEAMFORMED_CAPABILITIES_R13 = Seq([
+    ("k_max_r13", Int(1, 8)),
+    ("n_max_list_r13", UncBitStr(), "?"),
+])
+MIMO_UE_BEAMFORMED_CAPABILITIES_R13 = Seq([
+    ("alt_codebook_r13", _SUPPORTED, "?"),
+    ("mimo_beamformed_capabilities_r13",
+     SeqOf(MIMO_BEAMFORMED_CAPABILITIES_R13, 1, 4)),
+])
+MIMO_UE_PARAMS_PER_TM_R13 = Seq([
+    ("non_precoded_r13", MIMO_NON_PRECODED_CAPABILITIES_R13, "?"),
+    ("beamformed_r13", MIMO_UE_BEAMFORMED_CAPABILITIES_R13, "?"),
+    ("ch_meas_restrict_r13", _SUPPORTED, "?"),
+    ("dmrs_enhance_r13", _SUPPORTED, "?"),
+    ("csi_rs_enhance_tdd_r13", _SUPPORTED, "?"),
+])
+MIMO_UE_PARAMS_R13 = Seq([
+    ("params_tm9_r13", MIMO_UE_PARAMS_PER_TM_R13, "?"),
+    ("params_tm10_r13", MIMO_UE_PARAMS_PER_TM_R13, "?"),
+    ("srs_enhance_tdd_r13", _SUPPORTED, "?"),
+    ("srs_enhance_r13", _SUPPORTED, "?"),
+    ("interference_meas_restrict_r13", _SUPPORTED, "?"),
+])
+MIMO_CA_PARAMS_PER_BO_BC_PER_TM_R13 = Seq([
+    ("non_precoded_r13", MIMO_NON_PRECODED_CAPABILITIES_R13, "?"),
+    ("beamformed_r13", SeqOf(MIMO_BEAMFORMED_CAPABILITIES_R13, 1, 4), "?"),
+    ("dmrs_enhance_r13", _SUPPORTED, "?"),
+])
+MIMO_CA_PARAMS_PER_BO_BC_R13 = Seq([
+    ("params_tm9_r13", MIMO_CA_PARAMS_PER_BO_BC_PER_TM_R13, "?"),
+    ("params_tm10_r13", MIMO_CA_PARAMS_PER_BO_BC_PER_TM_R13, "?"),
+])
+BAND_COMBINATION_PARAMS_V1320 = Seq([
+    ("band_param_list_v1320", SeqOf(Seq([
+        ("band_params_dl_v1320", MIMO_CA_PARAMS_PER_BO_BC_R13),
+    ]), 1, 64), "?"),
+    ("add_rx_tx_performance_req_r13", _SUPPORTED, "?"),
+])
+RF_PARAMS_V1320 = Seq([
+    ("supported_band_list_eutra_v1320", SeqOf(Seq([
+        ("intra_freq_ce_need_for_gaps_r13", _SUPPORTED, "?"),
+        ("ue_pwr_class_n_r13", Enum(("class1", "class2", "class4")), "?"),
+    ]), 1, 64), "?"),
+    ("supported_band_combination_v1320",
+     SeqOf(BAND_COMBINATION_PARAMS_V1320, 1, 128), "?"),
+    ("supported_band_combination_add_v1320",
+     SeqOf(BAND_COMBINATION_PARAMS_V1320, 1, 256), "?"),
+    ("supported_band_combination_reduced_v1320",
+     SeqOf(BAND_COMBINATION_PARAMS_V1320, 1, 384), "?"),
+])
+PHY_LAYER_PARAMS_V1320 = Seq([
+    ("mimo_ue_params_r13", MIMO_UE_PARAMS_R13, "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1320 = Seq([
+    ("phy_layer_params_v1320", PHY_LAYER_PARAMS_V1320, "?"),
+    ("scptm_params_r13", SCPTM_PARAMS_R13, "?"),
+])
+UE_EUTRA_CAP_V1320 = Seq([
+    ("ce_params_v1320", Seq([
+        ("intra_freq_a3_ce_mode_a_r13", _SUPPORTED, "?"),
+        ("intra_freq_a3_ce_mode_b_r13", _SUPPORTED, "?"),
+        ("intra_freq_ho_ce_mode_a_r13", _SUPPORTED, "?"),
+        ("intra_freq_ho_ce_mode_b_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("phy_layer_params_v1320", PHY_LAYER_PARAMS_V1320, "?"),
+    ("rf_params_v1320", RF_PARAMS_V1320, "?"),
+    ("fdd_add_ue_eutra_capabilities_v1320",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1320, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1320",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1320, "?"),
+    ("non_crit_ext_v1330", OctStr(), "?"),  # UE-EUTRA-Cap-v1330-IEs tail
+])
 UE_EUTRA_CAP_V1310 = Seq([
     ("ue_category_dl_v1310", Enum(("n17", "m1")), "?"),
     ("ue_category_ul_v1310", Enum(("n14", "m1")), "?"),
@@ -3503,12 +3594,7 @@ UE_EUTRA_CAP_V1310 = Seq([
         ("disc_inter_freq_tx_r13", _SUPPORTED, "?"),
         ("disc_periodic_slss_r13", _SUPPORTED, "?"),
     ]), "?"),
-    ("scptm_params_r13", Seq([
-        ("scptm_parallel_reception_r13", _SUPPORTED, "?"),
-        ("scptm_scell_r13", _SUPPORTED, "?"),
-        ("scptm_non_serving_cell_r13", _SUPPORTED, "?"),
-        ("scptm_async_dc_r13", _SUPPORTED, "?"),
-    ]), "?"),
+    ("scptm_params_r13", SCPTM_PARAMS_R13, "?"),
     ("ce_params_r13", Seq([
         ("ce_mode_a_r13", _SUPPORTED, "?"),
         ("ce_mode_b_r13", _SUPPORTED, "?"),
@@ -3542,7 +3628,7 @@ UE_EUTRA_CAP_V1310 = Seq([
      UE_EUTRA_CAP_ADD_XDD_MODE_V1310, "?"),
     ("tdd_add_ue_eutra_capabilities_v1310",
      UE_EUTRA_CAP_ADD_XDD_MODE_V1310, "?"),
-    ("non_crit_ext_v1320", OctStr(), "?"),  # UE-EUTRA-Cap-v1320-IEs tail
+    ("non_crit_ext_v1320", UE_EUTRA_CAP_V1320, "?"),
 ])
 
 UE_EUTRA_CAP_V1280 = Seq([

@@ -31,10 +31,10 @@ SEGFAULTS on any SL-CommTxPoolSensingConfig-r14, INTEROP.md R6, and
 that sched-mode V2X carries the small SL MAC config, not the full one);
 UE-EUTRA-Capability v1060/v1090 became structural (800/800 + 150
 targeted grafts), then the whole rel-11/rel-12 chain
-v1130..v1170..v1180..v11a0..v1250..v1260..v1270..v1280..v1310 with a
-dedicated chain-grafting lane (900/900 + 8 extra seeds; the v1310 fuzz
-caught a missed four_layer_tm3_tm4_r13 presence flag in
-CA-MIMO-ParametersDL-r13) — the opaque tail now starts at v1320.
+v1130..v1170..v1180..v11a0..v1250..v1260..v1270..v1280..v1310..v1320
+with a dedicated chain-grafting lane (900/900 + extra seeds per level;
+the v1310 fuzz caught a missed four_layer_tm3_tm4_r13 presence flag in
+CA-MIMO-ParametersDL-r13) — the opaque tail now starts at v1330.
 """
 
 import hashlib
@@ -53,7 +53,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "48a3212ce345516863b23b2189ebeec3a3b257f8d3be825454bb92355cfaca12"
+PINNED_SHA = "d3055119f48f115450d7faad6f0a1ddc879768fde7de36356ae82bb7e4ec4702"
 
 
 @pytest.fixture(scope="module")
@@ -66,7 +66,7 @@ def corpus():
 
 def test_corpus_shape_and_hash(corpus):
     # 6 channels + the bare UE-EUTRA-Capability lane + the capability
-    # v920..v1310 chain lane + the reconfiguration chain lane
+    # v920..v1320 chain lane + the reconfiguration chain lane
     assert len(corpus) == 9 * N_PER_CHANNEL
     h = hashlib.sha256()
     for chan, name, b in corpus:
