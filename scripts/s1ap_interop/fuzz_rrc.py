@@ -44,8 +44,8 @@ AVOID = {
     # schema as of r4: SCG dual connectivity, V2X sidelink,
     # LWA/LWIP/RCLWI, WLAN offload, sidelink disc/comm/sync, SCell ext
     # lists)
-    # the UE-EUTRA-Capability v1330+ tail stays an opaque
-    # container (v940..v1320 are structural as of r4: CA band combinations +
+    # the UE-EUTRA-Capability v1430+ (rel-14) tail stays an opaque
+    # container (v940..v1360 are structural as of r4: CA band combinations +
     # bandwidth-combination sets and extended band numbers, phy-layer
     # r10 params, feature_group_ind_rel10 and its xdd variants, the
     # whole rel-11 chain — r11 band combinations with bandInfoEUTRA,
@@ -56,8 +56,10 @@ AVOID = {
     # and the rel-13 v1310 level: categories m1/n17/n14, CE modes A/B,
     # LAA/LWA/LWIP/RCLWI, SCPTM, reduced band combinations r13,
     # PUCCH format 4/5, blind-decoding caps, WLAN band list, and the
-    # v1320 FD-MIMO class A/B capabilities + CE intra-freq mobility)
-    "non_crit_ext_v1330",
+    # v1320 FD-MIMO class A/B capabilities + CE intra-freq mobility,
+    # and the v1330..v1360 interference-mitigation/category/CE-hopping
+    # levels)
+    "non_crit_ext_v1430",
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
     # REFERENCE CRASH: sl_comm_tx_pool_sensing_cfg_r14_s::unpack
@@ -143,13 +145,17 @@ _UE_CAP_CHAIN = (
     ("UE_EUTRA_CAP_V1270", "non_crit_ext_v1280"),
     ("UE_EUTRA_CAP_V1280", "non_crit_ext_v1310"),
     ("UE_EUTRA_CAP_V1310", "non_crit_ext_v1320"),
-    ("UE_EUTRA_CAP_V1320", None),
+    ("UE_EUTRA_CAP_V1320", "non_crit_ext_v1330"),
+    ("UE_EUTRA_CAP_V1330", "non_crit_ext_v1340"),
+    ("UE_EUTRA_CAP_V1340", "non_crit_ext_v1350"),
+    ("UE_EUTRA_CAP_V1350", "non_crit_ext_v1360"),
+    ("UE_EUTRA_CAP_V1360", None),
 )
 
 
 def ue_cap_chain_corpus(n: int, seed: int):
     """Chain-heavy capability lane: every message carries the
-    v920->..->v1320 nonCriticalExtension chain to a random depth."""
+    v920->..->v1360 nonCriticalExtension chain to a random depth."""
     cfg = fuzz.FuzzConfig(avoid=AVOID)
     rng = np.random.default_rng(seed ^ zlib.crc32(b"ue_cap_chain"))
     out = []

@@ -3545,6 +3545,42 @@ UE_EUTRA_CAP_ADD_XDD_MODE_V1320 = Seq([
     ("phy_layer_params_v1320", PHY_LAYER_PARAMS_V1320, "?"),
     ("scptm_params_r13", SCPTM_PARAMS_R13, "?"),
 ])
+# v1330..v1360 (rrc_asn1.cc ue_eutra_cap_v1330_ies_s :53057 and
+# onward): CCH/CRS interference-mitigation caps, categories DL 18/19 +
+# UL 15 (a zero-bit INTEGER (15..15)), presence-only v1350 categories,
+# CE unicast frequency hopping, in-device-coex hardware sharing.  The
+# rel-14 v1430 level remains the opaque tail.
+UE_EUTRA_CAP_V1360 = Seq([
+    ("other_params_v1360", Seq([
+        ("in_dev_coex_ind_hardware_sharing_ind_r13", _SUPPORTED, "?"),
+    ]), "?"),
+    ("non_crit_ext_v1430", OctStr(), "?"),  # UE-EUTRA-Cap-v1430-IEs tail
+])
+UE_EUTRA_CAP_V1350 = Seq([
+    # the -v1350 categories are presence-only in this vintage
+    ("ue_category_dl_v1350", _SUPPORTED, "?"),
+    ("ue_category_ul_v1350", _SUPPORTED, "?"),
+    ("ce_params_v1350", Seq([
+        ("unicast_freq_hop_r13", _SUPPORTED, "?"),
+    ])),
+    ("non_crit_ext_v1360", UE_EUTRA_CAP_V1360, "?"),
+])
+UE_EUTRA_CAP_V1340 = Seq([
+    ("ue_category_ul_v1340", Int(15, 15), "?"),  # zero bits, presence says 15
+    ("non_crit_ext_v1350", UE_EUTRA_CAP_V1350, "?"),
+])
+UE_EUTRA_CAP_V1330 = Seq([
+    ("ue_category_dl_v1330", Int(18, 19), "?"),
+    ("phy_layer_params_v1330", Seq([
+        ("cch_interf_mitigation_ref_rec_type_a_r13", _SUPPORTED, "?"),
+        ("cch_interf_mitigation_ref_rec_type_b_r13", _SUPPORTED, "?"),
+        ("cch_interf_mitigation_max_num_ccs_r13", Int(1, 32), "?"),
+        ("crs_interf_mitigation_tm1to_tm9_r13", Int(1, 32), "?"),
+    ]), "?"),
+    ("ue_ce_need_ul_gaps_r13", _SUPPORTED, "?"),
+    ("non_crit_ext_v1340", UE_EUTRA_CAP_V1340, "?"),
+])
+
 UE_EUTRA_CAP_V1320 = Seq([
     ("ce_params_v1320", Seq([
         ("intra_freq_a3_ce_mode_a_r13", _SUPPORTED, "?"),
@@ -3558,7 +3594,7 @@ UE_EUTRA_CAP_V1320 = Seq([
      UE_EUTRA_CAP_ADD_XDD_MODE_V1320, "?"),
     ("tdd_add_ue_eutra_capabilities_v1320",
      UE_EUTRA_CAP_ADD_XDD_MODE_V1320, "?"),
-    ("non_crit_ext_v1330", OctStr(), "?"),  # UE-EUTRA-Cap-v1330-IEs tail
+    ("non_crit_ext_v1330", UE_EUTRA_CAP_V1330, "?"),
 ])
 UE_EUTRA_CAP_V1310 = Seq([
     ("ue_category_dl_v1310", Enum(("n17", "m1")), "?"),

@@ -31,10 +31,11 @@ SEGFAULTS on any SL-CommTxPoolSensingConfig-r14, INTEROP.md R6, and
 that sched-mode V2X carries the small SL MAC config, not the full one);
 UE-EUTRA-Capability v1060/v1090 became structural (800/800 + 150
 targeted grafts), then the whole rel-11/rel-12 chain
-v1130..v1170..v1180..v11a0..v1250..v1260..v1270..v1280..v1310..v1320
-with a dedicated chain-grafting lane (900/900 + extra seeds per level;
-the v1310 fuzz caught a missed four_layer_tm3_tm4_r13 presence flag in
-CA-MIMO-ParametersDL-r13) — the opaque tail now starts at v1330.
+the full rel-11/12/13 chain v1130..v1360 (19 levels) with a dedicated
+chain-grafting lane (900/900 + extra seeds per level; the v1310 fuzz
+caught a missed four_layer_tm3_tm4_r13 presence flag in
+CA-MIMO-ParametersDL-r13) — the opaque tail now starts at the rel-14
+v1430.
 """
 
 import hashlib
@@ -53,7 +54,7 @@ import fuzz_rrc  # noqa: E402
 N_PER_CHANNEL = 100
 SEED = 1
 # sha256 over the concatenated corpus encodings (deterministic generator)
-PINNED_SHA = "d3055119f48f115450d7faad6f0a1ddc879768fde7de36356ae82bb7e4ec4702"
+PINNED_SHA = "8c97e2d4d2e71e848e647bd2aad9e7ac24f78b98fa092184418597a2eb518c2b"
 
 
 @pytest.fixture(scope="module")
@@ -66,7 +67,7 @@ def corpus():
 
 def test_corpus_shape_and_hash(corpus):
     # 6 channels + the bare UE-EUTRA-Capability lane + the capability
-    # v920..v1320 chain lane + the reconfiguration chain lane
+    # v920..v1360 chain lane + the reconfiguration chain lane
     assert len(corpus) == 9 * N_PER_CHANNEL
     h = hashlib.sha256()
     for chan, name, b in corpus:
