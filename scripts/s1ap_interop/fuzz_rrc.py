@@ -44,22 +44,14 @@ AVOID = {
     # schema as of r4: SCG dual connectivity, V2X sidelink,
     # LWA/LWIP/RCLWI, WLAN offload, sidelink disc/comm/sync, SCell ext
     # lists)
-    # the UE-EUTRA-Capability v1430+ (rel-14) tail stays an opaque
-    # container (v940..v1360 are structural as of r4: CA band combinations +
-    # bandwidth-combination sets and extended band numbers, phy-layer
-    # r10 params, feature_group_ind_rel10 and its xdd variants, the
-    # whole rel-11 chain — r11 band combinations with bandInfoEUTRA,
-    # ePDCCH/CoMP phy flags, MBMS params, categories v1170/v11a0 —
-    # and the rel-12 level: DL/UL categories, NAICS, DC support,
-    # sidelink params, 256QAM band list, WLAN interworking, v1270
-    # intra-band contiguous CC info, v1280 alternative TBS indices,
-    # and the rel-13 v1310 level: categories m1/n17/n14, CE modes A/B,
-    # LAA/LWA/LWIP/RCLWI, SCPTM, reduced band combinations r13,
-    # PUCCH format 4/5, blind-decoding caps, WLAN band list, and the
-    # v1320 FD-MIMO class A/B capabilities + CE intra-freq mobility,
-    # and the v1330..v1360 interference-mitigation/category/CE-hopping
-    # levels)
-    "non_crit_ext_v1430",
+    # (the UE-EUTRA-Capability chain is structural ALL the way:
+    # v920..v1360 as of r4, and round 5 closed the rel-14/rel-15 tail —
+    # v1430 (CE enhancements, FD-MIMO CSI r14, V2X band combinations,
+    # LAA/LWA/LWIP, MMTel/mobility/HST), v1440/v1450/v1460 (MUST band
+    # combinations, overheating ind), v1510 (EN-DC, NR band list, EUTRA
+    # feature sets, NR PDCP), v1520/v1530 (sTTI/SPT, URLLC, UDC,
+    # 1024QAM, sidelink r15) — the chain terminates at v1530 exactly as
+    # the reference vintage does)
     # empty future-extension arms: legal but informationless
     "msg_class_ext", "crit_exts_future",
     # REFERENCE CRASH: sl_comm_tx_pool_sensing_cfg_r14_s::unpack
@@ -149,13 +141,20 @@ _UE_CAP_CHAIN = (
     ("UE_EUTRA_CAP_V1330", "non_crit_ext_v1340"),
     ("UE_EUTRA_CAP_V1340", "non_crit_ext_v1350"),
     ("UE_EUTRA_CAP_V1350", "non_crit_ext_v1360"),
-    ("UE_EUTRA_CAP_V1360", None),
+    ("UE_EUTRA_CAP_V1360", "non_crit_ext_v1430"),
+    ("UE_EUTRA_CAP_V1430", "non_crit_ext_v1440"),
+    ("UE_EUTRA_CAP_V1440", "non_crit_ext_v1450"),
+    ("UE_EUTRA_CAP_V1450", "non_crit_ext_v1460"),
+    ("UE_EUTRA_CAP_V1460", "non_crit_ext_v1510"),
+    ("UE_EUTRA_CAP_V1510", "non_crit_ext_v1520"),
+    ("UE_EUTRA_CAP_V1520", "non_crit_ext_v1530"),
+    ("UE_EUTRA_CAP_V1530", None),
 )
 
 
 def ue_cap_chain_corpus(n: int, seed: int):
     """Chain-heavy capability lane: every message carries the
-    v920->..->v1360 nonCriticalExtension chain to a random depth."""
+    v920->..->v1530 nonCriticalExtension chain to a random depth."""
     cfg = fuzz.FuzzConfig(avoid=AVOID)
     rng = np.random.default_rng(seed ^ zlib.crc32(b"ue_cap_chain"))
     out = []

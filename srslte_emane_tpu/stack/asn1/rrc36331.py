@@ -3545,16 +3545,620 @@ UE_EUTRA_CAP_ADD_XDD_MODE_V1320 = Seq([
     ("phy_layer_params_v1320", PHY_LAYER_PARAMS_V1320, "?"),
     ("scptm_params_r13", SCPTM_PARAMS_R13, "?"),
 ])
+# ---- rel-14 v1430 level (rrc_asn1.cc ue_eutra_cap_v1430_ies_s::pack
+# :108259): eMTC CE enhancements, rel-14 FD-MIMO CSI additions, V2X
+# sidelink band combinations, LAA/LWA/LWIP updates, MMTel/mobility/HST
+# params, and the v1430 band-combination tree (256QAM UL per CC,
+# retuning times).  Categories dl-v1430 and ul-v1430b are PRESENCE-ONLY
+# in this vintage (no value bits). ----
+_N_MAX_RES_R14 = Enum(("ffs1", "ffs2", "ffs3", "ffs4"))
+MIMO_UE_PARAMS_PER_TM_V1430 = Seq([
+    ("nzp_csi_rs_aperiodic_info_r14", Seq([
+        ("n_max_proc_r14", Int(5, 32)),
+        ("n_max_res_r14", _N_MAX_RES_R14),
+    ]), "?"),
+    ("nzp_csi_rs_periodic_info_r14", Seq([
+        ("n_max_res_r14", _N_MAX_RES_R14),
+    ]), "?"),
+    ("zp_csi_rs_aperiodic_info_r14", _SUPPORTED, "?"),
+    ("ul_dmrs_enhance_r14", _SUPPORTED, "?"),
+    ("density_reduction_np_r14", _SUPPORTED, "?"),
+    ("density_reduction_bf_r14", _SUPPORTED, "?"),
+    ("hybrid_csi_r14", _SUPPORTED, "?"),
+    ("semi_ol_r14", _SUPPORTED, "?"),
+    ("csi_report_np_r14", _SUPPORTED, "?"),
+    ("csi_report_advanced_r14", _SUPPORTED, "?"),
+])
+MIMO_UE_PARAMS_V1430 = Seq([
+    ("params_tm9_v1430", MIMO_UE_PARAMS_PER_TM_V1430, "?"),
+    ("params_tm10_v1430", MIMO_UE_PARAMS_PER_TM_V1430, "?"),
+])
+PHY_LAYER_PARAMS_V1430 = Seq([
+    ("ce_pusch_nb_max_tbs_r14", _SUPPORTED, "?"),
+    ("ce_pdsch_pusch_max_bw_r14", Enum(("bw5", "bw20")), "?"),
+    ("ce_harq_ack_bundling_r14", _SUPPORTED, "?"),
+    ("ce_pdsch_ten_processes_r14", _SUPPORTED, "?"),
+    ("ce_retuning_symbols_r14", Enum(("n0", "n1")), "?"),
+    ("ce_pdsch_pusch_enhancement_r14", _SUPPORTED, "?"),
+    ("ce_sched_enhancement_r14", _SUPPORTED, "?"),
+    ("ce_srs_enhancement_r14", _SUPPORTED, "?"),
+    ("ce_pucch_enhancement_r14", _SUPPORTED, "?"),
+    ("ce_closed_loop_tx_ant_sel_r14", _SUPPORTED, "?"),
+    ("tdd_special_sf_r14", _SUPPORTED, "?"),
+    ("tdd_tti_bundling_r14", _SUPPORTED, "?"),
+    ("dmrs_less_up_pts_r14", _SUPPORTED, "?"),
+    ("mimo_ue_params_v1430", MIMO_UE_PARAMS_V1430, "?"),
+    ("alternative_tbs_idx_r14", _SUPPORTED, "?"),
+    ("fe_mbms_unicast_params_r14", Seq([
+        ("unicast_fembms_mixed_scell_r14", _SUPPORTED, "?"),
+        ("empty_unicast_region_r14", _SUPPORTED, "?"),
+    ]), "?"),
+])
+MIMO_CA_PARAMS_PER_BO_BC_PER_TM_V1430 = Seq([
+    ("csi_report_np_r14", _SUPPORTED, "?"),
+    ("csi_report_advanced_r14", _SUPPORTED, "?"),
+])
+MIMO_CA_PARAMS_PER_BO_BC_V1430 = Seq([
+    ("params_tm9_v1430", MIMO_CA_PARAMS_PER_BO_BC_PER_TM_V1430, "?"),
+    ("params_tm10_v1430", MIMO_CA_PARAMS_PER_BO_BC_PER_TM_V1430, "?"),
+])
+_RF_RETUNING_TIME_R14 = Enum((
+    "n0", "n0dot5", "n1", "n1dot5", "n2", "n2dot5", "n3", "n3dot5",
+    "n4", "n4dot5", "n5", "n5dot5", "n6", "n6dot5", "n7", "spare1"))
+RETUNING_TIME_INFO_R14 = Seq([
+    ("retuning_info", Seq([
+        ("rf_retuning_time_dl_r14", _RF_RETUNING_TIME_R14, "?"),
+        ("rf_retuning_time_ul_r14", _RF_RETUNING_TIME_R14, "?"),
+    ])),
+])
+BAND_PARAMS_V1430 = Seq([
+    ("band_params_dl_v1430", MIMO_CA_PARAMS_PER_BO_BC_V1430, "?"),
+    ("ul_minus256_qam_r14", _SUPPORTED, "?"),
+    ("ul_minus256_qam_per_cc_info_list_r14", SeqOf(Seq([
+        ("ul_minus256_qam_per_cc_r14", _SUPPORTED, "?"),
+    ]), 2, 32), "?"),
+    ("retuning_time_info_band_list_r14",
+     SeqOf(RETUNING_TIME_INFO_R14, 1, 64), "?"),
+])
+BAND_COMBINATION_PARAMS_V1430 = Seq([
+    ("band_param_list_v1430", SeqOf(BAND_PARAMS_V1430, 1, 64), "?"),
+    ("v2x_supported_tx_band_comb_list_per_bc_r14", UncBitStr(), "?"),
+    ("v2x_supported_rx_band_comb_list_per_bc_r14", UncBitStr(), "?"),
+])
+BAND_IND_R14 = Seq([
+    ("band_eutra_r14", Int(1, 256)),
+    ("ca_bw_class_dl_r14", CA_BW_CLASS_R10),
+    ("ca_bw_class_ul_r14", CA_BW_CLASS_R10, "?"),
+])
+RF_PARAMS_V1430 = Seq([
+    ("supported_band_combination_v1430",
+     SeqOf(BAND_COMBINATION_PARAMS_V1430, 1, 128), "?"),
+    ("supported_band_combination_add_v1430",
+     SeqOf(BAND_COMBINATION_PARAMS_V1430, 1, 256), "?"),
+    ("supported_band_combination_reduced_v1430",
+     SeqOf(BAND_COMBINATION_PARAMS_V1430, 1, 384), "?"),
+    ("e_nb_requested_params_v1430", Seq([
+        ("requested_diff_fallback_comb_list_r14",
+         SeqOf(SeqOf(BAND_IND_R14, 1, 64), 1, 384)),
+    ]), "?"),
+    ("diff_fallback_comb_report_r14", _SUPPORTED, "?"),
+])
+# V2X-BandwidthClass-r14: root a..f, extension addition c1-v1530
+V2X_BW_CLASS_R14 = Enum(("a", "b", "c", "d", "e", "f", "c1_v1530"),
+                        ext=True, n_root=6)
+V2X_BAND_PARAMS_R14 = Seq([
+    ("v2x_freq_band_eutra_r14", Int(1, 256)),
+    ("band_params_tx_sl_r14", Seq([
+        ("v2x_bw_class_tx_sl_r14", SeqOf(V2X_BW_CLASS_R14, 1, 16)),
+        ("v2x_e_nb_sched_r14", _SUPPORTED, "?"),
+        ("v2x_high_pwr_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("band_params_rx_sl_r14", Seq([
+        ("v2x_bw_class_rx_sl_r14", SeqOf(V2X_BW_CLASS_R14, 1, 16)),
+        ("v2x_high_reception_r14", _SUPPORTED, "?"),
+    ]), "?"),
+])
+SL_PARAMS_V1430 = Seq([
+    ("zone_based_pool_sel_r14", _SUPPORTED, "?"),
+    ("ue_autonomous_with_full_sensing_r14", _SUPPORTED, "?"),
+    ("ue_autonomous_with_partial_sensing_r14", _SUPPORTED, "?"),
+    ("sl_congestion_ctrl_r14", _SUPPORTED, "?"),
+    ("v2x_tx_with_short_resv_interv_r14", _SUPPORTED, "?"),
+    ("v2x_num_tx_rx_timing_r14", Int(1, 16), "?"),
+    ("v2x_non_adjacent_pscch_pssch_r14", _SUPPORTED, "?"),
+    ("slss_tx_rx_r14", _SUPPORTED, "?"),
+    ("v2x_supported_band_combination_list_r14",
+     SeqOf(SeqOf(V2X_BAND_PARAMS_R14, 1, 64), 1, 384), "?"),
+])
+_ROHC_MAX_SESSIONS_R14 = Enum((
+    "cs2", "cs4", "cs8", "cs12", "cs16", "cs24", "cs32", "cs48",
+    "cs64", "cs128", "cs256", "cs512", "cs1024", "cs16384",
+    "spare2", "spare1"))
+MMTEL_PARAMS_R14 = Seq([
+    ("delay_budget_report_r14", _SUPPORTED, "?"),
+    ("pusch_enhance_r14", _SUPPORTED, "?"),
+    ("recommended_bit_rate_r14", _SUPPORTED, "?"),
+    ("recommended_bit_rate_query_r14", _SUPPORTED, "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1430 = Seq([
+    ("phy_layer_params_v1430", PHY_LAYER_PARAMS_V1430, "?"),
+    ("mmtel_params_r14", MMTEL_PARAMS_R14, "?"),
+])
+
+# ---- rel-15 v1510 level (NR interworking: EN-DC, NR band list,
+# EUTRA feature sets, NR PDCP) ----
+FEATURE_SET_DL_PER_CC_R15 = Seq([
+    ("four_layer_tm3_tm4_r15", _SUPPORTED, "?"),
+    ("supported_mimo_cap_dl_r15",
+     Enum(("two_layers", "four_layers", "eight_layers")), "?"),
+    ("supported_csi_proc_r15", Enum(("n1", "n3", "n4")), "?"),
+])
+FEATURE_SET_UL_PER_CC_R15 = Seq([
+    ("supported_mimo_cap_ul_r15", Enum(("two_layers", "four_layers")), "?"),
+    ("ul_minus256_qam_r15", _SUPPORTED, "?"),
+])
+MIMO_CA_PARAMS_PER_BO_BC_PER_TM_R15 = Seq([
+    ("non_precoded_r13", MIMO_NON_PRECODED_CAPABILITIES_R13, "?"),
+    ("beamformed_r13",
+     SeqOf(MIMO_BEAMFORMED_CAPABILITIES_R13, 1, 4), "?"),
+    ("dmrs_enhance_r13", _SUPPORTED, "?"),
+    ("csi_report_np_r14", _SUPPORTED, "?"),
+    ("csi_report_advanced_r14", _SUPPORTED, "?"),
+])
+MIMO_CA_PARAMS_PER_BO_BC_R15 = Seq([
+    ("params_tm9_r15", MIMO_CA_PARAMS_PER_BO_BC_PER_TM_R15, "?"),
+    ("params_tm10_r15", MIMO_CA_PARAMS_PER_BO_BC_PER_TM_R15, "?"),
+])
+FEATURE_SET_DL_R15 = Seq([
+    ("mimo_ca_params_per_bo_bc_r15", MIMO_CA_PARAMS_PER_BO_BC_R15, "?"),
+    ("feature_set_per_cc_list_dl_r15", SeqOf(Int(0, 32), 1, 32)),
+])
+FEATURE_SET_UL_R15 = Seq([
+    ("feature_set_per_cc_list_ul_r15", SeqOf(Int(0, 32), 1, 32)),
+])
+FEATURE_SETS_EUTRA_R15 = Seq([
+    ("feature_sets_dl_r15", SeqOf(FEATURE_SET_DL_R15, 1, 256), "?"),
+    ("feature_sets_dl_per_cc_r15",
+     SeqOf(FEATURE_SET_DL_PER_CC_R15, 1, 32), "?"),
+    ("feature_sets_ul_r15", SeqOf(FEATURE_SET_UL_R15, 1, 256), "?"),
+    ("feature_sets_ul_per_cc_r15",
+     SeqOf(FEATURE_SET_UL_PER_CC_R15, 1, 32), "?"),
+], ext=True)
+PDCP_PARAMS_NR_R15 = Seq([
+    ("rohc_profiles_r15", Seq([
+        ("profile0x0001_r15", Bool()), ("profile0x0002_r15", Bool()),
+        ("profile0x0003_r15", Bool()), ("profile0x0004_r15", Bool()),
+        ("profile0x0006_r15", Bool()), ("profile0x0101_r15", Bool()),
+        ("profile0x0102_r15", Bool()), ("profile0x0103_r15", Bool()),
+        ("profile0x0104_r15", Bool()),
+    ])),
+    ("rohc_context_max_sessions_r15", _ROHC_MAX_SESSIONS_R14, "?"),
+    ("rohc_context_continue_r15", _SUPPORTED, "?"),
+    ("out_of_order_delivery_r15", _SUPPORTED, "?"),
+    ("sn_size_lo_r15", _SUPPORTED, "?"),
+    ("ims_voice_over_nr_pdcp_mcg_bearer_r15", _SUPPORTED, "?"),
+    ("ims_voice_over_nr_pdcp_scg_bearer_r15", _SUPPORTED, "?"),
+    ("rohc_profiles_ul_only_r15", Seq([
+        ("profile0x0006_r15", Bool()),
+    ])),
+])
+IRAT_PARAMS_NR_R15 = Seq([
+    ("en_dc_r15", _SUPPORTED, "?"),
+    ("event_b2_r15", _SUPPORTED, "?"),
+    ("supported_band_list_nr_r15", SeqOf(Seq([
+        ("band_nr_r15", Int(1, 1024)),
+    ]), 1, 1024), "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1510 = Seq([
+    ("pdcp_params_nr_r15", PDCP_PARAMS_NR_R15, "?"),
+])
+
+# ---- rel-15 v1520/v1530 levels (sTTI/SPT, URLLC, UDC, 1024QAM) ----
+_DL_UL_CCS_R15 = Seq([
+    ("max_num_dl_ccs_r15", Int(1, 32), "?"),
+    ("max_num_ul_ccs_r15", Int(1, 32), "?"),
+])
+STTI_SUPPORTED_COMBINATIONS_R15 = Seq([
+    ("combination_minus22_r15", _DL_UL_CCS_R15, "?"),
+    ("combination_minus77_r15", _DL_UL_CCS_R15, "?"),
+    ("combination_minus27_r15", _DL_UL_CCS_R15, "?"),
+    ("combination_minus22_minus27_r15", SeqOf(_DL_UL_CCS_R15, 1, 2), "?"),
+    ("combination_minus77_minus22_r15", SeqOf(_DL_UL_CCS_R15, 1, 2), "?"),
+    ("combination_minus77_minus27_r15", SeqOf(_DL_UL_CCS_R15, 1, 2), "?"),
+])
+CA_MIMO_PARAMS_DL_R15 = Seq([
+    ("supported_mimo_cap_dl_r15",
+     Enum(("two_layers", "four_layers", "eight_layers")), "?"),
+    ("four_layer_tm3_tm4_r15", _SUPPORTED, "?"),
+    ("intra_band_contiguous_cc_info_list_r15",
+     SeqOf(INTRA_BAND_CONTIGUOUS_CC_INFO_R12, 1, 32), "?"),
+])
+CA_MIMO_PARAMS_UL_R15 = Seq([
+    ("supported_mimo_cap_ul_r15",
+     Enum(("two_layers", "four_layers")), "?"),
+])
+STTI_SPT_BAND_PARAMS_R15 = Seq([
+    ("dl_minus1024_qam_slot_r15", _SUPPORTED, "?"),
+    ("dl_minus1024_qam_subslot_ta_minus1_r15", _SUPPORTED, "?"),
+    ("dl_minus1024_qam_subslot_ta_minus2_r15", _SUPPORTED, "?"),
+    ("simul_tx_different_tx_dur_r15", _SUPPORTED, "?"),
+    ("s_tti_ca_mimo_params_dl_r15", CA_MIMO_PARAMS_DL_R15, "?"),
+    ("s_tti_fd_mimo_coexistence", _SUPPORTED, "?"),
+    ("s_tti_ca_mimo_params_ul_r15", CA_MIMO_PARAMS_UL_R15),
+    ("s_tti_mimo_ca_params_per_bo_bcs_r15",
+     MIMO_CA_PARAMS_PER_BO_BC_R13, "?"),
+    ("s_tti_mimo_ca_params_per_bo_bcs_v1530",
+     MIMO_CA_PARAMS_PER_BO_BC_V1430, "?"),
+    ("s_tti_supported_combinations_r15",
+     STTI_SUPPORTED_COMBINATIONS_R15, "?"),
+    ("s_tti_supported_csi_proc_r15", Enum(("n1", "n3", "n4")), "?"),
+    ("ul_minus256_qam_slot_r15", _SUPPORTED, "?"),
+    ("ul_minus256_qam_subslot_r15", _SUPPORTED, "?"),
+], ext=True)
+BAND_PARAMS_V1530 = Seq([
+    ("ue_tx_ant_sel_srs_minus1_t4_r_r15", _SUPPORTED, "?"),
+    ("ue_tx_ant_sel_srs_minus2_t4_r_minus2_pairs_r15", _SUPPORTED, "?"),
+    ("ue_tx_ant_sel_srs_minus2_t4_r_minus3_pairs_r15", _SUPPORTED, "?"),
+    ("dl_minus1024_qam_r15", _SUPPORTED, "?"),
+    ("qcl_type_c_operation_r15", _SUPPORTED, "?"),
+    ("qcl_cri_based_csi_report_r15", _SUPPORTED, "?"),
+    ("stti_spt_band_params_r15", STTI_SPT_BAND_PARAMS_R15, "?"),
+])
+BAND_COMBINATION_PARAMS_V1530 = Seq([
+    ("band_param_list_v1530", SeqOf(BAND_PARAMS_V1530, 1, 64), "?"),
+    ("spt_params_r15", Seq([
+        ("frame_structure_type_spt_r15", BitStr(3), "?"),
+        ("max_num_ccs_spt_r15", Int(1, 32), "?"),
+    ]), "?"),
+])
+RF_PARAMS_V1530 = Seq([
+    ("s_tti_spt_supported_r15", _SUPPORTED, "?"),
+    ("supported_band_combination_v1530",
+     SeqOf(BAND_COMBINATION_PARAMS_V1530, 1, 128), "?"),
+    ("supported_band_combination_add_v1530",
+     SeqOf(BAND_COMBINATION_PARAMS_V1530, 1, 256), "?"),
+    ("supported_band_combination_reduced_v1530",
+     SeqOf(BAND_COMBINATION_PARAMS_V1530, 1, 384), "?"),
+    ("pwr_class_minus14dbm_r15", _SUPPORTED, "?"),
+])
+STTI_SPT_CAPABILITIES_R15 = Seq([
+    ("aperiodic_csi_report_stti_r15", _SUPPORTED, "?"),
+    ("dmrs_based_spdcch_mbsfn_r15", _SUPPORTED, "?"),
+    ("dmrs_based_spdcch_non_mbsfn_r15", _SUPPORTED, "?"),
+    ("dmrs_position_pattern_r15", _SUPPORTED, "?"),
+    ("dmrs_sharing_subslot_pdsch_r15", _SUPPORTED, "?"),
+    ("dmrs_repeat_subslot_pdsch_r15", _SUPPORTED, "?"),
+    ("epdcch_spt_different_cells_r15", _SUPPORTED, "?"),
+    ("epdcch_stti_different_cells_r15", _SUPPORTED, "?"),
+    ("max_layers_slot_or_subslot_pusch_r15",
+     Enum(("one_layer", "two_layers", "four_layers")), "?"),
+    ("max_num_updated_csi_proc_spt_r15", Int(5, 32), "?"),
+    ("max_num_updated_csi_proc_stti_comb77_r15", Int(1, 32), "?"),
+    ("max_num_updated_csi_proc_stti_comb27_r15", Int(1, 32), "?"),
+    ("max_num_updated_csi_proc_stti_comb22_set1_r15", Int(1, 32), "?"),
+    ("max_num_updated_csi_proc_stti_comb22_set2_r15", Int(1, 32), "?"),
+    ("mimo_ue_params_stti_r15", MIMO_UE_PARAMS_R13, "?"),
+    ("mimo_ue_params_stti_v1530", MIMO_UE_PARAMS_V1430, "?"),
+    ("nof_blind_decodes_uss_r15", Int(4, 32), "?"),
+    ("pdsch_slot_subslot_pdsch_decoding_r15", _SUPPORTED, "?"),
+    ("pwr_uci_slot_pusch", _SUPPORTED, "?"),
+    ("pwr_uci_subslot_pusch", _SUPPORTED, "?"),
+    ("slot_pdsch_tx_div_tm9and10", _SUPPORTED, "?"),
+    ("subslot_pdsch_tx_div_tm9and10", _SUPPORTED, "?"),
+    ("spdcch_different_rs_types_r15", _SUPPORTED, "?"),
+    ("srs_dci7_triggering_fs2_r15", _SUPPORTED, "?"),
+    ("sps_cyclic_shift_r15", _SUPPORTED, "?"),
+    ("spdcch_reuse_r15", _SUPPORTED, "?"),
+    ("sps_stti_r15", Enum(("slot", "subslot", "slot_and_subslot")), "?"),
+    ("tm8_slot_pdsch_r15", _SUPPORTED, "?"),
+    ("tm9_slot_subslot_r15", _SUPPORTED, "?"),
+    ("tm9_slot_subslot_mbsfn_r15", _SUPPORTED, "?"),
+    ("tm10_slot_subslot_r15", _SUPPORTED, "?"),
+    ("tm10_slot_subslot_mbsfn_r15", _SUPPORTED, "?"),
+    ("tx_div_spucch_r15", _SUPPORTED, "?"),
+    ("ul_async_harq_sharing_diff_tti_lens_r15", _SUPPORTED, "?"),
+])
+CE_CAPABILITIES_R15 = Seq([
+    ("ce_crs_intf_mitig_r15", _SUPPORTED, "?"),
+    ("ce_cqi_alternative_table_r15", _SUPPORTED, "?"),
+    ("ce_pdsch_flex_start_prb_ce_mode_a_r15", _SUPPORTED, "?"),
+    ("ce_pdsch_flex_start_prb_ce_mode_b_r15", _SUPPORTED, "?"),
+    ("ce_pdsch_minus64_qam_r15", _SUPPORTED, "?"),
+    ("ce_pusch_flex_start_prb_ce_mode_a_r15", _SUPPORTED, "?"),
+    ("ce_pusch_flex_start_prb_ce_mode_b_r15", _SUPPORTED, "?"),
+    ("ce_pusch_sub_prb_alloc_r15", _SUPPORTED, "?"),
+    ("ce_ul_harq_ack_feedback_r15", _SUPPORTED, "?"),
+])
+URLLC_CAPABILITIES_R15 = Seq([
+    ("pdsch_rep_sf_r15", _SUPPORTED, "?"),
+    ("pdsch_rep_slot_r15", _SUPPORTED, "?"),
+    ("pdsch_rep_subslot_r15", _SUPPORTED, "?"),
+    ("pusch_sps_multi_cfg_sf_r15", Int(0, 6), "?"),
+    ("pusch_sps_max_cfg_sf_r15", Int(0, 31), "?"),
+    ("pusch_sps_multi_cfg_slot_r15", Int(0, 6), "?"),
+    ("pusch_sps_max_cfg_slot_r15", Int(0, 31), "?"),
+    ("pusch_sps_multi_cfg_subslot_r15", Int(0, 6), "?"),
+    ("pusch_sps_max_cfg_subslot_r15", Int(0, 31), "?"),
+    ("pusch_sps_slot_rep_pcell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_slot_rep_ps_cell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_slot_rep_scell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_sf_rep_pcell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_sf_rep_ps_cell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_sf_rep_scell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_subslot_rep_pcell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_subslot_rep_ps_cell_r15", _SUPPORTED, "?"),
+    ("pusch_sps_subslot_rep_scell_r15", _SUPPORTED, "?"),
+    ("semi_static_cfi_r15", _SUPPORTED, "?"),
+    ("semi_static_cfi_pattern_r15", _SUPPORTED, "?"),
+])
+PHY_LAYER_PARAMS_V1530 = Seq([
+    ("stti_spt_capabilities_r15", STTI_SPT_CAPABILITIES_R15, "?"),
+    ("ce_capabilities_r15", CE_CAPABILITIES_R15, "?"),
+    ("short_cqi_for_scell_activation_r15", _SUPPORTED, "?"),
+    ("mimo_cbsr_advanced_csi_r15", _SUPPORTED, "?"),
+    ("crs_intf_mitig_r15", _SUPPORTED, "?"),
+    ("ul_pwr_ctrl_enhance_r15", _SUPPORTED, "?"),
+    ("urllc_capabilities_r15", URLLC_CAPABILITIES_R15, "?"),
+    ("alt_mcs_table_r15", _SUPPORTED, "?"),
+])
+MAC_PARAMS_V1530 = Seq([
+    ("min_proc_timeline_subslot_r15",
+     SeqOf(Enum(("set1", "set2")), 1, 3), "?"),
+    ("skip_sf_processing_r15", Seq([
+        ("skip_processing_dl_slot_r15", Int(0, 3), "?"),
+        ("skip_processing_dl_sub_slot_r15", Int(0, 3), "?"),
+        ("skip_processing_ul_slot_r15", Int(0, 3), "?"),
+        ("skip_processing_ul_sub_slot_r15", Int(0, 3), "?"),
+    ]), "?"),
+    ("early_data_up_r15", _SUPPORTED, "?"),
+    ("dormant_scell_state_r15", _SUPPORTED, "?"),
+    ("direct_scell_activation_r15", _SUPPORTED, "?"),
+    ("direct_scell_hibernation_r15", _SUPPORTED, "?"),
+    ("extended_lcid_dupl_r15", _SUPPORTED, "?"),
+    ("sps_serving_cell_r15", _SUPPORTED, "?"),
+])
+NEIGH_CELL_SI_ACQ_PARAMS_V1530 = Seq([
+    ("report_cgi_nr_en_dc_r15", _SUPPORTED, "?"),
+    ("report_cgi_nr_no_en_dc_r15", _SUPPORTED, "?"),
+])
+UE_EUTRA_CAP_ADD_XDD_MODE_V1530 = Seq([
+    ("neigh_cell_si_acquisition_params_v1530",
+     NEIGH_CELL_SI_ACQ_PARAMS_V1530, "?"),
+    ("reduced_cp_latency_r15", _SUPPORTED, "?"),
+])
+UE_EUTRA_CAP_V1530 = Seq([
+    ("meas_params_v1530", Seq([
+        ("qoe_meas_report_r15", _SUPPORTED, "?"),
+        ("qoe_mtsi_meas_report_r15", _SUPPORTED, "?"),
+        ("ca_idle_mode_meass_r15", _SUPPORTED, "?"),
+        ("ca_idle_mode_validity_area_r15", _SUPPORTED, "?"),
+        ("height_meas_r15", _SUPPORTED, "?"),
+        ("multiple_cells_meas_ext_r15", _SUPPORTED, "?"),
+    ]), "?"),
+    ("other_params_v1530", Seq([
+        ("assist_info_bit_for_lc_r15", _SUPPORTED, "?"),
+        ("time_ref_provision_r15", _SUPPORTED, "?"),
+        ("flight_path_plan_r15", _SUPPORTED, "?"),
+    ]), "?"),
+    ("neigh_cell_si_acquisition_params_v1530",
+     NEIGH_CELL_SI_ACQ_PARAMS_V1530, "?"),
+    ("mac_params_v1530", MAC_PARAMS_V1530, "?"),
+    ("phy_layer_params_v1530", PHY_LAYER_PARAMS_V1530, "?"),
+    ("rf_params_v1530", RF_PARAMS_V1530, "?"),
+    ("pdcp_params_v1530", Seq([
+        ("supported_udc_r15", Seq([
+            ("supported_standard_dic_r15", _SUPPORTED, "?"),
+            ("supported_operator_dic_r15", Seq([
+                ("version_of_dictionary_r15", Int(0, 15)),
+                ("associated_plmn_id_r15", PLMN_IDENTITY),
+            ]), "?"),
+        ]), "?"),
+        ("pdcp_dupl_r15", _SUPPORTED, "?"),
+    ]), "?"),
+    ("ue_category_dl_v1530", Int(22, 26), "?"),
+    ("ue_based_netw_perf_meas_params_v1530", Seq([
+        ("logged_meas_bt_r15", _SUPPORTED, "?"),
+        ("logged_meas_wlan_r15", _SUPPORTED, "?"),
+        ("imm_meas_bt_r15", _SUPPORTED, "?"),
+        ("imm_meas_wlan_r15", _SUPPORTED, "?"),
+    ]), "?"),
+    ("rlc_params_v1530", Seq([
+        ("flex_um_am_combinations_r15", _SUPPORTED, "?"),
+        ("rlc_am_ooo_delivery_r15", _SUPPORTED, "?"),
+        ("rlc_um_ooo_delivery_r15", _SUPPORTED, "?"),
+    ]), "?"),
+    ("sl_params_v1530", Seq([
+        ("slss_supported_tx_freq_r15", Enum(("single", "multiple")), "?"),
+        ("sl_minus64_qam_tx_r15", _SUPPORTED, "?"),
+        ("sl_tx_diversity_r15", _SUPPORTED, "?"),
+        ("ue_category_sl_r15", Seq([
+            ("ue_category_sl_c_tx_r15", Int(1, 5)),
+            ("ue_category_sl_c_rx_r15", Int(1, 4)),
+        ]), "?"),
+        ("v2x_supported_band_combination_list_v1530",
+         SeqOf(SeqOf(Seq([
+             ("v2x_enhanced_high_reception_r15", _SUPPORTED, "?"),
+         ]), 1, 64), 1, 384), "?"),
+    ]), "?"),
+    ("extended_nof_drbs_r15", _SUPPORTED, "?"),
+    ("reduced_cp_latency_r15", _SUPPORTED, "?"),
+    ("laa_params_v1530", Seq([
+        ("aul_r15", _SUPPORTED, "?"),
+        ("laa_pusch_mode1_r15", _SUPPORTED, "?"),
+        ("laa_pusch_mode2_r15", _SUPPORTED, "?"),
+        ("laa_pusch_mode3_r15", _SUPPORTED, "?"),
+    ]), "?"),
+    ("ue_category_ul_v1530", Int(22, 26), "?"),
+    ("fdd_add_ue_eutra_capabilities_v1530",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1530, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1530",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1530, "?"),
+    # terminal in this vintage: the presence bit exists but carries no
+    # body (ue_eutra_cap_v1530_ies_s has no non_crit_ext member)
+    ("non_crit_ext_v1540", _SUPPORTED, "?"),
+])
+UE_EUTRA_CAP_V1520 = Seq([
+    ("meas_params_v1520", Seq([
+        ("meas_gap_patterns_v1520", BitStr(8), "?"),
+    ])),
+    ("non_crit_ext_v1530", UE_EUTRA_CAP_V1530, "?"),
+])
+UE_EUTRA_CAP_V1510 = Seq([
+    ("irat_params_nr_r15", IRAT_PARAMS_NR_R15, "?"),
+    ("feature_sets_eutra_r15", FEATURE_SETS_EUTRA_R15, "?"),
+    ("pdcp_params_nr_r15", PDCP_PARAMS_NR_R15, "?"),
+    ("fdd_add_ue_eutra_capabilities_v1510",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1510, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1510",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1510, "?"),
+    ("non_crit_ext_v1520", UE_EUTRA_CAP_V1520, "?"),
+])
+UE_EUTRA_CAP_V1460 = Seq([
+    ("ue_category_dl_v1460", Int(21, 21), "?"),  # zero bits
+    ("other_params_v1460", Seq([
+        ("non_csg_si_report_r14", _SUPPORTED, "?"),
+    ])),
+    ("non_crit_ext_v1510", UE_EUTRA_CAP_V1510, "?"),
+])
+MUST_PARAMS_R14 = Seq([
+    ("must_tm234_up_to2_tx_r14", _SUPPORTED, "?"),
+    ("must_tm89_up_to_one_interfering_layer_r14", _SUPPORTED, "?"),
+    ("must_tm10_up_to_one_interfering_layer_r14", _SUPPORTED, "?"),
+    ("must_tm89_up_to_three_interfering_layers_r14", _SUPPORTED, "?"),
+    ("must_tm10_up_to_three_interfering_layers_r14", _SUPPORTED, "?"),
+])
+BAND_COMBINATION_PARAMS_V1450 = Seq([
+    ("band_param_list_v1450", SeqOf(Seq([
+        ("must_cap_per_band_r14", MUST_PARAMS_R14, "?"),
+    ]), 1, 64), "?"),
+])
+RF_PARAMS_V1450 = Seq([
+    ("supported_band_combination_v1450",
+     SeqOf(BAND_COMBINATION_PARAMS_V1450, 1, 128), "?"),
+    ("supported_band_combination_add_v1450",
+     SeqOf(BAND_COMBINATION_PARAMS_V1450, 1, 256), "?"),
+    ("supported_band_combination_reduced_v1450",
+     SeqOf(BAND_COMBINATION_PARAMS_V1450, 1, 384), "?"),
+])
+UE_EUTRA_CAP_V1450 = Seq([
+    ("phy_layer_params_v1450", Seq([
+        ("ce_srs_enhancement_without_comb4_r14", _SUPPORTED, "?"),
+        ("crs_less_dw_pts_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("rf_params_v1450", RF_PARAMS_V1450, "?"),
+    ("other_params_v1450", Seq([
+        ("overheat_ind_r14", _SUPPORTED, "?"),
+    ])),
+    ("ue_category_dl_v1450", Int(20, 20), "?"),  # zero bits
+    ("non_crit_ext_v1460", UE_EUTRA_CAP_V1460, "?"),
+])
+UE_EUTRA_CAP_V1440 = Seq([
+    ("lwa_params_v1440", Seq([
+        ("lwa_rlc_um_r14", _SUPPORTED, "?"),
+    ])),
+    ("mac_params_v1440", Seq([
+        ("rai_support_r14", _SUPPORTED, "?"),
+    ])),
+    ("non_crit_ext_v1450", UE_EUTRA_CAP_V1450, "?"),
+])
+UE_EUTRA_CAP_V1430 = Seq([
+    ("ue_category_dl_v1430", _SUPPORTED, "?"),  # presence-only (m2)
+    ("phy_layer_params_v1430", PHY_LAYER_PARAMS_V1430),
+    ("ue_category_ul_v1430",
+     Enum(("n16", "n17", "n18", "n19", "n20", "m2")), "?"),
+    ("ue_category_ul_v1430b", _SUPPORTED, "?"),  # presence-only (n21)
+    ("mac_params_v1430", Seq([
+        ("short_sps_interv_fdd_r14", _SUPPORTED, "?"),
+        ("short_sps_interv_tdd_r14", _SUPPORTED, "?"),
+        ("skip_ul_dynamic_r14", _SUPPORTED, "?"),
+        ("skip_ul_sps_r14", _SUPPORTED, "?"),
+        ("multiple_ul_sps_r14", _SUPPORTED, "?"),
+        ("data_inact_mon_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("meas_params_v1430", Seq([
+        ("ce_meass_r14", _SUPPORTED, "?"),
+        ("ncsg_r14", _SUPPORTED, "?"),
+        ("short_meas_gap_r14", _SUPPORTED, "?"),
+        ("per_serving_cell_meas_gap_r14", _SUPPORTED, "?"),
+        ("non_uniform_gap_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("pdcp_params_v1430", Seq([
+        ("supported_ul_only_rohc_profiles_r14", Seq([
+            ("profile0x0006_r14", Bool()),
+        ])),
+        ("max_num_rohc_context_sessions_r14", _ROHC_MAX_SESSIONS_R14, "?"),
+    ]), "?"),
+    ("rlc_params_v1430", Seq([
+        ("extended_poll_byte_r14", _SUPPORTED, "?"),
+    ])),
+    ("rf_params_v1430", RF_PARAMS_V1430, "?"),
+    ("laa_params_v1430", Seq([
+        ("cross_carrier_sched_laa_ul_r14", _SUPPORTED, "?"),
+        ("ul_laa_r14", _SUPPORTED, "?"),
+        ("two_step_sched_timing_info_r14",
+         Enum(("n_plus1", "n_plus2", "n_plus3")), "?"),
+        ("uss_blind_decoding_adjustment_r14", _SUPPORTED, "?"),
+        ("uss_blind_decoding_reduction_r14", _SUPPORTED, "?"),
+        ("out_of_seq_grant_handling_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("lwa_params_v1430", Seq([
+        ("lwa_ho_without_wt_change_r14", _SUPPORTED, "?"),
+        ("lwa_ul_r14", _SUPPORTED, "?"),
+        ("wlan_periodic_meas_r14", _SUPPORTED, "?"),
+        ("wlan_report_any_wlan_r14", _SUPPORTED, "?"),
+        ("wlan_supported_data_rate_r14", Int(1, 2048), "?"),
+    ]), "?"),
+    ("lwip_params_v1430", Seq([
+        ("lwip_aggregation_dl_r14", _SUPPORTED, "?"),
+        ("lwip_aggregation_ul_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("other_params_v1430", Seq([
+        ("bw_pref_ind_r14", _SUPPORTED, "?"),
+        ("rlm_report_support_r14", _SUPPORTED, "?"),
+    ])),
+    ("mmtel_params_r14", MMTEL_PARAMS_R14, "?"),
+    ("mob_params_r14", Seq([
+        ("make_before_break_r14", _SUPPORTED, "?"),
+        ("rach_less_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("ce_params_v1430", Seq([
+        ("ce_switch_without_ho_r14", _SUPPORTED, "?"),
+    ])),
+    ("fdd_add_ue_eutra_capabilities_v1430",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1430, "?"),
+    ("tdd_add_ue_eutra_capabilities_v1430",
+     UE_EUTRA_CAP_ADD_XDD_MODE_V1430, "?"),
+    ("mbms_params_v1430", Seq([
+        ("fembms_ded_cell_r14", _SUPPORTED, "?"),
+        ("fembms_mixed_cell_r14", _SUPPORTED, "?"),
+        ("subcarrier_spacing_mbms_khz7dot5_r14", _SUPPORTED, "?"),
+        ("subcarrier_spacing_mbms_khz1dot25_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("sl_params_v1430", SL_PARAMS_V1430, "?"),
+    ("ue_based_netw_perf_meas_params_v1430", Seq([
+        ("location_report_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("high_speed_enh_params_r14", Seq([
+        ("meas_enhance_r14", _SUPPORTED, "?"),
+        ("demod_enhance_r14", _SUPPORTED, "?"),
+        ("prach_enhance_r14", _SUPPORTED, "?"),
+    ]), "?"),
+    ("non_crit_ext_v1440", UE_EUTRA_CAP_V1440, "?"),
+])
+
 # v1330..v1360 (rrc_asn1.cc ue_eutra_cap_v1330_ies_s :53057 and
 # onward): CCH/CRS interference-mitigation caps, categories DL 18/19 +
 # UL 15 (a zero-bit INTEGER (15..15)), presence-only v1350 categories,
 # CE unicast frequency hopping, in-device-coex hardware sharing.  The
-# rel-14 v1430 level remains the opaque tail.
+# rel-14 v1430 level continues as a REAL schema (above) — the whole
+# declared capability chain v920..v1530 is structural; the only
+# remaining opaque container anywhere is lateNonCriticalExtension,
+# whose body the reference codec itself drops (INTEROP.md).
 UE_EUTRA_CAP_V1360 = Seq([
     ("other_params_v1360", Seq([
         ("in_dev_coex_ind_hardware_sharing_ind_r13", _SUPPORTED, "?"),
     ]), "?"),
-    ("non_crit_ext_v1430", OctStr(), "?"),  # UE-EUTRA-Cap-v1430-IEs tail
+    ("non_crit_ext_v1430", UE_EUTRA_CAP_V1430, "?"),
 ])
 UE_EUTRA_CAP_V1350 = Seq([
     # the -v1350 categories are presence-only in this vintage
