@@ -195,6 +195,69 @@ def run_waveform_block(args):
     return summary
 
 
+def run_waveform_dyn(args):
+    """--waveform-dyn: attach over the host-paced waveform network, then
+    run the steady state DEVICE-RESIDENT with DYNAMIC per-TTI scheduling:
+    PDCCH DCI at true search-space CCEs, UE blind decode, 8-process
+    IR-HARQ soft buffers, PUCCH ACK + PHICH over the air — one compiled
+    call per R rounds of 8 TTIs (runtime/waveblock_dyn.py)."""
+    from ..runtime import waveblock_dyn, wavenet
+
+    hss = hss_mod.Hss()
+    spgw = spgw_mod.Spgw()
+    mme = mme_mod.Mme(hss, spgw)
+    enb = enb_stack.EnbStack(mme, enb_id=1, n_prb=args.prb)
+    ues = []
+    for i in range(args.ues):
+        imsi = f"0010100000000{i:02d}"
+        key = bytes(range(16))
+        hss.add(hss_mod.Subscriber(imsi=imsi, key=key))
+        opc = security.milenage_opc(key, b"\x00" * 16)
+        ues.append(ue_stack.UeStack(ue_stack.Usim(imsi, key, opc),
+                                    preamble=(7 + i) % 64))
+    net = wavenet.WaveformNetwork(
+        enb, ues, pathloss_db=np.full(args.ues, args.pathloss),
+        n_prb=args.prb)
+    t0 = time.time()
+    limit = max(args.ttis, 200 + 100 * args.ues)
+    while net.tti < limit:
+        net.run(10)
+        if all(u.emm_state == "REGISTERED" for u in ues):
+            break
+    attach_wall = time.time() - t0
+    attached = [u for u in ues if u.emm_state == "REGISTERED"]
+
+    runner = waveblock_dyn.DynBlockRunner(
+        net, R=max(1, args.block_ttis // 8))
+    for u in attached:
+        pkt = spgw_mod.make_ipv4("8.8.8.8", u.ip_addr, b"d" * 120)
+        for _ in range(4):
+            spgw.handle_sgi_pdu(pkt)
+        u.gw_send(spgw_mod.make_ipv4(u.ip_addr, "8.8.8.8", b"u" * 120))
+    runner.run_block()  # compile + first block outside the timed window
+    t1 = time.time()
+    n_blocks = max(2, args.ttis // runner.cfg.T)
+    for _ in range(n_blocks):
+        runner.run_block()
+    steady_wall = time.time() - t1
+    ttis_run = n_blocks * runner.cfg.T
+    summary = dict(
+        mode="waveform-dyn",
+        ues=args.ues,
+        attached=len(attached),
+        attach_wall_s=round(attach_wall, 1),
+        block_ttis=runner.cfg.T,
+        blocks=n_blocks,
+        steady_ttis_per_sec=round(ttis_run / steady_wall, 1),
+        realtime_factor=round(ttis_run / steady_wall / 1000.0, 2),
+        block_metrics=runner.metrics,
+        dl_ip_bytes=sum(sum(len(p) for p in u.gw_rx) for u in ues),
+        ul_ip_bytes=spgw.metrics["ul_bytes"],
+    )
+    print(json.dumps(summary))
+    return summary
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ues", type=int, default=2)
@@ -245,6 +308,10 @@ def main(argv=None):
                     help="with --waveform-full: periodic outage"
                          " 'period_s,outage_s' (channel/rlf.c); the UE"
                          " recovers via RRC reestablishment")
+    ap.add_argument("--waveform-dyn", action="store_true",
+                    help="device-resident DYNAMIC block mode: per-TTI "
+                         "PDCCH DCI + 8-process IR-HARQ on device "
+                         "(runtime/waveblock_dyn.py)")
     ap.add_argument("--waveform-block", action="store_true",
                     help="like --waveform-full, but after attach the"
                          " steady state runs DEVICE-RESIDENT: T TTIs x"
@@ -258,6 +325,8 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.waveform_dyn:
+        return run_waveform_dyn(args)
     if args.waveform_block:
         return run_waveform_block(args)
     if args.waveform_full:

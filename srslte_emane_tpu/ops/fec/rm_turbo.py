@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -177,6 +178,46 @@ def rate_unmatch_rx(
         [llrs, jnp.zeros(llrs.shape[:-1] + (1,), llrs.dtype)], axis=-1
     )
     return jnp.asarray(wbuf) + jnp.take(padded, jnp.asarray(tbl), axis=-1).sum(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _tx_table4(k: int, f: int, e: int, ncb: int = 0) -> np.ndarray:
+    """(4, e) tx_table stacked over all redundancy versions."""
+    return np.stack([tx_table(k, f, e, rv, ncb) for rv in range(4)])
+
+
+@functools.lru_cache(maxsize=None)
+def _rx_gather_table4(k: int, f: int, e: int, ncb: int = 0) -> np.ndarray:
+    """(4, wbuf_size, n_max) rx_gather_table stacked over RVs, padded to a
+    common n_max (pad entries point at the zero sentinel index e)."""
+    tbls = [rx_gather_table(k, f, e, rv, ncb) for rv in range(4)]
+    n_max = max(t.shape[1] for t in tbls)
+    out = np.full((4, tbls[0].shape[0], n_max), e, dtype=np.int32)
+    for rv, t in enumerate(tbls):
+        out[rv, :, : t.shape[1]] = t
+    return out
+
+
+def rate_match_tx_dyn(d_flat: jnp.ndarray, k: int, f: int, e: int, rv_b,
+                      ncb: int = 0):
+    """rate_match_tx with a TRACED per-row redundancy version rv_b (B,):
+    the in-block HARQ path's RV cycling (scheduler_harq.cc get_rv role)
+    rides a (4, e)-table gather instead of four compiled variants."""
+    tbl = jnp.take(jnp.asarray(_tx_table4(k, f, e, ncb)),
+                   jnp.asarray(rv_b, jnp.int32), axis=0)  # (B, e)
+    return jnp.take_along_axis(d_flat, tbl, axis=-1)
+
+
+def rate_unmatch_rx_dyn(llrs: jnp.ndarray, wbuf: jnp.ndarray, k: int, f: int,
+                        e: int, rv_b, ncb: int = 0):
+    """rate_unmatch_rx with a TRACED per-row rv — HARQ IR soft-combining
+    where each batch row may be a different retransmission number."""
+    tbl = jnp.take(jnp.asarray(_rx_gather_table4(k, f, e, ncb)),
+                   jnp.asarray(rv_b, jnp.int32), axis=0)  # (B, size, n_max)
+    padded = jnp.concatenate(
+        [llrs, jnp.zeros(llrs.shape[:-1] + (1,), llrs.dtype)], axis=-1)
+    contrib = jax.vmap(lambda p, t: jnp.take(p, t, axis=-1))(padded, tbl)
+    return jnp.asarray(wbuf) + contrib.sum(-1)
 
 
 def wbuf_to_d_llrs(wbuf: jnp.ndarray, k: int, f: int):

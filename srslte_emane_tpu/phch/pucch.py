@@ -48,10 +48,11 @@ def n_cs_cell(cell_id: int) -> np.ndarray:
 
 def _f1_resources(n_pucch: int):
     """(cyclic shift index per symbol base, orthogonal cover index).
-    With delta_shift=1: n'(ns)=n_pucch within a PRB (c=3 shifts x covers)."""
-    n_oc = n_pucch // 12
-    alpha_base = n_pucch % 12
-    return alpha_base, n_oc
+    With delta_shift=1: n'(ns) = n_pucch % 36 within the resource's PRB
+    (c=3 covers x 12 shifts per PRB; the PRB itself is n_pucch // 36,
+    pucch_prb)."""
+    r = n_pucch % 36
+    return r % 12, r // 12
 
 
 def pucch_prb(n_pucch: int, ns: int, n_prb_cell: int) -> int:

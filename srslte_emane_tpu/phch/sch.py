@@ -98,8 +98,12 @@ def _groups(cfg: SchConfig):
     return groups
 
 
-def encode_tb(tb_bits, cfg: SchConfig) -> jnp.ndarray:
-    """(B, tbs) payload bits -> (B, G) rate-matched codeword bits."""
+def encode_tb(tb_bits, cfg: SchConfig, rv_b=None) -> jnp.ndarray:
+    """(B, tbs) payload bits -> (B, G) rate-matched codeword bits.
+
+    rv_b: optional TRACED (B,) per-row redundancy version overriding
+    cfg.rv — the in-block HARQ retransmission path (RV cycling without a
+    compiled variant per RV)."""
     cbs, fillers = _segment_bits(tb_bits, cfg)
     s = cfg.segm
     es = cfg.e_sizes
@@ -109,7 +113,11 @@ def encode_tb(tb_bits, cfg: SchConfig) -> jnp.ndarray:
         stacked = jnp.concatenate([cbs[r] for r in rs], axis=0)  # (n*B, K)
         d0, d1, d2 = turbo.turbo_encode(stacked)
         d_flat = jnp.concatenate([d0, d1, d2], axis=1)
-        tx = rm_turbo.rate_match_tx(d_flat, k, f, e, cfg.rv, cfg.ncb)
+        if rv_b is None:
+            tx = rm_turbo.rate_match_tx(d_flat, k, f, e, cfg.rv, cfg.ncb)
+        else:
+            tx = rm_turbo.rate_match_tx_dyn(
+                d_flat, k, f, e, jnp.tile(rv_b, len(rs)), cfg.ncb)
         for i, r in enumerate(rs):
             pieces[r] = tx[i * B : (i + 1) * B]
     return jnp.concatenate(pieces, axis=1)
@@ -125,12 +133,13 @@ def init_softbuffer(batch: int, cfg: SchConfig, dtype=jnp.float32):
 
 
 def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8,
-              use_pallas: bool = False, llr_bits: int = 32):
+              use_pallas: bool = False, llr_bits: int = 32, rv_b=None):
     """(B, G) codeword LLRs (positive = bit 0) -> (tb_bits (B, tbs), ok (B,),
     softbuf', n_iter).
 
     Soft-combines into `softbuf` (HARQ IR) if given.  ok requires every CB CRC
     and the TB CRC24A to pass (sch.c decode_tb semantics).
+    rv_b: optional TRACED (B,) per-row redundancy version overriding cfg.rv.
     """
     s = cfg.segm
     B = llrs.shape[0]
@@ -162,7 +171,12 @@ def decode_tb(llrs, cfg: SchConfig, softbuf=None, max_iter: int = 8,
     for (kr, f, e), rs in _groups(cfg).items():
         e_llr = jnp.concatenate([llrs[:, offs[r] : offs[r + 1]] for r in rs], axis=0)
         wbuf = jnp.concatenate([softbuf[r] for r in rs], axis=0)
-        wbuf = rm_turbo.rate_unmatch_rx(e_llr, wbuf, kr, f, e, cfg.rv, cfg.ncb)
+        if rv_b is None:
+            wbuf = rm_turbo.rate_unmatch_rx(e_llr, wbuf, kr, f, e, cfg.rv,
+                                            cfg.ncb)
+        else:
+            wbuf = rm_turbo.rate_unmatch_rx_dyn(
+                e_llr, wbuf, kr, f, e, jnp.tile(rv_b, len(rs)), cfg.ncb)
         d3 = rm_turbo.wbuf_to_d_llrs(wbuf, kr, f)
         for i, r in enumerate(rs):
             new_soft[r] = wbuf[i * B : (i + 1) * B]
