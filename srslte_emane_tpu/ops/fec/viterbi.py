@@ -68,7 +68,8 @@ def viterbi_decode(llrs: jnp.ndarray, tb_iter: int = TB_ITER):
         return new, decision
 
     m0 = jnp.zeros((B, 64), dtype=llrs.dtype)
-    mf, decisions = jax.lax.scan(acs, m0, bm3.transpose(1, 0, 2))  # (T, B, 64)
+    mf, decisions = jax.lax.scan(acs, m0, bm3.transpose(1, 0, 2),
+                                 unroll=8)  # (T, B, 64)
 
     start = jnp.argmax(mf, axis=-1).astype(jnp.int32)  # (B,)
 
@@ -78,7 +79,8 @@ def viterbi_decode(llrs: jnp.ndarray, tb_iter: int = TB_ITER):
         prev = (state >> 1) | (top.astype(jnp.int32) << 5)
         return prev, u
 
-    _, bits_rev = jax.lax.scan(traceback, start, decisions[::-1])
+    _, bits_rev = jax.lax.scan(traceback, start, decisions[::-1],
+                               unroll=8)
     bits = bits_rev[::-1].transpose(1, 0)  # (B, T)
     mid = (tb_iter // 2) * K
     return bits[:, mid : mid + K]
