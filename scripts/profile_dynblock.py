@@ -53,9 +53,12 @@ def run(cfg, label):
 def main():
     cfg = bench_cfg()
 
+    def stub_vit(llrs, tb_iter=3):
+        # keep the producer chain alive (no DCE of the candidate LLRs)
+        keep = (llrs.sum((-2, -1), keepdims=False)[:, None] * 0).astype(jnp.int8)
+        return jnp.zeros((llrs.shape[0], llrs.shape[-1]), jnp.int8) + keep
     orig_vit = viterbi.viterbi_decode
-    viterbi.viterbi_decode = lambda llrs, tb_iter=3: jnp.zeros(
-        (llrs.shape[0], llrs.shape[-1]), jnp.int8)
+    viterbi.viterbi_decode = stub_vit
     run(cfg, "-viterbi")
     viterbi.viterbi_decode = orig_vit
 
@@ -65,7 +68,9 @@ def main():
         B = llrs.shape[0]
         if softbuf is None:
             softbuf = sch.init_softbuffer(B, c, llrs.dtype)
-        return (jnp.zeros((B, c.tbs), jnp.int8), jnp.ones((B,), bool),
+        keep = (llrs.sum(-1, keepdims=True) * 0).astype(jnp.int8)
+        return (jnp.zeros((B, c.tbs), jnp.int8) + keep,
+                jnp.ones((B,), bool) & (llrs.sum(-1) > -1e30),
                 softbuf, 0)
     sch.decode_tb = stub_dec
     run(cfg, "-turbodec")
@@ -78,10 +83,10 @@ def main():
     sch.encode_tb = orig_enc
 
     sch.decode_tb = stub_dec
-    viterbi.viterbi_decode = lambda llrs, tb_iter=3: jnp.zeros(
-        (llrs.shape[0], llrs.shape[-1]), jnp.int8)
+    viterbi.viterbi_decode = stub_vit
     sch.encode_tb = lambda b, c, rv_b=None: jnp.zeros(
-        (b.shape[0], c.G), jnp.int8)
+        (b.shape[0], c.G), jnp.int8) + (b.sum(-1, keepdims=True) * 0
+                                        ).astype(jnp.int8)
     run(cfg, "-all-fec")
 
 

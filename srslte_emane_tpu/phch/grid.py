@@ -153,6 +153,21 @@ def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple,
 
 
 @functools.lru_cache(maxsize=None)
+def worst_nof_re(cell: CellConfig, sf_idx: int, n_prb_alloc: int) -> int:
+    """Minimum PDSCH RE count over all contiguous width-n allocations in
+    subframe sf_idx — the scheduler's capacity bound (a mask overlapping
+    the PSS/SSS/PBCH region at sf 0/5 carries fewer REs than the 36.213
+    TBS tables assume; srsenb scheduler_ue.cc computes nof_re per grant
+    for exactly this reason)."""
+    from . import ra as _ra
+
+    return min(
+        nof_re(cell, sf_idx,
+               _ra.type2_to_prb_mask(s, n_prb_alloc, cell.n_prb))
+        for s in range(cell.n_prb - n_prb_alloc + 1))
+
+
+@functools.lru_cache(maxsize=None)
 def tx_gather_table(cell: CellConfig, sf_idx: int, prb_mask: tuple,
                     port: int = 0, max_sym: int = 0) -> np.ndarray:
     """(n_sym*NRE,) int32 inverse placement map for one TX port: each grid

@@ -127,6 +127,11 @@ class DlGrant:
     # SPS occasion: transmit on the semi-persistent allocation with NO
     # PDCCH DCI (36.321 §5.10 — only activation/release use the PDCCH)
     sps_no_dci: int = 0
+    # rank-2 spatial multiplexing (waveform mode): tm "tm3"/"tm4" carries
+    # a second transport block on the second codeword (DCI format 2A/2)
+    tm: str = "1"
+    payload2: bytes = b""
+    mcs2: int = 0
 
 
 @dataclasses.dataclass

@@ -212,6 +212,70 @@ def _chest_taps(cell: grid_mod.CellConfig):
     return fidx, fw, tmat.astype(np.float32), pidx
 
 
+def _dl_window_taps(cfg: DynBlockConfig, base_idx: np.ndarray):
+    """Static within-window chest taps for the PDSCH REs.
+
+    The traced rb_start only SHIFTS which pilots matter: with the pilot
+    axis padded by one replicated pilot on each side, the window
+    h_pad[2*rb : 2*rb + W] (W = 12*w//6 + 2) covers every tap of every
+    RE in the allocation, and the within-window tap index of RE column
+    kappa = k - 12*rb is STATIC: jl = floor((kappa - f0_s)/6) + 1.  The
+    45 ms/round per-row pilot gather becomes one tiny contiguous window
+    gather + static-index takes (edge half-PRBs get constant instead of
+    linear extrapolation from the replicated pad pilot — the only
+    difference vs chest.estimate's matrices)."""
+    cell = cfg.cell
+    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, 0, cell.cp)
+    syms = grid_mod.pilot_syms(0, cell.cp)
+    tmat = chest._time_interp_matrix(tuple(syms), cell.n_sym)
+    K = 12 * cfg.dl_l_crbs
+    W = 2 * cfg.dl_l_crbs + 2
+    S_pil = len(syms)
+    re_col = (base_idx % cell.nre).astype(np.int64)
+    re_sym = (base_idx // cell.nre).astype(np.int64)
+    assert re_col.max() < K
+    tap_idx = np.zeros((S_pil, len(base_idx), 2), np.int32)
+    tap_w = np.zeros((S_pil, len(base_idx), 2), np.float32)
+    for i in range(S_pil):
+        f0 = int(ks[i][0])
+        jl = np.floor((re_col - f0) / 6.0).astype(np.int64)
+        t = (re_col - f0 - 6.0 * jl) / 6.0
+        tap_idx[i, :, 0] = jl + 1  # +1: padded pilot axis
+        tap_idx[i, :, 1] = jl + 2
+        tap_w[i, :, 0] = 1.0 - t
+        tap_w[i, :, 1] = t
+    assert tap_idx.min() >= 0 and tap_idx.max() < W
+    return tap_idx, tap_w, tmat[re_sym].astype(np.float32), W
+
+
+def _cand_taps(cfg: DynBlockConfig, cand_re: np.ndarray):
+    """Fully-static flattened chest taps for the PDCCH candidate REs
+    (positions are host-known per (sf, ue, candidate)): 2*S_pil taps per
+    RE into the flattened (S_pil*P) LS-pilot axis, with the time-interp
+    weight folded in."""
+    cell = cfg.cell
+    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, 0, cell.cp)
+    syms = grid_mod.pilot_syms(0, cell.cp)
+    tmat = chest._time_interp_matrix(tuple(syms), cell.n_sym)
+    S_pil = len(syms)
+    P = 2 * cell.n_prb
+    sh = cand_re.shape  # (10, n, npos)
+    k = cand_re % cell.nre
+    sym = cand_re // cell.nre
+    idx = np.zeros(sh + (2 * S_pil,), np.int32)
+    w = np.zeros(sh + (2 * S_pil,), np.float32)
+    for i in range(S_pil):
+        f0 = int(ks[i][0])
+        j0 = np.clip(np.floor((k - f0) / 6.0), 0, P - 2).astype(np.int64)
+        t = (k - (f0 + 6.0 * j0)) / 6.0
+        tw = tmat[sym, i]
+        idx[..., 2 * i] = i * P + j0
+        idx[..., 2 * i + 1] = i * P + j0 + 1
+        w[..., 2 * i] = tw * (1.0 - t)
+        w[..., 2 * i + 1] = tw * t
+    return idx, w
+
+
 def _dl_base_idx(cfg: DynBlockConfig) -> np.ndarray:
     """(n_re,) PDSCH RE indices for a width-w alloc at rb_start=0, proven
     subframe-invariant AND shift-covariant (idx(rb) = idx(0) + 12*rb):
@@ -281,11 +345,18 @@ def _consts(cfg: DynBlockConfig) -> dict:
                       for sf in range(10)])  # (10, 8, 12, 2)
     ul_data0, ul_dmrs0 = pusch_mod.re_indices(cell.n_prb, 0, cfg.ul_l_prb)
     base10 = waveblock._base_grids(types.SimpleNamespace(cell=cell), 0)
+    base_idx = _dl_base_idx(cfg)
+    dl_tap_idx, dl_tap_w, dl_tw, dl_W = _dl_window_taps(cfg, base_idx)
+    ct_idx, ct_w = _cand_taps(
+        cfg, cand_re.reshape(10, n, -1))
     return dict(
         rntis=np.asarray(cfg.rntis, np.int64),
         amp=10.0 ** (-np.asarray(cfg.snr_db, np.float32) / 20.0),
         base10=np.asarray(base10),
-        base_idx=_dl_base_idx(cfg),
+        base_idx=base_idx,
+        dl_tap_idx=dl_tap_idx, dl_tap_w=dl_tap_w, dl_tw=dl_tw,
+        dl_W=np.int32(dl_W),
+        ct_idx=ct_idx, ct_w=ct_w,
         cce_dl=cce_dl, cce_ul=cce_ul, cand=cand, cand_re=cand_re,
         c_all10=c_all10,
         fidx=fidx, fw=fw, tmat=tmat, pidx=pidx,
@@ -578,7 +649,8 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
             r_p = jnp.take(jnp.asarray(c["ch_vals10"]), sfs, axis=0)
             h_ls = cplx.mul_conj(y_p, r_p[:, None])
 
-            # PDCCH blind decode over the candidate set
+            # PDCCH blind decode over the candidate set; chest via the
+            # fully-static flattened tap tables (_cand_taps)
             cre = jnp.take(jnp.asarray(c["cand_re"]), sfs, axis=0)
             npos = n_cand * 36 * l
             y_c = (jnp.take_along_axis(
@@ -586,9 +658,13 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
                    .reshape(N_PID, n, npos, 2)
                    + a2[None, :, None, None]
                    * jax.random.normal(k_cand, (N_PID, n, npos, 2)))
-            kpos = cre.reshape(N_PID, n, npos) % cell.nre
-            spos = cre.reshape(N_PID, n, npos) // cell.nre
-            h_c = _chest_at(h_ls, kpos, spos)
+            cti = jnp.take(jnp.asarray(c["ct_idx"]), sfs, axis=0)
+            ctw = jnp.take(jnp.asarray(c["ct_w"]), sfs, axis=0)
+            hflat = h_ls.reshape(N_PID, n, S_pil * P, 2)
+            g_c = jnp.take_along_axis(
+                hflat, cti.reshape(N_PID, n, -1)[..., None], axis=-2)
+            h_c = (g_c.reshape(N_PID, n, npos, -1, 2)
+                   * ctw[..., None]).sum(-2)
             x_eq, csi = chest.equalize_zf(y_c, h_c)
             llr_c = modem.demod_soft(x_eq.reshape(-1, npos, 2), modem.QPSK)
             llr_c = (llr_c.reshape(N_PID, n, npos * 2)
@@ -651,15 +727,32 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
             phich_ack_ue = (x_ph[..., 0] * w_ph[..., 0]
                             + x_ph[..., 1] * w_ph[..., 1]).sum(-1) > 0
 
-            # UE PDSCH decode at the DECODED allocation (soft-combining)
+            # UE PDSCH decode at the DECODED allocation (soft-combining);
+            # chest via the padded-pilot WINDOW (one contiguous per-(t,u)
+            # slice + static tap takes, _dl_window_taps)
             dl_idx_ue = c["base_idx"][None, None] + 12 * rb_ue[..., None]
             y_d = (jnp.take_along_axis(
                 jnp.broadcast_to(rg_tx[:, None], (N_PID, n, S, 2)),
                 dl_idx_ue[..., None].repeat(2, -1), axis=-2)
                 + a2[None, :, None, None]
                 * jax.random.normal(k_pdsch, (N_PID, n, n_re_d, 2)))
-            h_d = _chest_at(h_ls, dl_idx_ue % cell.nre,
-                            dl_idx_ue // cell.nre)
+            h_pad = jnp.concatenate(
+                [h_ls[..., :1, :], h_ls, h_ls[..., -1:, :]], axis=-2)
+            W = int(c["dl_W"])
+            widx = (2 * rb_ue)[..., None, None] + jnp.arange(W)
+            win = jnp.take_along_axis(
+                h_pad,
+                jnp.broadcast_to(widx[..., None],
+                                 (N_PID, n, S_pil, W, 1)), axis=-2)
+            hf = []
+            for i in range(S_pil):
+                gi = jnp.take(win[:, :, i],
+                              jnp.asarray(c["dl_tap_idx"][i]), axis=-2)
+                hf.append((gi * jnp.asarray(
+                    c["dl_tap_w"][i])[None, None, :, :, None]).sum(-2))
+            h_f = jnp.stack(hf, axis=2)  # (T8, n, S_pil, n_re, 2)
+            h_d = jnp.einsum("rs,tusrc->turc",
+                             jnp.asarray(c["dl_tw"]), h_f)
             x_eq, csi = chest.equalize_zf(y_d, h_d)
             llr = modem.demod_soft(x_eq.reshape(B, n_re_d, 2),
                                    modem.MOD_FROM_QM[qm_d])

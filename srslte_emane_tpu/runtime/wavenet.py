@@ -71,19 +71,35 @@ def _srate_div(n_prb: int) -> int:
     return 30720 // ofdm.params(n_prb)["sf_len"]
 
 
-def _dl_mcs_for(payload_len: int, n_prb_alloc: int) -> int:
+def _dl_mcs_for(payload_len: int, n_prb_alloc: int, n_re: int = 0) -> int:
     """Smallest EVEN I_MCS whose 36.213 TBS fits the MAC PDU after
     padding-subheader repacking (worst case +3 bytes of header growth;
     even-only halves the compiled-kernel population; both sides derive
-    the TBS from the DCI so any consistent choice is valid)."""
+    the TBS from the DCI so any consistent choice is valid).  n_re > 0
+    additionally requires a legal code rate (<= 0.93) over the grant's
+    TRUE RE count — sf 0/5 allocations lose REs to PSS/SSS/PBCH."""
     need = (payload_len + 3) * 8
-    for mcs in range(0, 29, 2):
-        if ra.dl_tbs(mcs, n_prb_alloc) >= need:
-            return mcs
-    if ra.dl_tbs(27, n_prb_alloc) >= need:
-        return 27
+    for mcs in list(range(0, 29, 2)) + [27]:
+        tbs = ra.dl_tbs(mcs, n_prb_alloc)
+        if tbs < need:
+            continue
+        if n_re and tbs + 24 > 0.93 * n_re * ra.dl_mcs_to_qm(mcs):
+            continue
+        return mcs
     raise ValueError(f"payload {payload_len}B exceeds any TBS on "
-                     f"{n_prb_alloc} PRBs")
+                     f"{n_prb_alloc} PRBs (n_re={n_re})")
+
+
+def _dl_mcs_clamp(pref: int, payload_len: int, n_prb_alloc: int,
+                  n_re: int) -> int:
+    """Largest even MCS <= pref that fits the payload at a legal code
+    rate, falling back to the smallest fitting MCS."""
+    lo = _dl_mcs_for(payload_len, n_prb_alloc, n_re)
+    for mcs in range(min(pref, 28) & ~1, lo, -2):
+        tbs = ra.dl_tbs(mcs, n_prb_alloc)
+        if tbs + 24 <= 0.93 * n_re * ra.dl_mcs_to_qm(mcs):
+            return mcs
+    return lo
 
 
 def _frame(payload: bytes, tbs: int) -> np.ndarray:
@@ -162,6 +178,98 @@ class _CellKernels:
             if with_pbch >= 0 and sf_idx == 0:
                 g = pbch_mod.encode(mib_bits, cell, with_pbch, g)
             return g
+
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=None)
+    def base_grid_p1(self, sf_idx: int):
+        """Port-1 base grid: CRS on antenna port 1 only (the MIMO mode's
+        second transmit waveform; control stays on port 0)."""
+        cell = self.cell
+
+        def run():
+            g = cplx.zeros((1, grid_mod.N_SYM, cell.nre))
+            return pdsch_mod.put_crs(g, cell, sf_idx, port=1)
+
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=None)
+    def add_dl_grant_tm3(self, sf_idx: int, rb_start: int, l_crbs: int,
+                         mcs1: int, mcs2: int, l_aggr: int):
+        """Rank-2 TM3 grant: DCI format 2A on the port-0 PDCCH + both
+        codewords large-delay-CDD precoded onto the two port grids
+        (lib/src/phy/mimo/precoding.c tm3; pdsch.encode_tm)."""
+        cell = self.cell
+        mask = ra.type2_to_prb_mask(rb_start, l_crbs, cell.n_prb)
+        n_re = len(grid_mod.pdsch_re_indices(cell, sf_idx, mask))
+        cfgs, tbss = [], []
+        for m in (mcs1, mcs2):
+            qm = ra.dl_mcs_to_qm(m)
+            tbss.append(ra.dl_tbs(m, l_crbs))
+            cfgs.append(sch.SchConfig(tbs=tbss[-1], G=n_re * qm, Qm=qm,
+                                      Nl=1))
+
+        def run(g0, g1, dci_bits, tb1, tb2, rnti, cce_start):
+            g0 = pdcch_mod.encode_dyn(dci_bits, rnti, l_aggr, cce_start,
+                                      cell, sf_idx, g0)
+            grids = jnp.stack([g0, g1], axis=1)  # (1, 2, 14, NRE, 2)
+            grids = pdsch_mod.encode_tm([tb1, tb2], cfgs, cell, sf_idx,
+                                        rnti, mask, "tm3", grids=grids)
+            return grids[:, 0], grids[:, 1]
+
+        return jax.jit(run), tuple(tbss)
+
+    @functools.lru_cache(maxsize=None)
+    def pdsch_rx_tm3(self, sf_idx: int, rb_start: int, l_crbs: int,
+                     mcs1: int, mcs2: int):
+        """UE-side TM3 decode from the (1, 2_rx, 14, NRE, 2) grids."""
+        cell = self.cell
+        mask = ra.type2_to_prb_mask(rb_start, l_crbs, cell.n_prb)
+        n_re = len(grid_mod.pdsch_re_indices(cell, sf_idx, mask))
+        cfgs = []
+        for m in (mcs1, mcs2):
+            qm = ra.dl_mcs_to_qm(m)
+            cfgs.append(sch.SchConfig(tbs=ra.dl_tbs(m, l_crbs),
+                                      G=n_re * qm, Qm=qm, Nl=1))
+
+        def run(rx_grids, rnti):
+            pls, oks, _ = pdsch_mod.decode_tm(rx_grids, cfgs, cell,
+                                              sf_idx, rnti, mask, "tm3")
+            return pls[0], pls[1], oks[0], oks[1]
+
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=None)
+    def blind_all2(self, sf_idx: int):
+        """blind_all for the DCI format-2A length (rank-2 grants)."""
+        cell = self.cell
+        dci_len = dci_mod.format2_len(cell.n_prb, "2A")
+        positions = list(pdcch_mod.full_space(cell))
+
+        def run(rg, ce):
+            bits, resid, _ = pdcch_mod.blind_search_all(rg, ce, cell,
+                                                        sf_idx, dci_len)
+            return bits, resid
+
+        return jax.jit(run), positions
+
+    @functools.lru_cache(maxsize=None)
+    def ri_probe(self, sf_idx: int):
+        """Wideband rank probe from the per-(rx, tx) channel estimates:
+        the 2x2 singular-value ratio decides RI (cqi.c RI report role)."""
+        cell = self.cell
+
+        def run(rx_grids):  # (1, 2, 14, NRE, 2)
+            ce, _ = pdsch_mod.estimate_mimo(rx_grids, cell, sf_idx, 2)
+            h = jnp.mean(ce[0], axis=(2, 3))  # (2rx, 2tx, 2) wideband
+            hc = h[..., 0] + 1j * h[..., 1]
+            g = jnp.conj(hc.T) @ hc  # 2x2 Gram
+            tr = jnp.real(g[0, 0] + g[1, 1])
+            det = jnp.real(g[0, 0] * g[1, 1] - g[0, 1] * g[1, 0])
+            disc = jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))
+            s1 = jnp.sqrt(jnp.maximum((tr + disc) / 2.0, 1e-12))
+            s2 = jnp.sqrt(jnp.maximum((tr - disc) / 2.0, 0.0))
+            return s2 / s1, s1
 
         return jax.jit(run)
 
@@ -491,11 +599,12 @@ class WaveEnbPhy:
     F2_DETECT = 4.0
 
     def __init__(self, medium: "WaveMedium", cell: grid_mod.CellConfig,
-                 mac, kern: _CellKernels, pcap=None):
+                 mac, kern: _CellKernels, pcap=None, mimo: bool = False):
         self.medium = medium
         self.cell = cell
         self.mac = mac
         self.k = kern
+        self.mimo = mimo
         self.pcap = pcap  # utils.pcap.MacPcap: DL+UL TB wire images
         self._pending_ul = {}  # tti -> [(UlGrant, tbs)]
         # tti -> [(rnti, n_pucch)]: where each DL grant's HARQ-ACK will
@@ -548,6 +657,12 @@ class WaveEnbPhy:
         # ue_ul.c simultaneous SR+ACK rule).
         expect = self._ack_expect.pop(prev_tti, ())
         acked_f2 = set()
+        # f32 OFDM roundoff leaks ~1e-3 of the TOTAL UL amplitude into
+        # every RE: on very-high-SNR links (large UE amplitudes) the
+        # leakage energy after despreading approaches the fixed detect
+        # thresholds, so the floors scale with the received power
+        p_tot = float(np.asarray(jnp.mean(cplx.abs2(samples))))
+        f2_thresh = max(self.F2_DETECT, 3e-5 * p_tot)
         if getattr(self.mac, "ues", None) and self.k.n_f2_res:
             # format-2 region: periodic CQI (+f2a HARQ bit) for every
             # resource in ONE kernel; per-UE adjudication by DMRS energy
@@ -559,11 +674,18 @@ class WaveEnbPhy:
                 rel = None if sr_r is None else sr_r - self.k.n_cce
                 if rel is None or not 0 <= rel < self.k.n_f2_res:
                     continue
-                if f2_energy[rel] < self.F2_DETECT:
+                if f2_energy[rel] < f2_thresh:
                     continue
-                cqi = int("".join(str(int(b)) for b in f2_bits[rel]), 2)
+                val = int("".join(str(int(b)) for b in f2_bits[rel]), 2)
                 if hasattr(self.mac, "cqi_info"):
-                    self.mac.cqi_info(tti, rnti, cqi)
+                    if self.mimo and (prev_tti % WaveUePhy.RI_PERIOD
+                                      ) < WaveUePhy.RI_WIN:
+                        # RI reporting instance: the 4-bit field is the
+                        # rank (WaveUePhy RI schedule, both ends by TTI)
+                        self.mac.cqi_info(tti, rnti, None,
+                                          ri=min(2, val + 1))
+                    else:
+                        self.mac.cqi_info(tti, rnti, val)
                 self.metrics["pucch_det"] += 1
                 if rnti in expect_rntis:
                     # format 2a: the HARQ bit rides the second DMRS
@@ -613,16 +735,22 @@ class WaveEnbPhy:
             mib = np.asarray(pbch_mod.pack_mib(
                 self.cell.n_prb, sfn))[None].astype(np.int8)
         grid = self.k.base_grid(sf, with_pbch)(jnp.asarray(mib))
+        grid_p1 = self.k.base_grid_p1(sf)() if self.mimo else None
         for g in dl_grants:
             prbs = [i for i, on in enumerate(g.prb_mask) if on]
             rb_start, l_crbs = prbs[0], len(prbs)
+            if getattr(g, "tm", "1") == "tm3" and self.mimo:
+                grid, grid_p1 = self._tx_tm3(tti, g, rb_start, l_crbs,
+                                             grid, grid_p1)
+                continue
             # honor the MAC's CQI-driven link adaptation (scheduler_ue.cc
             # MCS selection, fed by the waveform PUCCH format-2 reports):
-            # its MCS rounded UP to even (the kernel-population grid),
-            # floored at whatever fits the payload + padding headers
-            mcs = max((min(g.mcs, 27) + 1) & ~1,
-                      _dl_mcs_for(len(g.payload), l_crbs))
+            # its MCS rounded to even (the kernel-population grid),
+            # floored at whatever fits the payload + padding headers and
+            # capped at a legal code rate over the grant's TRUE RE count
             re_idx = self.k.dl_re_idx(sf, rb_start, l_crbs)
+            mcs = _dl_mcs_clamp(min(g.mcs, 27) + 1, len(g.payload),
+                                l_crbs, len(re_idx))
             fn, tbs = self.k.add_dl_grant(l_crbs, mcs, g.l_aggr,
                                           len(re_idx))
             d = dci_mod.DciDl("1A", mcs=mcs, harq_pid=g.harq_pid & 7,
@@ -670,7 +798,55 @@ class WaveEnbPhy:
         if len(self._ack_expect) > 16:
             self._ack_expect = {t: v for t, v in self._ack_expect.items()
                                 if t >= tti - 8}
-        self.medium.dl_put(tti, self.k.modulate()(grid))
+        if self.mimo:
+            ports = jnp.concatenate([grid, grid_p1], axis=0)  # (2, ...)
+            self.medium.dl_put(tti, self.k.modulate()(ports))
+        else:
+            self.medium.dl_put(tti, self.k.modulate()(grid))
+
+    def _tx_tm3(self, tti, g, rb_start, l_crbs, grid, grid_p1):
+        """Rank-2 TM3 grant: DCI 2A (RA type 0 must express the PRB mask
+        exactly; otherwise fall back to... the scheduler aligns rank-2
+        allocations to RBG boundaries, asserted here) + both codewords."""
+        sf = tti % 10
+        p = ra.rbg_size(self.cell.n_prb)
+        n_rbg = -(-self.cell.n_prb // p)
+        bitmap = 0
+        for gi in range(n_rbg):
+            span = range(gi * p, min((gi + 1) * p, self.cell.n_prb))
+            if all(g.prb_mask[i] for i in span):
+                bitmap |= 1 << (n_rbg - 1 - gi)
+        assert ra.type0_to_prb_mask(bitmap, self.cell.n_prb) == \
+            tuple(g.prb_mask), "rank-2 allocation not RBG-aligned"
+        mask = ra.type2_to_prb_mask(rb_start, l_crbs, self.cell.n_prb)
+        n_re = grid_mod.nof_re(self.cell, sf, mask)
+        mcs1 = _dl_mcs_clamp(min(g.mcs, 27) + 1, len(g.payload),
+                             l_crbs, n_re)
+        mcs2 = _dl_mcs_clamp(min(g.mcs2, 27) + 1, len(g.payload2),
+                             l_crbs, n_re)
+        fn, (tbs1, tbs2) = self.k.add_dl_grant_tm3(
+            sf, rb_start, l_crbs, mcs1, mcs2, g.l_aggr)
+        d = dci_mod.DciDl2("2A", rbg_bitmap=bitmap,
+                           harq_pid=g.harq_pid & 7, mcs1=mcs1,
+                           ndi1=g.ndi & 1, rv1=g.rv & 3, mcs2=mcs2)
+        bits = dci_mod.pack_dl_2(d, self.cell.n_prb)[None]
+        tb1 = _frame(g.payload, tbs1)
+        tb2 = _frame(g.payload2, tbs2)
+        grid, grid_p1 = fn(grid, grid_p1, jnp.asarray(bits),
+                           jnp.asarray(tb1), jnp.asarray(tb2),
+                           jnp.asarray(g.rnti, jnp.int32),
+                           jnp.asarray(g.cce_start, jnp.int32))
+        self.metrics["dl_tx"] += 1
+        self.metrics["tm3_tx"] = self.metrics.get("tm3_tx", 0) + 1
+        if g.rnti in getattr(self.mac, "ues", {}):
+            self._ack_expect.setdefault(tti, []).append(
+                (g.rnti, N1_PUCCH + g.cce_start))
+        if self.pcap is not None:
+            self.pcap.write_pdu(np.packbits(tb1[0]).tobytes(), g.rnti,
+                                tti, is_dl=True)
+            self.pcap.write_pdu(np.packbits(tb2[0]).tobytes(), g.rnti,
+                                tti, is_dl=True)
+        return grid, grid_p1
 
 
 class WaveUePhy:
@@ -682,13 +858,21 @@ class WaveUePhy:
     the decoded MIB (8 MSBs) + the PBCH segment offset (2 LSBs) — the
     sync.cc:408 SFN_SYNC role.  Nothing below trusts the driver's tick."""
 
+    RI_PERIOD = 40  # RI reporting instances: tti % 40 < 8 (36.213 §7.2.2)
+    RI_WIN = 8
+
     def __init__(self, medium: "WaveMedium", cell: grid_mod.CellConfig,
-                 stack, kern: _CellKernels, ue_idx: int):
+                 stack, kern: _CellKernels, ue_idx: int,
+                 mimo: bool = False):
         self.medium = medium
         self.cell = cell
         self.stack = stack
         self.k = kern
         self.ue_idx = ue_idx
+        self.mimo = mimo
+        self._ri = 1
+        self._rg_mimo = None  # this TTI's (1, 2, 14, NRE, 2) for TM3
+        self._ack_bundle = None  # spatially-bundled 2-codeword HARQ bit
         self.state = "CELL_SEARCH"
         self.tti = None  # known only after SFN_SYNC
         self._sf_local = None  # subframe phase, known after CELL_SEARCH
@@ -732,6 +916,8 @@ class WaveUePhy:
         The SSS hypothesis fixes the subframe phase (PSS rides sf 0 AND 5;
         only the SSS word differs), seeding the local subframe counter."""
         if search is None:
+            if self.mimo:
+                samples = samples[0:1] if samples.ndim == 3 else samples
             q, cid, sfi = (np.asarray(v)[0] for v in
                            self.k.cell_search()(samples))
         else:
@@ -744,6 +930,8 @@ class WaveUePhy:
         """PBCH decode fixes the SFN: 8 MSBs ride the MIB payload, the
         2 LSBs are the blind-decoded 40 ms segment offset
         (srsue/src/phy/sync.cc:408 SFN_SYNC)."""
+        if self.mimo and samples.ndim == 3 and samples.shape[0] == 2:
+            samples = samples[0:1]  # PBCH rides antenna port 0
         rg = ofdm.demodulate(samples, self.cell.n_prb)
         mib, ports, off, ok = self.k.pbch_rx()(rg)
         if bool(np.asarray(ok)[0]):
@@ -758,12 +946,23 @@ class WaveUePhy:
 
     def _camp_rx(self, samples):
         sf = self.tti % 10
-        rg, ce, snr, cfi = self.k.rx_front(sf)(samples)
+        if self.mimo:
+            rg2, ce2, snr2, _ = self.k.rx_front(sf)(samples)  # (2, ...)
+            self._rg_mimo = rg2[None]  # (1, 2, 14, NRE, 2)
+            rg, ce = rg2[0:1], ce2[0:1]
+            snr = snr2[0:1]
+        else:
+            rg, ce, snr, cfi = self.k.rx_front(sf)(samples)
         fn, positions = self.k.blind_all(sf)
         bits_dev, resid = fn(rg, ce)
         batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
                      resid=np.asarray(resid), bits_dev=bits_dev,
                      bits=None, positions=positions, row=0)
+        if self.mimo and getattr(self.stack, "crnti", None):
+            fn2, positions2 = self.k.blind_all2(sf)
+            bits2_dev, resid2 = fn2(rg, ce)
+            batch.update(bits2_dev=bits2_dev, bits2=None,
+                         resid2=np.asarray(resid2), positions2=positions2)
         self._camp_rx_row(batch)
 
     def _camp_rx_row(self, batch):
@@ -817,6 +1016,28 @@ class WaveUePhy:
                     self.metrics["dci_hit"] += 1
                     self._handle_dci(rg_row, rnti, bits[ci], snr_db,
                                      batch["positions"][ci][1])
+        # rank-2 grants ride DCI format 2A (a second blind-search length,
+        # computed once for the whole network in mimo mode)
+        crnti = getattr(self.stack, "crnti", None)
+        if self.mimo and crnti is not None and "resid2" in batch:
+            resid2 = batch["resid2"][row]
+            pos_idx2 = {p: i for i, p in enumerate(batch["positions2"])}
+            hit2 = [i for c in pdcch_mod.candidates(self.cell, crnti, sf)
+                    if (i := pos_idx2.get(c)) is not None
+                    and resid2[i] == crnti]
+            if hit2:
+                if batch.get("bits2") is None:
+                    batch["bits2"] = np.asarray(batch["bits2_dev"])
+                seen2 = set()
+                for ci in hit2:
+                    b = batch["bits2"][row][ci]
+                    key = b.tobytes()
+                    if key in seen2:
+                        continue
+                    seen2.add(key)
+                    self.metrics["dci_hit"] += 1
+                    self._handle_dci2(crnti, b, snr_db,
+                                      batch["positions2"][ci][1])
         # PHICH (UL HARQ feedback) on the (n_group, n_seq) derived from
         # our last PUSCH's lowest PRB (36.213 §9.1.2)
         if self._phich_wait is not None and \
@@ -864,6 +1085,32 @@ class WaveUePhy:
         except TypeError:
             self.stack.tb_decoded(tti, payload, snr_db)
 
+    def _handle_dci2(self, rnti, bits, snr_db, cce_start):
+        """Rank-2 TM3 grant (DCI format 2A): decode both codewords from
+        the 2-antenna grids; the HARQ-ACK is spatially bundled."""
+        tti = self.tti
+        d = dci_mod.unpack_dl_2(bits, self.cell.n_prb, "2A")
+        mask = ra.type0_to_prb_mask(d.rbg_bitmap, self.cell.n_prb)
+        prbs = [i for i, on in enumerate(mask) if on]
+        if not prbs or prbs != list(range(prbs[0], prbs[0] + len(prbs))):
+            return  # CRC alias: non-contiguous mask we never schedule
+        if self._rg_mimo is None:
+            return
+        fn = self.k.pdsch_rx_tm3(tti % 10, prbs[0], len(prbs),
+                                 d.mcs1, d.mcs2)
+        p1, p2, ok1, ok2 = fn(self._rg_mimo, jnp.asarray(rnti, jnp.int32))
+        ok1 = bool(np.asarray(ok1)[0])
+        ok2 = bool(np.asarray(ok2)[0])
+        self._ack_cce = cce_start
+        self._ack_bundle = ok1 and ok2  # spatial HARQ-ACK bundling
+        for ok, pl in ((ok1, p1), (ok2, p2)):
+            self.metrics["tb_ok" if ok else "tb_err"] += 1
+            payload = _unframe(np.asarray(pl)[0]) if ok else None
+            try:
+                self.stack.tb_decoded(tti, payload, snr_db, rnti=rnti)
+            except TypeError:
+                self.stack.tb_decoded(tti, payload, snr_db)
+
     def _tx(self):
         tti = self.tti
         sf = tti % 10
@@ -895,10 +1142,21 @@ class WaveUePhy:
             # where the eNB will answer: 36.213 §9.1.2 from our lowest PRB
             self._phich_wait = phich_mod.alloc(
                 g.rb_start, 0, phich_mod.n_groups(self.cell.n_prb))
+        # periodic RI probe + report instances (36.213 §7.2.2 role): the
+        # wideband 2x2 singular-value ratio picks the transmission rank
+        ri_window = self.mimo and (tti % self.RI_PERIOD) < self.RI_WIN
+        if (self.mimo and self._rg_mimo is not None
+                and tti % self.RI_PERIOD == 0):
+            ratio, _ = self.k.ri_probe(sf)(self._rg_mimo)
+            self._ri = 2 if float(np.asarray(ratio)) > 0.3 else 1
         pucch = self.stack.get_pucch(tti)
         if pucch:
             tx = self.k.pucch_tx(sf)
             acks = pucch.get("ack", [])
+            if self.mimo and len(acks) >= 2:
+                # spatial HARQ-ACK bundling: one bit for both codewords
+                acks = [self._ack_bundle if self._ack_bundle is not None
+                        else (acks[0] and acks[1])]
             sr = bool(pucch.get("sr"))
             sr_res = getattr(self.stack, "sr_pucch_res", None)
             cqi = pucch.get("cqi")
@@ -911,9 +1169,12 @@ class WaveUePhy:
                 # dedicated resource; a pending HARQ bit upgrades it to
                 # format 2a (ACK on the second DMRS, 36.211 §5.4.2).
                 # SR+CQI in one TTI: SR wins, the CQI is dropped
-                # (36.213 §7.2.2 collision rule).
+                # (36.213 §7.2.2 collision rule).  On RI instances the
+                # 4-bit field carries the rank instead (both ends know
+                # the reporting schedule from the TTI).
+                rpt = (self._ri - 1) if ri_window else cqi
                 cqi_bits = np.asarray(
-                    [[(cqi >> (3 - i)) & 1 for i in range(4)]], np.int8)
+                    [[(rpt >> (3 - i)) & 1 for i in range(4)]], np.int8)
                 if acks:
                     ab = np.asarray([[0 if acks[0] else 1]], np.int8)
                     s = self.k.pucch2_tx(sf, cqi_rel, 1)(
@@ -945,6 +1206,7 @@ class WaveUePhy:
                 out = s if out is None else out + s
                 self.metrics["pucch_tx"] += 1
         self._ack_cce = None
+        self._ack_bundle = None
         if out is not None:
             self.medium.ul_put(tti, self.ue_idx, out,
                                is_prach=prach_idx is not None)
@@ -962,7 +1224,7 @@ class WaveMedium:
                  seed: int = 0, fading_profile: str = None,
                  doppler_hz: float = 5.0, srate_hz: float = None,
                  dyn_delay: tuple = None, hst_fd_hz: float = None,
-                 rlf: tuple = None):
+                 rlf: tuple = None, mimo_h=None):
         """Dynamic impairments (the reference's channel plugin stack,
         lib/src/phy/channel/{delay,hst,rlf}.c over its ZMQ path):
         dyn_delay=(min_us, max_us, period_s) sweeps the path delay
@@ -982,6 +1244,16 @@ class WaveMedium:
         self.dyn_delay = dyn_delay
         self.hst_fd_hz = hst_fd_hz
         self.rlf = rlf
+        # 2x2 MIMO downlink: per-UE channel matrices (n_ues, 2, 2)
+        # complex; the eNB transmits 2 port waveforms, each UE receives
+        # y[a] = sum_p H[a, p] x[p] + noise on 2 antennas (the role of
+        # lib/src/phy/mimo + channel over the reference's ZMQ path)
+        self.mimo_h = None
+        if mimo_h is not None:
+            assert fading_profile is None, "mimo + TDL fading not combined"
+            h = np.asarray(mimo_h, np.complex64)
+            assert h.shape == (n_ues, 2, 2), h.shape
+            self.mimo_h = np.stack([h.real, h.imag], -1).astype(np.float32)
         self._key = jax.random.PRNGKey(seed)
         self._dl = None  # (tti, samples)
         self._ul_acc = None
@@ -1031,8 +1303,22 @@ class WaveMedium:
         """(n_ues, sf_len, 2): every UE's receive samples in ONE batch —
         one noise draw, per-link amplitudes broadcast down the batch
         axis.  The whole network's downlink front-end then runs as a
-        single compiled call per TTI."""
+        single compiled call per TTI.  MIMO mode: tx is the (2, T, 2)
+        port pair and the return is (n_ues, 2_rx, T, 2) through each
+        link's 2x2 matrix."""
         tti, tx = self._dl
+        if self.mimo_h is not None:
+            from ..ops import cplx as cplx_mod
+
+            h = jnp.asarray(self.mimo_h)  # (n, 2rx, 2tx, 2)
+            # y[u, a] = sum_p h[u, a, p] * x[p]
+            y = cplx_mod.mul(h[:, :, :, None, :],
+                             tx[None, None, :, :, :]).sum(2)
+            snr_db = (self.tx_power_dbm - self.pathloss_db
+                      - self.noise_floor_dbm)
+            amp = jnp.asarray(10.0 ** (-snr_db / 20.0))[:, None, None, None]
+            noise = jax.random.normal(self._split(), y.shape) / np.sqrt(2.0)
+            return y + amp * noise
         if self.fading_profile is not None:
             from ..ops import fading as fading_mod
 
@@ -1094,14 +1380,27 @@ class WaveformNetwork:
                  cell_id: int = 1, seed: int = 0, cfi: int = 2,
                  fading_profile: str = None, doppler_hz: float = 5.0,
                  start_tti: int = 0, pcap=None, dyn_delay: tuple = None,
-                 hst_fd_hz: float = None, rlf: tuple = None):
+                 hst_fd_hz: float = None, rlf: tuple = None,
+                 mimo: bool = False, mimo_cond=None):
+        """mimo=True: 2x2 downlink spatial multiplexing (TM3) — the eNB
+        transmits two port waveforms (control stays on port 0), each UE
+        receives through its own 2x2 matrix on 2 antennas, reports RI,
+        and rank-2 grants carry two codewords on DCI format 2A.
+        mimo_cond: per-UE singular-value ratio sigma2/sigma1 of the link
+        matrix (1.0 well-conditioned, ~0 rank-deficient -> RI falls back
+        to 1); default 1.0 everywhere."""
+        self.mimo = mimo
         self.cell = grid_mod.CellConfig(n_prb=n_prb, cell_id=cell_id,
-                                        cfi=cfi)
+                                        cfi=cfi,
+                                        n_ports=2 if mimo else 1)
         # the waveform grid is compiled at ONE cfi, so the MAC's CCE
         # search spaces must be computed at the same one: pin it (message
         # mode instead escalates CFI with demand, enb_stack.get_dl_sched)
         assert enb_mac.n_prb == n_prb, "MAC/PHY bandwidth mismatch"
         enb_mac.fixed_cfi = cfi
+        # capacity-aware grant sizing: the scheduler bounds TBs by the
+        # subframe's true RE count (enb_stack._dl_cap_bytes)
+        enb_mac.phy_cell = self.cell
         # PUCCH format-1 region: [0, n_cce) dynamic HARQ-ACK (36.213
         # §10.1, N1=0 as broadcast in SIB2), then the dedicated SR pool.
         # Edge PRB pairs carrying the region are reserved from PUSCH.
@@ -1127,14 +1426,37 @@ class WaveformNetwork:
             enb_mac.sr_res_pool = sr_pool
             enb_mac.ul_prb_lo = n_edge
             enb_mac.ul_prb_hi = n_prb - n_edge
+        mimo_h = None
+        if mimo:
+            enb_mac.mimo = True
+            rng = np.random.default_rng(seed + 13)
+            n = len(ue_stacks)
+            cond = np.ones(n) if mimo_cond is None \
+                else np.asarray(mimo_cond, np.float64)
+            mimo_h = np.zeros((n, 2, 2), np.complex64)
+            for u in range(n):
+                # H = U diag(1, cond) V*: random unitaries, controlled
+                # singular-value ratio, Frobenius norm fixed at 2 so the
+                # per-element mean gain stays ~1 (SNR bookkeeping intact)
+                a = (rng.normal(size=(2, 2))
+                     + 1j * rng.normal(size=(2, 2)))
+                uq, _ = np.linalg.qr(a)
+                b = (rng.normal(size=(2, 2))
+                     + 1j * rng.normal(size=(2, 2)))
+                vq, _ = np.linalg.qr(b)
+                s = np.array([1.0, cond[u]])
+                s *= np.sqrt(2.0 / (s ** 2).sum())
+                mimo_h[u] = (uq * s) @ vq.conj().T
         self.medium = WaveMedium(
             len(ue_stacks), pathloss_db, seed=seed,
             fading_profile=fading_profile, doppler_hz=doppler_hz,
             srate_hz=ofdm.params(n_prb)["sf_len"] * 1e3,
-            dyn_delay=dyn_delay, hst_fd_hz=hst_fd_hz, rlf=rlf)
+            dyn_delay=dyn_delay, hst_fd_hz=hst_fd_hz, rlf=rlf,
+            mimo_h=mimo_h)
         self.enb = WaveEnbPhy(self.medium, self.cell, enb_mac, self.kern,
-                              pcap=pcap)
-        self.ues = [WaveUePhy(self.medium, self.cell, st, self.kern, i)
+                              pcap=pcap, mimo=mimo)
+        self.ues = [WaveUePhy(self.medium, self.cell, st, self.kern, i,
+                              mimo=mimo)
                     for i, st in enumerate(ue_stacks)]
         self.tti = start_tti
 
@@ -1146,29 +1468,56 @@ class WaveformNetwork:
             # whole UE population: the batch axis replaces the per-UE
             # receive loop (the framework's core TPU design)
             samples = self.medium.dl_take_all()
+            n = len(self.ues)
+            if self.mimo:
+                # (n, 2, T, 2): both antennas ride the front-end batch;
+                # control decodes use the antenna-0 rows, TM3 uses both
+                flat = samples.reshape((2 * n,) + samples.shape[2:])
             batch = None
             search = None
             if any(ue.state == "CAMP" for ue in self.ues):
-                rg, ce, snr, cfi = self.kern.rx_front(sf)(samples)
+                if self.mimo:
+                    rg2, ce2, snr2, cfi = self.kern.rx_front(sf)(flat)
+                    shp = rg2.shape[1:]
+                    rgm = rg2.reshape((n, 2) + shp)
+                    rg, ce = rg2[0::2], ce2[0::2]
+                    snr = snr2[0::2]
+                else:
+                    rg, ce, snr, cfi = self.kern.rx_front(sf)(samples)
                 fn, positions = self.kern.blind_all(sf)
                 bits_dev, resid = fn(rg, ce)
                 batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
                              resid=np.asarray(resid), bits_dev=bits_dev,
                              bits=None, positions=positions)
+                if self.mimo:
+                    batch["rg_mimo"] = rgm
+                    if any(getattr(u.stack, "crnti", None)
+                           for u in self.ues):
+                        fn2, positions2 = self.kern.blind_all2(sf)
+                        bits2_dev, resid2 = fn2(rg, ce)
+                        batch.update(bits2_dev=bits2_dev, bits2=None,
+                                     resid2=np.asarray(resid2),
+                                     positions2=positions2)
             if any(ue.state == "CELL_SEARCH" for ue in self.ues):
                 # one batched PSS/SSS search for every still-searching UE
+                ss = samples[:, 0] if self.mimo else samples
                 q, cid, sfi = (np.asarray(v) for v in
-                               self.kern.cell_search()(samples))
+                               self.kern.cell_search()(ss))
                 search = (q, cid, sfi)
             for i, ue in enumerate(self.ues):
                 row = dict(batch, row=i) if batch is not None else None
                 if row is not None:
                     row["bits"] = batch["bits"]
+                    if self.mimo:
+                        ue._rg_mimo = batch["rg_mimo"][i : i + 1]
                 srow = None
                 if search is not None and ue.state == "CELL_SEARCH":
                     srow = (search[0][i], search[1][i], search[2][i])
-                ue.run_tti(self.tti, samples[i : i + 1], row,
+                ue.run_tti(self.tti, samples[i : i + 1][0]
+                           if self.mimo else samples[i : i + 1], row,
                            search=srow)
                 if row is not None and row["bits"] is not None:
                     batch["bits"] = row["bits"]  # share the host copy
+                    if self.mimo and row.get("bits2") is not None:
+                        batch["bits2"] = row["bits2"]
             self.tti += 1

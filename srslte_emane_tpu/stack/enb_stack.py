@@ -9,6 +9,7 @@ Message-level PHY coupling via runtime/phy_adapter (the -emane build's path).
 from __future__ import annotations
 
 import collections
+import functools
 import struct
 
 from ..epc import spgw as spgw_mod
@@ -56,6 +57,17 @@ class _CceAlloc:
         cands = [(l, m * l) for l, n in ((4, 4), (8, 2))
                  for m in range(n) if (m + 1) * l <= self.n_cce]
         return self._try(cands, l_pref)
+
+
+@functools.lru_cache(maxsize=None)
+def _dl_cap_bytes_cached(cell, sf: int, n_prb_alloc: int) -> int:
+    n_re = grid_mod.worst_nof_re(cell, sf, n_prb_alloc)
+    best = 8
+    for mcs in list(range(0, 29, 2)) + [27]:
+        tbs = ra.dl_tbs(mcs, n_prb_alloc)
+        if tbs + 24 <= 0.93 * n_re * ra.dl_mcs_to_qm(mcs):
+            best = max(best, tbs // 8 - 4)
+    return best
 
 
 def _l_aggr_pref(mcs: int) -> int:
@@ -349,6 +361,19 @@ class EnbStack:
                 self._harq_hint.add(rnti)
                 self.metrics["harq_retx"] += 1
 
+    def _dl_cap_bytes(self, sf: int, n_prb_alloc: int, mcs: int) -> int:
+        """Max MAC PDU bytes a width-n allocation can LEGALLY carry at
+        this subframe on the waveform PHY: the largest DISCRETE 36.213
+        TBS whose code rate stays <= 0.93 over the worst-case RE count
+        (sf 0/5 masks lose REs to PSS/SSS/PBCH).  Unconstrained at
+        message level, where no waveform cell is attached
+        (scheduler_ue.cc alloc_tbs/nof_re role; `mcs` is advisory —
+        the waveform eNB re-clamps per grant)."""
+        cell = getattr(self, "phy_cell", None)
+        if cell is None:
+            return 1 << 30
+        return _dl_cap_bytes_cached(cell, sf, n_prb_alloc)
+
     def cqi_info(self, tti, rnti, cqi: int, ri: int = None, pmi: int = None,
                  sb: list = None):
         """CQI(/RI/PMI) report -> link adaptation (scheduler_ue.cc MCS
@@ -362,10 +387,13 @@ class EnbStack:
         if sb is not None:
             ue.sb_cqi = list(sb)
             self.metrics["aperiodic_cqi"] += 1
-        # simple CQI->MCS map (monotone subset of 36.213 tables)
-        ue.dl_mcs = max(0, min(28, 2 * cqi - 2))
+        if cqi is not None:
+            # simple CQI->MCS map (monotone subset of 36.213 tables)
+            ue.dl_mcs = max(0, min(28, 2 * cqi - 2))
         if ri is not None:
             ue.ri = ri
+            self.metrics["ri_reports"] = self.metrics.get(
+                "ri_reports", 0) + 1
         if pmi is not None:
             ue.pmi = pmi
         self.metrics["cqi_reports"] += 1
@@ -577,6 +605,10 @@ class EnbStack:
                 mcs_tx = max(0, mcs_tx - 2 * (n_tx - 1))
                 if n_prb_tx <= 0 or cursor + n_prb_tx > self.n_prb:
                     break
+                if (ra.dl_tbs(27, n_prb_tx) < (len(payload) + 3) * 8
+                        or self._dl_cap_bytes(tti % 10, n_prb_tx, 27)
+                        < len(payload)):
+                    break  # grid too full to refit this TB: defer a TTI
                 la = cce.alloc(rnti, l_pref=_l_aggr_pref(mcs_tx))
                 if la is None:
                     self.metrics["cce_defer"] += 1
@@ -677,14 +709,26 @@ class EnbStack:
             # larger messages across TTIs.
             has_srb = any(l <= SRB2 and u.rlc[l].has_data() for l in u.rlc)
             mcs = 0 if has_srb else getattr(u, "dl_mcs", self.mcs)
+            want_rank2 = (getattr(self, "mimo", False) and not has_srb
+                          and getattr(u, "ri", 1) >= 2)
             # CCE placement BEFORE touching RLC: a UE whose DCI cannot be
             # placed keeps its data for a later TTI
             la = cce.alloc(rnti, l_pref=_l_aggr_pref(mcs))
             if la is None:
                 self.metrics["cce_defer"] += 1
                 continue
+            if want_rank2:
+                # DCI format 2A is RA type 0: align to RBG boundaries
+                # BEFORE sizing so the bitmap expresses the mask exactly
+                cursor += (-cursor) % ra.rbg_size(self.n_prb)
             n_prb_free = self.n_prb - cursor
+            if n_prb_free <= 0:
+                continue
             tb_bytes = min(TB_BYTES, max(8, ra.dl_tbs(mcs, n_prb_free) // 8))
+            if want_rank2:
+                tb_bytes = max(8, tb_bytes - 8)  # framing headroom
+            tb_bytes = min(tb_bytes, self._dl_cap_bytes(
+                tti % 10, n_prb_free, mcs))
             subs = []
             room = tb_bytes
             if u.scell_act_pending:
@@ -703,8 +747,27 @@ class EnbStack:
                     room -= len(p) + 3
             if subs:
                 n_bytes = tb_bytes - room
-                bytes_per_prb = max(2, ra.dl_tbs(mcs, 1) // 8)
-                n_prb = min(n_prb_free, max(2, -(-n_bytes // bytes_per_prb)))
+                # exact allocation sizing: smallest n whose 36.213 TBS
+                # fits the PDU + framing headroom (TBS is NOT linear in
+                # n_prb; the per-PRB heuristic undersized at high MCS)
+                # Rank-2 grants consider only type-0-bitmap-expressible
+                # widths (RBG multiples, or the band-edge remainder)
+                # DIRECTLY: capacity is not monotone in n_prb (a width
+                # can flip the top MCS rate-illegal), so post-hoc
+                # rounding is unsafe.
+                if want_rank2:
+                    P = ra.rbg_size(self.n_prb)
+                    cand_ns = [n for n in range(P, n_prb_free + 1)
+                               if n % P == 0] + [n_prb_free]
+                else:
+                    cand_ns = list(range(2, n_prb_free + 1))
+                n_prb = n_prb_free
+                for n_try in cand_ns:
+                    if (ra.dl_tbs(mcs, n_try) >= (n_bytes + 3) * 8
+                            and self._dl_cap_bytes(tti % 10, n_try, mcs)
+                            >= n_bytes):
+                        n_prb = n_try
+                        break
                 payload = pdu.pack(subs)
                 pid = self._free_pid(u)
                 u.dl_harq[pid] = (payload, n_prb, mcs, 1)
@@ -713,9 +776,36 @@ class EnbStack:
                 self._harq_hint.add(rnti)
                 u.avg_thr = self._pf_avg(u, tti) + PF_ALPHA * 8 * n_bytes
                 u.pf_tti = tti
-                grants.append(DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
-                                      mcs=mcs, payload=payload, harq_pid=pid,
-                                      l_aggr=la[0], cce_start=la[1]))
+                g = DlGrant(rnti=rnti, prb_mask=alloc(n_prb),
+                            mcs=mcs, payload=payload, harq_pid=pid,
+                            l_aggr=la[0], cce_start=la[1])
+                # rank-2 spatial multiplexing (waveform TM3): the UE's RI
+                # report opens a SECOND codeword on the same allocation —
+                # the scheduler drains another TB sized for the SAME PRBs
+                # (scheduler_ue.cc two-TB grant; DCI format 2A).  CW2
+                # losses recover via RLC AM (the HARQ entity tracks CW1).
+                if want_rank2:
+                    # -8: MAC subheader/padding headroom so the waveform
+                    # encoder can always frame payload2 at mcs2 <= 28
+                    tb2_bytes = max(8, min(
+                        ra.dl_tbs(mcs, n_prb) // 8 - 8,
+                        self._dl_cap_bytes(tti % 10, n_prb, mcs)))
+                    subs2, room2 = [], tb2_bytes
+                    for lcid in sorted(u.rlc):
+                        while room2 > 8 and u.rlc[lcid].has_data():
+                            p = u.rlc[lcid].read_pdu(room2 - 4)
+                            if p is None:
+                                break
+                            subs2.append((lcid, p))
+                            room2 -= len(p) + 3
+                    if subs2:
+                        g.tm = "tm3"
+                        g.payload2 = pdu.pack(subs2)
+                        g.mcs2 = mcs
+                        n_bytes += tb2_bytes - room2
+                        self.metrics["tm3_tx"] = self.metrics.get(
+                            "tm3_tx", 0) + 1
+                grants.append(g)
                 self.metrics["dl_bytes"] += n_bytes
         return grants
 
@@ -799,8 +889,16 @@ class EnbStack:
                     room -= len(p) + 3
             if subs:
                 n_bytes = tb_bytes - room
-                bytes_per_prb = max(2, ra.dl_tbs(mcs, 1) // 8)
-                n_prb = min(n_prb_free, max(2, -(-n_bytes // bytes_per_prb)))
+                # exact allocation sizing: smallest n whose 36.213 TBS
+                # fits the PDU + framing headroom (TBS is NOT linear in
+                # n_prb; the per-PRB heuristic undersized at high MCS)
+                n_prb = n_prb_free
+                for n_try in range(2, n_prb_free + 1):
+                    if (ra.dl_tbs(mcs, n_try) >= (n_bytes + 3) * 8
+                            and self._dl_cap_bytes(tti % 10, n_try, mcs)
+                            >= n_bytes):
+                        n_prb = n_try
+                        break
                 payload = pdu.pack(subs)
                 pid = self._free_pid(h)
                 h.dl_harq[pid] = (payload, n_prb, mcs, 1)
