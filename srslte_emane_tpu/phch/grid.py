@@ -153,7 +153,8 @@ def nof_re(cell: CellConfig, sf_idx: int, prb_mask: tuple,
 
 
 @functools.lru_cache(maxsize=None)
-def worst_nof_re(cell: CellConfig, sf_idx: int, n_prb_alloc: int) -> int:
+def worst_nof_re(cell: CellConfig, sf_idx: int, n_prb_alloc: int,
+                 max_sym: int = 0) -> int:
     """Minimum PDSCH RE count over all contiguous width-n allocations in
     subframe sf_idx — the scheduler's capacity bound (a mask overlapping
     the PSS/SSS/PBCH region at sf 0/5 carries fewer REs than the 36.213
@@ -163,7 +164,7 @@ def worst_nof_re(cell: CellConfig, sf_idx: int, n_prb_alloc: int) -> int:
 
     return min(
         nof_re(cell, sf_idx,
-               _ra.type2_to_prb_mask(s, n_prb_alloc, cell.n_prb))
+               _ra.type2_to_prb_mask(s, n_prb_alloc, cell.n_prb), max_sym)
         for s in range(cell.n_prb - n_prb_alloc + 1))
 
 

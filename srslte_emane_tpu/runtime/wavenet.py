@@ -57,7 +57,7 @@ from ..phch import chest, dci as dci_mod, grid as grid_mod, pbch as pbch_mod
 from ..phch import pcfich as pcfich_mod, pdcch as pdcch_mod
 from ..phch import pdsch as pdsch_mod, phich as phich_mod, prach as prach_mod
 from ..phch import pucch as pucch_mod, pusch as pusch_mod, ra
-from ..phch import sch, sync as sync_mod
+from ..phch import sch, sync as sync_mod, tdd as tdd_mod
 from ..utils import config as _cfg_mod  # noqa: F401
 
 
@@ -274,11 +274,14 @@ class _CellKernels:
         return jax.jit(run)
 
     @functools.lru_cache(maxsize=None)
-    def dl_re_idx(self, sf_idx: int, rb_start: int, l_crbs: int):
-        """Host-side (n_re,) int32 RE index table for a type-2 DL alloc."""
+    def dl_re_idx(self, sf_idx: int, rb_start: int, l_crbs: int,
+                  max_sym: int = 0):
+        """Host-side (n_re,) int32 RE index table for a type-2 DL alloc.
+        max_sym > 0 truncates to the TDD DwPTS symbol range."""
         mask = ra.type2_to_prb_mask(rb_start, l_crbs, self.cell.n_prb)
         return np.asarray(
-            grid_mod.pdsch_re_indices(self.cell, sf_idx, mask), np.int32)
+            grid_mod.pdsch_re_indices(self.cell, sf_idx, mask, max_sym),
+            np.int32)
 
     @functools.lru_cache(maxsize=None)
     def add_dl_grant(self, l_crbs: int, mcs: int, l_aggr: int, n_re: int):
@@ -324,6 +327,11 @@ class _CellKernels:
     def modulate(self):
         cell = self.cell
         return jax.jit(lambda g: ofdm.modulate(g, cell.n_prb))
+
+    @functools.lru_cache(maxsize=None)
+    def mask_dwpts(self, dw_sym: int):
+        """Zero GP/UpPTS symbols of a TDD special subframe's grid."""
+        return jax.jit(lambda g: g.at[:, dw_sym:, :, :].set(0.0))
 
     # ---- UE side ----
 
@@ -599,12 +607,16 @@ class WaveEnbPhy:
     F2_DETECT = 4.0
 
     def __init__(self, medium: "WaveMedium", cell: grid_mod.CellConfig,
-                 mac, kern: _CellKernels, pcap=None, mimo: bool = False):
+                 mac, kern: _CellKernels, pcap=None, mimo: bool = False,
+                 tdd_config: int = None, ss_config: int = 4):
         self.medium = medium
         self.cell = cell
         self.mac = mac
         self.k = kern
         self.mimo = mimo
+        self.tdd = tdd_config
+        self.ss = ss_config
+        self._silence = None  # cached zero waveform for U subframes
         self.pcap = pcap  # utils.pcap.MacPcap: DL+UL TB wire images
         self._pending_ul = {}  # tti -> [(UlGrant, tbs)]
         # tti -> [(rnti, n_pucch)]: where each DL grant's HARQ-ACK will
@@ -625,8 +637,11 @@ class WaveEnbPhy:
             return
         samples, had_prach, prev_tti = rx
         sf = prev_tti % 10
+        if self.tdd is not None and tdd_mod.sf_type(self.tdd, sf) != "U":
+            return  # TDD: uplink arrives only on U subframes
         div = _srate_div(self.cell.n_prb)
-        if had_prach and sf == PRACH_SF:
+        prach_sf = 2 if self.tdd is not None else PRACH_SF
+        if had_prach and sf == prach_sf:
             freq = prach_mod.rx_waveform_to_freq(
                 samples[:, : prach_mod.waveform_len(0, div)],
                 k0=PRACH_K0, srate_div=div)
@@ -722,13 +737,37 @@ class WaveEnbPhy:
                 except TypeError:
                     self.mac.ack_info(tti, rnti, ack)
 
+    def _next_u(self, tti: int) -> int:
+        """First TTI > tti whose subframe is uplink (ACK arrival slot)."""
+        for d in range(1, 11):
+            if tdd_mod.sf_type(self.tdd, (tti + d) % 10) == "U":
+                return tti + d
+        raise AssertionError("TDD config without uplink subframes")
+
     # ---- downlink ----
     def _tx(self, tti: int):
         sf = tti % 10
+        if self.tdd is not None and tdd_mod.sf_type(self.tdd, sf) == "U":
+            # uplink subframe: the eNB radiates nothing (phy_adapter.cc
+            # TDD gate); the medium still rotates on a silent waveform
+            if self._silence is None:
+                sf_len = ofdm.params(self.cell.n_prb)["sf_len"]
+                self._silence = jnp.zeros((1, sf_len, 2))
+            self.medium.dl_put(tti, self._silence)
+            return
         sfn = (tti // 10) % 1024
         dl_grants = self.mac.get_dl_sched(tti)
-        ul_grants = self.mac.get_ul_sched(tti)
+        if (self.tdd is not None
+                and sf not in tdd_mod.UL_GRANT_K[self.tdd]):
+            # DCI-0 only on subframes with a PUSCH k-association
+            # (36.213 Table 8-2); others defer the UL scheduling pass
+            ul_grants = []
+        else:
+            ul_grants = self.mac.get_ul_sched(tti)
         phich = self.mac.get_phich(tti)
+        dw_sym = (tdd_mod.nof_dw(self.ss)
+                  if self.tdd is not None
+                  and tdd_mod.sf_type(self.tdd, sf) == "S" else 0)
         mib = np.zeros((1, 24), np.int8)
         with_pbch = sfn % 4 if sf == 0 else -1
         if sf == 0:
@@ -748,7 +787,7 @@ class WaveEnbPhy:
             # its MCS rounded to even (the kernel-population grid),
             # floored at whatever fits the payload + padding headers and
             # capped at a legal code rate over the grant's TRUE RE count
-            re_idx = self.k.dl_re_idx(sf, rb_start, l_crbs)
+            re_idx = self.k.dl_re_idx(sf, rb_start, l_crbs, dw_sym)
             mcs = _dl_mcs_clamp(min(g.mcs, 27) + 1, len(g.payload),
                                 l_crbs, len(re_idx))
             fn, tbs = self.k.add_dl_grant(l_crbs, mcs, g.l_aggr,
@@ -764,8 +803,10 @@ class WaveEnbPhy:
                       jnp.asarray(re_idx), jnp.asarray(sf, jnp.int32))
             self.metrics["dl_tx"] += 1
             if g.rnti in getattr(self.mac, "ues", {}):
-                # C-RNTI TB: its HARQ-ACK will arrive on n_CCE + N1
-                self._ack_expect.setdefault(tti, []).append(
+                # C-RNTI TB: its HARQ-ACK will arrive on n_CCE + N1, on
+                # the next UPLINK subframe in TDD (bundled per 36.213)
+                arr = tti if self.tdd is None else self._next_u(tti)
+                self._ack_expect.setdefault(arr, []).append(
                     (g.rnti, N1_PUCCH + g.cce_start))
             if self.pcap is not None:
                 self.pcap.write_pdu(np.packbits(tb[0]).tobytes(),
@@ -784,7 +825,10 @@ class WaveEnbPhy:
                 grid, jnp.asarray(bits), jnp.asarray(g.rnti, jnp.int32),
                 jnp.asarray(g.cce_start, jnp.int32))
             tbs = ra.ul_tbs(min(g.mcs, 28), max(1, g.l_prb))
-            self._pending_ul.setdefault(tti, []).append((g, tbs))
+            # TDD: the UE drains the grant queue on its next UPLINK
+            # subframe, so that is where this PUSCH will arrive
+            arr_ul = tti if self.tdd is None else self._next_u(tti)
+            self._pending_ul.setdefault(arr_ul, []).append((g, tbs))
         if phich:
             ngrp = phich_mod.n_groups(self.cell.n_prb)
             acks = np.zeros((1, ngrp, 8), np.float32)
@@ -798,6 +842,12 @@ class WaveEnbPhy:
         if len(self._ack_expect) > 16:
             self._ack_expect = {t: v for t, v in self._ack_expect.items()
                                 if t >= tti - 8}
+        if dw_sym:
+            # special subframe: silence everything past DwPTS (GP/UpPTS
+            # guard honored at IQ level, phy_common.c:90-163)
+            grid = self.k.mask_dwpts(dw_sym)(grid)
+            if self.mimo:
+                grid_p1 = self.k.mask_dwpts(dw_sym)(grid_p1)
         if self.mimo:
             ports = jnp.concatenate([grid, grid_p1], axis=0)  # (2, ...)
             self.medium.dl_put(tti, self.k.modulate()(ports))
@@ -863,13 +913,16 @@ class WaveUePhy:
 
     def __init__(self, medium: "WaveMedium", cell: grid_mod.CellConfig,
                  stack, kern: _CellKernels, ue_idx: int,
-                 mimo: bool = False):
+                 mimo: bool = False, tdd_config: int = None,
+                 ss_config: int = 4):
         self.medium = medium
         self.cell = cell
         self.stack = stack
         self.k = kern
         self.ue_idx = ue_idx
         self.mimo = mimo
+        self.tdd = tdd_config
+        self.ss = ss_config
         self._ri = 1
         self._rg_mimo = None  # this TTI's (1, 2, 14, NRE, 2) for TM3
         self._ack_bundle = None  # spatially-bundled 2-codeword HARQ bit
@@ -899,9 +952,13 @@ class WaveUePhy:
             self._sf_local = (self._sf_local + 1) % 10
             if self.tti is not None:
                 self.tti += 1
+            sft = (tdd_mod.sf_type(self.tdd, self._sf_local)
+                   if self.tdd is not None else "D")
             if self.state == "SFN_SYNC":
                 if self._sf_local == 0:
                     self._sfn_sync(samples)
+            elif sft == "U":
+                pass  # TDD uplink subframe: nothing to receive
             elif batch is not None:
                 self._camp_rx_row(batch)
             else:
@@ -909,7 +966,12 @@ class WaveUePhy:
         if getattr(self.stack, "tick", None) is not None:
             self.stack.tick()
         if self.state == "CAMP":
-            self._tx()
+            # TDD: the UE transmits only on uplink subframes
+            tx_ok = self.tdd is None or (
+                self.tti is not None
+                and tdd_mod.sf_type(self.tdd, self.tti % 10) == "U")
+            if tx_ok:
+                self._tx()
 
     def _cell_search(self, samples, search=None):
         """PSS/SSS + CP detection (sync.cc CELL_SEARCH via ue_cell_search).
@@ -1069,7 +1131,10 @@ class WaveUePhy:
         d = dci_mod.unpack_dl(bits, self.cell.n_prb, "1A")
         if d.l_crbs < 1 or d.rb_start + d.l_crbs > self.cell.n_prb:
             return  # CRC alias: impossible allocation
-        re_idx = self.k.dl_re_idx(tti % 10, d.rb_start, d.l_crbs)
+        dw_sym = (tdd_mod.nof_dw(self.ss)
+                  if self.tdd is not None
+                  and tdd_mod.sf_type(self.tdd, tti % 10) == "S" else 0)
+        re_idx = self.k.dl_re_idx(tti % 10, d.rb_start, d.l_crbs, dw_sym)
         fn = self.k.pdsch_rx(d.l_crbs, d.mcs, len(re_idx))
         payload_bits, ok = fn(rg, jnp.asarray(rnti, jnp.int32),
                               jnp.asarray(re_idx),
@@ -1118,7 +1183,8 @@ class WaveUePhy:
         sf_len = ofdm.params(self.cell.n_prb)["sf_len"]
         out = None
         prach_idx = None
-        if sf == PRACH_SF:
+        prach_sf = 2 if self.tdd is not None else PRACH_SF
+        if sf == prach_sf:
             # get_prach consumes the pending preamble and records the
             # occasion TTI (RA-RNTI epoch) — only probe ON the occasion
             prach_idx = self.stack.get_prach(tti)
@@ -1157,6 +1223,10 @@ class WaveUePhy:
                 # spatial HARQ-ACK bundling: one bit for both codewords
                 acks = [self._ack_bundle if self._ack_bundle is not None
                         else (acks[0] and acks[1])]
+            elif self.tdd is not None and len(acks) >= 2:
+                # TDD HARQ-ACK bundling: the D/S subframes since the
+                # last U slot share one AND-bundled bit (36.213 §10.1)
+                acks = [all(acks)]
             sr = bool(pucch.get("sr"))
             sr_res = getattr(self.stack, "sr_pucch_res", None)
             cqi = pucch.get("cqi")
@@ -1381,7 +1451,8 @@ class WaveformNetwork:
                  fading_profile: str = None, doppler_hz: float = 5.0,
                  start_tti: int = 0, pcap=None, dyn_delay: tuple = None,
                  hst_fd_hz: float = None, rlf: tuple = None,
-                 mimo: bool = False, mimo_cond=None):
+                 mimo: bool = False, mimo_cond=None,
+                 tdd_config: int = None, ss_config: int = 4):
         """mimo=True: 2x2 downlink spatial multiplexing (TM3) — the eNB
         transmits two port waveforms (control stays on port 0), each UE
         receives through its own 2x2 matrix on 2 antennas, reports RI,
@@ -1401,6 +1472,17 @@ class WaveformNetwork:
         # capacity-aware grant sizing: the scheduler bounds TBs by the
         # subframe's true RE count (enb_stack._dl_cap_bytes)
         enb_mac.phy_cell = self.cell
+        self.tdd = tdd_config
+        if tdd_config is not None:
+            # DwPTS-truncated capacity for special subframes; a chest
+            # with all four pilot symbols needs DwPTS >= 12 (ss 4)
+            assert tdd_mod.nof_dw(ss_config) >= 12, \
+                "waveform TDD supports special-subframe configs with " \
+                "DwPTS covering the pilot symbols (ss_config 4)"
+            enb_mac.phy_max_sym = {
+                s: tdd_mod.nof_dw(ss_config) for s in range(10)
+                if tdd_mod.sf_type(tdd_config, s) == "S"}
+            enb_mac.tdd_config = tdd_config
         # PUCCH format-1 region: [0, n_cce) dynamic HARQ-ACK (36.213
         # §10.1, N1=0 as broadcast in SIB2), then the dedicated SR pool.
         # Edge PRB pairs carrying the region are reserved from PUSCH.
@@ -1454,9 +1536,11 @@ class WaveformNetwork:
             dyn_delay=dyn_delay, hst_fd_hz=hst_fd_hz, rlf=rlf,
             mimo_h=mimo_h)
         self.enb = WaveEnbPhy(self.medium, self.cell, enb_mac, self.kern,
-                              pcap=pcap, mimo=mimo)
+                              pcap=pcap, mimo=mimo, tdd_config=tdd_config,
+                              ss_config=ss_config)
         self.ues = [WaveUePhy(self.medium, self.cell, st, self.kern, i,
-                              mimo=mimo)
+                              mimo=mimo, tdd_config=tdd_config,
+                              ss_config=ss_config)
                     for i, st in enumerate(ue_stacks)]
         self.tti = start_tti
 

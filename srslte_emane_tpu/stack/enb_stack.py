@@ -60,8 +60,9 @@ class _CceAlloc:
 
 
 @functools.lru_cache(maxsize=None)
-def _dl_cap_bytes_cached(cell, sf: int, n_prb_alloc: int) -> int:
-    n_re = grid_mod.worst_nof_re(cell, sf, n_prb_alloc)
+def _dl_cap_bytes_cached(cell, sf: int, n_prb_alloc: int,
+                         max_sym: int = 0) -> int:
+    n_re = grid_mod.worst_nof_re(cell, sf, n_prb_alloc, max_sym)
     best = 8
     for mcs in list(range(0, 29, 2)) + [27]:
         tbs = ra.dl_tbs(mcs, n_prb_alloc)
@@ -372,7 +373,8 @@ class EnbStack:
         cell = getattr(self, "phy_cell", None)
         if cell is None:
             return 1 << 30
-        return _dl_cap_bytes_cached(cell, sf, n_prb_alloc)
+        max_sym = getattr(self, "phy_max_sym", {}).get(sf, 0)
+        return _dl_cap_bytes_cached(cell, sf, n_prb_alloc, max_sym)
 
     def cqi_info(self, tti, rnti, cqi: int, ri: int = None, pmi: int = None,
                  sb: list = None):
