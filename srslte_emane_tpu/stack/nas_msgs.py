@@ -75,6 +75,22 @@ class AuthenticationReject:
 
 
 @codec.register
+@per.schema(("cause", "cint", 0, 255))
+@dataclasses.dataclass
+class AttachReject:
+    """24.301 §8.2.3: attach rejected with an EMM cause (#11 "PLMN not
+    allowed" etc.; nas.cc attach-reject handling)."""
+    cause: int = 11
+
+
+@codec.register
+@per.schema()
+@dataclasses.dataclass
+class DetachAccept:
+    pass
+
+
+@codec.register
 @per.schema(("eea", "cint", 0, 7), ("eia", "cint", 0, 7))
 @dataclasses.dataclass
 class NasSecurityModeCommand:

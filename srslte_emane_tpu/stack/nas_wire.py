@@ -397,6 +397,11 @@ def encode(msg) -> bytes:
             auts=bytes(msg.auts) if msg.auts else None))
     if t is nas_msgs.AuthenticationReject:
         return w.encode(_emm(w.AUTHENTICATION_REJECT))
+    if t is nas_msgs.AttachReject:
+        return w.encode(_emm(w.ATTACH_REJECT,
+                             emm_cause=bytes([msg.cause])))
+    if t is nas_msgs.DetachAccept:
+        return w.encode(_emm(w.DETACH_ACCEPT))
     if t is nas_msgs.NasSecurityModeCommand:
         return w.encode(_emm(
             w.SECURITY_MODE_COMMAND,
@@ -498,6 +503,10 @@ def decode(data: bytes):
             auts=d.get("auts", b""))
     if mt == w.AUTHENTICATION_REJECT:
         return nas_msgs.AuthenticationReject()
+    if mt == w.ATTACH_REJECT:
+        return nas_msgs.AttachReject(cause=d["emm_cause"][0])
+    if mt == w.DETACH_ACCEPT:
+        return nas_msgs.DetachAccept()
     if mt == w.SECURITY_MODE_COMMAND:
         algs = d["selected_nas_algs"][0]
         return nas_msgs.NasSecurityModeCommand(eea=algs >> 4,

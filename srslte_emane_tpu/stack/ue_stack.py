@@ -33,10 +33,16 @@ class Usim:
         self.sqn_ms = sqn_ms  # highest SQN accepted so far
 
     def authenticate(self, rand: bytes, autn: bytes):
-        """Returns (res, kasme) on success, or raises SqnSyncFailure
-        carrying the AUTS token when the network's SQN is stale."""
+        """Returns (res, kasme) on success; raises MacFailure when the
+        network's MAC-A does not verify (a false base station / corrupt
+        AUTN — 24.301 §5.4.2.6, usim.cc) or SqnSyncFailure carrying the
+        AUTS token when the network's SQN is stale."""
         res, ck, ik, ak = security.milenage_f2345(self.key, self.opc, rand)
         sqn = bytes(a ^ b for a, b in zip(autn[:6], ak))
+        amf, mac_a = autn[6:8], autn[8:16]
+        if security.milenage_f1(self.key, self.opc, rand, sqn,
+                                amf) != mac_a:
+            raise MacFailure()
         sqn_i = int.from_bytes(sqn, "big")
         if sqn_i <= self.sqn_ms:
             # out-of-order SQN: build AUTS = (SQN_ms ^ AK*) || MAC-S
@@ -49,6 +55,10 @@ class Usim:
         self.sqn_ms = sqn_i
         kasme = security.kdf_kasme(ck, ik, b"\x00\xf1\x10", autn[:6])
         return res, kasme
+
+
+class MacFailure(Exception):
+    """AKA MAC-A verification failed (AUTN not authentic)."""
 
 
 class SqnSyncFailure(Exception):
@@ -344,6 +354,9 @@ class UeStack:
                     or self.rrc_state == "REESTABLISHING"
                     or getattr(self, "_connect_pending", False)
                     or self._pending_ul_bytes() > 0)
+            if getattr(self, "emm_forbidden", False):
+                want = (self.rrc_state == "REESTABLISHING"
+                        or self._pending_ul_bytes() > 0)
             if not want or getattr(self, "_conn_barred", 0) > 0:
                 return None
             if getattr(self, "rat", "eutra") != "eutra":
@@ -988,6 +1001,10 @@ class UeStack:
                 self.nas_sec = nas_wire.NasSecurity(self.kasme,
                                                     eia=peek.eia,
                                                     eea=peek.eea)
+        if self.nas_sec is None and data and data[0] >> 4 in (2, 4):
+            # ciphered NAS without a context: undecipherable — drop
+            self.metrics["nas_mac_fail"] += 1
+            return
         if self.nas_sec is not None:
             plain, ok = self.nas_sec.unprotect(data, downlink=True)
             if not ok:
@@ -1015,6 +1032,12 @@ class UeStack:
         if isinstance(msg, nas_msgs.AuthenticationRequest):
             try:
                 res, kasme = self.usim.authenticate(msg.rand, msg.autn)
+            except MacFailure:
+                # 24.301 §5.4.2.6: the AUTN is not authentic
+                self.metrics["auth_mac_failure"] += 1
+                self._send_nas(nas_msgs.AuthenticationFailure(
+                    cause="mac-failure"))
+                return
             except SqnSyncFailure as e:
                 # 24.301 §5.4.2.6: Authentication Failure with the AUTS
                 # resync token; the MME resynchronises the HSS and retries
@@ -1025,6 +1048,12 @@ class UeStack:
             self.kasme = kasme
             self._send_nas(nas_msgs.AuthenticationResponse(res=res))
         elif isinstance(msg, nas_msgs.NasSecurityModeCommand):
+            if self.nas_sec is None:
+                # 24.301 §4.4.4.2: an UNPROTECTED Security Mode Command
+                # must not activate security — drop it (the protected
+                # sec-hdr-3 path in _rx_nas_pdu is the only activation)
+                self.metrics["smc_unprotected_drop"] += 1
+                return
             self.kenb = security.kdf_kenb(self.kasme, 0)
             self._send_nas(nas_msgs.NasSecurityModeComplete())
         elif isinstance(msg, nas_msgs.AttachAccept):
@@ -1047,6 +1076,28 @@ class UeStack:
             self.t3410.stop()
             self._send_nas(nas_msgs.AttachComplete())
             self.metrics["attach_ok"] += 1
+        elif isinstance(msg, nas_msgs.AttachReject):
+            # 24.301 §5.5.1.2.5: permanent causes (#3, #7, #8, #11, #14)
+            # forbid further attach attempts on this PLMN (nas.cc)
+            self.metrics["attach_reject"] += 1
+            self.t3410.stop()
+            self.emm_state = "DEREGISTERED"
+            if msg.cause in (3, 7, 8, 11, 14):
+                self.emm_forbidden = True
+        elif isinstance(msg, nas_msgs.AuthenticationReject):
+            # 24.301 §5.4.2.5: the USIM is considered invalid until
+            # switch-off — no further attach/service attempts
+            self.metrics["auth_reject"] += 1
+            self.t3410.stop()
+            self.emm_state = "DEREGISTERED"
+            self.emm_forbidden = True
+        elif isinstance(msg, nas_msgs.DetachRequest):
+            # network-initiated detach (24.301 §5.5.2.3): acknowledge
+            # and drop to deregistered; re-attach unless switch-off type
+            self.metrics["nw_detach"] += 1
+            self._send_nas(nas_msgs.DetachAccept())
+            self.guti = None
+            self.emm_state = "DEREGISTERED"
         elif isinstance(msg, nas_msgs.IdentityRequest):
             self._send_nas(nas_msgs.IdentityResponse(imsi=self.usim.imsi))
             self.metrics["identity_resp"] += 1
