@@ -57,6 +57,7 @@ from ..phch import chest, dci as dci_mod, grid as grid_mod, pbch as pbch_mod
 from ..phch import pcfich as pcfich_mod, pdcch as pdcch_mod
 from ..phch import pdsch as pdsch_mod, phich as phich_mod, prach as prach_mod
 from ..phch import pucch as pucch_mod, pusch as pusch_mod, ra
+from ..phch import uci as uci_mod
 from ..phch import sch, sync as sync_mod, tdd as tdd_mod
 from ..utils import config as _cfg_mod  # noqa: F401
 
@@ -337,14 +338,26 @@ class _CellKernels:
 
     @functools.lru_cache(maxsize=None)
     def rx_front(self, sf_idx: int):
-        """OFDM demod + channel estimate + PCFICH, one jitted call."""
+        """OFDM demod + channel estimate + PCFICH + per-subband SNR
+        (the cqi.c subband measurement input), one jitted call."""
         cell = self.cell
+        from ..phch import uci as uci_mod
+
+        n_sb = max(1, uci_mod.cqi_hl_subband_size(cell.n_prb))
+        k_sb = -(-cell.n_prb // n_sb) * 12
+        pad = n_sb * k_sb - cell.nre
 
         def run(samples):
             rg = ofdm.demodulate(samples, cell.n_prb)
             ch = chest.estimate(rg, cell, sf_idx)
             cfi, _ = pcfich_mod.decode(rg, ch.ce, cell, sf_idx)
-            return rg, ch.ce, ch.snr_db, cfi
+            p = cplx.abs2(ch.ce).mean(-3)  # (B, NRE) over symbols
+            p = jnp.pad(p, ((0, 0), (0, pad)))
+            p_sb = p.reshape(p.shape[0], n_sb, k_sb).sum(-1) / jnp.maximum(
+                jnp.minimum(k_sb, cell.nre - k_sb * jnp.arange(n_sb)), 1)
+            sb_snr = 10.0 * jnp.log10(jnp.maximum(
+                p_sb / jnp.maximum(ch.noise_est, 1e-12)[:, None], 1e-12))
+            return rg, ch.ce, ch.snr_db, cfi, sb_snr
 
         return jax.jit(run)
 
@@ -416,6 +429,42 @@ class _CellKernels:
             return ofdm.modulate(g, cell.n_prb)
 
         return jax.jit(run), tbs
+
+    @functools.lru_cache(maxsize=None)
+    def pusch_tx_cqi(self, l_prb: int, mcs: int, n_cqi: int):
+        """PUSCH with an aperiodic CQI report as REAL multiplexed UCI
+        (36.212 §5.2.2.6 coding + §5.2.2.8 interleaver placement)."""
+        cell = self.cell
+        tbs = ra.ul_tbs(min(mcs, 28), l_prb)
+        qm = ra.ul_mcs_to_qm(min(mcs, 28))
+        q_ack, q_ri, q_cqi, g_data = pusch_mod.uci_dims(
+            l_prb, qm, 0, 0, n_cqi)
+        cfg = sch.SchConfig(tbs=tbs, G=g_data, Qm=qm, Nl=1)
+
+        def run(bits, cqi_bits, rnti, rb_start, sf):
+            g = pusch_mod.encode(bits, cfg, cell, sf, rnti, rb_start,
+                                 l_prb, uci=dict(cqi=cqi_bits))
+            return ofdm.modulate(g, cell.n_prb)
+
+        return jax.jit(run), tbs
+
+    @functools.lru_cache(maxsize=None)
+    def pusch_rx_cqi(self, l_prb: int, mcs: int, n_cqi: int):
+        cell = self.cell
+        tbs = ra.ul_tbs(min(mcs, 28), l_prb)
+        qm = ra.ul_mcs_to_qm(min(mcs, 28))
+        q_ack, q_ri, q_cqi, g_data = pusch_mod.uci_dims(
+            l_prb, qm, 0, 0, n_cqi)
+        cfg = sch.SchConfig(tbs=tbs, G=g_data, Qm=qm, Nl=1)
+        dims = (0, 0, q_cqi, 0, 0, n_cqi)
+
+        def run(samples, rnti, rb_start, sf):
+            rg = ofdm.demodulate(samples, cell.n_prb)
+            out = pusch_mod.decode(rg, cfg, cell, sf, rnti, rb_start,
+                                   l_prb, uci_dims_in=dims)
+            return out["payload"], out["ok"], out["cqi"]
+
+        return jax.jit(run)
 
     @functools.lru_cache(maxsize=None)
     def pusch_rx(self, l_prb: int, mcs: int):
@@ -650,11 +699,28 @@ class WaveEnbPhy:
                 self.metrics["prach_det"] += 1
                 self.mac.rach_detected(prev_tti, int(idx))
         for g, tbs in self._pending_ul.pop(prev_tti, ()):
-            fn = self.k.pusch_rx(g.l_prb, g.mcs)
-            bits, ok = fn(samples, jnp.asarray(g.rnti, jnp.int32),
-                          jnp.asarray(g.rb_start, jnp.int32),
-                          jnp.asarray(sf, jnp.int32))
+            cqi_rep = None
+            if getattr(g, "cqi_request", 0):
+                n_cqi = 4 + 2 * uci_mod.cqi_hl_subband_size(
+                    self.cell.n_prb)
+                fn = self.k.pusch_rx_cqi(g.l_prb, g.mcs, n_cqi)
+                bits, ok, cqi_bits = fn(
+                    samples, jnp.asarray(g.rnti, jnp.int32),
+                    jnp.asarray(g.rb_start, jnp.int32),
+                    jnp.asarray(sf, jnp.int32))
+                cqi_rep = uci_mod.unpack_cqi_hl_subband(
+                    np.asarray(cqi_bits)[0], self.cell.n_prb)
+            else:
+                fn = self.k.pusch_rx(g.l_prb, g.mcs)
+                bits, ok = fn(samples, jnp.asarray(g.rnti, jnp.int32),
+                              jnp.asarray(g.rb_start, jnp.int32),
+                              jnp.asarray(sf, jnp.int32))
             ok = bool(np.asarray(ok)[0])
+            if ok and cqi_rep is not None and hasattr(self.mac, "cqi_info"):
+                # aperiodic HL-subband report -> frequency-selective
+                # link adaptation (scheduler_ue.cc sb_cqi)
+                self.mac.cqi_info(tti, g.rnti, cqi_rep["wideband_cqi"],
+                                  sb=cqi_rep["subband_diff_cqi"])
             self.mac.ul_crc_info(tti, g.rnti, ok, rb_start=g.rb_start)
             if ok:
                 payload = _unframe(np.asarray(bits)[0])
@@ -788,7 +854,21 @@ class WaveEnbPhy:
             # floored at whatever fits the payload + padding headers and
             # capped at a legal code rate over the grant's TRUE RE count
             re_idx = self.k.dl_re_idx(sf, rb_start, l_crbs, dw_sym)
-            mcs = _dl_mcs_clamp(min(g.mcs, 27) + 1, len(g.payload),
+            pref = min(g.mcs, 27) + 1
+            sb = getattr(self.mac.ues.get(g.rnti),
+                         "sb_cqi", None) if getattr(
+                self.mac, "ues", None) else None
+            if sb:
+                # frequency-selective link adaptation: shift the MCS by
+                # the worst subband differential of the ALLOCATED PRBs
+                # (36.213 Table 7.2.1-2 offsets {0:+0, 1:+1, 2:+2, 3:-1};
+                # scheduler_ue.cc sb_cqi role)
+                k_sb = -(-self.cell.n_prb // max(1, len(sb)))
+                offs = [{0: 0, 1: 1, 2: 2, 3: -1}[sb[min(p // k_sb,
+                                                         len(sb) - 1)]]
+                        for p in range(rb_start, rb_start + l_crbs)]
+                pref = max(0, min(28, pref + 2 * min(offs)))
+            mcs = _dl_mcs_clamp(pref, len(g.payload),
                                 l_crbs, len(re_idx))
             fn, tbs = self.k.add_dl_grant(l_crbs, mcs, g.l_aggr,
                                           len(re_idx))
@@ -819,7 +899,7 @@ class WaveEnbPhy:
             g.mcs = min(g.mcs, 28) & ~1
             d = dci_mod.DciUl(mcs=min(g.mcs, 28), ndi=g.ndi & 1,
                               rb_start=g.rb_start, l_crbs=max(1, g.l_prb),
-                              cqi_req=0)
+                              cqi_req=g.cqi_request & 1)
             bits = dci_mod.pack_ul(d, self.cell.n_prb)[None]
             grid = self.k.add_ul_dci(sf, g.l_aggr)(
                 grid, jnp.asarray(bits), jnp.asarray(g.rnti, jnp.int32),
@@ -1009,12 +1089,14 @@ class WaveUePhy:
     def _camp_rx(self, samples):
         sf = self.tti % 10
         if self.mimo:
-            rg2, ce2, snr2, _ = self.k.rx_front(sf)(samples)  # (2, ...)
+            rg2, ce2, snr2, _, sb2 = self.k.rx_front(sf)(samples)
             self._rg_mimo = rg2[None]  # (1, 2, 14, NRE, 2)
             rg, ce = rg2[0:1], ce2[0:1]
             snr = snr2[0:1]
+            self.stack.last_sb_snr_db = np.asarray(sb2)[0]
         else:
-            rg, ce, snr, cfi = self.k.rx_front(sf)(samples)
+            rg, ce, snr, cfi, sb = self.k.rx_front(sf)(samples)
+            self.stack.last_sb_snr_db = np.asarray(sb)[0]
         fn, positions = self.k.blind_all(sf)
         bits_dev, resid = fn(rg, ce)
         batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
@@ -1126,7 +1208,7 @@ class WaveUePhy:
                 rnti, u.rb_start, u.l_crbs,
                 0 if u.mcs >= 29 else u.mcs, u.ndi,
                 u.mcs - 28 if u.mcs >= 29 else 0,
-                cqi_request=0))
+                cqi_request=u.cqi_req))
             return
         d = dci_mod.unpack_dl(bits, self.cell.n_prb, "1A")
         if d.l_crbs < 1 or d.rb_start + d.l_crbs > self.cell.n_prb:
@@ -1196,6 +1278,29 @@ class WaveUePhy:
                 out = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
                 self.metrics["prach_tx"] += 1
         for g, payload in self.stack.get_pusch(tti):
+            if getattr(g, "cqi_request", 0) and hasattr(
+                    self.stack, "aperiodic_cqi"):
+                # DCI-0 CSI request: the aperiodic HL-subband report is
+                # REAL UCI multiplexed on this PUSCH (cqi.c aperiodic,
+                # sch.c UL-SCH UCI mux) — fed by the PHY's per-subband
+                # SNR measurement (rx_front)
+                rep = self.stack.aperiodic_cqi(self.cell.n_prb)
+                cqi_bits = uci_mod.pack_cqi_hl_subband(
+                    rep["wideband_cqi"], rep["subband_diff_cqi"],
+                    self.cell.n_prb)
+                fn, tbs = self.k.pusch_tx_cqi(g.l_prb, g.mcs,
+                                              len(cqi_bits))
+                assert (len(payload) + 3) * 8 <= tbs
+                s = fn(jnp.asarray(_frame(payload, tbs)),
+                       jnp.asarray(cqi_bits[None]),
+                       jnp.asarray(g.rnti, jnp.int32),
+                       jnp.asarray(g.rb_start, jnp.int32),
+                       jnp.asarray(sf, jnp.int32))
+                out = s if out is None else out + s
+                self.metrics["pusch_tx"] += 1
+                self._phich_wait = phich_mod.alloc(
+                    g.rb_start, 0, phich_mod.n_groups(self.cell.n_prb))
+                continue
             fn, tbs = self.k.pusch_tx(g.l_prb, g.mcs)
             assert (len(payload) + 3) * 8 <= tbs, \
                 f"MAC PDU {len(payload)}B cannot pad into TBS {tbs}"
@@ -1561,18 +1666,20 @@ class WaveformNetwork:
             search = None
             if any(ue.state == "CAMP" for ue in self.ues):
                 if self.mimo:
-                    rg2, ce2, snr2, cfi = self.kern.rx_front(sf)(flat)
+                    rg2, ce2, snr2, cfi, sb2 = self.kern.rx_front(sf)(flat)
                     shp = rg2.shape[1:]
                     rgm = rg2.reshape((n, 2) + shp)
                     rg, ce = rg2[0::2], ce2[0::2]
                     snr = snr2[0::2]
+                    sb_all = np.asarray(sb2)[0::2]
                 else:
-                    rg, ce, snr, cfi = self.kern.rx_front(sf)(samples)
+                    rg, ce, snr, cfi, sb = self.kern.rx_front(sf)(samples)
+                    sb_all = np.asarray(sb)
                 fn, positions = self.kern.blind_all(sf)
                 bits_dev, resid = fn(rg, ce)
                 batch = dict(rg=rg, ce=ce, snr=np.asarray(snr),
                              resid=np.asarray(resid), bits_dev=bits_dev,
-                             bits=None, positions=positions)
+                             bits=None, positions=positions, sb=sb_all)
                 if self.mimo:
                     batch["rg_mimo"] = rgm
                     if any(getattr(u.stack, "crnti", None)
@@ -1592,6 +1699,7 @@ class WaveformNetwork:
                 row = dict(batch, row=i) if batch is not None else None
                 if row is not None:
                     row["bits"] = batch["bits"]
+                    ue.stack.last_sb_snr_db = batch["sb"][i]
                     if self.mimo:
                         ue._rg_mimo = batch["rg_mimo"][i : i + 1]
                 srow = None

@@ -521,13 +521,25 @@ class UeStack:
             # the retransmission takes this grant before new data
             if getattr(self, "_ul_retx", None) is not None:
                 payload = self._ul_retx
-                self._ul_retx = None
-                self._ul_harq_buf = payload
-                g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs, g.ndi, 2,
-                             cqi_request=g.cqi_request)
-                out.append((g2, payload))
-                self.metrics["ul_harq_retx"] += 1
-                continue
+                from ..phch import ra as _ra_mod
+
+                if (len(payload) + 3) * 8 > _ra_mod.ul_tbs(
+                        min(g.mcs, 28), max(1, g.l_prb)):
+                    # link adaptation shrank the grant below the stored
+                    # TB: the retransmission cannot ride it — drop and
+                    # let RLC AM recover (ul_harq.cc new_grant_ul resets
+                    # the process when the adaptive grant changes size)
+                    self._ul_retx = None
+                    self._ul_harq_buf = None
+                    self.metrics["ul_harq_drop"] += 1
+                else:
+                    self._ul_retx = None
+                    self._ul_harq_buf = payload
+                    g2 = UlGrant(self.crnti, g.rb_start, g.l_prb, g.mcs,
+                                 g.ndi, 2, cqi_request=g.cqi_request)
+                    out.append((g2, payload))
+                    self.metrics["ul_harq_retx"] += 1
+                    continue
             subs = []
             # mux to the grant's transport block size (36.321 mux.cc): the
             # waveform path carries exactly TBS bits, and the message path
@@ -1237,7 +1249,18 @@ class UeStack:
         wb = int(np.clip(round(getattr(self, "last_rsrp_snr", 0.0) / 2.0 + 2),
                          1, 15))
         n_sb = uci.cqi_hl_subband_size(n_prb)
-        diffs = [0] * n_sb
+        sb_snr = getattr(self, "last_sb_snr_db", None)
+        if sb_snr is not None and len(sb_snr) == n_sb:
+            # per-subband CQI from the PHY's subband SNR, coded as the
+            # 36.213 Table 7.2.1-2 2-bit differential vs wideband
+            diffs = []
+            for s_db in sb_snr:
+                sb_cqi = int(np.clip(round(float(s_db) / 2.0 + 2), 1, 15))
+                off = sb_cqi - wb
+                diffs.append(0 if off == 0 else 1 if off == 1
+                             else 2 if off >= 2 else 3)
+        else:
+            diffs = [0] * n_sb
         bits = uci.pack_cqi_hl_subband(wb, diffs, n_prb)
         self.metrics["aperiodic_cqi_tx"] += 1
         return uci.unpack_cqi_hl_subband(bits, n_prb)
