@@ -41,6 +41,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    llr_bits = int(sys.argv[4]) if len(sys.argv) > 4 else 16  # A/B knob
 
     # 20 MHz SISO 64QAM, rate ~0.55 -> ~36 Mbps-class TB per subframe
     cfg = pdsch_link.LinkConfig(
@@ -51,7 +52,7 @@ def main():
         sf_idx=1,
         # the reference's default decoder width (SRSLTE_TDEC_16BIT):
         # quantized LLRs + bf16 kernel storage -> widest Pallas tiles
-        llr_bits=16,
+        llr_bits=llr_bits,
     )
     rng = np.random.default_rng(0)
     # device-resident input: a host numpy arg would re-upload ~6 MB per

@@ -347,6 +347,21 @@ def _consts(cfg: DynBlockConfig) -> dict:
     base10 = waveblock._base_grids(types.SimpleNamespace(cell=cell), 0)
     base_idx = _dl_base_idx(cfg)
     dl_tap_idx, dl_tap_w, dl_tw, dl_W = _dl_window_taps(cfg, base_idx)
+    # window-relative static RE tables: every per-(t,u) RX gather over
+    # the full grid becomes one contiguous frequency-window
+    # dynamic_slice + a static-index take (the flat-grid gather from a
+    # (T8, n, S)-broadcast was the profiler's top cost at 100 PRB).
+    # Shift-covariance (idx(rb) = idx(0) + 12 rb, asserted above for DL;
+    # DMRS/data occupy whole PRBs for UL) makes the within-window
+    # pattern rb-independent.
+    wd_sc = 12 * cfg.dl_l_crbs
+    assert (base_idx % cell.nre < wd_sc).all()
+    dl_win_idx = (base_idx // cell.nre) * wd_sc + base_idx % cell.nre
+    wu_sc = 12 * cfg.ul_l_prb
+    assert (ul_data0 % cell.nre < wu_sc).all()
+    assert (ul_dmrs0 % cell.nre < wu_sc).all()
+    ul_d_win = (ul_data0 // cell.nre) * wu_sc + ul_data0 % cell.nre
+    ul_m_win = (ul_dmrs0 // cell.nre) * wu_sc + ul_dmrs0 % cell.nre
     ct_idx, ct_w = _cand_taps(
         cfg, cand_re.reshape(10, n, -1))
     return dict(
@@ -357,6 +372,9 @@ def _consts(cfg: DynBlockConfig) -> dict:
         dl_tap_idx=dl_tap_idx, dl_tap_w=dl_tap_w, dl_tw=dl_tw,
         dl_W=np.int32(dl_W),
         ct_idx=ct_idx, ct_w=ct_w,
+        dl_win_idx=dl_win_idx.astype(np.int32),
+        ul_d_win=ul_d_win.astype(np.int32),
+        ul_m_win=ul_m_win.astype(np.int32),
         cce_dl=cce_dl, cce_ul=cce_ul, cand=cand, cand_re=cand_re,
         c_all10=c_all10,
         fidx=fidx, fw=fw, tmat=tmat, pidx=pidx,
@@ -528,6 +546,22 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
     rvseq = jnp.asarray(RV_SEQ)
     uidx = jnp.arange(n, dtype=jnp.int32)
     sdt = jnp.bfloat16 if cfg.llr_bits <= 16 else jnp.float32
+
+    def _win_slice(rg, rb, w_sc):
+        """(T8, S, 2) grid -> (T8, n, N_SYM*w_sc, 2) contiguous
+        frequency windows at 12*rb[t, u] (dynamic_slice clamps garbage
+        rb from undecoded DCIs into range; those rows are masked off
+        downstream).  Pair with a static window-relative take."""
+        T8 = rg.shape[0]
+        g14 = rg.reshape(T8, grid_mod.N_SYM, cell.nre, 2)
+
+        def one(g, r):
+            return jax.lax.dynamic_slice(
+                g, (0, 12 * r, 0), (grid_mod.N_SYM, w_sc, 2))
+
+        win = jax.vmap(lambda g, rr: jax.vmap(
+            lambda r: one(g, r))(rr))(g14, rb)
+        return win.reshape(T8, rb.shape[1], grid_mod.N_SYM * w_sc, 2)
 
     def _chest_at(h_ls, k, sym):
         """CE at traced REs: h_ls (T8, n, S_pil, P, 2); k/sym (T8, n, Np).
@@ -730,12 +764,10 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
             # UE PDSCH decode at the DECODED allocation (soft-combining);
             # chest via the padded-pilot WINDOW (one contiguous per-(t,u)
             # slice + static tap takes, _dl_window_taps)
-            dl_idx_ue = c["base_idx"][None, None] + 12 * rb_ue[..., None]
-            y_d = (jnp.take_along_axis(
-                jnp.broadcast_to(rg_tx[:, None], (N_PID, n, S, 2)),
-                dl_idx_ue[..., None].repeat(2, -1), axis=-2)
-                + a2[None, :, None, None]
-                * jax.random.normal(k_pdsch, (N_PID, n, n_re_d, 2)))
+            dwin = _win_slice(rg_tx, rb_ue, 12 * cfg.dl_l_crbs)
+            y_d = (dwin[:, :, jnp.asarray(c["dl_win_idx"])]
+                   + a2[None, :, None, None]
+                   * jax.random.normal(k_pdsch, (N_PID, n, n_re_d, 2)))
             h_pad = jnp.concatenate(
                 [h_ls[..., :1, :], h_ls, h_ls[..., -1:, :]], axis=-2)
             W = int(c["dl_W"])
@@ -840,12 +872,9 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
 
             # ------------- eNB receive -------------
             urg = ofdm.demodulate(urx, cell.n_prb).reshape(N_PID, S, 2)
-            um_idx_e = (c["ul_dmrs0"][None, None]
-                        + 12 * rb_enb[..., None, None])
-            yd = jnp.take_along_axis(
-                jnp.broadcast_to(urg[:, None], (N_PID, n, S, 2)),
-                um_idx_e.reshape(N_PID, n, -1, 1).repeat(2, -1), axis=-2)
-            yd = yd.reshape(N_PID, n, 2, m_sc, 2)
+            uwin = _win_slice(urg, rb_enb, m_sc)
+            yd = uwin[:, :, jnp.asarray(c["ul_m_win"])].reshape(
+                N_PID, n, 2, m_sc, 2)
             rref = jnp.take(jnp.asarray(c["ul_dmrs10"]), sfs, axis=0)
             h_lsu = cplx.mul_conj(yd, rref[:, None])
             k5 = 5
@@ -860,12 +889,8 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
                     * sm_u[:, :, 0:1]
                     + jnp.asarray(t_w)[None, None, :, None, None]
                     * sm_u[:, :, 1:2])
-            ud_idx_e = (c["ul_data0"][None, None]
-                        + 12 * rb_enb[..., None, None])
-            yu = jnp.take_along_axis(
-                jnp.broadcast_to(urg[:, None], (N_PID, n, S, 2)),
-                ud_idx_e.reshape(N_PID, n, -1, 1).repeat(2, -1), axis=-2)
-            yu = yu.reshape(N_PID, n, 12, m_sc, 2)
+            yu = uwin[:, :, jnp.asarray(c["ul_d_win"])].reshape(
+                N_PID, n, 12, m_sc, 2)
             xeq_u, csi_u = chest.equalize_mmse(yu, ce_u, noise_u)
             xtd = dft.idft(xeq_u.reshape(B, 12, m_sc, 2), ortho=True)
             llr_u = modem.demod_soft(xtd.reshape(B, 12 * m_sc, 2),
