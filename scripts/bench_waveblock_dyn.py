@@ -11,7 +11,13 @@ pipeline produces 1000 TTIs/s (real time) on an x86 host.
 Prints one JSON line:
   {"metric": "waveform_dyn_block_ttis_per_sec", "value": ..., ...}
 
-Usage: python scripts/bench_waveblock_dyn.py [n_ues] [R] [iters] [runs]
+With cells > 1 the block is vmapped over that many INDEPENDENT cells
+(the emulation's many-eNB scenario) — each with its own payloads,
+schedule, channel and HARQ state — and the reported TTIs/s is the
+aggregate across cells (cells x T x iters / wall).  The per-cell rate
+is aggregate / cells; n_cells=1 is the single-cell number.
+
+Usage: python scripts/bench_waveblock_dyn.py [n_ues] [R] [iters] [runs] [cells]
 """
 
 import json
@@ -39,6 +45,7 @@ def main():
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    cells = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     cell = grid_mod.CellConfig(n_prb=100, cell_id=1, cfi=2)
     rntis = wbd.feasible_rntis(cell, n_ues)
@@ -50,18 +57,23 @@ def main():
         ul_l_prb=wu, ul_mcs=20,
         snr_db=(30.0,) * n_ues, R=R,
         use_pallas=jax.default_backend() == "tpu", llr_bits=16)
-    rb_dl, rb_ul = wbd.make_schedule(cfg, seed=3)
-    bench = wbd.make_bench_step(cfg)
+    bench = wbd.make_bench_step(cfg, n_cells=cells)
 
     rng = np.random.default_rng(0)
     T = cfg.T
-    dl_q = jax.device_put(rng.integers(
-        0, 2, (T, n_ues, cfg.dl_tbs), dtype=np.int8))
-    ul_q = jax.device_put(rng.integers(
-        0, 2, (T, n_ues, cfg.ul_tbs), dtype=np.int8))
-    rb_dl = jax.device_put(rb_dl)
-    rb_ul = jax.device_put(rb_ul)
-    key = jax.random.PRNGKey(0)
+
+    def put(a):
+        return jax.device_put(a if cells > 1 else a[0])
+
+    dl_q = put(rng.integers(
+        0, 2, (cells, T, n_ues, cfg.dl_tbs), dtype=np.int8))
+    ul_q = put(rng.integers(
+        0, 2, (cells, T, n_ues, cfg.ul_tbs), dtype=np.int8))
+    scheds = [wbd.make_schedule(cfg, seed=3 + ci) for ci in range(cells)]
+    rb_dl = put(np.stack([s[0] for s in scheds]))
+    rb_ul = put(np.stack([s[1] for s in scheds]))
+    key = (jax.random.split(jax.random.PRNGKey(0), cells)
+           if cells > 1 else jax.random.PRNGKey(0))
     tti0 = jnp.asarray(0, jnp.int32)
 
     t0 = time.time()
@@ -69,9 +81,10 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.time() - t0
     d_ok, u_ok, a_ok, d_rtx, u_rtx, miss = (int(x) for x in out)
-    assert d_ok == T * n_ues, f"DL CRCs failed: {d_ok}/{T*n_ues}"
-    assert u_ok == T * n_ues, f"UL CRCs failed: {u_ok}/{T*n_ues}"
-    assert a_ok == T * n_ues, f"ACKs missing: {a_ok}/{T*n_ues}"
+    tot = cells * T * n_ues
+    assert d_ok == tot, f"DL CRCs failed: {d_ok}/{tot}"
+    assert u_ok == tot, f"UL CRCs failed: {u_ok}/{tot}"
+    assert a_ok == tot, f"ACKs missing: {a_ok}/{tot}"
     assert miss == 0, f"DCI misses at 30 dB: {miss}"
 
     rates = []
@@ -80,24 +93,26 @@ def main():
         for _ in range(iters):
             out = bench(dl_q, ul_q, rb_dl, rb_ul, key, tti0)
         jax.block_until_ready(out)
-        rates.append(T * iters / (time.time() - t0))
+        rates.append(cells * T * iters / (time.time() - t0))
     ttis_s = float(np.median(rates))
     spread = 100.0 * (max(rates) - min(rates)) / ttis_s
     dl_mbps = ttis_s * n_ues * cfg.dl_tbs / 1e6
     ul_mbps = ttis_s * n_ues * cfg.ul_tbs / 1e6
+    agg = f" x {cells} cells AGGREGATE" if cells > 1 else ""
     print(
-        f"# dyn-block 100 PRB x {n_ues} UEs, T={T}: compile={compile_s:.1f}s "
+        f"# dyn-block 100 PRB x {n_ues} UEs, T={T}{agg}: "
+        f"compile={compile_s:.1f}s "
         f"{ttis_s:.0f} TTIs/s (spread {spread:.1f}%) = "
-        f"{ttis_s/1000.0:.1f}x real time; cell DL {dl_mbps:.0f} Mb/s + "
+        f"{ttis_s/1000.0:.1f}x real time; DL {dl_mbps:.0f} Mb/s + "
         f"UL {ul_mbps:.0f} Mb/s; per-TTI DCI x{2*n_ues} blind-decoded, "
         f"8-process IR-HARQ live; device={jax.devices()[0].device_kind}",
         file=sys.stderr)
     print(json.dumps({
         "metric": "waveform_dyn_block_ttis_per_sec",
         "value": round(ttis_s, 1),
-        "unit": "TTIs/s",
+        "unit": "TTIs/s" if cells == 1 else "cell-TTIs/s aggregate",
         "vs_baseline": round(ttis_s / 1000.0, 3),
-        "n_prb": 100, "n_ues": n_ues, "block_ttis": T,
+        "n_prb": 100, "n_ues": n_ues, "block_ttis": T, "n_cells": cells,
         "dl_mbps": round(dl_mbps, 1), "ul_mbps": round(ul_mbps, 1),
         "median_of": n_runs, "spread_pct": round(spread, 2),
         "compile_s": round(compile_s, 1),

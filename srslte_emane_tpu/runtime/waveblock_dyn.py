@@ -360,8 +360,10 @@ def _consts(cfg: DynBlockConfig) -> dict:
     wu_sc = 12 * cfg.ul_l_prb
     assert (ul_data0 % cell.nre < wu_sc).all()
     assert (ul_dmrs0 % cell.nre < wu_sc).all()
-    ul_d_win = (ul_data0 // cell.nre) * wu_sc + ul_data0 % cell.nre
-    ul_m_win = (ul_dmrs0 // cell.nre) * wu_sc + ul_dmrs0 % cell.nre
+    ul_d_win = ((ul_data0 // cell.nre) * wu_sc
+                + ul_data0 % cell.nre).reshape(-1)
+    ul_m_win = ((ul_dmrs0 // cell.nre) * wu_sc
+                + ul_dmrs0 % cell.nre).reshape(-1)
     ct_idx, ct_w = _cand_taps(
         cfg, cand_re.reshape(10, n, -1))
     return dict(
@@ -563,6 +565,27 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
             lambda r: one(g, r))(rr))(g14, rb)
         return win.reshape(T8, rb.shape[1], grid_mod.N_SYM * w_sc, 2)
 
+    def _win_add(flat_g, rb, wcont, w_sc):
+        """Add per-(t,u) (N_SYM*w_sc, 2) window contents into the
+        (T8, S, 2) grid at 12*rb[t, u] — the TX inverse of _win_slice.
+        Sequential over u (per-TTI allocations are disjoint; a gated-off
+        UE contributes zeros, which add back unchanged)."""
+        T8 = flat_g.shape[0]
+        g14 = flat_g.reshape(T8, grid_mod.N_SYM, cell.nre, 2)
+        w4 = wcont.reshape(T8, rb.shape[1], grid_mod.N_SYM, w_sc, 2)
+
+        def one_u(u, g):
+            def one_t(gt, r, w):
+                cur = jax.lax.dynamic_slice(
+                    gt, (0, 12 * r, 0), (grid_mod.N_SYM, w_sc, 2))
+                return jax.lax.dynamic_update_slice(
+                    gt, cur + w, (0, 12 * r, 0))
+
+            return jax.vmap(one_t)(g, rb[:, u], w4[:, u])
+
+        g14 = jax.lax.fori_loop(0, n, one_u, g14)
+        return g14.reshape(T8, S, 2)
+
     def _chest_at(h_ls, k, sym):
         """CE at traced REs: h_ls (T8, n, S_pil, P, 2); k/sym (T8, n, Np).
         Returns (T8, n, Np, 2)."""
@@ -646,13 +669,17 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
                                rv_b=rv_dl.reshape(B))
             scr = scrambling.scramble_bits(cw, cinit_d)
             syms_d = modem.modulate(scr, modem.MOD_FROM_QM[qm_d])
-            dl_idx = c["base_idx"][None, None] + 12 * rb_dl_r[..., None]
             grids = jnp.take(jnp.asarray(c["base10"]), sfs, axis=0)
             flat = grids.reshape(N_PID, S, 2)
             flat = _scatter_rows(flat, i1, s1)
             flat = _scatter_rows(flat, i0, s0)
-            flat = _scatter_rows(flat, dl_idx.reshape(N_PID, -1),
-                                 syms_d.reshape(N_PID, -1, 2))
+            # PDSCH onto the grid as per-(t,u) windows (data REs are
+            # zero in the base grid, so add == set)
+            wd_sc = 12 * cfg.dl_l_crbs
+            wc = jnp.zeros((N_PID, n, grid_mod.N_SYM * wd_sc, 2))
+            wc = wc.at[:, :, jnp.asarray(c["dl_win_idx"])].set(
+                syms_d.reshape(N_PID, n, n_re_d, 2))
+            flat = _win_add(flat, rb_dl_r, wc, wd_sc)
             # PHICH: previous round's UL CRCs at (group, seq) from the
             # previous round's PRBs + n_dmrs=u (36.213 §9.1.2)
             g_ph = (enb_rb_prev + uidx[None]) % ngrp
@@ -839,19 +866,17 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
             gtx = tx_ul * gain[None]  # 0 = DTX without a grant
             x_u = x_u * gtx.reshape(B, 1, 1, 1)
             ug = jnp.zeros((N_PID, S, 2))
-            # a DTX UE's indices go out of range (dropped): its zeros
-            # must not overwrite a neighbour's REs at its stale rb
-            oob = jnp.where(tx_ul, 0, S)[..., None, None]
-            ud_idx = (c["ul_data0"][None, None]
-                      + 12 * rb_ul_ue[..., None, None] + oob)
-            ug = _scatter_rows(ug, ud_idx.reshape(N_PID, -1),
-                               x_u.reshape(N_PID, -1, 2))
-            um_idx = (c["ul_dmrs0"][None, None]
-                      + 12 * rb_ul_ue[..., None, None] + oob)
+            # data + DMRS as one per-(t,u) window add; a DTX UE's gain
+            # gate zeroes its window, so its stale rb adds nothing and
+            # cannot disturb a neighbour's REs
             dv = jnp.take(jnp.asarray(c["ul_dmrs10"]), sfs, axis=0)
-            dvb = (dv[:, None] * gtx[..., None, None, None]).reshape(
-                N_PID, -1, 2)
-            ug = _scatter_rows(ug, um_idx.reshape(N_PID, -1), dvb)
+            dvb = dv[:, None] * gtx[..., None, None, None]
+            uwc = jnp.zeros((N_PID, n, grid_mod.N_SYM * m_sc, 2))
+            uwc = uwc.at[:, :, jnp.asarray(c["ul_d_win"])].set(
+                x_u.reshape(N_PID, n, -1, 2))
+            uwc = uwc.at[:, :, jnp.asarray(c["ul_m_win"])].set(
+                dvb.reshape(N_PID, n, -1, 2))
+            ug = _win_add(ug, rb_ul_ue, uwc, m_sc)
             # PUCCH HARQ-ACK at n1 = nCCE of the decoded DL DCI (N1=0)
             pvals = jnp.take(jnp.asarray(c["p_vals"]), sfs, axis=0)
             pv = _take_rows(pvals, dl_cce_ue)  # (T8, n, 2, 7, 12, 2)
@@ -1109,10 +1134,17 @@ class DynBlockRunner:
         return out
 
 
-def make_bench_step(cfg: DynBlockConfig):
+def make_bench_step(cfg: DynBlockConfig, n_cells: int = 1):
     """Bench variant: reduces outputs on device to scalars (no bulk
-    readback over the remote device link)."""
-    step = make_dyn_block_step(cfg)
+    readback over the remote device link).
+
+    n_cells > 1 vmaps the whole block over independent cells (the
+    emulation's many-eNB scenario: each cell carries its own payload
+    queues, schedule, channel randomness, and HARQ state; sums are
+    aggregated across cells on device).  Per-cell semantics are
+    identical to n_cells=1 — the cells share nothing but the chip.
+    """
+    step = make_dyn_block_step(cfg, jit=False)
 
     def bench(dl_q, ul_q, rb_dl, rb_ul, key, tti0):
         o = step(dl_q, ul_q, rb_dl, rb_ul, key, tti0)
@@ -1120,4 +1152,13 @@ def make_bench_step(cfg: DynBlockConfig):
                 o["dl_retx_tx"], o["ul_retx_tx"],
                 o["dci_dl_miss"] + o["dci_ul_miss"])
 
-    return jax.jit(bench)
+    if n_cells == 1:
+        return jax.jit(bench)
+
+    vb = jax.vmap(bench, in_axes=(0, 0, 0, 0, 0, None))
+
+    def agg(dl_q, ul_q, rb_dl, rb_ul, keys, tti0):
+        return tuple(x.sum() for x in vb(
+            dl_q, ul_q, rb_dl, rb_ul, keys, tti0))
+
+    return jax.jit(agg)
