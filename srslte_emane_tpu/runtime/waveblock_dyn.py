@@ -775,8 +775,8 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
                            (ue_rb_prev + uidx[None]) % ngrp,
                            axis=0)  # (T8, n, 12)
             y_ph = (jnp.take_along_axis(
-                jnp.broadcast_to(rg_tx[:, None], (N_PID, n, S, 2)),
-                php[..., None].repeat(2, -1), axis=-2)
+                rg_tx, php.reshape(N_PID, -1)[..., None], axis=-2)
+                .reshape(N_PID, n, 12, 2)
                 + a2[None, :, None, None]
                 * jax.random.normal(key, (N_PID, n, 12, 2)))
             h_ph = _chest_at(h_ls, php % cell.nre, php // cell.nre)
@@ -937,8 +937,7 @@ def make_dyn_block_step(cfg: DynBlockConfig, jit: bool = True):
             pv_e = _take_rows(pvals, cce_d)
             ppos_e = jnp.take(jnp.asarray(c["p_pos"]), cce_d, axis=0)
             yp = jnp.take_along_axis(
-                jnp.broadcast_to(urg[:, None], (N_PID, n, S, 2)),
-                ppos_e.reshape(N_PID, n, -1, 1).repeat(2, -1), axis=-2)
+                urg, ppos_e.reshape(N_PID, -1)[..., None], axis=-2)
             yp = yp.reshape(N_PID, n, 2, 7, 12, 2)
             prod = cplx.mul_conj(yp, pv_e)
             dm = dmask[None, None, None, :, None]
