@@ -351,7 +351,10 @@ class _CellKernels:
             rg = ofdm.demodulate(samples, cell.n_prb)
             ch = chest.estimate(rg, cell, sf_idx)
             cfi, _ = pcfich_mod.decode(rg, ch.ce, cell, sf_idx)
-            p = cplx.abs2(ch.ce).mean(-3)  # (B, NRE) over symbols
+            p = cplx.abs2(ch.ce).mean(-2)  # (B, NRE): mean over symbols
+            # (-2 is the symbol axis of (B, N_SYM, NRE); reducing -3
+            # collapsed the UE batch instead — silently broadcastable
+            # at B=1, a shape error at B>1)
             p = jnp.pad(p, ((0, 0), (0, pad)))
             p_sb = p.reshape(p.shape[0], n_sb, k_sb).sum(-1) / jnp.maximum(
                 jnp.minimum(k_sb, cell.nre - k_sb * jnp.arange(n_sb)), 1)
