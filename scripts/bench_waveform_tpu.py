@@ -9,9 +9,14 @@ number the reference's sf_worker pipeline would produce is 1000 TTIs/s
 (real time) on an x86 host.
 
 Prints one JSON line:
-  {"metric": "waveform_block_ttis_per_sec", "value": ..., ...}
+  {"metric": "waveform_block[_tm3]_ttis_per_sec", "value": ..., ...}
 
-Usage: python scripts/bench_waveform_tpu.py [n_prb] [n_ues] [T] [iters]
+A 6th arg "tm3" switches the downlink to TM3 large-delay-CDD 2x2
+spatial multiplexing (two codewords per TTI x UE through per-UE 2x2
+channels, per-port CRS chest + closed-form ZF on device): the DL
+payload doubles per allocation.
+
+Usage: python scripts/bench_waveform_tpu.py [n_prb] [n_ues] [T] [iters] [runs] [tm3]
 """
 
 import json
@@ -40,8 +45,10 @@ def main():
     T = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     n_runs = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    tm3 = len(sys.argv) > 6 and sys.argv[6] == "tm3"
 
-    cell = grid_mod.CellConfig(n_prb=n_prb, cell_id=1, cfi=1)
+    cell = grid_mod.CellConfig(n_prb=n_prb, cell_id=1, cfi=1,
+                               n_ports=2 if tm3 else 1)
     n_cce = pdcch.n_cce(cell)
     c0, c1 = waveblock.centre_prbs(n_prb)
     dl_starts, dl_w = waveblock._pack_segments(
@@ -57,12 +64,15 @@ def main():
         ul_l_prb=ul_w, ul_mcs=20,
         ack_res=tuple(n_cce + i for i in range(n_ues)),
         snr_db=(30.0,) * n_ues, T=T,
-        use_pallas=jax.default_backend() == "tpu", llr_bits=16)
+        use_pallas=jax.default_backend() == "tpu", llr_bits=16,
+        tm3=tm3)
     bench = waveblock.make_bench_step(cfg, sfn0=4)
 
     rng = np.random.default_rng(0)
-    dl = jax.device_put(rng.integers(
-        0, 2, (T, n_ues, cfg.dl_tbs), dtype=np.int8))
+    n_cw = 2 if tm3 else 1
+    dl_shape = ((T, n_ues, 2, cfg.dl_tbs) if tm3
+                else (T, n_ues, cfg.dl_tbs))
+    dl = jax.device_put(rng.integers(0, 2, dl_shape, dtype=np.int8))
     ul = jax.device_put(rng.integers(
         0, 2, (T, n_ues, cfg.ul_tbs), dtype=np.int8))
     key = jax.random.PRNGKey(0)
@@ -72,7 +82,8 @@ def main():
     d_ok, u_ok, a_ok = bench(dl, ul, key, tti0)
     jax.block_until_ready(d_ok)
     compile_s = time.time() - t0
-    assert int(d_ok) == T * n_ues, f"DL CRCs failed: {int(d_ok)}/{T*n_ues}"
+    assert int(d_ok) == T * n_ues * n_cw, \
+        f"DL CRCs failed: {int(d_ok)}/{T*n_ues*n_cw}"
     assert int(u_ok) == T * n_ues, f"UL CRCs failed: {int(u_ok)}/{T*n_ues}"
     assert int(a_ok) == T * n_ues, f"ACKs missing: {int(a_ok)}/{T*n_ues}"
 
@@ -86,17 +97,19 @@ def main():
         rates.append(T * iters / dt)
     ttis_s = float(np.median(rates))
     spread = 100.0 * (max(rates) - min(rates)) / ttis_s
-    dl_mbps = ttis_s * n_ues * cfg.dl_tbs / 1e6
+    dl_mbps = ttis_s * n_ues * n_cw * cfg.dl_tbs / 1e6
     ul_mbps = ttis_s * n_ues * cfg.ul_tbs / 1e6
     print(
-        f"# waveform-block {n_prb} PRB x {n_ues} UEs, T={T}: "
+        f"# waveform-block {n_prb} PRB x {n_ues} UEs, T={T}"
+        f"{' TM3 2x2' if tm3 else ''}: "
         f"compile={compile_s:.1f}s {ttis_s:.0f} TTIs/s "
         f"(spread {spread:.1f}%) = {ttis_s/1000.0:.1f}x real time; "
         f"cell DL {dl_mbps:.0f} Mb/s + UL {ul_mbps:.0f} Mb/s "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr)
     print(json.dumps({
-        "metric": "waveform_block_ttis_per_sec",
+        "metric": ("waveform_block_tm3_ttis_per_sec" if tm3 else
+                   "waveform_block_ttis_per_sec"),
         "value": round(ttis_s, 1),
         "unit": "TTIs/s",
         "vs_baseline": round(ttis_s / 1000.0, 3),

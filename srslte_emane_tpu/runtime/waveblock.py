@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import cplx, dft, modem, ofdm, scrambling
+from ..ops import cplx, dft, mimo, modem, ofdm, scrambling
 from ..phch import chest, grid as grid_mod, pbch as pbch_mod
 from ..phch import pcfich as pcfich_mod, pdsch as pdsch_mod
 from ..phch import pucch as pucch_mod, pusch as pusch_mod, ra
@@ -66,6 +66,15 @@ class BlockConfig(typing.NamedTuple):
     T: int  # TTIs per block
     use_pallas: bool = False
     llr_bits: int = 32
+    # TM3 large-delay-CDD 2x2 downlink (36.211 §6.3.4.2.2): two
+    # codewords, one per layer, through a fixed per-UE 2x2 channel with
+    # condition number mimo_cond_db (0 = unitary; ~60 dB ~= rank-1, the
+    # rank-fallback control).  Requires cell.n_ports == 2.  Sync/PBCH/
+    # PCFICH stay on port 0 (the block models steady state, not
+    # acquisition).  UL stays SISO, like the reference's eNB.
+    tm3: bool = False
+    mimo_cond_db: float = 0.0
+    mimo_seed: int = 1
 
     @property
     def n_ues(self) -> int:
@@ -111,7 +120,9 @@ def _dl_re_tables(cfg: BlockConfig) -> np.ndarray:
 
 def _base_grids(cfg: BlockConfig, sfn0: int) -> np.ndarray:
     """(10, n_sym, NRE, 2) base subframes: CRS + PSS/SSS + PCFICH + PBCH
-    (phase sfn0%4, MIB of frame sfn0)."""
+    (phase sfn0%4, MIB of frame sfn0).  With tm3: (10, 2, n_sym, NRE, 2)
+    per-port grids — port 1 carries only its own CRS (zeros at port-0
+    CRS positions and vice versa, per 36.211 §6.10.1.2)."""
     cell = cfg.cell
     mib = np.asarray(pbch_mod.pack_mib(cell.n_prb, sfn0))[None].astype(np.int8)
     outs = []
@@ -123,7 +134,12 @@ def _base_grids(cfg: BlockConfig, sfn0: int) -> np.ndarray:
                               cell, sf, g)
         if sf == 0:
             g = pbch_mod.encode(jnp.asarray(mib), cell, sfn0 % 4, g)
-        outs.append(np.asarray(g)[0])
+        if cfg.tm3:
+            g1 = pdsch_mod.put_crs(
+                cplx.zeros((1, grid_mod.N_SYM, cell.nre)), cell, sf, port=1)
+            outs.append(np.stack([np.asarray(g)[0], np.asarray(g1)[0]]))
+        else:
+            outs.append(np.asarray(g)[0])
     return np.stack(outs)
 
 
@@ -181,23 +197,53 @@ def _cell_consts(cfg: BlockConfig, sfn0: int = 0) -> dict:
     # (dl_kfm = freq-interp rows at those columns), a column index per
     # data RE (dl_col), and the time-interp weights per data RE (dl_tw,
     # the tmat row of the RE's OFDM symbol).
-    ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, 0, cell.cp)
-    syms = grid_mod.pilot_syms(0, cell.cp)
-    pidx = (np.asarray(syms)[:, None] * cell.nre + ks).astype(np.int32)
-    crs10 = chest._crs_values10(cell.cell_id, cell.n_prb, 0, cell.cp)
-    fm = np.stack([chest._freq_interp_matrix(cell.n_prb, int(ks[i][0]))
-                   for i in range(len(syms))])  # (S_pil, NRE, P)
-    tmat = chest._time_interp_matrix(tuple(syms), cell.n_sym)
+    ports = (0, 1) if cfg.tm3 else (0,)
+    pidx_p, crs10_p, kfm_p = [], [], []
     K = 12 * cfg.dl_l_crbs
-    dl_col, dl_tw, dl_kfm = [], [], []
-    for u in range(cfg.n_ues):
-        sym_u, k_u = dl_idx[u] // cell.nre, dl_idx[u] % cell.nre
-        kcols, inv = np.unique(k_u, return_inverse=True)
-        assert len(kcols) == K, (len(kcols), K)
-        dl_col.append(inv)
-        dl_tw.append(tmat[sym_u])       # (n_re, S_pil)
-        dl_kfm.append(fm[:, kcols, :])  # (S_pil, K, P)
+    dl_col, dl_tw = [], []
+    for port in ports:
+        ks = grid_mod.crs_k(cell.cell_id, cell.n_prb, port, cell.cp)
+        syms = grid_mod.pilot_syms(port, cell.cp)
+        assert syms == grid_mod.pilot_syms(0, cell.cp)  # shared dl_tw
+        pidx_p.append(
+            (np.asarray(syms)[:, None] * cell.nre + ks).astype(np.int32))
+        crs10_p.append(
+            chest._crs_values10(cell.cell_id, cell.n_prb, port, cell.cp))
+        fm = np.stack([chest._freq_interp_matrix(cell.n_prb, int(ks[i][0]))
+                       for i in range(len(syms))])  # (S_pil, NRE, P)
+        tmat = chest._time_interp_matrix(tuple(syms), cell.n_sym)
+        kfm_u = []
+        for u in range(cfg.n_ues):
+            sym_u, k_u = dl_idx[u] // cell.nre, dl_idx[u] % cell.nre
+            kcols, inv = np.unique(k_u, return_inverse=True)
+            assert len(kcols) == K, (len(kcols), K)
+            if port == 0:
+                dl_col.append(inv)
+                dl_tw.append(tmat[sym_u])   # (n_re, S_pil)
+            kfm_u.append(fm[:, kcols, :])   # (S_pil, K, P)
+        kfm_p.append(np.stack(kfm_u))
+    pidx = pidx_p[0] if not cfg.tm3 else np.stack(pidx_p)
+    crs10 = crs10_p[0] if not cfg.tm3 else np.stack(crs10_p)
+    extra = {}
+    if cfg.tm3:
+        assert cell.n_ports == 2, "tm3 requires CellConfig(n_ports=2)"
+        # fixed per-UE 2x2 channel: unitary x diag(1, 10^(-cond/20)) x
+        # unitary, mean |h|^2 normalized to 1 (the per-link amp/snr_db
+        # scaling stays in charge of the link budget)
+        rng = np.random.default_rng(cfg.mimo_seed)
+        h2 = np.zeros((cfg.n_ues, 2, 2, 2), np.float32)
+        for u in range(cfg.n_ues):
+            q1 = np.linalg.qr(rng.normal(size=(2, 2))
+                              + 1j * rng.normal(size=(2, 2)))[0]
+            q2 = np.linalg.qr(rng.normal(size=(2, 2))
+                              + 1j * rng.normal(size=(2, 2)))[0]
+            h = q1 @ np.diag(
+                [1.0, 10.0 ** (-cfg.mimo_cond_db / 20.0)]) @ q2.conj().T
+            h = h / np.sqrt((np.abs(h) ** 2).mean())
+            h2[u, ..., 0], h2[u, ..., 1] = h.real, h.imag
+        extra["h2"] = h2
     return dict(
+        **extra,
         cell_id=np.int32(cell.cell_id),
         rntis=np.asarray(cfg.rntis, np.int64),
         amp=(10.0 ** (-np.asarray(cfg.snr_db, np.float32) / 20.0)),
@@ -211,7 +257,8 @@ def _cell_consts(cfg: BlockConfig, sfn0: int = 0) -> dict:
         ch_pidx=pidx, ch_vals10=np.asarray(cplx.from_numpy(crs10)),
         dl_col=np.stack(dl_col).astype(np.int32),
         dl_tw=np.stack(dl_tw).astype(np.float32),
-        dl_kfm=np.stack(dl_kfm).astype(np.float32),
+        dl_kfm=(kfm_p[0] if not cfg.tm3
+                else np.stack(kfm_p)).astype(np.float32),
     )
 
 
@@ -237,15 +284,36 @@ def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
         # ---------------- eNB DL encode ----------------
         cinit_d = ((rntis[None, :] << 14) + (sfs[:, None] << 9)
                    + c["cell_id"]).reshape(-1)  # (T*n,)
-        cw = sch.encode_tb(dl_bits.reshape(T * n, cfg.dl_tbs), cfg_d)
-        scr = scrambling.scramble_bits(cw, cinit_d)
-        syms = modem.modulate(scr, modem.MOD_FROM_QM[qm_d])  # (T*n, re, 2)
-        grids = jnp.take(c["base10"], sfs, axis=0)  # (T, 14, NRE, 2)
-        flat = grids.reshape(T, S, 2)
-        flat = flat.at[:, dl_idx.reshape(-1), :].set(
-            syms.reshape(T, n * n_re_d, 2))
-        tx = ofdm.modulate(flat.reshape(T, grid_mod.N_SYM, cell.nre, 2),
-                           cell.n_prb)  # (T, sf_len, 2)
+        if cfg.tm3:
+            # two codewords, one per layer (36.211 two-layer mapping);
+            # q rides bit 13 of the scrambling cinit (36.211 §6.3.1)
+            cinits = [cinit_d + (q << 13) for q in (0, 1)]
+            layers = jnp.stack([
+                modem.modulate(scrambling.scramble_bits(
+                    sch.encode_tb(dl_bits[:, :, q].reshape(T * n, cfg.dl_tbs),
+                                  cfg_d), cinits[q]),
+                    modem.MOD_FROM_QM[qm_d])
+                for q in (0, 1)], axis=-3)  # (T*n, 2, n_re, 2)
+            ports = mimo.precode_cdd2(layers)  # (T*n, 2p, n_re, 2)
+            grids = jnp.take(c["base10"], sfs, axis=0)  # (T, 2, 14, NRE, 2)
+            flat = grids.reshape(T, 2, S, 2)
+            pp = ports.reshape(T, n, 2, n_re_d, 2)
+            for p in (0, 1):
+                flat = flat.at[:, p, dl_idx.reshape(-1), :].set(
+                    pp[:, :, p].reshape(T, n * n_re_d, 2))
+            tx = ofdm.modulate(
+                flat.reshape(T * 2, grid_mod.N_SYM, cell.nre, 2),
+                cell.n_prb)
+        else:
+            cw = sch.encode_tb(dl_bits.reshape(T * n, cfg.dl_tbs), cfg_d)
+            scr = scrambling.scramble_bits(cw, cinit_d)
+            syms = modem.modulate(scr, modem.MOD_FROM_QM[qm_d])  # (T*n, re, 2)
+            grids = jnp.take(c["base10"], sfs, axis=0)  # (T, 14, NRE, 2)
+            flat = grids.reshape(T, S, 2)
+            flat = flat.at[:, dl_idx.reshape(-1), :].set(
+                syms.reshape(T, n * n_re_d, 2))
+            tx = ofdm.modulate(flat.reshape(T, grid_mod.N_SYM, cell.nre, 2),
+                               cell.n_prb)  # (T, sf_len, 2)
 
         # ---------------- DL channel + UE receive (RE-sparse) --------
         # ONE OFDM demod of the cell waveform serves every UE; per-link
@@ -256,31 +324,93 @@ def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
         # O(REs used) instead of O(n_ues x waveform), and the full-grid
         # per-UE demod/CE intermediates (the block's former HBM
         # bottleneck: 2 x (T*n, 14, NRE) float arrays) never exist.
-        S_pil, P = c["ch_pidx"].shape
-        rg_tx = ofdm.demodulate(tx, cell.n_prb).reshape(T, S, 2)
+        S_pil, P = c["ch_pidx"].shape[-2:]
         k_d1, k_d2 = jax.random.split(k_dl)
         a2 = amp / np.sqrt(2)
-        y = (jnp.take(rg_tx, dl_idx.reshape(-1), axis=-2)
-             .reshape(T, n, n_re_d, 2)
-             + a2[None, :, None, None]
-             * jax.random.normal(k_d1, (T, n, n_re_d, 2)))
-        p_tx = jnp.take(rg_tx, c["ch_pidx"].reshape(-1), axis=-2)
-        y_p = (p_tx.reshape(T, 1, S_pil, P, 2)
-               + a2[None, :, None, None, None]
-               * jax.random.normal(k_d2, (T, n, S_pil, P, 2)))
-        r_p = jnp.take(c["ch_vals10"], sfs, axis=0)  # (T, S_pil, P, 2)
-        h_ls = cplx.mul_conj(y_p, r_p[:, None])  # (T, n, S_pil, P, 2)
-        h_f = jnp.einsum("uskp,tuspc->tuskc", c["dl_kfm"], h_ls)
-        h_re = jnp.take_along_axis(
-            h_f, c["dl_col"][None, :, None, :, None], axis=3)
-        h = jnp.einsum("urs,tusrc->turc", c["dl_tw"], h_re)
-        x_eq, csi = chest.equalize_zf(y, h)
-        llr = modem.demod_soft(x_eq.reshape(T * n, n_re_d, 2),
-                               modem.MOD_FROM_QM[qm_d])
-        llr = llr * jnp.repeat(csi.reshape(T * n, n_re_d), qm_d, axis=-1)
-        llr = scrambling.scramble_llrs(llr, cinit_d)
-        dl_out, dl_ok, _, _ = sch.decode_tb(
-            llr, cfg_d, use_pallas=cfg.use_pallas, llr_bits=cfg.llr_bits)
+        if cfg.tm3:
+            rg_tx = ofdm.demodulate(tx, cell.n_prb).reshape(T, 2, S, 2)
+            h2 = jnp.asarray(c["h2"])  # (n, 2rx, 2tx, 2)
+            # data REs: mix both ports through the per-UE 2x2, per-rx
+            # independent AWGN at the link amp
+            tp = jnp.stack([
+                jnp.take(rg_tx[:, p], dl_idx.reshape(-1), axis=-2)
+                .reshape(T, n, n_re_d, 2) for p in (0, 1)],
+                axis=2)  # (T, n, 2tx, re, 2)
+            y = (cplx.mul(h2[None, :, :, :, None], tp[:, :, None]).sum(3)
+                 + a2[None, :, None, None, None]
+                 * jax.random.normal(k_d1, (T, n, 2, n_re_d, 2)))
+            # pilots: at port-p CRS positions the other port is silent,
+            # so LS per (rx, port) comes straight from the mixed signal
+            pt = jnp.stack([
+                jnp.take(rg_tx[:, p], c["ch_pidx"][p].reshape(-1), axis=-2)
+                for p in (0, 1)], axis=1)  # (T, 2tx, S_pil*P, 2)
+            y_pil = (cplx.mul(
+                h2[None, :, :, :, None],
+                pt.reshape(T, 1, 1, 2, S_pil * P, 2))
+                + a2[None, :, None, None, None, None]
+                * jax.random.normal(
+                    k_d2, (T, n, 2, 2, S_pil * P, 2)))
+            r_p = jnp.take(c["ch_vals10"], sfs, axis=1)  # (2, T, S_pil, P, 2)
+            h_ls = cplx.mul_conj(
+                y_pil.reshape(T, n, 2, 2, S_pil, P, 2),
+                jnp.moveaxis(r_p, 0, 1)[:, None, None])  # (T,n,a,p,S,P,2)
+            # a = rx antenna, p = tx port, s = pilot symbol, k = unique
+            # subcarrier column, q = pilot index, e = data RE
+            h_f = jnp.einsum("puskq,tuapsqc->tuapskc", c["dl_kfm"], h_ls)
+            h_re = jnp.take_along_axis(
+                h_f, c["dl_col"][None, :, None, None, None, :, None],
+                axis=5)
+            h = jnp.einsum("ues,tuapsec->tuapec", c["dl_tw"], h_re)
+            # fold the CDD precoder into the channel:
+            # P(i) = (1/2) [[1, 1], [s_i, -s_i]]  (s_i = (-1)^i)
+            sgn = jnp.asarray(np.where(
+                np.arange(n_re_d) % 2 == 0, 1.0, -1.0).astype(np.float32))
+            hp0, hp1 = h[:, :, :, 0], h[:, :, :, 1]  # (T,n,r,re,2)
+            heff = jnp.stack(
+                [(hp0 + hp1 * sgn[None, None, None, :, None]) * 0.5,
+                 (hp0 - hp1 * sgn[None, None, None, :, None]) * 0.5],
+                axis=3)  # (T, n, r, p=layer, re, 2)
+            x_eq, csi2 = mimo.decode_zf2(y, heff)
+            oks, outs = [], []
+            for q in (0, 1):
+                llr = modem.demod_soft(
+                    x_eq[:, :, q].reshape(T * n, n_re_d, 2),
+                    modem.MOD_FROM_QM[qm_d])
+                llr = llr * jnp.repeat(
+                    jnp.clip(csi2[:, :, q], 0.0, 1e3)
+                    .reshape(T * n, n_re_d), qm_d, axis=-1)
+                llr = scrambling.scramble_llrs(llr, cinits[q])
+                o, k, _, _ = sch.decode_tb(
+                    llr, cfg_d, use_pallas=cfg.use_pallas,
+                    llr_bits=cfg.llr_bits)
+                outs.append(o)
+                oks.append(k)
+            dl_out = jnp.stack(outs, axis=1).reshape(T, n, 2, -1)
+            dl_ok2 = jnp.stack(oks, axis=1).reshape(T, n, 2)
+            dl_ok = dl_ok2.all(-1)  # spatial-bundled ACK (both codewords)
+        else:
+            rg_tx = ofdm.demodulate(tx, cell.n_prb).reshape(T, S, 2)
+            y = (jnp.take(rg_tx, dl_idx.reshape(-1), axis=-2)
+                 .reshape(T, n, n_re_d, 2)
+                 + a2[None, :, None, None]
+                 * jax.random.normal(k_d1, (T, n, n_re_d, 2)))
+            p_tx = jnp.take(rg_tx, c["ch_pidx"].reshape(-1), axis=-2)
+            y_p = (p_tx.reshape(T, 1, S_pil, P, 2)
+                   + a2[None, :, None, None, None]
+                   * jax.random.normal(k_d2, (T, n, S_pil, P, 2)))
+            r_p = jnp.take(c["ch_vals10"], sfs, axis=0)  # (T, S_pil, P, 2)
+            h_ls = cplx.mul_conj(y_p, r_p[:, None])  # (T, n, S_pil, P, 2)
+            h_f = jnp.einsum("uskp,tuspc->tuskc", c["dl_kfm"], h_ls)
+            h_re = jnp.take_along_axis(
+                h_f, c["dl_col"][None, :, None, :, None], axis=3)
+            h = jnp.einsum("urs,tusrc->turc", c["dl_tw"], h_re)
+            x_eq, csi = chest.equalize_zf(y, h)
+            llr = modem.demod_soft(x_eq.reshape(T * n, n_re_d, 2),
+                                   modem.MOD_FROM_QM[qm_d])
+            llr = llr * jnp.repeat(csi.reshape(T * n, n_re_d), qm_d, axis=-1)
+            llr = scrambling.scramble_llrs(llr, cinit_d)
+            dl_out, dl_ok, _, _ = sch.decode_tb(
+                llr, cfg_d, use_pallas=cfg.use_pallas, llr_bits=cfg.llr_bits)
 
         # ---------------- UE transmit: SPS PUSCH + PUCCH ACK ----------
         cinit_u = ((rntis[None, :] << 14) + (sfs[:, None] << 9)
@@ -359,7 +489,8 @@ def _step_body(cfg: BlockConfig, c: dict, dl_bits, ul_bits, key, tti0):
         return dict(
             dl_ok=dl_ok.reshape(T, n), dl_out=dl_out.reshape(T, n, -1),
             ul_ok=ul_ok.reshape(T, n), ul_out=ul_out.reshape(T, n, -1),
-            ack_energy=cplx.abs2(corr), ack_val=corr[..., 0])
+            ack_energy=cplx.abs2(corr), ack_val=corr[..., 0],
+            **({"dl_ok_cw": dl_ok2} if cfg.tm3 else {}))
 
 
 def make_block_step(cfg: BlockConfig, sfn0: int = 0):
@@ -573,7 +704,8 @@ def make_bench_step(cfg: BlockConfig, sfn0: int = 0):
 
     def bench(dl_bits, ul_bits, key, tti0):
         out = step(dl_bits, ul_bits, key, tti0)
-        return (out["dl_ok"].sum(), out["ul_ok"].sum(),
+        dl_ok = out["dl_ok_cw"] if cfg.tm3 else out["dl_ok"]
+        return (dl_ok.sum(), out["ul_ok"].sum(),
                 (out["ack_energy"] > 1e-2).sum())
 
     return jax.jit(bench)
