@@ -344,7 +344,8 @@ def _consts(cfg: DynBlockConfig) -> dict:
     ph_sm = np.stack([phich_mod._spread_matrix(cell.cell_id, sf)
                       for sf in range(10)])  # (10, 8, 12, 2)
     ul_data0, ul_dmrs0 = pusch_mod.re_indices(cell.n_prb, 0, cfg.ul_l_prb)
-    base10 = waveblock._base_grids(types.SimpleNamespace(cell=cell), 0)
+    base10 = waveblock._base_grids(
+        types.SimpleNamespace(cell=cell, tm3=False), 0)
     base_idx = _dl_base_idx(cfg)
     dl_tap_idx, dl_tap_w, dl_tw, dl_W = _dl_window_taps(cfg, base_idx)
     # window-relative static RE tables: every per-(t,u) RX gather over

@@ -5,21 +5,67 @@ Reference semantics matched: srsenb/src/phy/sf_worker.cc per-TTI loop,
 scheduler_harq.cc RV cycling / max-tx drop, srsue dl_harq.cc NDI-toggle
 soft-buffer reset, ul_harq.cc PHICH-driven synchronous retransmission,
 lib/src/phy/fec/softbuffer.c IR soft-combining.
+
+Scenarios run in subprocesses (cumulative-compile isolation; see
+test_waveblock.py).
 """
+
+import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
 
-from srslte_emane_tpu.phch import grid as grid_mod
-from srslte_emane_tpu.runtime import waveblock_dyn as wbd
+def _isolated(name, timeout=1700):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, __file__, name],
+                       capture_output=True, text=True, env=env,
+                       timeout=timeout)
+    assert r.returncode == 0, \
+        f"scenario {name} failed:\n{r.stdout[-2000:]}\n{r.stderr[-3000:]}"
 
-CELL = grid_mod.CellConfig(n_prb=15, cell_id=1, cfi=2)
+
+def test_dyn_block_clean_channel_end_to_end():
+    """High SNR: every TB rides a blind-decoded per-TTI DCI and every
+    CRC passes first transmission; payload order is intact."""
+    _isolated("clean")
+
+
+@pytest.mark.slow
+def test_dyn_block_ir_soft_combining_gain():
+    """A crushed-SNR UE recovers TBs via in-block IR retransmission —
+    and the gain IS soft combining: with the soft buffer chased
+    (combine=False), the identical retransmissions never decode and the
+    HARQ entity drops at max_tx (softbuffer.c / sch.c:389-414 role)."""
+    _isolated("combining", timeout=3000)
+
+
+@pytest.mark.slow
+def test_dyn_block_dci_miss_is_dtx():
+    """At destroyed SNR the UE misses the PDCCH: it neither decodes the
+    TB nor sends PUCCH (DTX), and the eNB keeps retransmitting until the
+    max-tx drop — no false ACKs."""
+    _isolated("dtx")
+
+
+# ---------------------------------------------------------------------------
+# scenario bodies (subprocess side)
+# ---------------------------------------------------------------------------
+
+def _cell():
+    from srslte_emane_tpu.phch import grid as grid_mod
+
+    return grid_mod.CellConfig(n_prb=15, cell_id=1, cfi=2)
 
 
 def _run(cfg, seed=0, key=7):
+    import jax
+    import jax.numpy as jnp
+
+    from srslte_emane_tpu.runtime import waveblock_dyn as wbd
+
     rb_dl, rb_ul = wbd.make_schedule(cfg, seed=1)
     step = wbd.make_dyn_block_step(cfg)
     rng = np.random.default_rng(seed)
@@ -32,11 +78,11 @@ def _run(cfg, seed=0, key=7):
     return jax.tree_util.tree_map(np.asarray, out), dl_q, ul_q, rb_dl
 
 
-def test_dyn_block_clean_channel_end_to_end():
-    """High SNR: every TB rides a blind-decoded per-TTI DCI and every
-    CRC passes first transmission; payload order is intact."""
+def _clean():
+    from srslte_emane_tpu.runtime import waveblock_dyn as wbd
+
     cfg = wbd.DynBlockConfig(
-        cell=CELL, rntis=(70, 71), dl_l_crbs=3, dl_mcs=8,
+        cell=_cell(), rntis=(70, 71), dl_l_crbs=3, dl_mcs=8,
         ul_l_prb=2, ul_mcs=8, snr_db=(30.0, 28.0), R=2)
     out, dl_q, ul_q, rb_dl = _run(cfg)
     Tn = cfg.T * cfg.n_ues
@@ -66,13 +112,10 @@ def test_dyn_block_clean_channel_end_to_end():
         assert ptr == out["ul_consumed"][u] == cfg.T
 
 
-@pytest.mark.slow
-def test_dyn_block_ir_soft_combining_gain():
-    """A crushed-SNR UE recovers TBs via in-block IR retransmission —
-    and the gain IS soft combining: with the soft buffer chased
-    (combine=False), the identical retransmissions never decode and the
-    HARQ entity drops at max_tx (softbuffer.c / sch.c:389-414 role)."""
-    base = dict(cell=CELL, rntis=(70, 71), dl_l_crbs=3, dl_mcs=16,
+def _combining():
+    from srslte_emane_tpu.runtime import waveblock_dyn as wbd
+
+    base = dict(cell=_cell(), rntis=(70, 71), dl_l_crbs=3, dl_mcs=16,
                 ul_l_prb=2, ul_mcs=8, snr_db=(30.0, 8.0), R=4)
     cfg = wbd.DynBlockConfig(**base, combine=True)
     out, _, _, _ = _run(cfg)
@@ -100,13 +143,11 @@ def test_dyn_block_ir_soft_combining_gain():
     assert recovered - okc[~ctrl["dl_new"][:, :, u]].sum() >= 8
 
 
-@pytest.mark.slow
-def test_dyn_block_dci_miss_is_dtx():
-    """At destroyed SNR the UE misses the PDCCH: it neither decodes the
-    TB nor sends PUCCH (DTX), and the eNB keeps retransmitting until the
-    max-tx drop — no false ACKs."""
+def _dtx():
+    from srslte_emane_tpu.runtime import waveblock_dyn as wbd
+
     cfg = wbd.DynBlockConfig(
-        cell=CELL, rntis=(70, 71), dl_l_crbs=3, dl_mcs=8,
+        cell=_cell(), rntis=(70, 71), dl_l_crbs=3, dl_mcs=8,
         ul_l_prb=2, ul_mcs=8, snr_db=(30.0, -6.0), R=2)
     out, _, _, _ = _run(cfg)
     u = 1
@@ -117,3 +158,11 @@ def test_dyn_block_dci_miss_is_dtx():
     # the good UE is untouched by its neighbour's outage
     assert out["dl_ok"][:, :, 0].all()
     assert out["ul_ok"][:, :, 0].all()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    {"clean": _clean, "combining": _combining, "dtx": _dtx}[sys.argv[1]]()
